@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The relational engine surface (SURVEY.md §2a).
+  *
+  * map2db drives sqlite row-at-a-time (map2db.py:747-812); at scale the
+  * same semantics are declarative DataFrame plans: hash aggregates with
+  * map-side partial aggregation, broadcast joins for dims, window
+  * functions, semi/anti joins. Every query here is Catalyst-optimized
+  * (pushdown + pruning reach the parquet scan) and has a DuckDB oracle.
+  *
+  * Float determinism: double aggregation is order-dependent, and Spark
+  * and DuckDB would disagree in the last ULP. Every SUM/AVG over a
+  * double column goes through DECIMAL(18,4) (exact integer arithmetic,
+  * associative, engine-independent) and is cast back to double at the
+  * end — bit-identical results on both engines, still codegen'd.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact, order-independent sum of a double column (see above). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** q01: TPC-H Q1-style pricing summary — multi-key, multi-agg hash
+    * aggregate. Partial aggregation makes this a single shuffle of
+    * (flag,status) groups regardless of input size. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val one = lit(1).cast(DecimalType(18, 4))
+    li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+          * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: filter + project — both must reach the parquet scan
+    * (PushedFilters / ReadSchema in .explain). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate").cast("date") >= lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03: revenue by market segment — two joins. customer and orders
+    * are dims relative to lineitem; customer is explicitly broadcast
+    * (at 100 TB the fact side never shuffles for a broadcastable dim). */
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val one = lit(1).cast(DecimalType(18, 4))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q03Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q04: four-way join through the dim chain region→nation→customer→
+    * orders; Catalyst join-reorder + AQE pick the plan, small dims
+    * broadcast automatically (autoBroadcastJoinThreshold). */
+  def q04MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q04Sql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** q05: top-k by aggregate — Spark plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition top-k, no full sort). */
+  def q05TopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val one = lit(1).cast(DecimalType(18, 4))
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q05Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q06: window functions — first 3 shipments per supplier. The
+    * partition key (l_suppkey) is the shuffle key; ordering inside the
+    * window is fully deterministic (orderkey,linenumber unique). */
+  def q06WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date"),
+        col("rn"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val q06Sql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** q07: distinct aggregation — exact COUNT(DISTINCT) per group
+    * (expand + two-phase agg under the hood). */
+  def q07Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  val q07Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q08: anti join — parts never shipped in bulk (NOT EXISTS against
+    * a filtered fact). The filter is applied before the join so the
+    * anti side shrinks at the scan; a broadcast-able anti join at any
+    * scale if the right side's distinct keys fit, else shuffled
+    * left-anti. */
+  def q08AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val bulk = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 49).select(col("l_partkey"))
+    part.join(bulk, part("p_partkey") === bulk("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q08Sql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q09: conditional aggregation (CASE pivot) — one pass, no joins. */
+  def q09ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def flagSum(flag: String, name: String): Column =
+      sum(when(col("l_returnflag") === flag, dec(col("l_extendedprice")))
+        .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double").as(name)
+    li.groupBy(col("l_linestatus"))
+      .agg(flagSum("R", "returned_price"), flagSum("A", "ack_price"),
+        flagSum("N", "none_price"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q09Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_price,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ack_price,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS none_price,
+      |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q10: union + merge-by-key — the relational skeleton of map2db's
+    * "same feature arrives from several tiles → merge into one row"
+    * (map2db.py:104-108): UNION ALL the per-partition fragments, then
+    * one groupBy(key) merge. */
+  def q10UnionMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val hi = li.filter(col("l_quantity") >= 40)
+      .select(col("l_partkey"), col("l_quantity"))
+    val lo = li.filter(col("l_quantity") <= 5)
+      .select(col("l_partkey"), col("l_quantity"))
+    hi.unionByName(lo)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_fragments"),
+        dsum(col("l_quantity")).as("merged_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q10Sql: String =
+    s"""SELECT l_partkey, COUNT(*) AS n_fragments,
+       |  ${sqlDsum("l_quantity")} AS merged_qty,
+       |  MAX(l_quantity) AS max_qty
+       |FROM (
+       |  SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity >= 40
+       |  UNION ALL
+       |  SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity <= 5)
+       |GROUP BY l_partkey
+       |ORDER BY l_partkey""".stripMargin
+
+  /** q11: JSON extraction — map2db stores fixed tags as a JSON array
+    * column (m2db_tags, map2db.py:872-875); the engine-side equivalent
+    * is JSON path extraction, codegen'd via get_json_object. */
+  def q11JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q11Sql: String =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q12: approximate distinct (HLL++) — the scale path for distinct
+    * counting; no exact SQL oracle (rows-only check), exactness bounds
+    * asserted in RelationalSpec. */
+  def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** All §2a queries keyed as in SURVEY.md. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_multi_join" -> (q04MultiJoin _),
+    "q05_topk_revenue" -> (q05TopkRevenue _),
+    "q06_window_rank" -> (q06WindowRank _),
+    "q07_distinct" -> (q07Distinct _),
+    "q08_anti_join" -> (q08AntiJoin _),
+    "q09_conditional_agg" -> (q09ConditionalAgg _),
+    "q10_union_merge" -> (q10UnionMerge _),
+    "q11_json_props" -> (q11JsonProps _),
+    "q12_approx_distinct" -> (q12ApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_multi_join" -> q04Sql,
+    "q05_topk_revenue" -> q05Sql,
+    "q06_window_rank" -> q06Sql,
+    "q07_distinct" -> q07Sql,
+    "q08_anti_join" -> q08Sql,
+    "q09_conditional_agg" -> q09Sql,
+    "q10_union_merge" -> q10Sql,
+    "q11_json_props" -> q11Sql)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  test("every relational query runs non-empty at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q01 aggregates are exact (decimal-path determinism)") {
+    val rows = Relational.q01PricingSummary(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("A", "N", "R"))
+    val total = rows.map(_.getLong(rows.head.length - 1)).sum
+    // the shipdate filter keeps roughly half the 6000 sf0.001 rows
+    assert(total > 1000 && total <= 6000)
+  }
+
+  test("q05 top-k is sorted descending and bounded") {
+    val rev = Relational.q05TopkRevenue(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(rev.length == 10)
+    assert(rev.sameElements(rev.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q12 approx distinct is within rsd bounds of exact") {
+    val approx = Relational.q12ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.q07Distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.05,
+        s"flag $k: approx $a vs exact ${exact(k)}")
+    }
+  }
+
+  test("q02 plan pushes filter and prunes columns at the scan") {
+    val plan = Relational.q02FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"), plan)
+  }
+}
