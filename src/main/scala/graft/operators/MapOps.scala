@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Tiles
+import graft.functions.varint._
+
+/** MapsForge-domain operators re-expressed over the test tables
+  * (SURVEY.md §2b/§2c). The binary/tile/delta/tag machinery the
+  * reference applies per-tile is exercised here as declarative plans
+  * over the driver tables so the DuckDB oracle can hash-check them;
+  * the same Columns/Expressions are what the Mapsforge source uses.
+  *
+  * Oracle discipline for the codec ops: Spark computes
+  * decode(encode(x)) through the real Catalyst expressions; the
+  * oracle states the identity the roundtrip must land on.
+  */
+object MapOps {
+
+  /** g01: ULEB128/SLEB128 roundtrip + encoded byte length per the
+    * 7-bit-group spec. Codegen'd expressions in the scan's hot loop. */
+  def g01VarintRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("key")).distinct()
+    keys.select(col("key"),
+        uleb_decode(uleb_encode(col("key"))).as("decoded_u"),
+        sleb_decode(sleb_encode(col("key") - 30000)).as("decoded_s"),
+        length(uleb_encode(col("key"))).cast("int").as("nbytes_u"))
+      .orderBy(col("key"))
+  }
+
+  val g01Sql: String =
+    """SELECT key, key AS decoded_u, key - 30000 AS decoded_s,
+      |  CASE WHEN key < 128 THEN 1 WHEN key < 16384 THEN 2
+      |       WHEN key < 2097152 THEN 3 WHEN key < 268435456 THEN 4
+      |       ELSE 5 END AS nbytes_u
+      |FROM (SELECT DISTINCT l_orderkey AS key FROM lineitem)
+      |ORDER BY key""".stripMargin
+
+  /** Deterministic synthetic coordinates derived from event ids —
+    * exact in both engines (integer modulus then one fp division). */
+  private def withCoords(df: DataFrame): DataFrame = df
+    .withColumn("z", (col("event_id") % 10 + 8).cast("double"))
+    .withColumn("lon", (col("event_id") * 7919 % 3500000) / 10000.0 - 175.0)
+    .withColumn("lat", (col("event_id") * 104729 % 1600000) / 10000.0 - 80.0)
+
+  private val coordsSql =
+    """SELECT event_id,
+      |  CAST(event_id % 10 + 8 AS DOUBLE) AS z,
+      |  (event_id * 7919 % 3500000) / 10000.0 - 175.0 AS lon,
+      |  (event_id * 104729 % 1600000) / 10000.0 - 80.0 AS lat
+      |FROM events""".stripMargin
+
+  /** g02: tile transforms — lat/lon → integer tile (x,y) at zoom z,
+    * then the inverse transform for the tile's NW corner. */
+  def g02TileTransforms(spark: SparkSession, dir: String): DataFrame = {
+    val c = withCoords(Tables.load(spark, dir, "events"))
+    c.select(col("event_id"), col("z"),
+        floor(Tiles.tileXFromLon(col("z"), col("lon"))).as("tile_x"),
+        floor(Tiles.tileYFromLat(col("z"), col("lat"))).as("tile_y"))
+      .select(col("event_id"), col("tile_x"), col("tile_y"),
+        round(Tiles.lonFromTileX(col("z"), col("tile_x").cast("double")), 3)
+          .as("nw_lon"),
+        round(Tiles.latFromTileY(col("z"), col("tile_y").cast("double")), 3)
+          .as("nw_lat"))
+      .orderBy(col("event_id"))
+  }
+
+  val g02Sql: String =
+    s"""SELECT event_id, tile_x, tile_y,
+       |  ROUND((tile_x / POW(2.0, z) * 2.0 - 1.0) * 180.0, 3) AS nw_lon,
+       |  ROUND((ATAN(EXP(((POW(2.0, z) - tile_y) / POW(2.0, z - 1) - 1.0) * PI())) / PI() - 0.25) * 360.0, 3) AS nw_lat
+       |FROM (
+       |  SELECT event_id, z,
+       |    FLOOR(POW(2.0, z - 1) * (lon / 180.0 + 1.0)) AS tile_x,
+       |    FLOOR(POW(2.0, z - 1) *
+       |      (2.0 - (LN(TAN((lat / 360.0 + 0.25) * PI())) / PI() + 1.0))) AS tile_y
+       |  FROM ($coordsSql))
+       |ORDER BY event_id""".stripMargin
+
+  /** g03: row-major flat tile index — the engine's partition/bucket
+    * key (integer-exact). */
+  def g03TileNum(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(
+        Tiles.tileNum(col("l_partkey") % 100, col("l_suppkey") % 100,
+          lit(0L), lit(0L), lit(100L)).as("tile_num"))
+      .groupBy(col("tile_num"))
+      .agg(count(lit(1)).as("n_features"))
+      .orderBy(col("tile_num"))
+  }
+
+  val g03Sql: String =
+    """SELECT (l_suppkey % 100) * 100 + (l_partkey % 100) AS tile_num,
+      |  COUNT(*) AS n_features
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY tile_num""".stripMargin
+
+  /** g04: delta + double-delta coordinate decode (map2db.py:576-599)
+    * as window prefix sums — the declarative form of the reference's
+    * running-accumulator loop; one shuffle on the block key. */
+  def g04DeltaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    // l_linenumber is not unique within an order in this data; the
+    // node order must be total or the prefix sums are nondeterministic.
+    val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deltas = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+      (col("l_quantity").cast("long") - 25).as("d_lat"),
+      (col("l_partkey") % 100 - 50).as("d_lon"))
+    deltas
+      .withColumn("lat_md", lit(1000000L) + sum(col("d_lat")).over(w))
+      .withColumn("cum1", sum(col("d_lon")).over(w))
+      .withColumn("lon_md", lit(2000000L) + sum(col("cum1")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("lat_md"), col("lon_md"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  val g04Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  CAST(1000000 + SUM(d_lat) OVER w2 AS BIGINT) AS lat_md,
+      |  CAST(2000000 + SUM(cum1) OVER w2 AS BIGINT) AS lon_md
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    l_extendedprice,
+      |    CAST(l_quantity AS BIGINT) - 25 AS d_lat,
+      |    SUM(l_partkey % 100 - 50) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |      ROWS UNBOUNDED PRECEDING) AS cum1
+      |  FROM lineitem)
+      |WINDOW w2 AS (PARTITION BY l_orderkey
+      |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |  ROWS UNBOUNDED PRECEDING)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  /** g05: tag dictionary parse — "key=value" splits plus the
+    * variable-tag `=%i/%f/%h/%s` type detection (map2db.py:424-451). */
+  def g05TagParse(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val suffix = element_at(
+      array(lit("=%i"), lit("=%f"), lit("=%h"), lit("=%s")),
+      (col("p_size") % 4 + 1).cast("int"))
+    part
+      .withColumn("tag", concat(col("p_brand"), lit("="), col("p_type")))
+      .withColumn("vt", concat(col("p_name"), suffix))
+      .select(col("p_partkey"),
+        element_at(split(col("tag"), "="), 1).as("tag_key"),
+        element_at(split(col("tag"), "="), 2).as("tag_value"),
+        expr("substring(vt, 1, length(vt) - 3)").as("vtag_key"),
+        expr("right(vt, 2)").as("vtag_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val g05Sql: String =
+    """SELECT p_partkey,
+      |  string_split(p_brand || '=' || p_type, '=')[1] AS tag_key,
+      |  string_split(p_brand || '=' || p_type, '=')[2] AS tag_value,
+      |  p_name AS vtag_key,
+      |  ['%i', '%f', '%h', '%s'][CAST(p_size % 4 + 1 AS INT)] AS vtag_type
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** g06: point clip to a bounding box (map2db.py:845-851) — for
+    * points, clipping IS a filter, which Catalyst can push/prune;
+    * at scale this is the partition-pruning fast path. */
+  def g06PointClip(spark: SparkSession, dir: String): DataFrame = {
+    val c = withCoords(Tables.load(spark, dir, "events"))
+    c.filter(col("lon") >= -60.0 && col("lon") <= 60.0 &&
+        col("lat") >= -40.0 && col("lat") <= 40.0)
+      .select(col("event_id"), col("lon"), col("lat"))
+      .orderBy(col("event_id"))
+  }
+
+  val g06Sql: String =
+    s"""SELECT event_id, lon, lat
+       |FROM ($coordsSql)
+       |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -40.0 AND 40.0
+       |ORDER BY event_id""".stripMargin
+
+  /** g07: ring-closure classification (map2db.py:600-617,634-638) —
+    * a coordinate block is an area iff it is a closed ring with ≥4
+    * points; computed over real Spark arrays (collect_list per block,
+    * append-first-to-close for a deterministic subset). */
+  def g07RingClassify(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val pts = li.select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_linenumber") * 7 % 13).as("x"),
+      (col("l_linenumber") * 11 % 17).as("y"))
+    pts.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(
+        struct(col("l_linenumber"), col("x"), col("y")))).as("block"))
+      .withColumn("block",
+        when(col("l_orderkey") % 3 === 0,
+          concat(col("block"), slice(col("block"), 1, 1)))
+          .otherwise(col("block")))
+      .select(col("l_orderkey"),
+        size(col("block")).as("n_points"),
+        (size(col("block")) >= 4 &&
+          element_at(col("block"), 1).getField("x") ===
+            element_at(col("block"), -1).getField("x") &&
+          element_at(col("block"), 1).getField("y") ===
+            element_at(col("block"), -1).getField("y")).as("is_ring"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val g07Sql: String =
+    """SELECT l_orderkey,
+      |  CASE WHEN l_orderkey % 3 = 0 THEN cnt + 1 ELSE cnt END AS n_points,
+      |  CASE WHEN l_orderkey % 3 = 0 THEN cnt + 1 >= 4
+      |       ELSE cnt >= 4 AND (min_ln * 7 % 13 = max_ln * 7 % 13)
+      |            AND (min_ln * 11 % 17 = max_ln * 11 % 17) END AS is_ring
+      |FROM (
+      |  SELECT l_orderkey, COUNT(*) AS cnt,
+      |    MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+      |  FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** g09: zoom-level dedup (map2db.py:766-809) — the same feature
+    * encoded at several levels keeps the highest-level (least
+    * simplified) row while the zoom range extends down to the lowest
+    * minz seen. One partial-aggregable shuffle via max_by. */
+  def g09ZoomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val feats = li.select(col("l_partkey").as("fid"),
+      (col("l_orderkey") % 3 + 10).as("lvl"))
+      .withColumn("minz", col("lvl"))
+      .withColumn("maxz", col("lvl") * 3 % 7 + col("lvl"))
+    FeatureMerge.dedupLevels(feats, "fid")
+      .orderBy(col("fid"))
+  }
+
+  val g09Sql: String =
+    """SELECT l_partkey AS fid, MAX(lvl) AS level, MIN(lvl) AS minz,
+      |  ARG_MAX(lvl * 3 % 7 + lvl, lvl) AS maxz, COUNT(*) AS n_frag
+      |FROM (SELECT l_partkey, l_orderkey % 3 + 10 AS lvl FROM lineitem)
+      |GROUP BY l_partkey
+      |ORDER BY fid""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
+    "g02_tile_transforms" -> (g02TileTransforms _),
+    "g03_tilenum" -> (g03TileNum _),
+    "g04_delta_decode" -> (g04DeltaDecode _),
+    "g05_tag_parse" -> (g05TagParse _),
+    "g06_point_clip" -> (g06PointClip _),
+    "g07_ring_classify" -> (g07RingClassify _),
+    "g09_zoom_dedup" -> (g09ZoomDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "g01_varint_roundtrip" -> g01Sql,
+    "g02_tile_transforms" -> g02Sql,
+    "g03_tilenum" -> g03Sql,
+    "g04_delta_decode" -> g04Sql,
+    "g05_tag_parse" -> g05Sql,
+    "g06_point_clip" -> g06Sql,
+    "g07_ring_classify" -> g07Sql,
+    "g09_zoom_dedup" -> g09Sql)
+}

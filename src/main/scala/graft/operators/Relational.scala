@@ -165,8 +165,11 @@ object Relational {
     * window is fully deterministic (orderkey,linenumber unique). */
   def q06WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
+    // (l_orderkey, l_linenumber) repeats in this data — the window
+    // order must be total for a deterministic row_number.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
     li.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -180,7 +183,8 @@ object Relational {
       |  SELECT l_suppkey, l_orderkey, l_linenumber,
       |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
       |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
-      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+      |        l_extendedprice) AS rn
       |  FROM lineitem)
       |WHERE rn <= 3
       |ORDER BY l_suppkey, rn""".stripMargin
