@@ -27,4 +27,26 @@ object FeatureMerge {
         min(col("minz")).as("minz"),
         max_by(col("maxz"), col("lvl")).as("maxz"),
         count(lit(1)).as("n_frag"))
+
+  /** Cross-tile geometry union per feature (map2db.py:776-784): one
+    * partial-aggregable shuffle on the feature id. */
+  def unionGeoms(feats: DataFrame, fidCol: String,
+      wkbCol: String): DataFrame =
+    feats.groupBy(col(fidCol))
+      .agg(graft.functions.GeomFunctions.unionWkb(col(wkbCol)).as(wkbCol))
+
+  /** The reference's post-union line stitching pass
+    * (map2db.py:1080-1182): linemerge each feature's multi-part
+    * geometry, snapping near-coincident endpoints (2.1 µdeg) before a
+    * second merge. Row-local (the heavy co-location already happened
+    * in [[unionGeoms]]), so it pipelines with no extra shuffle. */
+  def mergeLines(feats: DataFrame, wkbCol: String): DataFrame = {
+    val mergeUdf = udf { (wkb: Array[Byte]) =>
+      if (wkb == null || wkb.isEmpty) wkb
+      else graft.functions.GeomOps.toWkb(
+        graft.functions.GeomOps.mergeLineFeature(
+          graft.functions.GeomOps.fromWkb(wkb)))
+    }
+    feats.withColumn(wkbCol, mergeUdf(col(wkbCol)))
+  }
 }

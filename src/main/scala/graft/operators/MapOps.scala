@@ -223,6 +223,32 @@ object MapOps {
       |  FROM lineitem GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** g08: cross-tile geometry union (map2db.py:776-784) — fragments
+    * of one feature union into a single MultiPoint via the partial-
+    * aggregable JTS union aggregate; the component count must equal
+    * the distinct point count (union dedups identical points). */
+  def g08GeomUnion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val pts = li.select(col("l_partkey").as("fid"),
+      (col("l_quantity").cast("long") % 20).cast("double").as("x"),
+      (col("l_suppkey") % 20).cast("double").as("y"))
+    pts.groupBy(col("fid"))
+      .agg(graft.functions.GeomFunctions
+        .unionPoints(col("x"), col("y")).as("wkb"))
+      .select(col("fid"),
+        graft.functions.GeomFunctions.numGeometries(col("wkb"))
+          .cast("long").as("n_pts"))
+      .orderBy(col("fid"))
+  }
+
+  val g08Sql: String =
+    """SELECT l_partkey AS fid,
+      |  COUNT(DISTINCT (CAST(l_quantity AS BIGINT) % 20) * 1000
+      |    + l_suppkey % 20) AS n_pts
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY fid""".stripMargin
+
   /** g09: zoom-level dedup (map2db.py:766-809) — the same feature
     * encoded at several levels keeps the highest-level (least
     * simplified) row while the zoom range extends down to the lowest
@@ -252,6 +278,7 @@ object MapOps {
     "g05_tag_parse" -> (g05TagParse _),
     "g06_point_clip" -> (g06PointClip _),
     "g07_ring_classify" -> (g07RingClassify _),
+    "g08_geom_union" -> (g08GeomUnion _),
     "g09_zoom_dedup" -> (g09ZoomDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +289,6 @@ object MapOps {
     "g05_tag_parse" -> g05Sql,
     "g06_point_clip" -> g06Sql,
     "g07_ring_classify" -> g07Sql,
+    "g08_geom_union" -> g08Sql,
     "g09_zoom_dedup" -> g09Sql)
 }

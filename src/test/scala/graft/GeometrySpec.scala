@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeomOps
+
+class GeometrySpec extends AnyFunSuite {
+
+  test("WKB roundtrip preserves geometry") {
+    val mp = GeomOps.multiPoint(Seq((1.5, 2.5), (3.0, -4.0)))
+    val back = GeomOps.fromWkb(GeomOps.toWkb(mp))
+    assert(back.equalsExact(mp))
+  }
+
+  test("clipToBox trims a line at the tile edge on the microdegree grid") {
+    // line crossing the box [0,0]-[10,10] horizontally at y=5
+    val line = GeomOps.lineString(Seq((-5.0, 5.0), (15.0, 5.0)))
+    val clipped = GeomOps.clipToBox(line, 0, 0, 10, 10)
+    assert(clipped.getGeometryType == "LineString")
+    val cs = clipped.getCoordinates
+    assert(cs.head.x == 0.0 && cs.last.x == 10.0)
+    assert(cs.forall(_.y == 5.0))
+  }
+
+  test("clipToBox drops a geometry entirely outside (empty result)") {
+    val pt = GeomOps.multiPoint(Seq((20.0, 20.0)))
+    assert(GeomOps.clipToBox(pt, 0, 0, 10, 10).isEmpty)
+  }
+
+  test("clip of a polygon straddling the edge keeps the inside part") {
+    val poly = GeomOps.polygon(
+      Seq((5.0, 5.0), (15.0, 5.0), (15.0, 8.0), (5.0, 8.0), (5.0, 5.0)))
+    val clipped = GeomOps.clipToBox(poly, 0, 0, 10, 10)
+    assert(GeomOps.extractPolygons(clipped).nonEmpty)
+    assert(math.abs(clipped.getArea - 15.0) < 1e-9) // 5x3 remains
+  }
+
+  test("makeValidPolygonal fixes a bowtie self-intersection") {
+    // bowtie: invalid as a single ring; fixer splits into two triangles
+    val bowtie = GeomOps.polygon(
+      Seq((0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)))
+    assert(!bowtie.isValid)
+    val fixed = GeomOps.makeValidPolygonal(bowtie)
+    assert(fixed.nonEmpty)
+    assert(fixed.get.isValid)
+    assert(math.abs(fixed.get.getArea - 8.0) < 1e-9) // two 2x2 triangles
+  }
+
+  test("union dedups identical points (cross-tile merge semantics)") {
+    val a = GeomOps.multiPoint(Seq((1.0, 1.0), (2.0, 2.0)))
+    val b = GeomOps.multiPoint(Seq((2.0, 2.0), (3.0, 3.0)))
+    val u = GeomOps.union(a, b)
+    assert(u.getNumGeometries == 3)
+  }
+
+  test("mergeLineFeature stitches exactly-touching parts") {
+    val ml = GeomOps.multiLineString(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0)),
+      Seq((1.0, 0.0), (2.0, 0.0)),
+      Seq((2.0, 0.0), (3.0, 0.0))))
+    val merged = GeomOps.mergeLineFeature(ml)
+    assert(merged.getGeometryType == "LineString")
+    assert(merged.getCoordinates.length == 4)
+  }
+
+  test("mergeLineFeature snaps endpoints within 2.1 microdegrees") {
+    // second part starts 1 µdeg off the first part's end —
+    // plain linemerge cannot join them, the snap pass must
+    val ml = GeomOps.multiLineString(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0)),
+      Seq((1.000001, 0.0), (2.0, 0.0))))
+    assert(GeomOps.lineMerge(ml).getNumGeometries == 2) // stays split
+    val merged = GeomOps.mergeLineFeature(ml)
+    assert(merged.getGeometryType == "LineString",
+      s"expected stitched LineString, got ${merged.toText}")
+  }
+
+  test("mergeLineFeature leaves genuinely disjoint parts unchanged") {
+    val ml = GeomOps.multiLineString(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0)),
+      Seq((5.0, 5.0), (6.0, 5.0))))
+    val merged = GeomOps.mergeLineFeature(ml)
+    assert(merged.getNumGeometries == 2)
+  }
+
+  test("keepLinear discards point artifacts after clip") {
+    // touching the box only at a corner point plus a crossing line
+    val ml = GeomOps.multiLineString(Seq(
+      Seq((-5.0, 5.0), (15.0, 5.0)),
+      Seq((-5.0, -5.0), (0.0, 0.0)))) // touches box corner at (0,0)
+    val clipped = GeomOps.clipToBox(ml, 0, 0, 10, 10)
+    val kept = GeomOps.keepLinear(clipped)
+    assert(kept.nonEmpty)
+    assert(GeomOps.extractLines(kept.get).size == 1)
+  }
+
+  test("normalize is canonical (same geometry, any construction order)") {
+    val a = GeomOps.multiPoint(Seq((1.0, 1.0), (2.0, 2.0)))
+    val b = GeomOps.multiPoint(Seq((2.0, 2.0), (1.0, 1.0)))
+    assert(GeomOps.normalized(a).equalsExact(GeomOps.normalized(b)))
+    assert(GeomOps.toWkb(GeomOps.normalized(a)).toSeq ==
+      GeomOps.toWkb(GeomOps.normalized(b)).toSeq)
+  }
+}
