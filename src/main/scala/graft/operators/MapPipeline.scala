@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeomFunctions, GeomOps}
+import graft.sources.Mapsforge
+import graft.sources.Mapsforge.{Poi, Way}
+
+/** End-to-end map2db pipeline on Spark (SURVEY.md §2c).
+  *
+  * Mirrors the reference's per-tile feature handling
+  * (map2db.py:815-1077) and cross-tile/level merge (747-812) as a
+  * declarative plan:
+  *
+  *  1. executors decode tiles → Poi/Way rows (Mapsforge.scan);
+  *  2. per row: build geometry, clip to the row's tile box on the
+  *     microdegree grid, make-valid for areas, drop empties —
+  *     all row-local, no shuffle;
+  *  3. one shuffle per feature table: groupBy(fid) merges fragments —
+  *     geometry union at the max (least simplified) level, zoom range
+  *     extended to the min level seen (window + agg over one
+  *     exchange);
+  *  4. line features get the reference's two-pass endpoint-snap
+  *     linemerge, row-local after the merge shuffle.
+  *
+  * The reference walks tiles serially and mutates sqlite row-by-row;
+  * here every stage is partition-parallel and the only data movement
+  * is the per-table fid shuffle.
+  */
+object MapPipeline {
+
+  case class Feature(fid: Long, level: Int, minz: Int, maxz: Int,
+      layer: Int, tags: String, vtags: Map[String, String],
+      wkb: Array[Byte])
+
+  private def jsonArray(tags: Seq[String]): String =
+    tags.map(t => "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"")
+      + "\"").mkString("[", ", ", "]")
+
+  private def tileBox(level: Int, tileX: Long, tileY: Long)
+      : (Double, Double, Double, Double) = {
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    (r6(Mapsforge.lonFromX(level, tileX)),
+      r6(Mapsforge.latFromY(level, tileY + 1)),
+      r6(Mapsforge.lonFromX(level, tileX + 1)),
+      r6(Mapsforge.latFromY(level, tileY)))
+  }
+
+  /** POIs → point features, clipped to their tile box
+    * (map2db.py:837-886). Row-local. */
+  def pointFeatures(pois: Dataset[Poi]): Dataset[Feature] = {
+    import pois.sparkSession.implicits._
+    pois.flatMap { p =>
+      p.pnum.flatMap { fid =>
+        val (minx, miny, maxx, maxy) = tileBox(p.level, p.tileX, p.tileY)
+        val g = GeomOps.multiPoint(Seq((p.lon, p.lat)))
+        val clipped = GeomOps.clipToBox(g, minx, miny, maxx, maxy)
+        if (clipped.isEmpty) None // point was in the tile's edge buffer
+        else Some(Feature(fid, p.level, p.minz, p.maxz, p.layer,
+          jsonArray(p.tags), p.vtags,
+          GeomOps.toWkb(GeomOps.normalized(clipped))))
+      }
+    }
+  }
+
+  /** Ways → line features (map2db.py:888-966). Row-local. */
+  def lineFeatures(ways: Dataset[Way]): Dataset[Feature] = {
+    import ways.sparkSession.implicits._
+    ways.filter(w => w.geomType == "MULTILINESTRING" && w.lnum.isDefined)
+      .flatMap { w =>
+        val (minx, miny, maxx, maxy) = tileBox(w.level, w.tileX, w.tileY)
+        val g = GeomOps.multiLineString(
+          w.coords.flatten.map(_.map(c => (c.lon, c.lat))))
+        val clipped =
+          if (GeomOps.boxCovers(g, minx, miny, maxx, maxy)) g
+          else GeomOps.clipToBox(g, minx, miny, maxx, maxy)
+        if (clipped.isEmpty) None
+        else GeomOps.keepLinear(clipped).map { kept =>
+          Feature(w.lnum.get, w.level, w.minz, w.maxz, w.layer,
+            jsonArray(w.tags), w.vtags,
+            GeomOps.toWkb(GeomOps.normalized(kept)))
+        }
+      }
+  }
+
+  /** Ways → area features: shell+holes per data block, make-valid,
+    * clip (map2db.py:967-1072). Row-local. */
+  def areaFeatures(ways: Dataset[Way]): Dataset[Feature] = {
+    import ways.sparkSession.implicits._
+    ways.filter(w => w.geomType == "MULTIPOLYGON" && w.anum.isDefined)
+      .flatMap { w =>
+        val (minx, miny, maxx, maxy) = tileBox(w.level, w.tileX, w.tileY)
+        val polys = w.coords.map { dblock =>
+          GeomOps.polygon(dblock.head.map(c => (c.lon, c.lat)),
+            dblock.tail.map(_.map(c => (c.lon, c.lat))))
+        }
+        val raw = GeomOps.multiPolygon(polys)
+        val valid =
+          if (raw.isValid) Some(raw) else GeomOps.makeValidPolygonal(raw)
+        valid.flatMap { v =>
+          val clipped =
+            if (GeomOps.boxCovers(v, minx, miny, maxx, maxy)) v
+            else GeomOps.clipToBox(v, minx, miny, maxx, maxy)
+          if (clipped.isEmpty) None
+          else GeomOps.keepPolygonal(clipped).map { kept =>
+            Feature(w.anum.get, w.level, w.minz, w.maxz, w.layer,
+              jsonArray(w.tags), w.vtags,
+              GeomOps.toWkb(GeomOps.normalized(kept)))
+          }
+        }
+      }
+  }
+
+  /** Cross-tile + cross-level merge (map2db.py:747-812): geometry is
+    * the union of the max-level fragments; m2db_minz extends to the
+    * lowest level seen; attributes come from the max level. One fid
+    * exchange, reused by the window and the aggregate. */
+  def mergeFeatures(feats: Dataset[Feature]): DataFrame = {
+    val w = Window.partitionBy(col("fid"))
+    feats.toDF()
+      .withColumn("max_level", max(col("level")).over(w))
+      .withColumn("minz_all", min(col("minz")).over(w))
+      .filter(col("level") === col("max_level"))
+      .groupBy(col("fid"))
+      .agg(
+        first(col("max_level")).as("m2db_level"),
+        first(col("minz_all")).as("m2db_minz"),
+        first(col("maxz")).as("m2db_maxz"),
+        first(col("layer")).as("m2db_layer_num"),
+        first(col("tags")).as("m2db_tags"),
+        first(col("vtags")).as("vtags"),
+        GeomFunctions.unionWkb(col("wkb")).as("m2db_geometry"))
+  }
+
+  /** Dynamic variable-tag columns, as the reference ALTER TABLEs them
+    * in (map2db.py:856-871): the key universe is the (small) tag
+    * dictionary, so collecting distinct keys is driver-safe. */
+  def explodeVtags(merged: DataFrame): (DataFrame, Seq[String]) = {
+    val keys = merged.select(explode(map_keys(col("vtags"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val withCols = keys.foldLeft(merged) { (df, k) =>
+      df.withColumn(k, col("vtags").getItem(k))
+    }
+    (withCols.drop("vtags"), keys)
+  }
+
+  case class MapTables(points: DataFrame, lines: DataFrame,
+      areas: DataFrame, vtagKeys: Seq[String])
+
+  /** Full decode→merge for a dbl map. Lines additionally get the
+    * endpoint-snap linemerge pass (map2db.py:1080-1182). */
+  def build(spark: SparkSession, path: String): MapTables = {
+    val (pois, ways) = Mapsforge.scan(spark, path)
+    val cachedWays = ways.persist()
+    val points = mergeFeatures(pointFeatures(pois))
+      .withColumnRenamed("fid", "m2db_pnum")
+    val lines = FeatureMerge.mergeLines(
+      mergeFeatures(lineFeatures(cachedWays)), "m2db_geometry")
+      .withColumnRenamed("fid", "m2db_lnum")
+    val areas = mergeFeatures(areaFeatures(cachedWays))
+      .withColumnRenamed("fid", "m2db_anum")
+    val (p, pk) = explodeVtags(points)
+    val (l, lk) = explodeVtags(lines)
+    val (a, ak) = explodeVtags(areas)
+    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted)
+  }
+}

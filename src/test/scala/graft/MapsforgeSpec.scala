@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.MapEncoder._
+import graft.functions.GeomOps
+import graft.operators.MapPipeline
+import graft.sources.{FdoSink, Mapsforge}
+
+/** Round-trips a hand-built two-subfile dbl map through the
+  * distributed reader and the full merge pipeline.
+  *
+  * Geography: bbox lat 51.5-51.6, lon 7.1-7.6 → level-10 subfile has
+  * tiles (532,340),(533,340); level-8 subfile has tile (133,85). The
+  * tile boundary between the two level-10 tiles is at lon 7.3828125.
+  */
+class MapsforgeSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val poiTags = Seq(
+    "amenity=cafe", "place=city", "__dbl_pnum=%i", "population=%i")
+  private val wayTags = Seq(
+    "highway=primary", "__dbl_lnum=%i", "__dbl_anum=%i", "name:en=%s",
+    "_lbd_=" + "ODbL-1.0".reverse)
+
+  private val edge = 7.3828125 // lonFromX(10, 533)
+  // the wire format quantizes to integer microdegrees (ties-to-even)
+  private val edgeQ = 7.382812
+
+  private def testMap: MapSpec = {
+    val cityL10 = PoiSpec(tileZ = 9, lat = 51.55, lon = 7.3, layer = 0,
+      tagIdx = Seq(1, 2, 3), vtagValues = Seq(1, 632000),
+      name = Some("Dortmund"), elevation = Some(86))
+    val cityL8 = cityL10.copy(tileZ = 7)
+    val poi2 = PoiSpec(tileZ = 10, lat = 51.5, lon = 7.5, layer = 1,
+      tagIdx = Seq(0, 2), vtagValues = Seq(2))
+    // road lnum=1 crossing the tile boundary; west fragment uses
+    // double-delta encoding
+    val roadWest = WaySpec(tileZ = 9, layer = 0, tagIdx = Seq(1),
+      vtagValues = Seq(1), name = Some("A40"), doubleDelta = true,
+      blocks = Seq(Seq(Seq((7.2, 51.55), (7.3, 51.55), (edge, 51.55)))))
+    val roadEast = roadWest.copy(doubleDelta = false,
+      blocks = Seq(Seq(Seq((edge, 51.55), (7.4, 51.55), (7.5, 51.55)))))
+    // area anum=1: two data blocks — square-with-hole + small square
+    val park = WaySpec(tileZ = 9, layer = 0, tagIdx = Seq(2, 3),
+      vtagValues = Seq(1, "park"),
+      blocks = Seq(
+        Seq(
+          Seq((7.1, 51.52), (7.2, 51.52), (7.2, 51.57), (7.1, 51.57),
+            (7.1, 51.52)),
+          Seq((7.13, 51.54), (7.17, 51.54), (7.17, 51.56), (7.13, 51.56),
+            (7.13, 51.54))),
+        Seq(
+          Seq((7.25, 51.52), (7.28, 51.52), (7.28, 51.54), (7.25, 51.54),
+            (7.25, 51.52)))))
+    MapSpec(minLat = 51.5, minLon = 7.1, maxLat = 51.6, maxLon = 7.6,
+      poiTags = poiTags, wayTags = wayTags,
+      subfiles = Seq(
+        SubfileSpec(8, 6, 8, Seq(TileSpec(133, 85, pois = Seq(cityL8)))),
+        SubfileSpec(10, 9, 11, Seq(
+          TileSpec(532, 340, pois = Seq(cityL10),
+            ways = Seq(roadWest, park)),
+          TileSpec(533, 340, pois = Seq(poi2), ways = Seq(roadEast))))),
+      comment = Some("test map"), createdBy = Some("graft-test"))
+  }
+
+  private lazy val mapPath = MapEncoder.writeToTemp(testMap)
+
+  test("header parses: bbox, dictionaries, subfiles, dbl license") {
+    val h = Mapsforge.readHeader(mapPath)
+    assert(h.minLat == 51.5 && h.maxLon == 7.6)
+    assert(h.poiTags == poiTags && h.wayTags == wayTags)
+    assert(h.subfiles.map(_.level) == Seq(8, 10))
+    assert(h.subfiles(1).minX == 532 && h.subfiles(1).maxX == 533)
+    assert(h.subfiles(1).minY == 340 && h.subfiles(1).maxY == 340)
+    assert(h.isDbl && h.dblString.contains("ODbL-1.0"))
+    assert(h.comment.contains("test map"))
+  }
+
+  test("distributed scan decodes all POIs and ways exactly") {
+    val (pois, ways) = Mapsforge.scan(spark, mapPath)
+    val pl = pois.collect().sortBy(p => (p.pnum.get, p.level))
+    assert(pl.length == 3)
+    val city8 = pl(0); val city10 = pl(1); val p2 = pl(2)
+    assert(city8.level == 8 && city8.minz == 7 && city8.maxz == 8)
+    assert(city10.level == 10 && city10.minz == 9 && city10.maxz == 11)
+    assert(city10.lat == 51.55 && city10.lon == 7.3)
+    assert(city10.tags == Seq("place=city"))
+    assert(city10.vtags("population") == "632000")
+    assert(city10.vtags("m2db_name") == "Dortmund")
+    assert(city10.vtags("m2db_elevation") == "86")
+    assert(p2.pnum.contains(2L) && p2.layer == 1 && p2.minz == 10)
+
+    val wl = ways.collect()
+    assert(wl.length == 3)
+    val road = wl.filter(_.lnum.contains(1L))
+    assert(road.length == 2)
+    // double-delta fragment decodes to the exact source coordinates
+    val west = road.find(_.tileX == 532).get
+    assert(west.coords ==
+      Seq(Seq(Seq(Mapsforge.Coord(7.2, 51.55), Mapsforge.Coord(7.3, 51.55),
+        Mapsforge.Coord(edgeQ, 51.55)))))
+    assert(west.vtags("m2db_name") == "A40")
+    val park = wl.find(_.anum.contains(1L)).get
+    assert(park.geomType == "MULTIPOLYGON")
+    assert(park.coords.size == 2) // two polygons
+    assert(park.coords.head.size == 2) // shell + hole
+    assert(park.vtags("name:en") == "park")
+  }
+
+  test("pipeline merges fragments across tiles and levels") {
+    val t = MapPipeline.build(spark, mapPath)
+
+    val points = t.points.collect().sortBy(_.getAs[Long]("m2db_pnum"))
+    assert(points.length == 2)
+    val city = points(0)
+    assert(city.getAs[Int]("m2db_level") == 10)
+    assert(city.getAs[Int]("m2db_minz") == 7) // extended down by level 8
+    assert(city.getAs[Int]("m2db_maxz") == 11)
+    assert(city.getAs[String]("m2db_tags") == "[\"place=city\"]")
+    assert(city.getAs[String]("m2db_name") == "Dortmund")
+    assert(city.getAs[String]("population") == "632000")
+    val cityGeom = GeomOps.fromWkb(city.getAs[Array[Byte]]("m2db_geometry"))
+    assert(cityGeom.getCoordinates.head.x == 7.3)
+
+    val lines = t.lines.collect()
+    assert(lines.length == 1)
+    val road = GeomOps.fromWkb(lines(0).getAs[Array[Byte]]("m2db_geometry"))
+    assert(road.getGeometryType == "LineString",
+      s"fragments should merge to one line, got ${road.toText}")
+    val xs = road.getCoordinates.map(_.x)
+    assert(xs.min == 7.2 && xs.max == 7.5)
+    assert(xs.length == 5) // 7.2 7.3 edge 7.4 7.5
+
+    val areas = t.areas.collect()
+    assert(areas.length == 1)
+    val park = GeomOps.fromWkb(areas(0).getAs[Array[Byte]]("m2db_geometry"))
+    assert(park.getNumGeometries == 2)
+    val expectedArea = (0.1 * 0.05 - 0.04 * 0.02) + 0.03 * 0.02
+    assert(math.abs(park.getArea - expectedArea) < 1e-9)
+    assert(areas(0).getAs[String]("name:en") == "park")
+  }
+
+  test("FdoSink writes the RFC16 table set + TOML config") {
+    val t = MapPipeline.build(spark, mapPath)
+    val h = Mapsforge.readHeader(mapPath)
+    val out = java.nio.file.Files.createTempDirectory("graft-fdo").toString
+    FdoSink.write(spark, t, h, mapPath, out)
+    val gc = spark.read.parquet(s"$out/geometry_columns").collect()
+    assert(gc.map(_.getString(0)).toSet == Set("points", "lines", "areas"))
+    val readme = spark.read.parquet(s"$out/README").collect()
+    assert(readme.exists(_.getString(1) == "ODbL-1.0"))
+    val limits = spark.read.parquet(s"$out/limits").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(limits("minlat") == 51.5 && limits("maxlon") == 7.6)
+    assert(spark.read.parquet(s"$out/subfiles").count() == 2)
+    val toml = FdoSink.configToml(h, s"$out/db", t.vtagKeys)
+    assert(toml.contains("dbl = \"\"\"ODbL-1.0\"\"\""))
+    assert(toml.contains("\"population\""))
+    assert(toml.contains("[[map_data]]"))
+  }
+}
