@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2d).
+  *
+  * Scale notes: exact dedup is one hash-groupBy shuffle. MinHash+LSH
+  * replaces the O(n²) pair space with band-bucket joins — candidates
+  * shuffle only by (band, band_hash), then exact Jaccard verifies the
+  * survivors. SimHash reduces each doc to 64 bits for hamming-window
+  * dedup. All signature math is built-in HOFs over word shingles
+  * (codegen'd; no UDF).
+  */
+object Dedup {
+
+  /** documents ∪ planted near-duplicates (doc_id+1_000_000, last word
+    * dropped) — deterministic corpus used by the near-dup queries so
+    * recall is measurable on data that has no natural dups. */
+  def corpusWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = TextFunctions.words(col("text"))
+    val mutated = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+    docs.unionByName(mutated)
+  }
+
+  val corpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 1000000 AS doc_id,
+       |  array_to_string(list_slice(${TextFunctions.wordsSql}, 1,
+       |    len(${TextFunctions.wordsSql}) - 1), ' ') AS text
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** d01: exact dedup — content hash groupBy, keep min doc_id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    corpusWithPlants(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  val exactDedupSql: String =
+    s"""SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id,
+       |  COUNT(*) AS n_copies
+       |FROM ($corpusSql)
+       |GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ---- MinHash + LSH -------------------------------------------------
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  /** 32-permutation MinHash signature over 3-gram shingles. */
+  def withSignature(docs: DataFrame): DataFrame = {
+    val sh = TextFunctions.shingles3(TextFunctions.words(col("text")))
+    docs
+      .withColumn("shingles", sh)
+      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
+      // permutation k = XOR with an independent hash word — ANSI-safe
+      // (no multiply overflow), min-wise independent enough for LSH
+      .withColumn("sig", transform(sequence(lit(1), lit(NumHashes)),
+        k => array_min(transform(col("hs"),
+          h => h.bitwiseXOR(xxhash64(k))))))
+  }
+
+  /** d02: LSH band buckets → candidate pairs → exact-Jaccard verify.
+    * Only bucket-mates ever meet: the shuffle key is (band, hash of
+    * 4 signature slots). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val signed = withSignature(corpusWithPlants(spark, dir))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val banded = signed.select(col("doc_id"), col("shingles"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * RowsPerBand + 1,
+              lit(RowsPerBand))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Brute-force ground truth for d02 — near-dup pairs by exact
+    * Jaccard ≥ 0.5, via a shingle-join in DuckDB. LSH with 8 bands ×
+    * 4 rows finds a Jaccard-0.9 pair with probability ≈1-2e-5, so the
+    * oracle and the LSH result coincide on this corpus. */
+  val minhashLshSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(${TextFunctions.shinglesSql(w)}) AS s
+       |  FROM corpus),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = a_id
+       |JOIN cnt cb ON cb.doc_id = b_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** d03: 64-bit SimHash per document + hamming distance of the
+    * planted pairs. Signature = sign of per-bit vote over shingle
+    * hashes. */
+  def simhashCol: Column = {
+    val hs = transform(
+      TextFunctions.shingles3(TextFunctions.words(col("text"))),
+      s => xxhash64(s))
+    // bit k of the signature = sign of the vote over shingle hashes.
+    // SQL-lambda form because shiftleft-by-a-lambda-variable has no
+    // Scala Column overload; still fully codegen'd.
+    expr(
+      """aggregate(sequence(0, 63), 0L, (acc, k) -> acc +
+        |  IF(aggregate(hs, 0L, (a, h) ->
+        |       a + IF((h & shiftleft(1L, k)) != 0, 1L, -1L)) > 0,
+        |     shiftleft(1L, k), 0L))""".stripMargin)
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val signed = corpusWithPlants(spark, dir)
+      .withColumn("hs", transform(
+        TextFunctions.shingles3(TextFunctions.words(col("text"))),
+        s => xxhash64(s)))
+      .withColumn("simhash", simhashCol)
+      .select(col("doc_id"), col("simhash"))
+    val orig = signed.filter(col("doc_id") < 1000000L)
+      .withColumnRenamed("doc_id", "a_id")
+      .withColumnRenamed("simhash", "sig_a")
+    val plant = signed.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("a_id"),
+        col("simhash").as("sig_b"))
+    orig.join(plant, "a_id")
+      .select(col("a_id"), col("sig_a"), col("sig_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .orderBy(col("a_id"))
+  }
+
+  /** d04: exact n-gram Jaccard on the planted pairs (the verify
+    * kernel of every near-dup pipeline). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextFunctions.shingles3(TextFunctions.words(col("text")))
+    val corpus = corpusWithPlants(spark, dir).withColumn("sh", sh)
+    val a = corpus.filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") < 1000000L)
+      .select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = corpus.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("a_id"), col("sh").as("sb"))
+    a.join(b, "a_id")
+      .select(col("a_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .orderBy(col("a_id"))
+  }
+
+  val ngramJaccardSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(${TextFunctions.shinglesSql(w)}) AS s
+       |  FROM corpus),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a_id, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s
+       |    AND y.doc_id = x.doc_id + 1000000
+       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < 1000000
+       |  GROUP BY 1)
+       |SELECT a_id,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = a_id
+       |JOIN cnt cb ON cb.doc_id = a_id + 1000000
+       |ORDER BY a_id""".stripMargin
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.EventStreams
+
+/** Query registry for the training-data pipeline + streaming operators
+  * (SURVEY.md §2d/§2e). */
+object PipelineOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (Dedup.exactDedup _),
+    "d02_minhash_lsh" -> (Dedup.minhashLsh _),
+    "d03_simhash" -> (Dedup.simhash _),
+    "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d05_cosine_topk" -> (Similarity.cosineTopK _),
+    "d06_ann_lsh" -> (Similarity.annLsh _),
+    "t01_lang_id" -> (TextAnalysis.langId _),
+    "t02_quality_score" -> (TextAnalysis.qualityScore _),
+    "t03_token_count" -> (TextAnalysis.tokenCount _),
+    "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
+    "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
+    "s01_window_agg" -> (EventStreams.s01WindowAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> Dedup.exactDedupSql,
+    "d02_minhash_lsh" -> Dedup.minhashLshSql,
+    "d04_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "d05_cosine_topk" -> Similarity.cosineTopKSql,
+    "t01_lang_id" -> TextAnalysis.langIdSql,
+    "t02_quality_score" -> TextAnalysis.qualityScoreSql,
+    "t03_token_count" -> TextAnalysis.tokenCountSql,
+    "t04_fingerprint" -> TextAnalysis.fingerprintSql,
+    "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
+    "s01_window_agg" -> EventStreams.s01Sql)
+}

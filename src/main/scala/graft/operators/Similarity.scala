@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2d).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast
+  * the (small) query set against the candidate scan — no shuffle of
+  * the big side, one window per query for the top-k. The scale path
+  * is random-hyperplane LSH: 16 sign bits bucket the vectors so
+  * candidates meet only within their bucket (the shuffle key is the
+  * 16-bit signature, not the vector).
+  *
+  * All vector math runs in double precision via zip_with/aggregate —
+  * codegen'd, engine-portable (the DuckDB oracle mirrors it exactly).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val NumQueries = 8
+  val TopK = 5
+
+  /** d05: brute-force cosine top-k. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = emb.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    val scored = cands.join(broadcast(queries))
+      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (SQRT(list_sum(list_transform(q.embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * SQRT(list_sum(list_transform(c.embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val cosineTopKSql: String =
+    s"""SELECT q_id, vec_id, cos, rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ROUND($cosSql, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND($cosSql, 6) DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  val NumPlanes = 16
+
+  /** Random-hyperplane signature: bit i = sign of <v, h_i> with
+    * h_i[d] = ±1 derived from xxhash64(i*64+d) — deterministic, no
+    * stored hyperplane matrix. SQL-lambda form (variable shifts). */
+  def lshSignature(embCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, ${NumPlanes - 1}), 0L, (acc, i) -> acc +
+         |  IF(aggregate(sequence(0, size($embCol) - 1),
+         |       cast(0.0 as double), (s, d) ->
+         |       s + cast(element_at($embCol, d + 1) as double) *
+         |           cast((xxhash64(i * 64 + d) & 1) * 2 - 1 as double))
+         |     > 0,
+         |     shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** d06: ANN via LSH buckets — candidates meet only inside their
+    * signature bucket; brute-force cosine ranks within the bucket. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("sig", lshSignature("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig"))
+    val cands = emb.filter(col("vec_id") >= NumQueries)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    queries.join(cands, "sig")
+      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id").as("match_id"), col("cos"))
+      .orderBy(col("q_id"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text analysis operators (SURVEY.md §2d): language id, quality
+  * scoring, token counting, fingerprinting. Pure Column compositions
+  * (codegen'd); the fingerprint is a native Catalyst expression.
+  */
+object TextAnalysis {
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def stopwordHits(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, w) =>
+      acc + when(w.isin(EnStopwords: _*), lit(1L)).otherwise(lit(0L)))
+
+  private val stopListSql =
+    EnStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** t01: n-gram/stopword language heuristic. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("en_hits", stopwordHits(ws))
+      .withColumn("en_ratio",
+        round(col("en_hits").cast("double") / col("n_words"), 6))
+      .withColumn("pred_lang",
+        when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("other")))
+      .select(col("doc_id"), col("n_words"), col("en_hits"),
+        col("en_ratio"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""SELECT doc_id, CAST(len($w) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform($w,
+       |    w -> CASE WHEN w IN $stopListSql THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS en_hits,
+       |  ROUND(CAST(list_sum(list_transform($w,
+       |    w -> CASE WHEN w IN $stopListSql THEN 1 ELSE 0 END))
+       |    AS DOUBLE) / len($w), 6) AS en_ratio,
+       |  CASE WHEN CAST(list_sum(list_transform($w,
+       |    w -> CASE WHEN w IN $stopListSql THEN 1 ELSE 0 END))
+       |    AS DOUBLE) / len($w) >= 0.05
+       |    THEN 'en' ELSE 'other' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t02: quality scoring — length, alphabetic ratio, mean word
+    * length, composite score. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_chars", length(trim(col("text"))).cast("long"))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("alpha_ratio", round(
+        length(regexp_replace(trim(col("text")), "[^a-z]", ""))
+          .cast("double") / col("n_chars"), 6))
+      .withColumn("avg_word_len", round(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / col("n_words"), 6))
+      .withColumn("quality", round(
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          col("alpha_ratio") * 0.3 +
+          when(col("avg_word_len").between(3.0, 8.0), 0.2).otherwise(0.0), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        col("alpha_ratio"), col("avg_word_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""SELECT doc_id, n_chars, n_words, alpha_ratio, avg_word_len,
+       |  ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+       |    + alpha_ratio * 0.3
+       |    + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0
+       |        THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(trim(text)) AS BIGINT) AS n_chars,
+       |    CAST(len($w) AS BIGINT) AS n_words,
+       |    ROUND(CAST(length(regexp_replace(trim(text), '[^a-z]', '', 'g'))
+       |      AS DOUBLE) / length(trim(text)), 6) AS alpha_ratio,
+       |    ROUND(CAST(list_sum(list_transform($w, x -> length(x)))
+       |      AS DOUBLE) / len($w), 6) AS avg_word_len
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** t03: token counting — whitespace tokens and a BPE-ish estimate
+    * (⌈len/4⌉ subword pieces per word). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("tokens_ws", size(ws).cast("long"))
+      .withColumn("tokens_bpe",
+        aggregate(ws, lit(0L),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")))
+      .withColumn("chars_per_token", round(
+        length(trim(col("text"))).cast("double") / col("tokens_bpe"), 6))
+      .select(col("doc_id"), col("tokens_ws"), col("tokens_bpe"),
+        col("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""SELECT doc_id, CAST(len($w) AS BIGINT) AS tokens_ws,
+       |  CAST(list_sum(list_transform($w,
+       |    x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))) AS BIGINT)
+       |    AS tokens_bpe,
+       |  ROUND(CAST(length(trim(text)) AS DOUBLE)
+       |    / list_sum(list_transform($w,
+       |      x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))), 6)
+       |    AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t04: document fingerprint — rolling polynomial hash over UTF-8
+    * bytes as a codegen'd Catalyst expression. */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(trim(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle mirrors the byte-fold exactly (ASCII corpus ⇒ ascii() ==
+    * utf-8 byte). */
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, length(trim(text))),
+      |      i -> CAST(ascii(substr(trim(text), i, 1)) AS BIGINT))),
+      |    (acc, b) -> (acc * 131 + b) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count()
+    assert(planted.length == expected,
+      s"recall ${planted.length}/$expected")
+    assert(planted.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: planted pairs are hamming-close, signatures nontrivial") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hammings = rows.map(_.getAs[Int]("hamming"))
+    // one dropped word flips few of the 64 voted bits
+    assert(hammings.forall(_ <= 16), s"max=${hammings.max}")
+    val sigs = rows.map(_.getAs[Long]("sig_a")).distinct
+    assert(sigs.length > rows.length / 2)
+  }
+
+  test("ANN-LSH matches are good approximations of exact top-1") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val ann = Similarity.annLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    // buckets may miss queries entirely (16-bit signature), but any
+    // returned match must be within a reasonable factor of exact
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, cos) =>
+      assert(cos <= exact(q) + 1e-9)
+      assert(cos >= exact(q) - 0.5, s"q=$q ann=$cos exact=${exact(q)}")
+    }
+  }
+
+  test("fingerprint expression matches a reference implementation") {
+    val got = TextAnalysis.fingerprintDocs(spark, sf)
+      .limit(5).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .limit(5).collect().map(_.getAs[String]("text"))
+    got.zip(texts).foreach { case (row, text) =>
+      val expected = text.trim.getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => (h * 131 + (b & 0xFF)) % 2147483647L)
+      assert(row.getLong(1) == expected)
+    }
+  }
+
+  test("multimodal batch decode produces deterministic features") {
+    val feats = Multimodal.mediaFeatures(spark, sf).collect()
+    assert(feats.length == 500)
+    val f0 = feats.head
+    assert(f0.getAs[String]("format") == "png") // doc_id 0
+    assert(f0.getAs[Long]("n_bytes") > 0)
+    assert(f0.getAs[Double]("mean_byte") > 32.0) // ASCII text
+  }
+
+  test("streaming windowed agg equals the batch plan (memory sink)") {
+    import spark.implicits._
+    val batch = EventStreams.s01WindowAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val q = EventStreams.streamingWindowAgg(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s01_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s01_stream").as[(String, String, Long,
+        Double)].collect().map(t => (t._1, t._2, t._3)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on the inactivity gap") {
+    import spark.implicits._
+    def ev(uid: Long, minute: Long) =
+      EventStreams.Event(uid, new Timestamp(minute * 60000L), "click")
+    val events = Seq(
+      ev(1, 0), ev(1, 10), ev(1, 20), // session of 3
+      ev(1, 60), ev(1, 65), //            session of 2 (40min gap)
+      ev(2, 5) //                          session of 1
+    ).toDS()
+    val sessions = EventStreams.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events)).toSeq ==
+      Seq((1L, 3), (1L, 2), (2L, 1)))
+  }
+
+  test("stateful streaming sessionize emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    def ev(uid: Long, minute: Long) =
+      EventStreams.Event(uid, new Timestamp(minute * 60000L), "click")
+    val q = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_stream").start()
+    try {
+      input.addData(ev(1, 0), ev(1, 10))
+      q.processAllAvailable()
+      input.addData(ev(1, 60)) // closes the first session
+      q.processAllAvailable()
+      val out = spark.table("sessions_stream")
+        .as[EventStreams.Session].collect()
+      assert(out.map(s => (s.user_id, s.n_events)).toSeq == Seq((1L, 2)))
+    } finally q.stop()
+  }
+}
