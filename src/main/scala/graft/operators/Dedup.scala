@@ -56,18 +56,16 @@ object Dedup {
   val Bands = 8
   val RowsPerBand = 4
 
-  /** 32-permutation MinHash signature over 3-gram shingles. */
-  def withSignature(docs: DataFrame): DataFrame = {
-    val sh = TextFunctions.shingles3(TextFunctions.words(col("text")))
+  /** 32-permutation MinHash signature over 3-gram shingles. Shingles
+    * are hashed zero-copy from the document bytes (ShingleHashes) and
+    * all minima fold in one allocation-free pass (MinHashSig) — both
+    * codegen'd kernels; no string shingle is ever materialized. */
+  def withSignature(docs: DataFrame): DataFrame =
     docs
-      .withColumn("shingles", sh)
-      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
-      // permutation k = XOR with an independent hash word — ANSI-safe
-      // (no multiply overflow), min-wise independent enough for LSH
-      .withColumn("sig", transform(sequence(lit(1), lit(NumHashes)),
-        k => array_min(transform(col("hs"),
-          h => h.bitwiseXOR(xxhash64(k))))))
-  }
+      .withColumn("shingles",
+        graft.functions.MinHash.shingleHashes(trim(col("text")), 3))
+      .withColumn("sig",
+        graft.functions.MinHash.minhash(col("shingles"), NumHashes))
 
   /** d02: LSH band buckets → candidate pairs → exact-Jaccard verify.
     * Only bucket-mates ever meet: the shuffle key is (band, hash of
@@ -75,28 +73,35 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val signed = withSignature(corpusWithPlants(spark, dir))
       .select(col("doc_id"), col("shingles"), col("sig"))
-    val banded = signed.select(col("doc_id"), col("shingles"),
+      .persist()
+    // Keep the banded relation NARROW — (doc_id, band, bh) only — so
+    // the bucket self-join and the pair distinct never shuffle the
+    // shingle arrays. Shingles re-attach to the (few) candidates.
+    val banded = signed.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band"),
             hash(slice(col("sig"), b * RowsPerBand + 1,
               lit(RowsPerBand))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("shingles"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b,
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    pairs
+    val sh = signed.select(col("doc_id"), col("shingles"))
+    val out = pairs
+      .join(sh.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("shingles", "sa"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("shingles", "sb"), "b_id")
       .withColumn("jaccard", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+    out
   }
 
   /** Brute-force ground truth for d02 — near-dup pairs by exact

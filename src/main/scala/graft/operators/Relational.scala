@@ -170,7 +170,11 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_extendedprice"))
-    li.withColumn("rn", row_number().over(w))
+    // project before the window so the sort buffers carry only the
+    // needed columns (the scan then prunes the rest too)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").cast("string").as("ship_date"),

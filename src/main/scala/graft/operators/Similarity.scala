@@ -68,33 +68,35 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
-  val NumPlanes = 16
+  val NumPlanes = 32
+  val Tables8 = 4 // multi-table LSH: 4 tables × 8-bit buckets
+  val BitsPerTable = 8
 
   /** Random-hyperplane signature: bit i = sign of <v, h_i> with
-    * h_i[d] = ±1 derived from xxhash64(i*64+d) — deterministic, no
-    * stored hyperplane matrix. SQL-lambda form (variable shifts). */
+    * h_i[d] = ±1 derived from splitmix64(i*64+d) — deterministic, no
+    * stored hyperplane matrix, one codegen'd kernel pass. */
   def lshSignature(embCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, ${NumPlanes - 1}), 0L, (acc, i) -> acc +
-         |  IF(aggregate(sequence(0, size($embCol) - 1),
-         |       cast(0.0 as double), (s, d) ->
-         |       s + cast(element_at($embCol, d + 1) as double) *
-         |           cast((xxhash64(i * 64 + d) & 1) * 2 - 1 as double))
-         |     > 0,
-         |     shiftleft(1L, i), 0L))""".stripMargin)
+    graft.functions.MinHash.lshSignature(col(embCol), NumPlanes)
 
-  /** d06: ANN via LSH buckets — candidates meet only inside their
-    * signature bucket; brute-force cosine ranks within the bucket. */
+  /** d06: ANN via LSH buckets — candidates meet only inside a
+    * (table, bucket) cell; brute-force cosine ranks within it. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("sig", lshSignature("embedding"))
-    val queries = emb.filter(col("vec_id") < NumQueries)
+    def banded(df: DataFrame) = df
+      .select(col("*"), explode(sequence(lit(0), lit(Tables8 - 1))).as("t"))
+      .withColumn("bucket", expr(
+        s"(sig >> (t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}"))
+    val queries = banded(emb.filter(col("vec_id") < NumQueries))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("sig"))
-    val cands = emb.filter(col("vec_id") >= NumQueries)
+        col("t"), col("bucket"))
+    val cands = banded(emb.filter(col("vec_id") >= NumQueries))
+      .select(col("vec_id"), col("embedding"), col("t"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    queries.join(cands, "sig")
+    queries.join(cands, Seq("t", "bucket"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates(Seq("q_id", "vec_id")) // key-only dedup, arrays ride along
       .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
