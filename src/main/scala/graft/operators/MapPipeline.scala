@@ -149,6 +149,77 @@ object MapPipeline {
   case class MapTables(points: DataFrame, lines: DataFrame,
       areas: DataFrame, vtagKeys: Seq[String])
 
+  /** Non-dbl path (map2db.py:878-885,958-964,1064-1070): no feature
+    * ids exist, so every tile fragment becomes its own row — clipped
+    * (TRIM_NONUM) but never merged — with a synthetic unique id.
+    * The reference numbers rows sequentially in its serial tile walk;
+    * a parallel scan has no meaningful order, so ids are unique, not
+    * dense (documented divergence). */
+  def buildRaw(spark: SparkSession, path: String): MapTables = {
+    import spark.implicits._
+    val (pois, ways) = Mapsforge.scan(spark, path)
+    val cachedWays = ways.persist()
+
+    val rawPoints = pois.flatMap { p =>
+      val (minx, miny, maxx, maxy) = tileBox(p.level, p.tileX, p.tileY)
+      val g = GeomOps.clipToBox(GeomOps.multiPoint(Seq((p.lon, p.lat))),
+        minx, miny, maxx, maxy)
+      if (g.isEmpty) None
+      else Some(Feature(0L, p.level, p.minz, p.maxz, p.layer,
+        jsonArray(p.tags), p.vtags,
+        GeomOps.toWkb(GeomOps.normalized(g))))
+    }
+    val rawLines = cachedWays.filter(_.geomType == "MULTILINESTRING")
+      .flatMap { w =>
+        val (minx, miny, maxx, maxy) = tileBox(w.level, w.tileX, w.tileY)
+        val g = GeomOps.multiLineString(
+          w.coords.flatten.map(_.map(c => (c.lon, c.lat))))
+        val clipped =
+          if (GeomOps.boxCovers(g, minx, miny, maxx, maxy)) g
+          else GeomOps.clipToBox(g, minx, miny, maxx, maxy)
+        if (clipped.isEmpty) None
+        else GeomOps.keepLinear(clipped).map(kept =>
+          Feature(0L, w.level, w.minz, w.maxz, w.layer, jsonArray(w.tags),
+            w.vtags, GeomOps.toWkb(GeomOps.normalized(kept))))
+      }
+    val rawAreas = cachedWays.filter(_.geomType == "MULTIPOLYGON")
+      .flatMap { w =>
+        val (minx, miny, maxx, maxy) = tileBox(w.level, w.tileX, w.tileY)
+        val polys = w.coords.map { dblock =>
+          GeomOps.polygon(dblock.head.map(c => (c.lon, c.lat)),
+            dblock.tail.map(_.map(c => (c.lon, c.lat))))
+        }
+        val raw = GeomOps.multiPolygon(polys)
+        val valid =
+          if (raw.isValid) Some(raw) else GeomOps.makeValidPolygonal(raw)
+        valid.flatMap { v =>
+          val clipped =
+            if (GeomOps.boxCovers(v, minx, miny, maxx, maxy)) v
+            else GeomOps.clipToBox(v, minx, miny, maxx, maxy)
+          if (clipped.isEmpty) None
+          else GeomOps.keepPolygonal(clipped).map(kept =>
+            Feature(0L, w.level, w.minz, w.maxz, w.layer,
+              jsonArray(w.tags), w.vtags,
+              GeomOps.toWkb(GeomOps.normalized(kept))))
+        }
+      }
+
+    def numbered(df: org.apache.spark.sql.Dataset[Feature],
+        idName: String): DataFrame =
+      df.toDF()
+        .withColumn(idName, monotonically_increasing_id())
+        .drop("fid")
+        .withColumnsRenamed(Map("level" -> "m2db_level",
+          "minz" -> "m2db_minz", "maxz" -> "m2db_maxz",
+          "layer" -> "m2db_layer_num", "tags" -> "m2db_tags",
+          "wkb" -> "m2db_geometry"))
+
+    val (p, pk) = explodeVtags(numbered(rawPoints, "m2db_pnum"))
+    val (l, lk) = explodeVtags(numbered(rawLines, "m2db_lnum"))
+    val (a, ak) = explodeVtags(numbered(rawAreas, "m2db_anum"))
+    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted)
+  }
+
   /** Full decode→merge for a dbl map. Lines additionally get the
     * endpoint-snap linemerge pass (map2db.py:1080-1182). */
   def build(spark: SparkSession, path: String): MapTables = {

@@ -296,20 +296,29 @@ object Mapsforge {
           var dLat = 0L; var dLon = 0L
           val nodeCount = c.vu().toInt
           val cblock = new Array[Coord](nodeCount)
+          var firstLonMd = 0L; var firstLatMd = 0L
+          var lastLonMd = 0L; var lastLatMd = 0L
           for (n <- 0 until nodeCount) {
             if (ddencode && n > 1) { dLat += c.vs(); dLon += c.vs() }
             else { dLat = c.vs(); dLon = c.vs() }
             cblock(n) = Coord(round6((lonPrev + dLon) / 1e6),
               round6((latPrev + dLat) / 1e6))
+            if (n == 0) { firstLonMd = lonPrev + dLon; firstLatMd = latPrev + dLat }
+            lastLonMd = lonPrev + dLon; lastLatMd = latPrev + dLat
             lonPrev += dLon; latPrev += dLat
           }
           if (nodeCount > 0) {
             var block: Seq[Coord] = cblock.toSeq
             if (lnum.isEmpty && anum.isEmpty) {
-              // ring inference for non-dbl maps (map2db.py:600-617)
+              // Ring inference for non-dbl maps (map2db.py:600-617).
+              // The reference compares rounded degrees against a 1e-6
+              // tolerance in floating point, which flips arbitrarily
+              // for an exact 1 µdeg gap; we have the integer µdeg
+              // values, so test |Δ| ≤ 1 µdeg exactly (same intent,
+              // deterministic — documented divergence).
               if (nodeCount < 4 ||
-                math.abs(block.head.lon - block.last.lon) > 0.000001 ||
-                math.abs(block.head.lat - block.last.lat) > 0.000001)
+                math.abs(firstLonMd - lastLonMd) > 1L ||
+                math.abs(firstLatMd - lastLatMd) > 1L)
                 rings = false
               else if (block.head != block.last)
                 block = block.init :+ block.head // force-close

@@ -70,6 +70,9 @@ object MapEncoder {
     }
   }
 
+  private def pad32(s: String): Array[Byte] =
+    java.util.Arrays.copyOf(s.getBytes(StandardCharsets.US_ASCII), 32)
+
   private def encodePoi(p: PoiSpec, originLatMd: Long, originLonMd: Long,
       dict: Seq[String]): Array[Byte] = {
     val o = new Out
@@ -136,18 +139,23 @@ object MapEncoder {
   }
 
   private def encodeTile(sf: SubfileSpec, t: TileSpec, poiDict: Seq[String],
-      wayDict: Seq[String]): Array[Byte] = {
+      wayDict: Seq[String], debugInfo: Boolean): Array[Byte] = {
     val originLatMd = md(Mapsforge.latFromY(sf.level, t.y))
     val originLonMd = md(Mapsforge.lonFromX(sf.level, t.x))
     val o = new Out
+    if (debugInfo) o.raw(pad32(s"###TileStart${t.x},${t.y}###"))
     for (z <- sf.minzoom to sf.maxzoom) {
       o.vu(t.pois.count(_.tileZ == z))
       o.vu(t.ways.count(_.tileZ == z))
     }
-    val poiBytes = t.pois.sortBy(_.tileZ)
-      .map(encodePoi(_, originLatMd, originLonMd, poiDict))
-    val wayBytes = t.ways.sortBy(_.tileZ)
-      .map(encodeWay(_, originLatMd, originLonMd, wayDict))
+    val poiBytes = t.pois.sortBy(_.tileZ).map { p =>
+      val body = encodePoi(p, originLatMd, originLonMd, poiDict)
+      if (debugInfo) pad32("***POIStart***") ++ body else body
+    }
+    val wayBytes = t.ways.sortBy(_.tileZ).map { w =>
+      val body = encodeWay(w, originLatMd, originLonMd, wayDict)
+      if (debugInfo) pad32("---WayStartX---") ++ body else body
+    }
     val poiTotal = poiBytes.map(_.length).sum
     o.vu(poiTotal) // first-way offset relative to after this varint
     poiBytes.foreach(o.raw)
@@ -168,12 +176,15 @@ object MapEncoder {
       val byPos = m.subfiles.find(_ == sf).get.tiles
         .map(t => ((t.y - minY) * xCount + (t.x - minX)).toInt -> t).toMap
       val payloads = (0 until tileCount).map { i =>
-        byPos.get(i).map(encodeTile(sf, _, m.poiTags, m.wayTags))
+        byPos.get(i)
+          .map(encodeTile(sf, _, m.poiTags, m.wayTags, m.debugInfo))
           .getOrElse(Array.emptyByteArray)
       }
-      val indexSize = tileCount * 5
+      val indexSize = tileCount * 5 + (if (m.debugInfo) 16 else 0)
       val offsets = payloads.scanLeft(indexSize.toLong)(_ + _.length)
       val o = new Out
+      if (m.debugInfo)
+        o.raw("+++IndexStart+++".getBytes(StandardCharsets.US_ASCII))
       offsets.init.foreach { off =>
         o.u8(((off >> 32) & 0x7F).toInt); o.s32(off.toInt)
       }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.MapEncoder._
+import graft.functions.GeomOps
+import graft.operators.MapPipeline
+import graft.sources.Mapsforge
+
+/** Non-dbl map (no __dbl_* feature ids) with debugInfo signatures:
+  * exercises ring inference (closed ≥4-point blocks → areas), the
+  * force-close of nearly-closed rings, raw per-tile rows without
+  * merge, and the debug wire format.
+  */
+class NonDblMapSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val poiTags = Seq("amenity=cafe")
+  private val wayTags = Seq("highway=path", "landuse=grass")
+
+  private def testMap: MapSpec = {
+    val poi = PoiSpec(tileZ = 9, lat = 51.55, lon = 7.3, layer = 0,
+      tagIdx = Seq(0), name = Some("cafe1"))
+    // open polyline → inferred MULTILINESTRING
+    val path = WaySpec(tileZ = 9, layer = 0, tagIdx = Seq(0),
+      blocks = Seq(Seq(Seq((7.1, 51.52), (7.2, 51.53), (7.3, 51.54)))))
+    // closed 5-point ring → inferred MULTIPOLYGON; end point is 1 µdeg
+    // off so the parser must force-close it (map2db.py:611-617)
+    val grass = WaySpec(tileZ = 10, layer = 0, tagIdx = Seq(1),
+      blocks = Seq(Seq(Seq((7.2, 51.5), (7.25, 51.5), (7.25, 51.53),
+        (7.2, 51.53), (7.200001, 51.5)))))
+    MapSpec(minLat = 51.45, minLon = 7.05, maxLat = 51.6, maxLon = 7.35,
+      poiTags = poiTags, wayTags = wayTags,
+      subfiles = Seq(SubfileSpec(10, 9, 11, Seq(
+        TileSpec(532, 340, pois = Seq(poi), ways = Seq(path, grass))))),
+      debugInfo = true)
+  }
+
+  private lazy val mapPath = MapEncoder.writeToTemp(testMap)
+
+  test("debug-info wire format parses; non-dbl features have no ids") {
+    val h = Mapsforge.readHeader(mapPath)
+    assert(h.debugInfo && !h.isDbl)
+    val (pois, ways) = Mapsforge.scan(spark, mapPath)
+    val pl = pois.collect()
+    assert(pl.length == 1 && pl.head.pnum.isEmpty)
+    assert(pl.head.vtags("m2db_name") == "cafe1")
+    val wl = ways.collect()
+    assert(wl.length == 2)
+    val line = wl.find(_.geomType == "MULTILINESTRING").get
+    assert(line.lnum.isEmpty && line.tags == Seq("highway=path"))
+    val area = wl.find(_.geomType == "MULTIPOLYGON").get
+    assert(area.anum.isEmpty)
+    // force-closed: last coordinate snapped onto the first
+    val ring = area.coords.head.head
+    assert(ring.head == ring.last)
+  }
+
+  test("raw build keeps per-tile rows with unique synthetic ids") {
+    val t = MapPipeline.buildRaw(spark, mapPath)
+    assert(t.points.count() == 1)
+    assert(t.lines.count() == 1)
+    assert(t.areas.count() == 1)
+    val area = t.areas.collect().head
+    val g = GeomOps.fromWkb(area.getAs[Array[Byte]]("m2db_geometry"))
+    assert(GeomOps.extractPolygons(g).nonEmpty)
+    assert(math.abs(g.getArea - 0.05 * 0.03) < 1e-6)
+    val ids = t.points.select("m2db_pnum").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+}
