@@ -158,5 +158,20 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(toml.contains("dbl = \"\"\"ODbL-1.0\"\"\""))
     assert(toml.contains("\"population\""))
     assert(toml.contains("[[map_data]]"))
+    // layer-specific source columns (map2db.py:1271-1308)
+    assert("elevation_column".r.findAllIn(toml).size == 1)
+    assert("reference_column".r.findAllIn(toml).size == 2)
+    assert(toml.contains("{column_name = \"population\"}"))
+  }
+
+  test("map2db entry writes the database and forgemap config for dbl maps") {
+    val out = java.nio.file.Files.createTempDirectory("graft-m2db").toString
+    val t = FdoSink.map2db(spark, mapPath, out)
+    assert(t.points.count() == 2)
+    val readme = spark.read.parquet(s"$out/README").collect()
+      .map(_.getString(1))
+    assert(readme.contains("(database recreation completed.)"))
+    val tomlPath = java.nio.file.Paths.get(out, "config.toml")
+    assert(java.nio.file.Files.exists(tomlPath))
   }
 }

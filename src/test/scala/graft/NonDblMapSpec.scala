@@ -68,4 +68,16 @@ class NonDblMapSpec extends AnyFunSuite {
     val ids = t.points.select("m2db_pnum").collect().map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("map2db entry on a non-dbl map: raw tables, generated README, no toml") {
+    val out = java.nio.file.Files.createTempDirectory("graft-nondbl").toString
+    val t = graft.sources.FdoSink.map2db(spark, mapPath, out)
+    assert(t.areas.count() == 1)
+    val readme = spark.read.parquet(s"$out/README").collect()
+      .map(_.getString(1))
+    assert(readme.exists(_.contains(
+      "does not appear to have been created by forgemap")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "config.toml")))
+  }
 }
