@@ -62,4 +62,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["))
     assert(plan.contains("GreaterThan(l_quantity,45.0)"), plan)
   }
+
+  // Scale audit (SURVEY.md §4/§7): the physical strategies that keep
+  // these plans viable at 1000 executors must actually be chosen.
+  test("q03 joins its dimension tables by broadcast, not shuffle") {
+    val plan = Relational.q03JoinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q01 aggregates map-side before the exchange") {
+    val plan = Relational.q01PricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial aggregate below the exchange, final above it
+    assert(plan.contains("partial_sum"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q05 top-k never sorts the full table") {
+    val plan = Relational.q05TopkRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
