@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.operators.Similarity
+
+/** SQL surface for graft's functions.
+  *
+  * Two entry points, both exposing the same function set:
+  *
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) injects them at
+  *    session build time — the idiomatic deployment on a cluster;
+  *  - `GraftExtensions.register(spark)` retrofits an existing session.
+  *
+  * Expression-backed functions resolve to the native codegen'd
+  * Catalyst expressions; the tile/cosine functions expand to built-in
+  * function compositions, so every registered function stays inside
+  * whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  /** Wrap a Column-composition function as an expression builder.
+    * The eager converter is required here: the lazy wrapper from
+    * `GraftShim.expression` is Unevaluable inside a resolved plan. */
+  private def composed(f: Seq[org.apache.spark.sql.Column] =>
+      org.apache.spark.sql.Column): Builder =
+    exprs => GraftShim.catalystExpression(f(exprs.map(GraftShim.column)))
+
+  private def fn(name: String, usage: String, builder: Builder)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      builder)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    fn("uleb128_encode", "uleb128_encode(n) - ULEB128 bytes of n",
+      e => ULeb128Encode(e.head)),
+    fn("uleb128_decode", "uleb128_decode(bin) - long from ULEB128 bytes",
+      e => ULeb128Decode(e.head)),
+    fn("sleb128_encode",
+      "sleb128_encode(n) - sign-magnitude LEB128 bytes of n",
+      e => SLeb128Encode(e.head)),
+    fn("sleb128_decode",
+      "sleb128_decode(bin) - long from sign-magnitude LEB128 bytes",
+      e => SLeb128Decode(e.head)),
+    fn("graft_fingerprint",
+      "graft_fingerprint(text) - polynomial rolling hash of text",
+      e => Fingerprint(e.head)),
+    fn("graft_minhash",
+      "graft_minhash(hashes, k) - k-permutation minhash signature",
+      e => MinHashSig(e.head, intArg(e(1), "graft_minhash"))),
+    fn("graft_shingle_hashes",
+      "graft_shingle_hashes(text, n) - sorted distinct word n-gram hashes",
+      e => ShingleHashes(e.head, intArg(e(1), "graft_shingle_hashes"))),
+    fn("graft_lsh_signature",
+      "graft_lsh_signature(vec, planes) - random-hyperplane sign bits",
+      e => LshSignature(e.head, intArg(e(1), "graft_lsh_signature"))),
+    fn("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float vectors",
+      composed(c => Similarity.cosine(c(0), c(1)))),
+    fn("graft_tile_x", "graft_tile_x(z, lon) - fractional tile x",
+      composed(c => Tiles.tileXFromLon(c(0), c(1)))),
+    fn("graft_tile_y", "graft_tile_y(z, lat) - fractional tile y",
+      composed(c => Tiles.tileYFromLat(c(0), c(1)))),
+    fn("graft_lon_from_x", "graft_lon_from_x(z, x) - tile west edge",
+      composed(c => Tiles.lonFromTileX(c(0), c(1)))),
+    fn("graft_lat_from_y", "graft_lat_from_y(z, y) - tile north edge",
+      composed(c => Tiles.latFromTileY(c(0), c(1)))),
+    fn("graft_tilenum",
+      "graft_tilenum(x, y, minx, miny, xcount) - row-major tile index",
+      composed(c => Tiles.tileNum(c(0), c(1), c(2), c(3), c(4)))))
+
+  /** Register every graft function into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = GraftShim.functionRegistry(spark)
+    functions.foreach { case (id, info, b) =>
+      reg.registerFunction(id, info, b)
+    }
+  }
+}

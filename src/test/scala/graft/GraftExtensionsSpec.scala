@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL function registration (SURVEY.md §2: API surface). */
+class GraftExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  GraftExtensions.register(spark)
+
+  test("varint SQL functions round-trip") {
+    val r = spark.sql(
+      "SELECT uleb128_decode(uleb128_encode(624485L)) AS u," +
+        " sleb128_decode(sleb128_encode(-123456L)) AS s")
+      .collect().head
+    assert(r.getLong(0) == 624485L && r.getLong(1) == -123456L)
+  }
+
+  test("text and similarity SQL functions evaluate") {
+    val r = spark.sql(
+      "SELECT graft_fingerprint('hello world') AS fp," +
+        " graft_minhash(graft_shingle_hashes('a b c d e', 3), 16) AS mh," +
+        " graft_lsh_signature(array(CAST(1.0 AS FLOAT)," +
+        "   CAST(-2.0 AS FLOAT)), 16) AS lsh," +
+        " round(graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        "   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cos")
+      .collect().head
+    assert(r.getLong(0) == graft.functions.TextCodec.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getSeq[Long](1).length == 16)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("tile SQL functions match the reference transforms") {
+    val r = spark.sql(
+      "SELECT graft_tile_x(10, 7.3) AS tx, graft_tile_y(10, 51.55) AS ty," +
+        " graft_lon_from_x(10, 532) AS lon, graft_lat_from_y(10, 340) AS lat," +
+        " graft_tilenum(533, 341, 530, 338, 8) AS tn")
+      .collect().head
+    assert(r.getDouble(0) == graft.sources.Mapsforge.xFromLon(10, 7.3))
+    assert(r.getDouble(1) == graft.sources.Mapsforge.yFromLat(10, 51.55))
+    assert(r.getDouble(2) == graft.sources.Mapsforge.lonFromX(10, 532))
+    assert(r.getDouble(3) == graft.sources.Mapsforge.latFromY(10, 340))
+    assert(r.getAs[Number](4).longValue == (341 - 338) * 8 + (533 - 530))
+  }
+
+  test("extensions injector applies cleanly") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+}
