@@ -19,6 +19,19 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Write a table bucketed (and per-file sorted) by `key`, so
+    * repeated joins/aggregations on that key read co-located buckets
+    * and skip the shuffle entirely — the storage-level answer to "this
+    * join runs every day on the same key". Catalog-registered because
+    * bucket metadata lives in the table catalog, not in parquet. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read natively; read it as a long (nanos since epoch) and convert
     * with exact integer division (a double division would lose

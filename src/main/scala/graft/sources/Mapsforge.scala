@@ -280,6 +280,11 @@ object Mapsforge {
       if ((flags & 0x80) != 0) vtags += ("m2db_name" -> c.lstr())
       if ((flags & 0x40) != 0) vtags += ("m2db_house_num" -> c.lstr())
       if ((flags & 0x20) != 0) vtags += ("m2db_reference" -> c.lstr())
+      // Label position as offsets from the first way coordinate
+      // (map2db.py:556-562). The reference dies on this path — it
+      // stores the offsets under "dlat"/"dlon" but reads them back as
+      // ["lat"]/["lon"] (map2db.py:621-626) — so graft implements the
+      // documented intent: first coord + offset.
       val labelCoords =
         if ((flags & 0x10) != 0)
           Some((round6(c.vs() / 1e6), round6(c.vs() / 1e6))) // (dlat, dlon)

@@ -21,8 +21,10 @@ class NonDblMapSpec extends AnyFunSuite {
   private def testMap: MapSpec = {
     val poi = PoiSpec(tileZ = 9, lat = 51.55, lon = 7.3, layer = 0,
       tagIdx = Seq(0), name = Some("cafe1"))
-    // open polyline → inferred MULTILINESTRING
+    // open polyline → inferred MULTILINESTRING; carries a label
+    // position offset from its first coordinate
     val path = WaySpec(tileZ = 9, layer = 0, tagIdx = Seq(0),
+      labelOffset = Some((0.005, -0.01)),
       blocks = Seq(Seq(Seq((7.1, 51.52), (7.2, 51.53), (7.3, 51.54)))))
     // closed 5-point ring → inferred MULTIPOLYGON; end point is 1 µdeg
     // off so the parser must force-close it (map2db.py:611-617)
@@ -49,6 +51,9 @@ class NonDblMapSpec extends AnyFunSuite {
     assert(wl.length == 2)
     val line = wl.find(_.geomType == "MULTILINESTRING").get
     assert(line.lnum.isEmpty && line.tags == Seq("highway=path"))
+    // label position = first coordinate + (dlat, dlon)
+    assert(line.vtags("m2db_label_lat") == "51.525")
+    assert(line.vtags("m2db_label_lon") == "7.09")
     val area = wl.find(_.geomType == "MULTIPOLYGON").get
     assert(area.anum.isEmpty)
     // force-closed: last coordinate snapped onto the first

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Scale tools (SURVEY.md §4): salting for pathological key skew and
+  * bucketing for shuffle-free co-located joins. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin returns exactly the plain join, with hot key spread") {
+    // 90% of fact rows share one key — the shape where a plain
+    // shuffle join puts 90% of the data in one task.
+    val fact = spark.range(0, 10000)
+      .select((when(col("id") % 10 === 0, col("id") % 7)
+        .otherwise(lit(42L))).as("k"), col("id").as("v"))
+    val dim = spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+
+    val plain = fact.join(dim, "k")
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted
+    assert(salted.sameElements(plain))
+
+    // the salt must actually scatter the hot key across sub-keys
+    val saltSpread = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*),
+        monotonically_increasing_id()), lit(8)))
+      .filter(col("k") === 42).select("__salt").distinct().count()
+    assert(saltSpread == 8)
+  }
+
+  test("saltedJoin left join keeps unmatched fact rows once") {
+    val fact = Seq((1L, "a"), (2L, "b"), (99L, "c")).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    val out = Skew.saltedJoin(fact, dim, "k", salt = 4, joinType = "left")
+      .select("k", "v", "name").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 1)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+    Tables.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    Tables.writeBucketed(ord, "ord_bucketed", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
