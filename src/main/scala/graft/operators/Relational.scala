@@ -316,6 +316,38 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** q13: backward as-of join — each purchase matched to the same
+    * user's most recent view at-or-before it. Views pre-deduped per
+    * (user, ts) so exact-tie winners are well-defined on both sides
+    * of the oracle. */
+  def q13AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOf.asofJoin(purchases, views, "user_id", "ts", "ts")
+      .filter(col("r_view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_view_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q13Sql: String =
+    """WITH views AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, v.view_id AS view_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM p ASOF JOIN views v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** All §2a queries keyed as in SURVEY.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -329,7 +361,8 @@ object Relational {
     "q09_conditional_agg" -> (q09ConditionalAgg _),
     "q10_union_merge" -> (q10UnionMerge _),
     "q11_json_props" -> (q11JsonProps _),
-    "q12_approx_distinct" -> (q12ApproxDistinct _))
+    "q12_approx_distinct" -> (q12ApproxDistinct _),
+    "q13_asof_join" -> (q13AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -342,5 +375,6 @@ object Relational {
     "q08_anti_join" -> q08Sql,
     "q09_conditional_agg" -> q09Sql,
     "q10_union_merge" -> q10Sql,
-    "q11_json_props" -> q11Sql)
+    "q11_json_props" -> q11Sql,
+    "q13_asof_join" -> q13Sql)
 }

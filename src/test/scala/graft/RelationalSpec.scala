@@ -80,6 +80,18 @@ class RelationalSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q13 as-of join is one key-shuffle, not a range join") {
+    val qe = Relational.q13AsofJoin(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // union + running-last window: no join operator at all, and the
+    // only wide operations are the key exchange and the final sort
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan)
+    val r = Relational.q13AsofJoin(spark, sf).collect()
+    assert(r.nonEmpty && r.forall(_.getLong(3) >= 0)) // gap_us >= 0
+  }
+
   test("q05 top-k never sorts the full table") {
     val plan = Relational.q05TopkRevenue(spark, sf)
       .queryExecution.executedPlan.toString
