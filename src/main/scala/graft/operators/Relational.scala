@@ -348,6 +348,34 @@ object Relational {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q14: point-in-interval range join — events binned into
+    * variable-width (quadratic) value bands. Bucketed equi-join under
+    * the hood (RangeJoin), so no nested-loop join appears even though
+    * the predicate is a range. */
+  def q14RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("value"))
+    val bands = spark.range(0, 23).select(col("id").as("band_id"),
+      (col("id") * col("id")).cast("double").as("lo"),
+      ((col("id") + 1) * (col("id") + 1)).cast("double").as("hi"))
+    RangeJoin.pointInInterval(e, "value", bands, "lo", "hi",
+        bucketWidth = 25.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("band_id"))
+  }
+
+  val q14Sql: String =
+    s"""WITH bands AS (
+       |  SELECT i AS band_id, CAST(i*i AS DOUBLE) AS lo,
+       |    CAST((i+1)*(i+1) AS DOUBLE) AS hi
+       |  FROM range(0, 23) t(i))
+       |SELECT band_id, COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM events JOIN bands ON lo <= value AND value < hi
+       |GROUP BY band_id
+       |ORDER BY band_id""".stripMargin
+
   /** All §2a queries keyed as in SURVEY.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -362,7 +390,8 @@ object Relational {
     "q10_union_merge" -> (q10UnionMerge _),
     "q11_json_props" -> (q11JsonProps _),
     "q12_approx_distinct" -> (q12ApproxDistinct _),
-    "q13_asof_join" -> (q13AsofJoin _))
+    "q13_asof_join" -> (q13AsofJoin _),
+    "q14_range_join" -> (q14RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -376,5 +405,6 @@ object Relational {
     "q09_conditional_agg" -> q09Sql,
     "q10_union_merge" -> q10Sql,
     "q11_json_props" -> q11Sql,
-    "q13_asof_join" -> q13Sql)
+    "q13_asof_join" -> q13Sql,
+    "q14_range_join" -> q14Sql)
 }

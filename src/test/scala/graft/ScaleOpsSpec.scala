@@ -47,6 +47,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.count(_.isNullAt(2)) == 1)
   }
 
+  test("range join equals the naive inequality join, without nested loop") {
+    val points = spark.range(0, 2000)
+      .select(col("id"), (pmod(col("id") * 37 + 11, lit(997)))
+        .cast("double").as("v"))
+    val intervals = spark.range(0, 40).select(col("id").as("iv_id"),
+      (col("id") * col("id") * 0.6).as("lo"),
+      ((col("id") + 1) * (col("id") + 1) * 0.6).as("hi"))
+    val naive = points.join(intervals,
+        col("lo") <= col("v") && col("v") < col("hi"))
+      .select("id", "iv_id").as[(Long, Long)].collect().sorted
+    val bucketed = graft.operators.RangeJoin
+      .pointInInterval(points, "v", intervals, "lo", "hi", 30.0)
+      .select("id", "iv_id").as[(Long, Long)].collect().sorted
+    assert(bucketed.sameElements(naive))
+
+    val plan = graft.operators.RangeJoin
+      .pointInInterval(points, "v", intervals, "lo", "hi", 30.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
