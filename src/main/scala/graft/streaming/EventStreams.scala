@@ -60,6 +60,16 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming ingest dedup: duplicate event_ids arriving within the
+    * watermark horizon are dropped exactly once; dedup state ages out
+    * with the watermark, so state size is bounded by the horizon's
+    * event rate rather than the stream's lifetime — the property that
+    * makes exact ingest dedup viable on an unbounded 100 TB/day feed. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization --------------------------------------
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -99,6 +99,29 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 3), (1L, 2), (2L, 1)))
   }
 
+  test("streaming ingest dedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(event_id: Long, ts: Timestamp, event_type: String)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)]
+    def ev(id: Long, minute: Long) =
+      (id, new Timestamp(minute * 60000L), "click")
+    val q = EventStreams.dedupStream(
+        input.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // id 1 duplicated
+      q.processAllAvailable()
+      input.addData(ev(2, 3), ev(3, 4)) // id 2 duplicated across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionize emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
