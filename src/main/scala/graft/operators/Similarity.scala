@@ -20,14 +20,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Double-precision dot product of two float vectors. */
+  /** Double-precision dot product of two float vectors (HOF form,
+    * kept as the composable building block). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Cosine similarity — native single-pass kernel (bit-identical to
+    * the HOF fold, ~3× less array traffic; see VectorKernel). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.Vectors.cosine(a, b)
 
   val NumQueries = 8
   val TopK = 5
