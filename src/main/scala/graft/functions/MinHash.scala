@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signatures (SURVEY.md §2d).
@@ -122,6 +122,40 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Exact Jaccard of two SORTED distinct long arrays (the shape
+  * ShingleHashes emits) by merge-walk — no per-pair hash sets, no
+  * intermediate arrays, unlike array_intersect/array_union. */
+object JaccardKernel {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** `sorted_jaccard(a, b)` as a codegen'd expression. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.jaccard(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaccardKernel.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH signature kernel (SURVEY.md §2d): bit i of
   * the result = sign of <v, h_i>, h_i[d] = ±1 from splitmix64(i·64+d).
   * Replaces a 16×64 HOF fold (data-independent hashes recomputed per
@@ -176,4 +210,8 @@ object MinHash {
 
   def lshSignature(vec: Column, numPlanes: Int): Column =
     GraftShim.column(LshSignature(GraftShim.expression(vec), numPlanes))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftShim.column(SortedJaccard(GraftShim.expression(a),
+      GraftShim.expression(b)))
 }

@@ -96,8 +96,7 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("shingles", "sb"), "b_id")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6))
+        graft.functions.MinHash.sortedJaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))

@@ -21,6 +21,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("sorted-jaccard kernel equals set jaccard on all edge shapes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def j(a: Seq[Long], b: Seq[Long]): Double =
+      graft.functions.JaccardKernel.jaccard(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+    assert(j(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == 2.0 / 4.0)
+    assert(j(Seq(1L, 2L), Seq(1L, 2L)) == 1.0)
+    assert(j(Seq(1L), Seq(2L)) == 0.0)
+    assert(j(Seq.empty, Seq(1L)) == 0.0)
+    assert(j(Seq.empty, Seq.empty) == 1.0)
+    assert(j(Seq(Long.MinValue, 0L, Long.MaxValue),
+      Seq(Long.MinValue, Long.MaxValue)) == 2.0 / 3.0)
+  }
+
   test("simhash: planted pairs are hamming-close, signatures nontrivial") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
