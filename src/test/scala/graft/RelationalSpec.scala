@@ -92,6 +92,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_.getLong(3) >= 0)) // gap_us >= 0
   }
 
+  test("q15 grouped top-k partial-aggregates before the shuffle") {
+    val plan = graft.operators.TopK.q15GroupedTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    // bounded heaps combine map-side: partial + final aggregate nodes
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_topkagg"), plan)
+  }
+
   test("q05 top-k never sorts the full table") {
     val plan = Relational.q05TopkRevenue(spark, sf)
       .queryExecution.executedPlan.toString
