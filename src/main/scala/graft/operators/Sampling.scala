@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines
+  * (SURVEY.md §2d).
+  *
+  * Curriculum/mixture construction needs per-stratum rates ("3% of
+  * web, 40% of books") that are (a) exactly reproducible across
+  * runs and engines and (b) stable under repartitioning. Spark's
+  * `sampleBy` draws from a partition-order-dependent RNG stream, so
+  * the SAMPLE is not stable under shuffle-partition changes; these
+  * operators hash the row's own key instead — membership is a pure
+  * function of (key, seed, rate), independent of partitioning,
+  * cluster size, or row order, and any engine with the same hash
+  * picks the identical sample.
+  */
+object Sampling {
+
+  /** True iff the key falls in the sampled fraction: uniform in
+    * [0, 1) via xxhash64(key, seed). */
+  def hashInFraction(key: Column, fraction: Column, seed: Long): Column =
+    (pmod(xxhash64(key, lit(seed)), lit(1000000L)).cast("double")
+      / 1000000.0) < fraction
+
+  /** Per-stratum deterministic sample: `rates` maps stratum value →
+    * fraction; strata not listed are dropped. */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String,
+      rates: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (s, r)) =>
+      when(col(stratum) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashInFraction(col(key), rate, seed))
+  }
+}

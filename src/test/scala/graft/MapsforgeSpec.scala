@@ -148,6 +148,11 @@ class MapsforgeSpec extends AnyFunSuite {
     FdoSink.write(spark, t, h, mapPath, out)
     val gc = spark.read.parquet(s"$out/geometry_columns").collect()
     assert(gc.map(_.getString(0)).toSet == Set("points", "lines", "areas"))
+    // feature tables are hive-partitioned by level for partition pruning
+    assert(new java.io.File(s"$out/points").listFiles()
+      .exists(_.getName.startsWith("m2db_level=")))
+    val pts = spark.read.parquet(s"$out/points")
+    assert(pts.columns.contains("m2db_level") && pts.count() == 2)
     val readme = spark.read.parquet(s"$out/README").collect()
     assert(readme.exists(_.getString(1) == "ODbL-1.0"))
     val limits = spark.read.parquet(s"$out/limits").collect()

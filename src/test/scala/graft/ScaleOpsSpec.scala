@@ -68,6 +68,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("stratified sample is rate-accurate and partitioning-invariant") {
+    val ev = Tables.load(spark, sf, "events")
+    val rates = Map("click" -> 0.5, "view" -> 0.1)
+    val s1 = graft.operators.Sampling
+      .stratifiedSample(ev, "event_type", "event_id", rates)
+    val counts = s1.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("click", "view")) // others dropped
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("click").toDouble / totals("click") - 0.5) < 0.2)
+    assert(counts("view").toDouble / totals("view") < 0.3)
+
+    // identical membership regardless of physical layout
+    val ids1 = s1.select("event_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.operators.Sampling
+      .stratifiedSample(ev.repartition(7), "event_type", "event_id", rates)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
