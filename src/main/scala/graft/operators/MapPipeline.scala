@@ -113,6 +113,46 @@ object MapPipeline {
       }
   }
 
+  /** The integrity invariants the reference enforces row-by-row as it
+    * merges (map2db.py:766-812), checked distributed in one pass:
+    *
+    *  - `same_level_attr`: duplicates of a feature at one level must
+    *    agree on every column except geometry (767-776);
+    *  - `cross_level_attr`: duplicates across levels must agree on
+    *    everything except geometry/level/zoom range (787-793);
+    *  - `zoom_gap`: a feature extending into a lower subfile must
+    *    have contiguous zoom coverage — the stored minz equals the
+    *    lower subfile's maxzoom + 1 (797-803).
+    *
+    * Returns (fid, kind) violation rows; empty for a well-formed dbl
+    * map. Runs on the pre-merge fragments so the checks see exactly
+    * what the reference's serial loop saw. */
+  def validate(feats: Dataset[Feature]): DataFrame = {
+    val norm = feats.toDF().withColumn("vt",
+      array_sort(transform(map_entries(col("vtags")),
+        e => concat(e("key"), lit("="), e("value")))))
+    val sameLevel = norm.groupBy(col("fid"), col("level"))
+      .agg(countDistinct(struct(col("layer"), col("tags"), col("vt"),
+        col("minz"), col("maxz"))).as("variants"),
+        first(struct(col("layer"), col("tags"), col("vt"))).as("attrs"),
+        min(col("minz")).as("minz"), max(col("maxz")).as("maxz"))
+    val sameLevelBad = sameLevel.filter(col("variants") > 1)
+      .select(col("fid"), lit("same_level_attr").as("kind"))
+    // drift BETWEEN levels: compare one canonical attr tuple per level
+    // (same-level disagreement is already its own violation above)
+    val crossBad = sameLevel.groupBy(col("fid"))
+      .agg(countDistinct(col("attrs")).as("variants"))
+      .filter(col("variants") > 1)
+      .select(col("fid"), lit("cross_level_attr").as("kind"))
+    val w = Window.partitionBy(col("fid")).orderBy(col("level"))
+    val gapBad = sameLevel
+      .withColumn("prev_maxz", lag(col("maxz"), 1).over(w))
+      .filter(col("prev_maxz").isNotNull &&
+        col("minz") =!= col("prev_maxz") + 1)
+      .select(col("fid"), lit("zoom_gap").as("kind"))
+    sameLevelBad.unionByName(crossBad).unionByName(gapBad)
+  }
+
   /** Cross-tile + cross-level merge (map2db.py:747-812): geometry is
     * the union of the max-level fragments; m2db_minz extends to the
     * lowest level seen; attributes come from the max level. One fid
@@ -221,10 +261,26 @@ object MapPipeline {
   }
 
   /** Full decode→merge for a dbl map. Lines additionally get the
-    * endpoint-snap linemerge pass (map2db.py:1080-1182). */
-  def build(spark: SparkSession, path: String): MapTables = {
+    * endpoint-snap linemerge pass (map2db.py:1080-1182). With
+    * `strict`, the reference's integrity checks run first and any
+    * violation aborts, as the reference's ValueError would — off by
+    * default because at 100 TB a report table beats a crashed job. */
+  def build(spark: SparkSession, path: String,
+      strict: Boolean = false): MapTables = {
     val (pois, ways) = Mapsforge.scan(spark, path)
     val cachedWays = ways.persist()
+    if (strict) {
+      // p/l/a ids are independent key spaces — validate per table
+      Seq("points" -> validate(pointFeatures(pois)),
+        "lines" -> validate(lineFeatures(cachedWays)),
+        "areas" -> validate(areaFeatures(cachedWays))).foreach {
+        case (table, v) =>
+          val bad = v.limit(10).collect()
+          require(bad.isEmpty, s"integrity violations in $table: " +
+            bad.map(r => s"${r.getLong(0)}:${r.getString(1)}")
+              .mkString(", "))
+      }
+    }
     val points = mergeFeatures(pointFeatures(pois))
       .withColumnRenamed("fid", "m2db_pnum")
     val lines = FeatureMerge.mergeLines(

@@ -169,6 +169,38 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(toml.contains("{column_name = \"population\"}"))
   }
 
+  test("integrity validation: clean map passes, tampered fragments fail") {
+    import spark.implicits._
+    import graft.operators.MapPipeline.Feature
+
+    // the synthetic dbl map satisfies every reference invariant
+    val t = MapPipeline.build(spark, mapPath, strict = true)
+    assert(t.points.count() == 2)
+
+    def f(fid: Long, level: Int, minz: Int, maxz: Int, layer: Int = 0,
+        tags: String = "[]", vtags: Map[String, String] = Map.empty) =
+      Feature(fid, level, minz, maxz, layer, tags, vtags, Array[Byte]())
+
+    // same-level duplicates disagreeing on an attribute (767-776)
+    val sameLevel = MapPipeline.validate(Seq(
+      f(1, 10, 9, 11, layer = 0), f(1, 10, 9, 11, layer = 3)).toDS())
+      .collect().map(_.getString(1))
+    assert(sameLevel.toSeq == Seq("same_level_attr"))
+
+    // cross-level attribute drift (787-793)
+    val cross = MapPipeline.validate(Seq(
+      f(2, 10, 9, 11, vtags = Map("name" -> "a")),
+      f(2, 8, 7, 8, vtags = Map("name" -> "b"))).toDS())
+      .collect().map(_.getString(1))
+    assert(cross.contains("cross_level_attr"))
+
+    // zoom range with a hole (797-803): 8-level maxz 8, 10-level minz 10
+    val gap = MapPipeline.validate(Seq(
+      f(3, 10, 10, 11), f(3, 8, 7, 8)).toDS())
+      .collect().map(_.getString(1))
+    assert(gap.toSeq == Seq("zoom_gap"))
+  }
+
   test("map2db entry writes the database and forgemap config for dbl maps") {
     val out = java.nio.file.Files.createTempDirectory("graft-m2db").toString
     val t = FdoSink.map2db(spark, mapPath, out)
