@@ -169,6 +169,17 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(toml.contains("{column_name = \"population\"}"))
   }
 
+  test("merge pipeline pays exactly one exchange per feature table") {
+    import spark.implicits._
+    val (pois, _) = Mapsforge.scan(spark, mapPath)
+    val plan = MapPipeline.mergeFeatures(MapPipeline.pointFeatures(pois))
+      .queryExecution.executedPlan.toString
+    // the window's fid exchange must be reused by the groupBy — a
+    // second Exchange means the SURVEY §4 single-shuffle claim broke
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$plan")
+  }
+
   test("integrity validation: clean map passes, tampered fragments fail") {
     import spark.implicits._
     import graft.operators.MapPipeline.Feature
