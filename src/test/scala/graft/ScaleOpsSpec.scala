@@ -89,6 +89,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("oracle queries are invariant to shuffle partitioning") {
+    // the driver may run with any parallelism — results must not
+    // depend on the partition count (ordering, first(), agg order)
+    val names = Seq("q01_pricing_summary", "q13_asof_join",
+      "d02_minhash_lsh", "g09_zoom_dedup", "t01_lang_id")
+    def run(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+    val base = names.map(run)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      assert(names.map(run) == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
