@@ -38,19 +38,34 @@ object GeomFunctions {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Generic WKB union aggregate — any geometry type. */
-  class WkbUnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
-      merge(buf, wkb)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else GeomOps.toWkb(GeomOps.union(GeomOps.fromWkb(a), GeomOps.fromWkb(b)))
-    override def finish(buf: Array[Byte]): Array[Byte] =
-      if (buf.isEmpty) buf
-      else GeomOps.toWkb(GeomOps.normalized(GeomOps.fromWkb(buf)))
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  /** Generic WKB union aggregate — any geometry type.
+    *
+    * Fragments accumulate as a WKB list and compact through JTS's
+    * cascaded union in batches of [[UnionBatch]]: a feature spanning
+    * hundreds of tiles (a long road) costs O(n log n) instead of the
+    * O(n²) point copying of a pairwise left fold, while the batch
+    * bound keeps the Tungsten buffer row small for map-side combine. */
+  case class GeomParts(parts: Seq[Array[Byte]])
+  val UnionBatch = 16
+
+  class WkbUnionAgg extends Aggregator[Array[Byte], GeomParts, Array[Byte]] {
+    private def compact(parts: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      if (parts.size < UnionBatch) parts
+      else Seq(GeomOps.toWkb(GeomOps.unionAll(parts.map(GeomOps.fromWkb))))
+    override def zero: GeomParts = GeomParts(Vector.empty)
+    override def reduce(buf: GeomParts, wkb: Array[Byte]): GeomParts =
+      GeomParts(compact(buf.parts :+ wkb))
+    override def merge(a: GeomParts, b: GeomParts): GeomParts =
+      GeomParts(compact(a.parts ++ b.parts))
+    override def finish(buf: GeomParts): Array[Byte] = buf.parts match {
+      case Seq() => Array.emptyByteArray
+      case Seq(one) =>
+        GeomOps.toWkb(GeomOps.normalized(GeomOps.fromWkb(one)))
+      case many => GeomOps.toWkb(GeomOps.normalized(
+        GeomOps.unionAll(many.map(GeomOps.fromWkb))))
+    }
+    override def bufferEncoder: Encoder[GeomParts] =
+      Encoders.product[GeomParts]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

@@ -124,6 +124,14 @@ object GeomOps {
 
   def union(a: Geometry, b: Geometry): Geometry = a.union(b)
 
+  /** N-way union via JTS UnaryUnionOp (cascaded) — O(n log n)-ish vs
+    * the O(n²) point copying of a pairwise left fold. */
+  def unionAll(gs: Seq[Geometry]): Geometry = {
+    val coll = new java.util.ArrayList[Geometry](gs.size)
+    gs.foreach(coll.add)
+    org.locationtech.jts.operation.union.UnaryUnionOp.union(coll)
+  }
+
   /** JTS linemerge — shapely's linemerge is this class. */
   def lineMerge(g: Geometry): Geometry = {
     val merger = new LineMerger()

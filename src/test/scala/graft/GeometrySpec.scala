@@ -12,6 +12,24 @@ class GeometrySpec extends AnyFunSuite {
     assert(back.equalsExact(mp))
   }
 
+  test("wkb union aggregate merges 100 fragments via cascaded batches") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 100 consecutive segments of one long road, worst-case ordering
+    val segs = (0 until 100).map { i =>
+      GeomOps.toWkb(GeomOps.multiLineString(
+        Seq(Seq((i * 1e-4, 0.0), ((i + 1) * 1e-4, 0.0)))))
+    }.reverse
+    val out = segs.toDF("wkb").groupBy()
+      .agg(graft.functions.GeomFunctions.unionWkb(col("wkb")).as("u"))
+      .collect().head.getAs[Array[Byte]]("u")
+    val g = GeomOps.fromWkb(out)
+    assert(math.abs(g.getLength - 100 * 1e-4) < 1e-12)
+    val env = g.getEnvelopeInternal
+    assert(env.getMinX == 0.0 && math.abs(env.getMaxX - 0.01) < 1e-12)
+  }
+
   test("clipToBox trims a line at the tile edge on the microdegree grid") {
     // line crossing the box [0,0]-[10,10] horizontally at y=5
     val line = GeomOps.lineString(Seq((-5.0, 5.0), (15.0, 5.0)))
