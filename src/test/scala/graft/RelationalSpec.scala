@@ -105,4 +105,16 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("every registered query plans without cartesian/nested-loop joins") {
+    // d05 broadcasts an 8-row query set against the candidates on
+    // purpose — the one legitimate nested-loop in the suite
+    val allowNestedLoop = Set("d05_cosine_topk")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      if (!allowNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
 }
