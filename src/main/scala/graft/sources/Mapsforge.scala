@@ -359,9 +359,15 @@ object Mapsforge {
 
   // ---- distributed scan ---------------------------------------------
   /** Decode every non-empty tile into (Poi, Way) row sets. One task
-    * list partition ≈ a contiguous byte range of the file. */
-  def scan(spark: SparkSession, path: String, numPartitions: Int = 0)
-      : (Dataset[Poi], Dataset[Way]) = {
+    * list partition ≈ a contiguous byte range of the file.
+    *
+    * `permissive = true` skips tiles that fail to decode instead of
+    * failing the job (the reference dies on the first bad byte —
+    * viable for one file, not for a fleet of them), counting skips in
+    * the `graft.badTiles` accumulator so the caller can decide
+    * whether the loss is acceptable. */
+  def scan(spark: SparkSession, path: String, numPartitions: Int = 0,
+      permissive: Boolean = false): (Dataset[Poi], Dataset[Way]) = {
     import spark.implicits._
     val h = readHeader(path)
     val tasks = tileTasks(h)
@@ -371,6 +377,7 @@ object Mapsforge {
         tasks.size))
     val poiDict = h.poiTags.toIndexedSeq
     val wayDict = h.wayTags.toIndexedSeq
+    val badTiles = spark.sparkContext.longAccumulator("graft.badTiles")
     val taskDs = spark.createDataset(tasks).repartition(parts)
     val decoded = taskDs.mapPartitions { it =>
       val raf = new RandomAccessFile(path, "r")
@@ -380,7 +387,13 @@ object Mapsforge {
         val buf = new Array[Byte](len)
         raf.seek(t.offset)
         raf.readFully(buf)
-        decodeTile(t, buf, poiDict, wayDict)
+        if (permissive)
+          try decodeTile(t, buf, poiDict, wayDict)
+          catch { case scala.util.control.NonFatal(_) =>
+            badTiles.add(1)
+            (Seq.empty[Poi], Seq.empty[Way])
+          }
+        else decodeTile(t, buf, poiDict, wayDict)
       } ++ { raf.close(); Iterator.empty }
     }
     val pois = decoded.flatMap(_._1)

@@ -74,6 +74,21 @@ class NonDblMapSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("permissive scan skips a corrupt tile; strict scan fails") {
+    import java.nio.file.{Files, Paths}
+    val bytes = Files.readAllBytes(Paths.get(mapPath))
+    // trash the tail of the (single) tile payload
+    for (i <- bytes.length - 12 until bytes.length)
+      bytes(i) = 0x55.toByte
+    val p = Files.createTempFile("graft-corrupt", ".map")
+    Files.write(p, bytes)
+    intercept[Exception] {
+      Mapsforge.scan(spark, p.toString)._2.collect()
+    }
+    val (pois, ways) = Mapsforge.scan(spark, p.toString, permissive = true)
+    assert(pois.count() == 0 && ways.count() == 0) // tile skipped, job alive
+  }
+
   test("map2db entry on a non-dbl map: raw tables, generated README, no toml") {
     val out = java.nio.file.Files.createTempDirectory("graft-nondbl").toString
     val t = graft.sources.FdoSink.map2db(spark, mapPath, out)
