@@ -45,14 +45,14 @@ object Mapsforge {
   case class Coord(lon: Double, lat: Double)
   case class Poi(level: Int, tileX: Long, tileY: Long, minz: Int, maxz: Int,
       lat: Double, lon: Double, layer: Int, tags: Seq[String],
-      vtags: Map[String, String], pnum: Option[Long])
+      vtags: Map[String, String], pnum: Option[Long], fileId: Int = 0)
   /** `coords` is data-block → coordinate-block → nodes; `geomType` is
     * MULTILINESTRING / MULTIPOLYGON (explicit for dbl via lnum/anum,
     * ring-inferred otherwise — map2db.py:634-638). */
   case class Way(level: Int, tileX: Long, tileY: Long, minz: Int, maxz: Int,
       layer: Int, tags: Seq[String], vtags: Map[String, String],
       lnum: Option[Long], anum: Option[Long], geomType: String,
-      coords: Seq[Seq[Seq[Coord]]])
+      coords: Seq[Seq[Seq[Coord]]], fileId: Int = 0)
 
   // ---- binary cursor ------------------------------------------------
   /** Offset-tracking reader over one tile's byte range. */
@@ -176,10 +176,12 @@ object Mapsforge {
   // ---- tile task fan-out --------------------------------------------
   case class TileTask(subfileIndex: Int, level: Int, minzoom: Int,
       maxzoom: Int, tileX: Long, tileY: Long, offset: Long, endOffset: Long,
-      debugInfo: Boolean)
+      debugInfo: Boolean, path: String = "", fileId: Int = 0)
 
   /** Non-empty tiles as executor tasks, offset-ordered. */
-  def tileTasks(h: Header): Seq[TileTask] =
+  def tileTasks(h: Header): Seq[TileTask] = tileTasks(h, "", 0)
+
+  def tileTasks(h: Header, path: String, fileId: Int): Seq[TileTask] =
     h.subfiles.flatMap { sf =>
       val n = sf.tileOffsets.length
       (0 until n).flatMap { t =>
@@ -190,7 +192,7 @@ object Mapsforge {
         if (start == end) None // empty tile
         else Some(TileTask(sf.index, sf.level, sf.minzoom, sf.maxzoom,
           sf.minX + t % sf.xCount, sf.minY + t / sf.xCount, start, end,
-          h.debugInfo))
+          h.debugInfo, path, fileId))
       }
     }
 
@@ -253,7 +255,7 @@ object Mapsforge {
       if ((flags & 0x40) != 0) vtags += ("m2db_house_num" -> c.lstr())
       if ((flags & 0x20) != 0) vtags += ("m2db_elevation" -> c.vu().toString)
       pois += Poi(task.level, task.tileX, task.tileY, tz, task.maxzoom,
-        lat, lon, layer, tags, vtags, pnum)
+        lat, lon, layer, tags, vtags, pnum, task.fileId)
     }
     require(c.pos == firstWayOffset,
       s"Error reading points ${c.pos} != $firstWayOffset")
@@ -352,7 +354,7 @@ object Mapsforge {
         allCoords = Seq(allCoords.flatten)
       }
       ways += Way(task.level, task.tileX, task.tileY, tz, task.maxzoom,
-        layer, tags, vtags, lnum, anum, geomType, allCoords)
+        layer, tags, vtags, lnum, anum, geomType, allCoords, task.fileId)
     }
     (pois.result(), ways.result())
   }
@@ -367,26 +369,52 @@ object Mapsforge {
     * the `graft.badTiles` accumulator so the caller can decide
     * whether the loss is acceptable. */
   def scan(spark: SparkSession, path: String, numPartitions: Int = 0,
-      permissive: Boolean = false): (Dataset[Poi], Dataset[Way]) = {
+      permissive: Boolean = false): (Dataset[Poi], Dataset[Way]) =
+    scanMany(spark, Seq(path), numPartitions, permissive)
+
+  /** Fleet scan: one job decoding tiles from MANY map files. All
+    * headers parse driver-side (KB each); tag dictionaries ship once
+    * as a broadcast keyed by fileId; tasks sort by (file, offset) so
+    * each partition reads each file sequentially. Rows carry their
+    * `fileId` — feature ids are per-file, so any cross-file merge
+    * must group by (fileId, fid). */
+  def scanMany(spark: SparkSession, paths: Seq[String],
+      numPartitions: Int = 0, permissive: Boolean = false)
+      : (Dataset[Poi], Dataset[Way]) = {
     import spark.implicits._
-    val h = readHeader(path)
-    val tasks = tileTasks(h)
+    val headers = paths.zipWithIndex.map { case (p, i) =>
+      (p, i, readHeader(p))
+    }
+    val tasks = headers.flatMap { case (p, i, h) => tileTasks(h, p, i) }
     val parts =
       if (numPartitions > 0) numPartitions
       else math.max(1, math.min(spark.sparkContext.defaultParallelism,
         tasks.size))
-    val poiDict = h.poiTags.toIndexedSeq
-    val wayDict = h.wayTags.toIndexedSeq
+    val dicts = spark.sparkContext.broadcast(headers.map {
+      case (_, i, h) => i -> ((h.poiTags.toIndexedSeq,
+        h.wayTags.toIndexedSeq))
+    }.toMap)
     val badTiles = spark.sparkContext.longAccumulator("graft.badTiles")
     val taskDs = spark.createDataset(tasks).repartition(parts)
     val decoded = taskDs.mapPartitions { it =>
-      val raf = new RandomAccessFile(path, "r")
-      val sorted = it.toSeq.sortBy(_.offset) // sequential IO per task batch
+      // sequential IO per file within the task batch
+      val sorted = it.toSeq.sortBy(t => (t.fileId, t.offset))
+      var raf: RandomAccessFile = null
+      var openPath: String = null
+      def file(p: String): RandomAccessFile = {
+        if (p != openPath) {
+          if (raf != null) raf.close()
+          raf = new RandomAccessFile(p, "r"); openPath = p
+        }
+        raf
+      }
       sorted.iterator.map { t =>
+        val f = file(t.path)
         val len = (t.endOffset - t.offset).toInt
         val buf = new Array[Byte](len)
-        raf.seek(t.offset)
-        raf.readFully(buf)
+        f.seek(t.offset)
+        f.readFully(buf)
+        val (poiDict, wayDict) = dicts.value(t.fileId)
         if (permissive)
           try decodeTile(t, buf, poiDict, wayDict)
           catch { case scala.util.control.NonFatal(_) =>
@@ -394,7 +422,7 @@ object Mapsforge {
             (Seq.empty[Poi], Seq.empty[Way])
           }
         else decodeTile(t, buf, poiDict, wayDict)
-      } ++ { raf.close(); Iterator.empty }
+      } ++ { if (raf != null) raf.close(); Iterator.empty }
     }
     val pois = decoded.flatMap(_._1)
     val ways = decoded.flatMap(_._2)

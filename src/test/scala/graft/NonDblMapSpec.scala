@@ -74,6 +74,14 @@ class NonDblMapSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("scanMany decodes a fleet of files in one job, rows tagged by file") {
+    val second = MapEncoder.writeToTemp(testMap)
+    val (pois, ways) = Mapsforge.scanMany(spark, Seq(mapPath, second))
+    assert(pois.count() == 2 && ways.count() == 4)
+    assert(pois.collect().map(_.fileId).sorted.toSeq == Seq(0, 1))
+    assert(ways.collect().map(_.fileId).distinct.sorted.toSeq == Seq(0, 1))
+  }
+
   test("permissive scan skips a corrupt tile; strict scan fails") {
     import java.nio.file.{Files, Paths}
     val bytes = Files.readAllBytes(Paths.get(mapPath))
