@@ -376,6 +376,29 @@ object Relational {
        |GROUP BY band_id
        |ORDER BY band_id""".stripMargin
 
+  /** q16: exact interpolated percentiles per group — the linear-
+    * interpolation definition both engines implement, so the oracle
+    * is exact. (The scale path for wide-cardinality quantiles is
+    * approx_percentile; kept rows-only like q12 since sketches are
+    * engine-specific.) */
+  def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q16Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** All §2a queries keyed as in SURVEY.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -391,7 +414,8 @@ object Relational {
     "q11_json_props" -> (q11JsonProps _),
     "q12_approx_distinct" -> (q12ApproxDistinct _),
     "q13_asof_join" -> (q13AsofJoin _),
-    "q14_range_join" -> (q14RangeJoin _))
+    "q14_range_join" -> (q14RangeJoin _),
+    "q16_percentiles" -> (q16Percentiles _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -406,5 +430,6 @@ object Relational {
     "q10_union_merge" -> q10Sql,
     "q11_json_props" -> q11Sql,
     "q13_asof_join" -> q13Sql,
-    "q14_range_join" -> q14Sql)
+    "q14_range_join" -> q14Sql,
+    "q16_percentiles" -> q16Sql)
 }
