@@ -399,6 +399,73 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q17: ROLLUP grouping sets — subtotals at (region, nation),
+    * (region), and grand total in one Expand pass (no re-scan per
+    * grouping level). */
+  def q17Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val cust = Tables.load(spark, dir, "customer")
+    cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q17Sql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+       |  ${sqlDsum("c_acctbal")} AS total_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** q18: pivot — one row per ship mode, one column per return flag.
+    * Spark's pivot with explicit values compiles to conditional
+    * aggregates (single pass, no per-column scan). */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .toDF("l_linestatus", "a_cnt", "n_cnt", "r_cnt")
+      .orderBy(col("l_linestatus"))
+
+  val q18Sql: String =
+    """SELECT l_linestatus,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS a_cnt,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'N') AS n_cnt,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS r_cnt
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q19: set operators — customers with orders in 1995 INTERSECT
+    * customers with orders in 1996, EXCEPT ones with any 1997 order. */
+  def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    def custsIn(year: Int) = ord
+      .filter(year_(col("o_orderdate").cast("date")) === year)
+      .select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).except(custsIn(1997))
+      .orderBy(col("o_custkey"))
+  }
+  private def year_(c: Column): Column = year(c)
+
+  val q19Sql: String =
+    """SELECT o_custkey FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
   /** All §2a queries keyed as in SURVEY.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -415,7 +482,10 @@ object Relational {
     "q12_approx_distinct" -> (q12ApproxDistinct _),
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_range_join" -> (q14RangeJoin _),
-    "q16_percentiles" -> (q16Percentiles _))
+    "q16_percentiles" -> (q16Percentiles _),
+    "q17_rollup" -> (q17Rollup _),
+    "q18_pivot" -> (q18Pivot _),
+    "q19_set_ops" -> (q19SetOps _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -431,5 +501,8 @@ object Relational {
     "q11_json_props" -> q11Sql,
     "q13_asof_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
-    "q16_percentiles" -> q16Sql)
+    "q16_percentiles" -> q16Sql,
+    "q17_rollup" -> q17Sql,
+    "q18_pivot" -> q18Sql,
+    "q19_set_ops" -> q19Sql)
 }
