@@ -103,6 +103,77 @@ object Dedup {
     out
   }
 
+  // ---- duplicate clustering -----------------------------------------
+
+  /** Connected components by min-label propagation: every node adopts
+    * the smallest id reachable over the (symmetrized) edge set. Each
+    * iteration is one join + one groupBy (both on the node id, so AQE
+    * reuses the partitioning); iterations needed = graph diameter,
+    * which for near-dup graphs is tiny (dup clusters are
+    * chains/stars, not long paths). The loop is driver-side control
+    * flow only — all data stays distributed. */
+  def connectedComponents(edges: DataFrame, a: String, b: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    // labels only ever decrease (min over own + neighbors), so the
+    // label sum strictly decreases iff any node changed — convergence
+    // costs one aggregate per round instead of a self-join
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate labels: own + the labels of all neighbors
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** d07: near-dup clusters — LSH pairs → connected components →
+    * keep the smallest doc_id per cluster, report cluster sizes. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    connectedComponents(pairs, "a_id", "b_id")
+      .groupBy(col("label").as("keep_id"))
+      .agg((count(lit(1))).as("cluster_size"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Oracle: recursive min-label reachability over the same pair set
+    * (the d02 oracle's pairs), feasible exactly because dup graphs
+    * are small-diameter. Lazy: minhashLshSql initializes later in
+    * this object. */
+  lazy val dedupClustersSql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |comp AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT node, node FROM nodes
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e
+       |      JOIN reach r ON e.dst = r.node)
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+       |SELECT label AS keep_id, COUNT(*) AS cluster_size
+       |FROM comp GROUP BY label ORDER BY keep_id""".stripMargin
+
   /** Brute-force ground truth for d02 — near-dup pairs by exact
     * Jaccard ≥ 0.5, via a shingle-join in DuckDB. LSH with 8 bands ×
     * 4 rows finds a Jaccard-0.9 pair with probability ≈1-2e-5, so the

@@ -15,6 +15,7 @@ object PipelineOps {
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d05_cosine_topk" -> (Similarity.cosineTopK _),
     "d06_ann_lsh" -> (Similarity.annLsh _),
+    "d07_dedup_clusters" -> (Dedup.dedupClusters _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
@@ -27,6 +28,7 @@ object PipelineOps {
     "d02_minhash_lsh" -> Dedup.minhashLshSql,
     "d04_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "d05_cosine_topk" -> Similarity.cosineTopKSql,
+    "d07_dedup_clusters" -> Dedup.dedupClustersSql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,

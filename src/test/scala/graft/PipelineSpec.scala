@@ -21,6 +21,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("connected components handles chains, cycles, and stars") {
+    import spark.implicits._
+    // chain 1-2-3-4, cycle 10-11-12-10, star 20-{21,22,23}, pair 30-31
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (31L, 30L)).toDF("a", "b")
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(cc(_) == 20L))
+    assert(cc(30L) == 30L && cc(31L) == 30L)
+  }
+
   test("sorted-jaccard kernel equals set jaccard on all edge shapes") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def j(a: Seq[Long], b: Seq[Long]): Double =
