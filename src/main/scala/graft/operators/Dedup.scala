@@ -114,8 +114,11 @@ object Dedup {
     * flow only — all data stays distributed. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+    // cache the input first: the symmetrizing self-union would
+    // otherwise execute the (possibly expensive) edge lineage twice
+    val e = edges.persist()
+    val sym = e.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(e.select(col(b).as("src"), col(a).as("dst")))
       .distinct().persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
@@ -141,6 +144,7 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 
