@@ -466,6 +466,28 @@ object Relational {
       |  WHERE year(CAST(o_orderdate AS DATE)) = 1997
       |ORDER BY o_custkey""".stripMargin
 
+  /** q20: lag/lead — inter-event gap per user, next event type. One
+    * window sort per user partition serves both offsets. */
+  def q20LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"),
+        col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val q20Sql: String =
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |  lead(event_type, 1) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** All §2a queries keyed as in SURVEY.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -485,7 +507,8 @@ object Relational {
     "q16_percentiles" -> (q16Percentiles _),
     "q17_rollup" -> (q17Rollup _),
     "q18_pivot" -> (q18Pivot _),
-    "q19_set_ops" -> (q19SetOps _))
+    "q19_set_ops" -> (q19SetOps _),
+    "q20_lag_lead" -> (q20LagLead _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -504,5 +527,6 @@ object Relational {
     "q16_percentiles" -> q16Sql,
     "q17_rollup" -> q17Sql,
     "q18_pivot" -> q18Sql,
-    "q19_set_ops" -> q19Sql)
+    "q19_set_ops" -> q19Sql,
+    "q20_lag_lead" -> q20Sql)
 }
