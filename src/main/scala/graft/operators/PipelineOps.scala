@@ -21,7 +21,8 @@ object PipelineOps {
     "t03_token_count" -> (TextAnalysis.tokenCount _),
     "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
-    "s01_window_agg" -> (EventStreams.s01WindowAgg _))
+    "s01_window_agg" -> (EventStreams.s01WindowAgg _),
+    "s02_sessionize" -> (EventStreams.s02Sessionize _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> Dedup.exactDedupSql,
@@ -34,5 +35,6 @@ object PipelineOps {
     "t03_token_count" -> TextAnalysis.tokenCountSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
-    "s01_window_agg" -> EventStreams.s01Sql)
+    "s01_window_agg" -> EventStreams.s01Sql,
+    "s02_sessionize" -> EventStreams.s02Sql)
 }

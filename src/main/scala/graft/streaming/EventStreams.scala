@@ -70,11 +70,68 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s02: declarative sessionization — the same 30-minute-gap
+    * semantics as [[sessionize]] but as pure window algebra (lag →
+    * new-session flag → running sum = session index), so it has an
+    * exact SQL oracle and scales as one window sort per user
+    * partition. Cross-checked against the stateful implementation in
+    * the spec. */
+  def s02Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  val s02Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+      |              > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+      |  FROM flagged)
+      |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+      |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |FROM sessions
+      |GROUP BY user_id, sess_idx
+      |ORDER BY user_id, sess_idx""".stripMargin
+
   // ---- stateful sessionization --------------------------------------
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,
       end: Timestamp)
   case class SessionState(n: Int, start: Long, last: Long)
+
+  /** Microsecond-precision epoch of a Timestamp (getTime alone
+    * truncates to millis, which flips gap decisions within 1 ms of
+    * the threshold vs the SQL formulation). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000))
+    t.setNanos((Math.floorMod(us, 1000000) * 1000).toInt)
+    t
+  }
 
   /** Gap-based sessionization with mapGroupsWithState semantics: a
     * session closes after `gapMinutes` of inactivity. Batch-testable
@@ -82,25 +139,24 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      val sorted = it.toSeq.sortBy(e => micros(e.ts))
       val out = Seq.newBuilder[Session]
       var st: Option[SessionState] = None
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         st match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapUs =>
             st = Some(s.copy(n = s.n + 1, last = t))
           case Some(s) =>
-            out += Session(uid, s.n, new Timestamp(s.start),
-              new Timestamp(s.last))
+            out += Session(uid, s.n, tsOf(s.start), tsOf(s.last))
             st = Some(SessionState(1, t, t))
           case None => st = Some(SessionState(1, t, t))
         }
       }
-      st.foreach(s => out += Session(uid, s.n, new Timestamp(s.start),
-        new Timestamp(s.last)))
+      st.foreach(s => out += Session(uid, s.n, tsOf(s.start),
+        tsOf(s.last)))
       out.result().iterator
     }
   }
@@ -110,22 +166,21 @@ object EventStreams {
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sorted = it.toSeq.sortBy(e => micros(e.ts))
           val out = Seq.newBuilder[Session]
           var st = state.getOption
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             st match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapUs =>
                 st = Some(s.copy(n = s.n + 1, last = t))
               case Some(s) =>
-                out += Session(uid, s.n, new Timestamp(s.start),
-                  new Timestamp(s.last))
+                out += Session(uid, s.n, tsOf(s.start), tsOf(s.last))
                 st = Some(SessionState(1, t, t))
               case None => st = Some(SessionState(1, t, t))
             }

@@ -128,6 +128,24 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 3), (1L, 2), (2L, 1)))
   }
 
+  test("declarative and stateful sessionize agree on real data") {
+    import spark.implicits._
+    val declarative = EventStreams.s02Sessionize(spark, sf)
+      .select("user_id", "n_events", "start_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, s) => (u, n, s) }.sorted.toSeq
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_type")
+      .as[EventStreams.Event]
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val stateful = EventStreams.sessionize(events, gapMinutes = 30)
+      .collect()
+      .map(s => (s.user_id, s.n_events.toLong, micros(s.start)))
+      .sorted.toSeq
+    assert(declarative == stateful)
+  }
+
   test("streaming ingest dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
