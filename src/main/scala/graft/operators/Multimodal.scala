@@ -72,6 +72,48 @@ object Multimodal {
     decodeFeatures(attachPayload(spark, dir)).toDF()
       .orderBy(col("doc_id"))
 
+  /** m02: frame sampling — the video-style access pattern: each
+    * payload splits into fixed-size "frames" and every k-th frame is
+    * emitted as its own row with its byte offset, ready for a decode
+    * stage to read just that slice. The frame geometry is the real
+    * plumbing (row explosion, offset arithmetic, slice extraction);
+    * only the notion of a 16-byte "frame" stands in for a codec. */
+  val FrameBytes = 16
+  val SampleEvery = 4
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val rows = attachPayload(spark, dir).toDF()
+    rows
+      .withColumn("n_frames",
+        (col("meta.n_bytes") / FrameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(SampleEvery.toLong))).as("frame_idx"))
+      .withColumn("byte_off", col("frame_idx") * FrameBytes)
+      // the decode stage would read exactly this slice; sliced here so
+      // the plumbing is exercised, hex'd so the oracle can compare
+      .withColumn("frame_hex", hex(substring(col("payload"),
+        (col("byte_off") + 1).cast("int"), lit(FrameBytes))))
+      .select(col("doc_id"), col("frame_idx"), col("byte_off"),
+        col("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle for m02: same frame geometry and hex'd slice; the corpus
+    * is ASCII so byte offsets equal character offsets. */
+  val frameSampleSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    octet_length(encode(trim(text))) // $FrameBytes AS n_frames
+       |  FROM documents)
+       |SELECT doc_id, frame_idx, frame_idx * $FrameBytes AS byte_off,
+       |  hex(encode(substring(t, CAST(frame_idx * $FrameBytes + 1 AS INT),
+       |    $FrameBytes))) AS frame_hex
+       |FROM media, unnest(range(0, n_frames, $SampleEvery)) AS u(frame_idx)
+       |WHERE n_frames > 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Oracle mirrors the byte statistics via ascii() (ASCII corpus). */
   val mediaFeaturesSql: String =
     """SELECT doc_id,

@@ -21,6 +21,7 @@ object PipelineOps {
     "t03_token_count" -> (TextAnalysis.tokenCount _),
     "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
+    "m02_frame_sample" -> (Multimodal.frameSample _),
     "s01_window_agg" -> (EventStreams.s01WindowAgg _),
     "s02_sessionize" -> (EventStreams.s02Sessionize _))
 
@@ -35,6 +36,7 @@ object PipelineOps {
     "t03_token_count" -> TextAnalysis.tokenCountSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
+    "m02_frame_sample" -> Multimodal.frameSampleSql,
     "s01_window_agg" -> EventStreams.s01Sql,
     "s02_sessionize" -> EventStreams.s02Sql)
 }
