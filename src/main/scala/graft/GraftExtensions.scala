@@ -45,7 +45,7 @@ object GraftExtensions {
   private def fn(name: String, usage: String, builder: Builder)
       : (FunctionIdentifier, ExpressionInfo, Builder) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      new ExpressionInfo("graft.GraftExtensions", name),
       builder)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(

@@ -125,7 +125,7 @@ object Dedup {
     // labels only ever decrease (min over own + neighbors), so the
     // label sum strictly decreases iff any node changed — convergence
     // costs one aggregate per round instead of a self-join
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -136,7 +136,7 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .persist()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
