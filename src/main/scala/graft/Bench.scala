@@ -8,7 +8,13 @@ object Bench {
     // Warm the JVM/codegen paths once so the first timed query doesn't
     // absorb startup cost; not part of any measurement.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional comma-separated key filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=d07_dedup_clusters,d02_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -117,9 +117,13 @@ object Dedup {
     // cache the input first: the symmetrizing self-union would
     // otherwise execute the (possibly expensive) edge lineage twice
     val e = edges.persist()
+    // cache the edge set already hash-partitioned on the join key:
+    // every iteration's sym⋈labels then reads the cached partitions
+    // in place instead of re-shuffling the (static) edges each round —
+    // the only per-iteration shuffle left is the label messages.
     val sym = e.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(e.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("dst")).persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
     // labels only ever decrease (min over own + neighbors), so the

@@ -61,23 +61,29 @@ object MapOps {
     c.select(col("event_id"), col("z"),
         floor(Tiles.tileXFromLon(col("z"), col("lon"))).as("tile_x"),
         floor(Tiles.tileYFromLat(col("z"), col("lat"))).as("tile_y"))
+      // + 0.0 collapses IEEE -0.0 to +0.0 (and is exact elsewhere):
+      // the engines disagree on the sign of a rounded-to-zero result,
+      // which a bitwise hash compare distinguishes even though -0.0
+      // equals 0.0.
       .select(col("event_id"), col("tile_x"), col("tile_y"),
-        round(Tiles.lonFromTileX(col("z"), col("tile_x").cast("double")), 3)
-          .as("nw_lon"),
-        round(Tiles.latFromTileY(col("z"), col("tile_y").cast("double")), 3)
-          .as("nw_lat"))
+        (round(Tiles.lonFromTileX(col("z"), col("tile_x").cast("double")), 3)
+          + lit(0.0)).as("nw_lon"),
+        (round(Tiles.latFromTileY(col("z"), col("tile_y").cast("double")), 3)
+          + lit(0.0)).as("nw_lat"))
       .orderBy(col("event_id"))
   }
 
   val g02Sql: String =
     s"""SELECT event_id, tile_x, tile_y,
-       |  ROUND((tile_x / POW(2.0, z) * 2.0 - 1.0) * 180.0, 3) AS nw_lon,
-       |  ROUND((ATAN(EXP(((POW(2.0, z) - tile_y) / POW(2.0, z - 1) - 1.0) * PI())) / PI() - 0.25) * 360.0, 3) AS nw_lat
+       |  ROUND((tile_x / POW(2.0, z) * 2.0 - 1.0) * 180.0, 3) + 0.0 AS nw_lon,
+       |  ROUND((ATAN(EXP(((POW(2.0, z) - tile_y) / POW(2.0, z - 1) - 1.0) * PI())) / PI() - 0.25) * 360.0, 3) + 0.0 AS nw_lat
        |FROM (
        |  SELECT event_id, z,
-       |    FLOOR(POW(2.0, z - 1) * (lon / 180.0 + 1.0)) AS tile_x,
-       |    FLOOR(POW(2.0, z - 1) *
-       |      (2.0 - (LN(TAN((lat / 360.0 + 0.25) * PI())) / PI() + 1.0))) AS tile_y
+       |    CAST(FLOOR(POW(2.0, z - 1) * (lon / 180.0 + 1.0)) AS BIGINT)
+       |      AS tile_x,
+       |    CAST(FLOOR(POW(2.0, z - 1) *
+       |      (2.0 - (LN(TAN((lat / 360.0 + 0.25) * PI())) / PI() + 1.0)))
+       |      AS BIGINT) AS tile_y
        |  FROM ($coordsSql))
        |ORDER BY event_id""".stripMargin
 

@@ -299,7 +299,8 @@ object Relational {
 
   val q11Sql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  COUNT(*) AS n
       |FROM events

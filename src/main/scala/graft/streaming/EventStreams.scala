@@ -106,9 +106,9 @@ object EventStreams {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id
-      |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
       |  FROM flagged)
       |SELECT user_id, sess_idx, COUNT(*) AS n_events,
       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
