@@ -1,0 +1,485 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Second tranche of the relational engine surface (SURVEY.md §2a):
+  * subquery decorrelation, grouping sets/cube, full outer joins,
+  * window frames and rank ratios, string/regexp/date scalar surface,
+  * explode, exact distributed moments, argmax — each Catalyst-planned
+  * (single hash-agg or window shuffle, pushdown intact) with a DuckDB
+  * oracle.
+  *
+  * Float discipline matches [[Relational]]: every double aggregation
+  * routes through DECIMAL(18,4); derived statistics (variance, corr)
+  * are computed as the SAME double expression over those exact sums on
+  * both engines, so results are bit-identical.
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** q21: correlated scalar subquery (parts above their type's mean
+    * price), decorrelated the way Catalyst itself would: one agg on the
+    * correlation key + an equi-join. One shuffle each side, then a
+    * broadcast of the (tiny) per-type averages at scale. */
+  def q21ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    val avgByType = p.groupBy(col("p_type"))
+      .agg((dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+    p.join(broadcast(avgByType), "p_type")
+      .filter(col("p_retailprice") > col("avg_price"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_above"),
+        max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("p_type"))
+  }
+
+  val q21Sql: String =
+    s"""WITH a AS (
+       |  SELECT p_type,
+       |    ${sqlDsum("p_retailprice")} / COUNT(*) AS avg_price
+       |  FROM part GROUP BY p_type)
+       |SELECT p.p_type, COUNT(*) AS n_above,
+       |  MAX(p_retailprice) AS max_price
+       |FROM part p JOIN a ON p.p_type = a.p_type
+       |WHERE p_retailprice > avg_price
+       |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin
+
+  /** q22: CUBE — all four (flag,status) grouping levels in one Expand
+    * pass (no per-level re-scan of the fact table). */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  val q22Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       |  COALESCE(l_linestatus, 'ALL') AS status,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY gid, flag, status""".stripMargin
+
+  /** q23: full outer join — per-nation customer vs supplier counts
+    * over deliberately non-overlapping nation subsets, nulls
+    * coalesced. Both sides pre-aggregate before the join, so the
+    * outer join runs on one row per nation, not on the fact tables. */
+  def q23FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") % 2 === 0)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.load(spark, dir, "supplier")
+      .filter(col("s_nationkey") % 3 === 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q23Sql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      |      FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      |      FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1) s
+      |USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  /** q24: explicit window frames — a 4-row moving sum and the
+    * partition-anchored first value, one window sort per customer
+    * serving both frames. */
+  def q24WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(-3, Window.currentRow))
+          .cast("double").as("mv_sum"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("first_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS mv_sum,
+      |  FIRST_VALUE(o_orderkey) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS first_key
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q25: distribution ranks — ntile/percent_rank/cume_dist over a
+    * unique (acctbal, custkey) ordering. The ratios are integer
+    * divisions in double on both engines, hence bit-identical with no
+    * rounding step. */
+  def q25RankRatios(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q25Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q26: string scalar surface — case, substring, replace, pad,
+    * concat, edit distance; all codegen'd built-ins, no UDF. */
+  def q26StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        regexp_replace(col("p_brand"), lit("Brand#"), lit("B"))
+          .as("brand_short"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size3"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        levenshtein(col("p_brand"), lit("Brand#33")).as("edit_dist"))
+      .orderBy(col("p_partkey"))
+
+  val q26Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(SUBSTRING(p_name, 1, 10)) AS name10,
+      |  REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+      |  LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size3,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |  levenshtein(p_brand, 'Brand#33') AS edit_dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q27: regexp extraction — the tag-value parse pattern (map2db's
+    * `=%i/%f` variable tags are this shape) as a grouped aggregate
+    * over a regex capture. */
+  def q27RegexpExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("long")
+          .as("cust_num"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cust_num")).as("sum_num"),
+        max(col("cust_num")).as("max_num"))
+      .orderBy(col("c_mktsegment"))
+
+  val q27Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT))
+      |    AS BIGINT) AS sum_num,
+      |  MAX(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT))
+      |    AS max_num
+      |FROM customer
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q28: date arithmetic surface — extraction, day/month offsets
+    * (with end-of-month clamping), day differences; dates emitted as
+    * strings per the oracle discipline. */
+  def q28DateArith(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(d).as("y"), quarter(d).as("q"), month(d).as("m"),
+        date_add(d, 30).cast("string").as("d30"),
+        add_months(d, 3).cast("string").as("m3"),
+        datediff(lit("1998-01-01").cast("date"), d).as("days_to_98"),
+        last_day(d).cast("string").as("eom"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q28Sql: String =
+    """SELECT o_orderkey,
+      |  EXTRACT(YEAR FROM o_orderdate) AS y,
+      |  EXTRACT(QUARTER FROM o_orderdate) AS q,
+      |  EXTRACT(MONTH FROM o_orderdate) AS m,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS d30,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+      |    AS VARCHAR) AS m3,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+      |    AS days_to_98,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q29: explode / lateral unnest — token stream from a string
+    * column to a grouped frequency table in one generate+agg plan. */
+  def q29ExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  val q29Sql: String =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  /** q30: exact distributed second moments — variance/stddev/corr
+    * derived from DECIMAL sums (n, Σx, Σx², Σxy), so the one shuffle
+    * carries four exact partials per group and the double math happens
+    * once, identically, per engine. This is how fp statistics stay
+    * deterministic across 1000 executors. */
+  def q30ExactStats(spark: SparkSession, dir: String): DataFrame = {
+    // Asymmetric operand widths: a DECIMAL(19,4) left operand forces
+    // DuckDB onto its int128 multiply path (two DECIMAL(12,4)s it
+    // multiplies in int64 and overflows at 1e18), while the
+    // DECIMAL(32,8) product still sums exactly within 38 digits on
+    // both engines.
+    val qw = col("l_quantity").cast(DecimalType(19, 4))
+    val q = col("l_quantity").cast(DecimalType(12, 4))
+    val pw = col("l_extendedprice").cast(DecimalType(19, 4))
+    val p = col("l_extendedprice").cast(DecimalType(12, 4))
+    val agg = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(qw * q).cast("double").as("sxx"),
+        sum(p).cast("double").as("sy"),
+        sum(pw * p).cast("double").as("syy"),
+        sum(qw * p).cast("double").as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    // The exact sums exceed 2^53, so the decimal→double cast itself
+    // is engine-dependent in the last ULP and the cancellation in the
+    // moment formulas amplifies that; ROUND(·,8) leaves ~3 orders of
+    // magnitude of margin over the observed 1e-11 drift.
+    agg.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((col("sxx") * n - sx * sx) / (n * (n - 1.0)), 8)
+          .as("var_qty"),
+        round(sqrt((col("sxx") * n - sx * sx) / (n * (n - 1.0))), 8)
+          .as("std_qty"),
+        round((col("sxy") * n - sx * sy) /
+          (sqrt(col("sxx") * n - sx * sx) *
+            sqrt(col("syy") * n - sy * sy)), 8).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q30Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+      |             CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+      |      AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+      |             CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+      |      AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+      |             CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+      |      AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ROUND((sxx * n - sx * sx) / (n * (n - 1.0)), 8) AS var_qty,
+      |  ROUND(SQRT((sxx * n - sx * sx) / (n * (n - 1.0))), 8)
+      |    AS std_qty,
+      |  ROUND((sxy * n - sx * sy) /
+      |    (SQRT(sxx * n - sx * sx) * SQRT(syy * n - sy * sy)), 8)
+      |    AS corr_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** q31: deterministic mode — most frequent value per group with a
+    * value-ascending tiebreak (engine mode() functions break ties
+    * arbitrarily; this formulation is total). */
+  def q31ModeTop(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("n_mode"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q31Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_quantity, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, l_quantity ASC) AS rn
+      |  FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_mode
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** q32: conditional distinct counts — distinct over a CASE
+    * projection, the dedup-within-segment shape. */
+  def q32DistinctCond(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(when(col("l_quantity") > 45, col("l_partkey")))
+          .as("hi_parts"),
+        countDistinct(when(col("l_discount") === 0.0, col("l_suppkey")))
+          .as("nodisc_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q32Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT CASE WHEN l_quantity > 45 THEN l_partkey END)
+      |    AS hi_parts,
+      |  COUNT(DISTINCT CASE WHEN l_discount = 0.0 THEN l_suppkey END)
+      |    AS nodisc_supps,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q33: explicit GROUPING SETS — per-flag and per-status subtotals
+    * plus the grand total, one Expand pass. */
+  def q33GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  val q33Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       |  COALESCE(l_linestatus, 'ALL') AS status,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY gid, flag, status""".stripMargin
+
+  /** q34: bitwise aggregates — exact integer folds (AND/OR/XOR), used
+    * for flag-mask style rollups. */
+  def q34BitwiseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(l_partkey)").as("and_part"),
+        expr("bit_or(l_suppkey)").as("or_supp"),
+        expr("bit_xor(l_orderkey)").as("xor_order"))
+      .orderBy(col("l_returnflag"))
+
+  val q34Sql: String =
+    """SELECT l_returnflag,
+      |  bit_and(l_partkey) AS and_part,
+      |  bit_or(l_suppkey) AS or_supp,
+      |  bit_xor(l_orderkey) AS xor_order
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q35: sorted list aggregation — collect + in-memory sort per
+    * group, emitted as a canonical string (the deterministic form of
+    * array_agg). */
+  def q35SortedListAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"), count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  val q35Sql: String =
+    """SELECT r_name,
+      |  array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** q36: argmax without a per-group sort — max over a (price, key)
+    * struct gives the top order per priority in ONE hash aggregate
+    * (partial-aggregable, so ≤1 struct per group per partition crosses
+    * the shuffle; contrast the window row_number formulation which
+    * sorts every group). */
+  def q36Argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey")))
+        .as("best"))
+      .select(col("o_orderpriority"),
+        col("best.o_orderkey").as("best_order"),
+        col("best.o_totalprice").as("best_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q36Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey AS best_order,
+      |  o_totalprice AS best_price
+      |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_scalar_subquery" -> (q21ScalarSubquery _),
+    "q22_cube" -> (q22Cube _),
+    "q23_full_outer" -> (q23FullOuter _),
+    "q24_window_frames" -> (q24WindowFrames _),
+    "q25_rank_ratios" -> (q25RankRatios _),
+    "q26_string_funcs" -> (q26StringFuncs _),
+    "q27_regexp_extract" -> (q27RegexpExtract _),
+    "q28_date_arith" -> (q28DateArith _),
+    "q29_explode_words" -> (q29ExplodeWords _),
+    "q30_exact_stats" -> (q30ExactStats _),
+    "q31_mode_top" -> (q31ModeTop _),
+    "q32_distinct_cond" -> (q32DistinctCond _),
+    "q33_grouping_sets" -> (q33GroupingSets _),
+    "q34_bitwise_agg" -> (q34BitwiseAgg _),
+    "q35_sorted_list_agg" -> (q35SortedListAgg _),
+    "q36_argmax" -> (q36Argmax _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_scalar_subquery" -> q21Sql,
+    "q22_cube" -> q22Sql,
+    "q23_full_outer" -> q23Sql,
+    "q24_window_frames" -> q24Sql,
+    "q25_rank_ratios" -> q25Sql,
+    "q26_string_funcs" -> q26Sql,
+    "q27_regexp_extract" -> q27Sql,
+    "q28_date_arith" -> q28Sql,
+    "q29_explode_words" -> q29Sql,
+    "q30_exact_stats" -> q30Sql,
+    "q31_mode_top" -> q31Sql,
+    "q32_distinct_cond" -> q32Sql,
+    "q33_grouping_sets" -> q33Sql,
+    "q34_bitwise_agg" -> q34Sql,
+    "q35_sorted_list_agg" -> q35Sql,
+    "q36_argmax" -> q36Sql)
+}

@@ -42,9 +42,15 @@ def bits(v):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
-    got = con.execute(
-        f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
-    exp = con.execute(sql).df()
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+        ).df()
+        exp = con.execute(sql).df()
+    except Exception as ex:
+        fails += 1
+        print(f"FAIL {name}: oracle error {ex}")
+        continue
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     status = []
