@@ -17,7 +17,11 @@ object Bench {
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink executes the COMPLETE plan (count() would let
+        // Catalyst drop sorts/projections from row-level queries and
+        // read no parquet columns at all for pure selects).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -18,23 +18,30 @@ object GeomFunctions {
 
   case class PointXY(x: Double, y: Double)
 
-  /** Unions the MultiPoint of all (x,y) in the group; buffer and
-    * result travel as WKB bytes so Tungsten handles them natively. */
-  class PointUnionAgg extends Aggregator[PointXY, Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(buf: Array[Byte], p: PointXY): Array[Byte] = {
-      val pt = GeomOps.point(p.x, p.y)
-      if (buf.isEmpty) GeomOps.toWkb(pt)
-      else GeomOps.toWkb(GeomOps.union(GeomOps.fromWkb(buf), pt))
-    }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else GeomOps.toWkb(GeomOps.union(GeomOps.fromWkb(a), GeomOps.fromWkb(b)))
-    override def finish(buf: Array[Byte]): Array[Byte] =
-      if (buf.isEmpty) buf
-      else GeomOps.toWkb(GeomOps.normalized(GeomOps.fromWkb(buf)))
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  /** Unions the MultiPoint of all (x,y) in the group.
+    *
+    * The buffer is a flat interleaved coordinate list; the (set-
+    * semantics) union happens ONCE at finish via distinct+normalize.
+    * The obvious per-row `geom.union(point)` fold is O(n²) in point
+    * copying AND pays a WKB parse+serialize per input row — this form
+    * is a plain append, which is what lets map-side combine run at
+    * scan speed on a 100 TB pass. */
+  case class PtBuf(coords: Vector[Double])
+
+  class PointUnionAgg extends Aggregator[PointXY, PtBuf, Array[Byte]] {
+    override def zero: PtBuf = PtBuf(Vector.empty)
+    override def reduce(buf: PtBuf, p: PointXY): PtBuf =
+      PtBuf(buf.coords :+ p.x :+ p.y)
+    override def merge(a: PtBuf, b: PtBuf): PtBuf =
+      PtBuf(a.coords ++ b.coords)
+    override def finish(buf: PtBuf): Array[Byte] =
+      if (buf.coords.isEmpty) Array.emptyByteArray
+      else {
+        val pts = buf.coords.grouped(2).map(c => (c(0), c(1)))
+          .toSeq.distinct
+        GeomOps.toWkb(GeomOps.normalized(GeomOps.multiPoint(pts)))
+      }
+    override def bufferEncoder: Encoder[PtBuf] = Encoders.product[PtBuf]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

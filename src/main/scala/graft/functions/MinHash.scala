@@ -122,6 +122,50 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** 64-bit SimHash over pre-hashed shingles: bit k of the signature is
+  * the sign of the per-bit vote Σ ±1 across shingle hashes. One pass
+  * over the array (the HOF formulation — aggregate over sequence(0,63)
+  * nested in an aggregate over the hashes — is interpreted, not
+  * codegen'd, and walks the array 64 times: ~100 ms/doc vs ~1 µs
+  * here). Vote order is irrelevant, so the dedup'd sorted input from
+  * ShingleHashes is fine. */
+object SimHashKernel {
+  def signature(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) != 0L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+}
+
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.signature(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashKernel.signature($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Exact Jaccard of two SORTED distinct long arrays (the shape
   * ShingleHashes emits) by merge-walk — no per-pair hash sets, no
   * intermediate arrays, unlike array_intersect/array_union. */
@@ -210,6 +254,9 @@ object MinHash {
 
   def lshSignature(vec: Column, numPlanes: Int): Column =
     GraftShim.column(LshSignature(GraftShim.expression(vec), numPlanes))
+
+  def simhash(shingles: Column): Column =
+    GraftShim.column(SimHashSig(GraftShim.expression(shingles)))
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftShim.column(SortedJaccard(GraftShim.expression(a),

@@ -208,26 +208,15 @@ object Dedup {
 
   /** d03: 64-bit SimHash per document + hamming distance of the
     * planted pairs. Signature = sign of per-bit vote over shingle
-    * hashes. */
-  def simhashCol: Column = {
-    val hs = transform(
-      TextFunctions.shingles3(TextFunctions.words(col("text"))),
-      s => xxhash64(s))
-    // bit k of the signature = sign of the vote over shingle hashes.
-    // SQL-lambda form because shiftleft-by-a-lambda-variable has no
-    // Scala Column overload; still fully codegen'd.
-    expr(
-      """aggregate(sequence(0, 63), 0L, (acc, k) -> acc +
-        |  IF(aggregate(hs, 0L, (a, h) ->
-        |       a + IF((h & shiftleft(1L, k)) != 0, 1L, -1L)) > 0,
-        |     shiftleft(1L, k), 0L))""".stripMargin)
-  }
+    * hashes, via the one-pass codegen'd kernel (SimHashSig over the
+    * same zero-copy shingle hashes d02 uses — the HOF formulation of
+    * the vote is interpreted and walks the hash array 64 times). */
+  def simhashCol: Column =
+    graft.functions.MinHash.simhash(
+      graft.functions.MinHash.shingleHashes(trim(col("text")), 3))
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val signed = corpusWithPlants(spark, dir)
-      .withColumn("hs", transform(
-        TextFunctions.shingles3(TextFunctions.words(col("text"))),
-        s => xxhash64(s)))
       .withColumn("simhash", simhashCol)
       .select(col("doc_id"), col("simhash"))
     val orig = signed.filter(col("doc_id") < 1000000L)

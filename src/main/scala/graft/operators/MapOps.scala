@@ -276,7 +276,139 @@ object MapOps {
       |GROUP BY l_partkey
       |ORDER BY fid""".stripMargin
 
+  /** g10: per-tile bounding box — the reference computes per-tile
+    * extents for its clip boxes (map2db.py:837-851); at scale this is
+    * one hash aggregate over integer-microdegree coords. Pure integer
+    * arithmetic end-to-end (µdeg derived from event ids, not from fp
+    * lat/lon), so the oracle is exact. */
+  def g10BboxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        (col("event_id") * 7919 % 3500000 * 100 - 175000000L)
+          .as("lon_md"),
+        (col("event_id") * 104729 % 1600000 * 100 - 80000000L)
+          .as("lat_md"))
+      .select(col("lon_md"), col("lat_md"),
+        floor(col("lon_md") / lit(1000000.0)).cast("long").as("tx"),
+        floor(col("lat_md") / lit(1000000.0)).cast("long").as("ty"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(min(col("lon_md")).as("min_lon"),
+        max(col("lon_md")).as("max_lon"),
+        min(col("lat_md")).as("min_lat"),
+        max(col("lat_md")).as("max_lat"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("tx"), col("ty"))
+
+  val g10Sql: String =
+    """SELECT CAST(FLOOR(lon_md / 1000000.0) AS BIGINT) AS tx,
+      |  CAST(FLOOR(lat_md / 1000000.0) AS BIGINT) AS ty,
+      |  MIN(lon_md) AS min_lon, MAX(lon_md) AS max_lon,
+      |  MIN(lat_md) AS min_lat, MAX(lat_md) AS max_lat,
+      |  COUNT(*) AS n_points
+      |FROM (
+      |  SELECT event_id * 7919 % 3500000 * 100 - 175000000 AS lon_md,
+      |    event_id * 104729 % 1600000 * 100 - 80000000 AS lat_md
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin
+
+  /** g11: polyline length — way coords become (x,y) vertices ordered
+    * within each way; one window sort per way computes segment
+    * deltas, and the fp segment lengths are rounded then summed as
+    * DECIMAL so the total is order-independent (the reference walks
+    * vertices serially; this is the distributed equivalent). */
+  def g11PolylineLength(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // (orderkey, linenumber) is NOT unique in the testdata; ordering
+    // by the coords as tiebreak makes the vertex sequence total (rows
+    // that still tie have identical coords, so their order can't
+    // change any segment).
+    val w = W.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("x"), col("y"))
+    val seg = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1000).as("x"), (col("l_suppkey") % 1000).as("y"))
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(w))
+      .withColumn("seg", round(
+        sqrt((col("dx") * col("dx") + col("dy") * col("dy"))
+          .cast("double")), 6))
+    seg.groupBy(col("l_orderkey"))
+      .agg(count(col("seg")).as("n_segments"),
+        sum(col("seg").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("length"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val g11Sql: String =
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_partkey % 1000 AS x, l_suppkey % 1000 AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_orderkey,
+      |    ROUND(SQRT(CAST(
+      |      (x - lag(x) OVER w) * (x - lag(x) OVER w) +
+      |      (y - lag(y) OVER w) * (y - lag(y) OVER w) AS DOUBLE)), 6)
+      |      AS seg
+      |  FROM v WINDOW w AS (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, x, y))
+      |SELECT l_orderkey, COUNT(seg) AS n_segments,
+      |  CAST(SUM(CAST(seg AS DECIMAL(18,6))) AS DOUBLE) AS length
+      |FROM s GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** g12: tile adjacency degree — cross-tile feature stitching
+    * (map2db.py:1080-1182 merges line fragments across tile borders)
+    * starts from "which neighbor tiles exist"; an 8-offset explode +
+    * self-join on the tile grid, all integer keys. */
+  def g12TileNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = Tables.load(spark, dir, "events")
+      .select(
+        floor((col("event_id") * 7919 % 3500000 * 100 - 175000000L)
+          / lit(1000000.0)).cast("long").as("tx"),
+        floor((col("event_id") * 104729 % 1600000 * 100 - 80000000L)
+          / lit(1000000.0)).cast("long").as("ty"))
+      .distinct()
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1
+        if dx != 0 || dy != 0)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val cand = tiles
+      .select(col("tx"), col("ty"), explode(offsets).as("o"))
+      .select(col("tx"), col("ty"),
+        (col("tx") + col("o.dx")).as("nx"), (col("ty") + col("o.dy")).as("ny"))
+    val present = tiles.select(col("tx").as("nx"), col("ty").as("ny"))
+    val counted = cand.join(present, Seq("nx", "ny"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    tiles.join(counted, Seq("tx", "ty"), "left_outer")
+      .select(col("tx"), col("ty"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("tx"), col("ty"))
+  }
+
+  val g12Sql: String =
+    """WITH tiles AS (
+      |  SELECT DISTINCT
+      |    CAST(FLOOR((event_id * 7919 % 3500000 * 100 - 175000000)
+      |      / 1000000.0) AS BIGINT) AS tx,
+      |    CAST(FLOOR((event_id * 104729 % 1600000 * 100 - 80000000)
+      |      / 1000000.0) AS BIGINT) AS ty
+      |  FROM events),
+      |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+      |  (1,-1),(1,0),(1,1)),
+      |n AS (
+      |  SELECT t.tx, t.ty, COUNT(*) AS n_neighbors
+      |  FROM tiles t CROSS JOIN offs o
+      |  JOIN tiles t2 ON t2.tx = t.tx + o.dx AND t2.ty = t.ty + o.dy
+      |  GROUP BY t.tx, t.ty)
+      |SELECT tiles.tx, tiles.ty,
+      |  COALESCE(n.n_neighbors, 0) AS n_neighbors
+      |FROM tiles LEFT JOIN n ON tiles.tx = n.tx AND tiles.ty = n.ty
+      |ORDER BY tiles.tx, tiles.ty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_bbox_agg" -> (g10BboxAgg _),
+    "g11_polyline_length" -> (g11PolylineLength _),
+    "g12_tile_neighbors" -> (g12TileNeighbors _),
     "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
     "g02_tile_transforms" -> (g02TileTransforms _),
     "g03_tilenum" -> (g03TileNum _),
@@ -288,6 +420,9 @@ object MapOps {
     "g09_zoom_dedup" -> (g09ZoomDedup _))
 
   val oracles: Map[String, String] = Map(
+    "g10_bbox_agg" -> g10Sql,
+    "g11_polyline_length" -> g11Sql,
+    "g12_tile_neighbors" -> g12Sql,
     "g01_varint_roundtrip" -> g01Sql,
     "g02_tile_transforms" -> g02Sql,
     "g03_tilenum" -> g03Sql,

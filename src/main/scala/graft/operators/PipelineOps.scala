@@ -16,14 +16,19 @@ object PipelineOps {
     "d05_cosine_topk" -> (Similarity.cosineTopK _),
     "d06_ann_lsh" -> (Similarity.annLsh _),
     "d07_dedup_clusters" -> (Dedup.dedupClusters _),
+    "d08_embedding_norm" -> (Similarity.d08EmbeddingNorm _),
+    "d09_stratified_sample" -> (Sampling.d09StratifiedSample _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
     "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
+    "t05_bigram_freq" -> (TextAnalysis.t05BigramFreq _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "s01_window_agg" -> (EventStreams.s01WindowAgg _),
-    "s02_sessionize" -> (EventStreams.s02Sessionize _))
+    "s02_sessionize" -> (EventStreams.s02Sessionize _),
+    "s03_hopping_window" -> (EventStreams.s03HoppingWindow _),
+    "s04_window_users" -> (EventStreams.s04WindowUsers _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> Dedup.exactDedupSql,
@@ -31,12 +36,17 @@ object PipelineOps {
     "d04_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "d05_cosine_topk" -> Similarity.cosineTopKSql,
     "d07_dedup_clusters" -> Dedup.dedupClustersSql,
+    "d08_embedding_norm" -> Similarity.d08Sql,
+    "d09_stratified_sample" -> Sampling.d09Sql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
+    "t05_bigram_freq" -> TextAnalysis.bigramFreqSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "s01_window_agg" -> EventStreams.s01Sql,
-    "s02_sessionize" -> EventStreams.s02Sql)
+    "s02_sessionize" -> EventStreams.s02Sql,
+    "s03_hopping_window" -> EventStreams.s03Sql,
+    "s04_window_users" -> EventStreams.s04Sql)
 }

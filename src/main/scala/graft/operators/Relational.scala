@@ -313,8 +313,11 @@ object Relational {
   def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      // rsd 0.02: 4× smaller HLL sketches than 0.01 for the same
+      // order-of-magnitude answer — the merge cost of the partial
+      // sketches is the whole query at scale.
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
   /** q13: backward as-of join — each purchase matched to the same

@@ -33,4 +33,29 @@ object Sampling {
     }
     df.filter(hashInFraction(col(key), rate, seed))
   }
+
+  /** d09: the oracle-checkable form of [[stratifiedSample]] — the
+    * hash is Knuth multiplicative (plain integer arithmetic), so any
+    * engine reproduces membership exactly: keep doc iff
+    * (doc_id·2654435761) mod 10⁶ < rate·10⁶. Mixture: 50% of en, 20%
+    * of de, drop the rest. */
+  def d09StratifiedSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(1000000L))
+    val cut = when(col("lang") === "en", lit(500000L))
+      .when(col("lang") === "de", lit(200000L))
+      .otherwise(lit(0L))
+    docs.filter(bucket < cut)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d09Sql: String =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 1000000 <
+      |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+      |    ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
 }

@@ -71,6 +71,25 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** d08: embedding hygiene — dimension + L2 norm per vector (the
+    * pre-flight check before any cosine pipeline; catches zero/short
+    * vectors). The squared-norm fold is sequential in array order on
+    * both engines, so the doubles agree bit-for-bit before rounding. */
+  def d08EmbeddingNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(
+          transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)), 6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  val d08Sql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  ROUND(SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val NumPlanes = 32
   val Tables8 = 4 // multi-table LSH: 4 tables × 8-bit buckets
   val BitsPerTable = 8

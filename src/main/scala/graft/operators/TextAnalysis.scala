@@ -141,4 +141,44 @@ object TextAnalysis {
       |      i -> CAST(ascii(substr(trim(text), i, 1)) AS BIGINT))),
       |    (acc, b) -> (acc * 131 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t05: top bigrams per language — n-gram frequency tables are the
+    * vocabulary-analysis primitive; explode + one (lang, bigram)
+    * aggregate, then a top-5 window with a total tiebreak. */
+  def t05BigramFreq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ws = TextFunctions.words(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = W.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val bigramFreqSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH bg AS (
+       |  SELECT lang, unnest(CASE WHEN len($w) >= 2 THEN
+       |    list_transform(generate_series(1, len($w) - 1),
+       |      i -> $w[i] || ' ' || $w[i+1])
+       |    ELSE [] END) AS bigram
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, bigram, n, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rank
+       |  FROM c)
+       |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
+       |ORDER BY lang, rank""".stripMargin
+  }
 }

@@ -116,6 +116,49 @@ object EventStreams {
       |GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin
 
+  /** s03: hopping (sliding) window — 10-minute windows every 5
+    * minutes, so each event lands in exactly two windows. Same
+    * batch/stream-agnostic shape as s01; Spark's `window(ts, w, s)`
+    * generates the window replicas before the one grouping shuffle. */
+  def s03HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val s03Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
+      |         - k * INTERVAL '5 minutes' AS VARCHAR) AS w_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events, (SELECT unnest([0, 1]) AS k) ks
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  /** s04: per-window distinct users — exact count-distinct inside
+    * tumbling windows (the expensive form; q12's HLL sketch is the
+    * scale path when exactness can be traded). */
+  def s04WindowUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("n_users"), col("n_events"))
+      .orderBy(col("w_start"))
+
+  val s04Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR)
+      |    AS w_start,
+      |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1 ORDER BY w_start""".stripMargin
+
   // ---- stateful sessionization --------------------------------------
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,
