@@ -114,6 +114,50 @@ object Multimodal {
        |WHERE n_frames > 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m03: content-defined-style chunk fingerprints — fixed 64-byte
+    * chunks of each payload hashed with md5, then grouped to find
+    * chunks shared across documents (binary-level dedup: the
+    * multimodal analogue of d01, catching shared prefixes/segments
+    * that whole-file hashing misses). Runs over the planted-dup
+    * corpus so shared chunks actually exist. */
+  val ChunkBytes = 64
+
+  def chunkHash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.corpusWithPlants(spark, dir)
+      .select(col("doc_id"), encode(trim(col("text")), "UTF-8").as("payload"))
+    corpus
+      .withColumn("n_chunks",
+        ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk_md5", md5(substring(col("payload"),
+        (col("chunk_idx") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_md5"))
+  }
+
+  /** Oracle: the corpus is ASCII, so VARCHAR md5 of the substring
+    * hashes the same bytes Spark's binary md5 sees. */
+  val chunkHashSql: String =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |c AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    CAST(CEIL(octet_length(encode(trim(text)))
+       |      / ${ChunkBytes}.0) AS BIGINT) AS n_chunks
+       |  FROM corpus),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    md5(substring(t, CAST(chunk_idx * $ChunkBytes + 1 AS INT),
+       |      $ChunkBytes)) AS chunk_md5
+       |  FROM c, unnest(range(0, n_chunks)) AS u(chunk_idx)
+       |  WHERE n_chunks > 0)
+       |SELECT chunk_md5, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+       |FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
+       |ORDER BY chunk_md5""".stripMargin
+
   /** Oracle mirrors the byte statistics via ascii() (ASCII corpus). */
   val mediaFeaturesSql: String =
     """SELECT doc_id,

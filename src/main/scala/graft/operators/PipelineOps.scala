@@ -18,13 +18,16 @@ object PipelineOps {
     "d07_dedup_clusters" -> (Dedup.dedupClusters _),
     "d08_embedding_norm" -> (Similarity.d08EmbeddingNorm _),
     "d09_stratified_sample" -> (Sampling.d09StratifiedSample _),
+    "d10_ivf_assign" -> (Similarity.d10IvfAssign _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
     "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "t05_bigram_freq" -> (TextAnalysis.t05BigramFreq _),
+    "t06_repetition" -> (TextAnalysis.t06Repetition _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
+    "m03_chunk_hash" -> (Multimodal.chunkHash _),
     "s01_window_agg" -> (EventStreams.s01WindowAgg _),
     "s02_sessionize" -> (EventStreams.s02Sessionize _),
     "s03_hopping_window" -> (EventStreams.s03HoppingWindow _),
@@ -38,13 +41,16 @@ object PipelineOps {
     "d07_dedup_clusters" -> Dedup.dedupClustersSql,
     "d08_embedding_norm" -> Similarity.d08Sql,
     "d09_stratified_sample" -> Sampling.d09Sql,
+    "d10_ivf_assign" -> Similarity.d10Sql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
     "t05_bigram_freq" -> TextAnalysis.bigramFreqSql,
+    "t06_repetition" -> TextAnalysis.repetitionSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
+    "m03_chunk_hash" -> Multimodal.chunkHashSql,
     "s01_window_agg" -> EventStreams.s01Sql,
     "s02_sessionize" -> EventStreams.s02Sql,
     "s03_hopping_window" -> EventStreams.s03Sql,

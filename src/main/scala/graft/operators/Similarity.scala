@@ -90,6 +90,59 @@ object Similarity {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** d10: IVF cell assignment — the other ANN scale path. Centroids
+    * here are a deterministic subset of the vectors (a real pipeline
+    * would k-means them; assignment, the distributed part, is
+    * identical): each vector joins the broadcast centroid set and
+    * keeps its best cell via one partial-aggregable struct-max — no
+    * shuffle of the vector side at all. Search then probes only the
+    * matching cell(s), turning O(N) scans into O(N/K). */
+  val IvfCells = 16
+
+  def d10IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val vecs = emb.filter(col("vec_id") >= IvfCells)
+      .select(col("vec_id"), col("embedding"))
+    vecs.join(broadcast(cents))
+      .withColumn("cos", round(cosine(col("c_emb"), col("embedding")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("cent_id"))).as("best"))
+      .groupBy(col("best.cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("best.cos").cast("decimal(18,6)")).cast("double")
+          .as("sum_cos"))
+      .orderBy(col("cell"))
+  }
+
+  private val cellCosSql =
+    """list_sum(list_transform(list_zip(v.embedding, c.c_emb),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (SQRT(list_sum(list_transform(v.embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * SQRT(list_sum(list_transform(c.c_emb,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val d10Sql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < $IvfCells),
+       |v AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id >= $IvfCells),
+       |scored AS (
+       |  SELECT v.vec_id, c.cent_id, ROUND($cellCosSql, 6) AS cos
+       |  FROM v CROSS JOIN c),
+       |best AS (
+       |  SELECT vec_id, cent_id, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cent_id DESC) AS rn
+       |  FROM scored)
+       |SELECT cent_id AS cell, COUNT(*) AS n_vectors,
+       |  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+       |FROM best WHERE rn = 1
+       |GROUP BY cent_id ORDER BY cell""".stripMargin
+
   val NumPlanes = 32
   val Tables8 = 4 // multi-table LSH: 4 tables × 8-bit buckets
   val BitsPerTable = 8

@@ -142,6 +142,68 @@ object TextAnalysis {
       |    (acc, b) -> (acc * 131 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t06: repetition scoring — the Gopher-style quality signals for
+    * machine-generated/boilerplate text: fraction of duplicated
+    * bigrams and the share of the single most frequent word. Exact
+    * integer counts + one double division, so no rounding is needed
+    * for the oracle. */
+  def t06Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    val docs = Tables.load(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), explode(ws).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("max_word"))
+      .select(col("doc_id"), col("n_words"),
+        (col("max_word").cast("double") / col("n_words"))
+          .as("top_word_ratio"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+    val bg = docs.select(col("doc_id"), bigrams.as("bg"))
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct")).cast("double")
+            / col("n_bigrams")).otherwise(lit(0.0))
+          .as("dup_bigram_ratio"))
+    words.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_word_ratio"),
+        col("n_bigrams"), col("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest($w) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |words AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_ratio
+       |  FROM wc GROUP BY doc_id),
+       |bgl AS (
+       |  SELECT doc_id, CASE WHEN len($w) >= 2 THEN
+       |      list_transform(generate_series(1, len($w) - 1),
+       |        i -> $w[i] || ' ' || $w[i+1])
+       |    ELSE [] END AS bg
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |    CASE WHEN len(bg) > 0 THEN
+       |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+       |    ELSE 0.0 END AS dup_bigram_ratio
+       |  FROM bgl)
+       |SELECT words.doc_id, n_words, top_word_ratio, n_bigrams,
+       |  dup_bigram_ratio
+       |FROM words JOIN bg ON words.doc_id = bg.doc_id
+       |ORDER BY words.doc_id""".stripMargin
+  }
+
   /** t05: top bigrams per language — n-gram frequency tables are the
     * vocabulary-analysis primitive; explode + one (lang, bigram)
     * aggregate, then a top-5 window with a total tiebreak. */
