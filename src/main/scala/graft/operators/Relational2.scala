@@ -447,6 +447,112 @@ object Relational2 {
       |  o_totalprice AS best_price
       |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** q37: unpivot (wide→long melt) — the inverse of q18's pivot;
+    * aggregate first (3 exact doubles per flag), then melt, so the
+    * Expand runs on the tiny aggregated relation. */
+  def q37Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q37Sql: String =
+    s"""SELECT l_returnflag, metric, value FROM (
+       |  UNPIVOT (
+       |    SELECT l_returnflag,
+       |      ${sqlDsum("l_quantity")} AS qty,
+       |      ${sqlDsum("l_extendedprice")} AS price,
+       |      ${sqlDsum("l_discount")} AS disc
+       |    FROM lineitem GROUP BY l_returnflag)
+       |  ON qty, price, disc INTO NAME metric VALUE value)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** q38: null-safe equality join (<=>) — NULL keys match each other
+    * instead of dropping out, the semantics feature-id merges need
+    * when a key column is optional. */
+  def q38NullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(when(col("c_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("c_nationkey")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.load(spark, dir, "supplier")
+      .select(when(col("s_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("s_nationkey")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("k") <=> s("k"))
+      .select(coalesce(c("k"), lit(-1)).cast("long").as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q38Sql: String =
+    """SELECT COALESCE(c.k, -1) AS nationkey, n_cust, n_supp
+      |FROM (
+      |  SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
+      |           ELSE c_nationkey END AS k, COUNT(*) AS n_cust
+      |  FROM customer GROUP BY 1) c
+      |JOIN (
+      |  SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+      |           ELSE s_nationkey END AS k, COUNT(*) AS n_supp
+      |  FROM supplier GROUP BY 1) s
+      |ON c.k IS NOT DISTINCT FROM s.k
+      |ORDER BY nationkey""".stripMargin
+
+  /** q39: try_cast — fault-tolerant parsing (the permissive-mode
+    * counterpart of a cast that would abort the job on one bad row at
+    * 100 TB): malformed values become NULLs and are counted, not
+    * fatal. */
+  def q39TryCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        expr("try_cast(CASE WHEN c_custkey % 7 = 0 THEN c_name " +
+          "ELSE CAST(c_custkey AS STRING) END AS BIGINT)").as("parsed"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        count(col("parsed")).as("n_parsed"),
+        sum(col("parsed")).as("sum_parsed"))
+      .orderBy(col("c_mktsegment"))
+
+  val q39Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  COUNT(parsed) AS n_parsed,
+      |  CAST(SUM(parsed) AS BIGINT) AS sum_parsed
+      |FROM (
+      |  SELECT c_mktsegment,
+      |    TRY_CAST(CASE WHEN c_custkey % 7 = 0 THEN c_name
+      |      ELSE CAST(c_custkey AS VARCHAR) END AS BIGINT) AS parsed
+      |  FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q40: RANGE window frames — value-based (not row-count) frames:
+    * all orders within 100 keys back, however many rows that is. */
+  def q40RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-100, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("range_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER w AS n_in_range,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    AS range_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_scalar_subquery" -> (q21ScalarSubquery _),
     "q22_cube" -> (q22Cube _),
@@ -463,7 +569,11 @@ object Relational2 {
     "q33_grouping_sets" -> (q33GroupingSets _),
     "q34_bitwise_agg" -> (q34BitwiseAgg _),
     "q35_sorted_list_agg" -> (q35SortedListAgg _),
-    "q36_argmax" -> (q36Argmax _))
+    "q36_argmax" -> (q36Argmax _),
+    "q37_unpivot" -> (q37Unpivot _),
+    "q38_nullsafe_join" -> (q38NullsafeJoin _),
+    "q39_try_cast" -> (q39TryCast _),
+    "q40_range_frame" -> (q40RangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -481,5 +591,9 @@ object Relational2 {
     "q33_grouping_sets" -> q33Sql,
     "q34_bitwise_agg" -> q34Sql,
     "q35_sorted_list_agg" -> q35Sql,
-    "q36_argmax" -> q36Sql)
+    "q36_argmax" -> q36Sql,
+    "q37_unpivot" -> q37Sql,
+    "q38_nullsafe_join" -> q38Sql,
+    "q39_try_cast" -> q39Sql,
+    "q40_range_frame" -> q40Sql)
 }
