@@ -368,20 +368,20 @@ object MapOps {
         floor((col("event_id") * 104729 % 1600000 * 100 - 80000000L)
           / lit(1000000.0)).cast("long").as("ty"))
       .distinct()
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1
-        if dx != 0 || dy != 0)
+    // include the (0,0) offset: every tile matches itself, so
+    // isolated tiles survive the inner join with count 1 and the
+    // zero-fill left-join back onto the tile set (a third scan +
+    // two more exchanges) disappears; n_neighbors = matches - 1.
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val cand = tiles
       .select(col("tx"), col("ty"), explode(offsets).as("o"))
       .select(col("tx"), col("ty"),
         (col("tx") + col("o.dx")).as("nx"), (col("ty") + col("o.dy")).as("ny"))
     val present = tiles.select(col("tx").as("nx"), col("ty").as("ny"))
-    val counted = cand.join(present, Seq("nx", "ny"))
+    cand.join(present, Seq("nx", "ny"))
       .groupBy(col("tx"), col("ty"))
-      .agg(count(lit(1)).as("n_neighbors"))
-    tiles.join(counted, Seq("tx", "ty"), "left_outer")
-      .select(col("tx"), col("ty"),
-        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .agg((count(lit(1)) - 1).as("n_neighbors"))
       .orderBy(col("tx"), col("ty"))
   }
 
