@@ -159,6 +159,26 @@ object EventStreams {
       |FROM events
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
+  /** Stream-stream interval join — click attribution: each click
+    * matches its impression if it arrives within `horizonMinutes` of
+    * it. Both sides carry watermarks and the join condition bounds
+    * event time on BOTH ends, which is exactly what lets Spark evict
+    * join state: an impression older than watermark+horizon can never
+    * match again and is dropped, so state is bounded by the horizon's
+    * event rate — the property that makes a stream-stream join
+    * runnable forever on an unbounded feed. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 10): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", "20 minutes")
+    val clk = clicks.withWatermark("click_ts", "20 minutes")
+    imp.join(clk, expr(
+      s"""imp_id = click_imp_id AND
+         |click_ts >= imp_ts AND
+         |click_ts <= imp_ts + interval $horizonMinutes minutes"""
+        .stripMargin))
+      .select(col("imp_id"), col("imp_ts"), col("click_ts"))
+  }
+
   // ---- stateful sessionization --------------------------------------
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -189,4 +189,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(out.map(s => (s.user_id, s.n_events)).toSeq == Seq((1L, 2)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks within horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    // non-epoch base: event times at epoch 0 coincide with the
+    // initial watermark and the matches are silently evicted
+    def t(minute: Long) = new Timestamp(1754900000000L + minute * 60000L)
+    val joined = EventStreams.attributeClicks(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_imp_id", "click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_stream").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))
+      // click on 1 inside the 10-minute horizon, click on 2 outside
+      clicks.addData((1L, t(5)), (2L, t(30)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_stream")
+        .select("imp_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
 }
