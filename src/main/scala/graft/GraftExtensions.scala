@@ -71,6 +71,12 @@ object GraftExtensions {
     fn("graft_lsh_signature",
       "graft_lsh_signature(vec, planes) - random-hyperplane sign bits",
       e => LshSignature(e.head, intArg(e(1), "graft_lsh_signature"))),
+    fn("graft_simhash",
+      "graft_simhash(hashes) - 64-bit simhash of pre-hashed shingles",
+      e => SimHashSig(e.head)),
+    fn("graft_sorted_jaccard",
+      "graft_sorted_jaccard(a, b) - exact jaccard of sorted hash arrays",
+      e => SortedJaccard(e.head, e(1))),
     fn("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",
       composed(c => Similarity.cosine(c(0), c(1)))),

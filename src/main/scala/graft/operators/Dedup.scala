@@ -67,10 +67,21 @@ object Dedup {
       .withColumn("sig",
         graft.functions.MinHash.minhash(col("shingles"), NumHashes))
 
+  /** Buckets above this size are excluded from the pair join: a
+    * degenerate bucket (the same boilerplate duplicated n times)
+    * would emit n²/2 candidate pairs and dominate the job, while its
+    * members are exactly what d01's exact dedup already catches.
+    * The cap turns the worst case from quadratic to linear. */
+  val MaxBucketSize = 10000L
+
   /** d02: LSH band buckets → candidate pairs → exact-Jaccard verify.
     * Only bucket-mates ever meet: the shuffle key is (band, hash of
     * 4 signature slots). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshCapped(spark, dir, MaxBucketSize)
+
+  def minhashLshCapped(spark: SparkSession, dir: String,
+      maxBucket: Long): DataFrame = {
     val signed = withSignature(corpusWithPlants(spark, dir))
       .select(col("doc_id"), col("shingles"), col("sig"))
       .persist()
@@ -84,7 +95,14 @@ object Dedup {
               lit(RowsPerBand))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bh").as("bh"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    // one narrow aggregate bounds every bucket before the self-join
+    val bounded = banded.join(
+      banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select(col("band"), col("bh")),
+      Seq("band", "bh"))
+    val pairs = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

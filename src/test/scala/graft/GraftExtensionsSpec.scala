@@ -31,6 +31,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("simhash and sorted-jaccard SQL functions evaluate") {
+    val r = spark.sql(
+      "SELECT graft_simhash(graft_shingle_hashes('a b c d e', 3)) AS sh," +
+        " graft_sorted_jaccard(graft_shingle_hashes('a b c d e', 3)," +
+        "   graft_shingle_hashes('a b c d e', 3)) AS j_same," +
+        " graft_sorted_jaccard(graft_shingle_hashes('a b c', 3)," +
+        "   graft_shingle_hashes('x y z', 3)) AS j_diff")
+      .collect().head
+    // identical docs: identical signature and jaccard 1; disjoint: 0
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+    val sh2 = spark.sql(
+      "SELECT graft_simhash(graft_shingle_hashes('a b c d e', 3)) AS sh")
+      .collect().head.getLong(0)
+    assert(r.getLong(0) == sh2)
+  }
+
   test("tile SQL functions match the reference transforms") {
     val r = spark.sql(
       "SELECT graft_tile_x(10, 7.3) AS tx, graft_tile_y(10, 51.55) AS ty," +

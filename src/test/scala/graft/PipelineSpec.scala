@@ -21,6 +21,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("LSH bucket cap bounds degenerate buckets") {
+    // cap=1 excludes every bucket that could produce a pair, so the
+    // candidate set must be empty; the default cap changes nothing
+    // on this corpus (no bucket is near 10k docs)
+    assert(Dedup.minhashLshCapped(spark, sf, 1L).count() == 0)
+    assert(Dedup.minhashLsh(spark, sf).count() > 0)
+  }
+
   test("connected components handles chains, cycles, and stars") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, star 20-{21,22,23}, pair 30-31
