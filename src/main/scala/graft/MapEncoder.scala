@@ -6,10 +6,11 @@ import java.nio.charset.StandardCharsets
 import graft.functions.VarintCodec
 import graft.sources.Mapsforge
 
-/** Test-only MapsForge binary map encoder — the inverse of the wire
-  * format the reader parses, for round-trip specs. Builds tiny maps
-  * with POIs/ways including double-delta coords, multi-block
-  * polygons, variable tags and names.
+/** MapsForge binary map encoder — the write-side inverse of the wire
+  * format the reader parses. Used by the round-trip specs and by the
+  * g13 pipeline benchmark to synthesize maps of arbitrary size
+  * (POIs/ways incl. double-delta coords, multi-block polygons,
+  * variable tags and names).
   */
 object MapEncoder {
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.MapEncoder
+import graft.MapEncoder.{MapSpec, PoiSpec, SubfileSpec, TileSpec, WaySpec}
+import graft.Tables
+import graft.sources.FdoSink
+
+/** g13: the reference's CORE workload end to end — encode a synthetic
+  * dbl map sized from the scale factor, then run the full distributed
+  * map2db pipeline (header parse → tile fan-out decode → clip →
+  * cross-level merge → RFC16 parquet sink). This is the number that
+  * answers "does graft beat map2db.py's single-node throughput":
+  * the reference walks tiles serially in Python (map2db.py:1487-1510);
+  * here every tile is an independent task.
+  *
+  * Rows-only correctness (no SQL oracle can re-decode the binary);
+  * the wire-format round-trip is pinned by MapsforgeSpec/NonDblMapSpec.
+  */
+object MapBench {
+
+  /** encoded map per feature count, reused across verify/bench calls */
+  private val mapCache = TrieMap.empty[Long, String]
+
+  // fractional variants of Mapsforge.lonFromX/latFromY for positions
+  // INSIDE a tile (the reader's helpers take integer tile corners)
+  private def lonFromX(z: Int, x: Double): Double =
+    (x / (1L << z) * 2.0 - 1.0) * 180.0
+  private def latFromY(z: Int, y: Double): Double = {
+    val n = (1L << z).toDouble
+    (math.atan(math.exp(((n - y) / (n / 2.0) - 1.0) * math.Pi))
+      / math.Pi - 0.25) * 360.0
+  }
+  private def xFromLon(z: Int, lon: Double): Long =
+    graft.sources.Mapsforge.xFromLon(z, lon).toLong
+  private def yFromLat(z: Int, lat: Double): Long =
+    graft.sources.Mapsforge.yFromLat(z, lat).toLong
+
+  private val poiTags = Seq("amenity=cafe", "place=town", "__dbl_pnum=%i")
+  // _lbd_ must stay the LAST way tag: the header's dbl detection
+  // reads the reversed license from wayTags.last
+  private val wayTags = Seq("highway=primary", "__dbl_lnum=%i",
+    "leisure=park", "__dbl_anum=%i", "_lbd_=" + "ODbL-1.0".reverse)
+
+  /** Deterministic map: a level-12 tile grid over lat 51-52 / lon 7-8
+    * holding `n` POIs round-robin (every 10th pnum repeated at level 8
+    * to exercise the cross-level merge), plus one 3-vertex way per
+    * level-12 tile. */
+  private def writeMap(n: Long): String = {
+    val z = 12
+    val x0 = xFromLon(z, 7.0); val x1 = xFromLon(z, 8.0) - 1
+    val y0 = yFromLat(z, 52.0); val y1 = yFromLat(z, 51.0) - 1
+    val xs = (x0 to x1).toArray; val ys = (y0 to y1).toArray
+    val nTiles = xs.length * ys.length
+    val perTile = Array.fill(nTiles)(
+      Vector.newBuilder[PoiSpec])
+    val wayPerTile = Array.fill(nTiles)(Vector.newBuilder[WaySpec])
+    var i = 0L
+    while (i < n) {
+      val t = (i % nTiles).toInt
+      val tx = xs(t % xs.length); val ty = ys(t / xs.length)
+      // spread POIs inside the tile box (stay off the edges)
+      val fx = 0.1 + 0.8 * ((i / nTiles) % 97).toDouble / 97.0
+      val lon = lonFromX(z, tx + fx)
+      val lat = latFromY(z, ty + 0.5)
+      perTile(t) += PoiSpec(tileZ = z, lat = lat, lon = lon,
+        layer = (i % 5).toInt, tagIdx = Seq(0, 2),
+        vtagValues = Seq(Int.box(i.toInt)))
+      i += 1
+    }
+    // one way per tile: a short 3-vertex polyline mid-tile
+    var t = 0
+    var lnum = 0L
+    while (t < nTiles) {
+      val tx = xs(t % xs.length); val ty = ys(t / xs.length)
+      val lat = latFromY(z, ty + 0.4)
+      val w = WaySpec(tileZ = z, layer = 0, tagIdx = Seq(0, 1),
+        vtagValues = Seq(Int.box(lnum.toInt)),
+        doubleDelta = t % 2 == 0,
+        blocks = Seq(Seq(Seq(
+          (lonFromX(z, tx + 0.2), lat),
+          (lonFromX(z, tx + 0.5), lat),
+          (lonFromX(z, tx + 0.8), lat)))))
+      wayPerTile(t) += w
+      // every 3rd tile also carries a closed-ring area (park)
+      if (t % 3 == 0) {
+        val aLat0 = latFromY(z, ty + 0.6)
+        val aLat1 = latFromY(z, ty + 0.7)
+        val ring = Seq(
+          (lonFromX(z, tx + 0.2), aLat0), (lonFromX(z, tx + 0.4), aLat0),
+          (lonFromX(z, tx + 0.4), aLat1), (lonFromX(z, tx + 0.2), aLat1),
+          (lonFromX(z, tx + 0.2), aLat0))
+        wayPerTile(t) += WaySpec(tileZ = z, layer = 0, tagIdx = Seq(2, 3),
+          vtagValues = Seq(Int.box(t)), blocks = Seq(Seq(ring)))
+      }
+      lnum += 1
+      t += 1
+    }
+    val tiles12 = (0 until nTiles).map { t =>
+      TileSpec(xs(t % xs.length), ys(t / xs.length),
+        pois = perTile(t).result(), ways = wayPerTile(t).result())
+    }
+    // level-8 subfile: every 10th pnum again (same location) so the
+    // merge pipeline has real cross-level work
+    val z8 = 8
+    val l8 = scala.collection.mutable.Map
+      .empty[(Long, Long), Vector[PoiSpec]].withDefaultValue(Vector.empty)
+    var j = 0L
+    while (j < n) {
+      val t = (j % nTiles).toInt
+      val tx = xs(t % xs.length); val ty = ys(t / xs.length)
+      val fx = 0.1 + 0.8 * ((j / nTiles) % 97).toDouble / 97.0
+      val lon = lonFromX(z, tx + fx)
+      val lat = latFromY(z, ty + 0.5)
+      val key = (xFromLon(z8, lon), yFromLat(z8, lat))
+      l8(key) = l8(key) :+ PoiSpec(tileZ = 7, lat = lat, lon = lon,
+        layer = (j % 5).toInt, tagIdx = Seq(0, 2),
+        vtagValues = Seq(Int.box(j.toInt)))
+      j += 10
+    }
+    val tiles8 = l8.toSeq.sortBy(_._1).map { case ((tx, ty), ps) =>
+      TileSpec(tx, ty, pois = ps)
+    }
+    val spec = MapSpec(minLat = 51.0, minLon = 7.0, maxLat = 52.0,
+      maxLon = 8.0, poiTags = poiTags, wayTags = wayTags,
+      subfiles = Seq(
+        SubfileSpec(z8, 6, 8, tiles8),
+        SubfileSpec(z, 9, 13, tiles12)),
+      comment = Some("graft bench map"),
+      createdBy = Some("graft"))
+    MapEncoder.writeToTemp(spec)
+  }
+
+  def g13MapPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // size the map from the scale factor (events row count), capped
+    // so the driver-side encode stays a fraction of the pipeline time
+    val n = math.min(Tables.load(spark, dir, "events").count(), 60000L)
+    val path = mapCache.getOrElseUpdate(n, writeMap(n))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-bench-fdo").toString
+    FdoSink.map2db(spark, path, out)
+    import spark.implicits._
+    Seq("points", "lines", "areas")
+      .map { t =>
+        // a table with no rows writes only _SUCCESS (no schema to read)
+        val n = try spark.read.parquet(s"$out/$t").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        t -> n
+      }
+      .toDF("table_name", "n_rows")
+      .orderBy("table_name")
+  }
+}
