@@ -553,6 +553,80 @@ object Relational2 {
       |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q41: several exact count-distincts in ONE aggregate — Catalyst
+    * plans this with Expand (one replica of each row per distinct
+    * set), so it stays a single pass + one shuffle rather than N
+    * self-joined subqueries. */
+  def q41MultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_orderkey")).as("d_orders"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+
+  val q41Sql: String =
+    """SELECT l_linestatus,
+      |  COUNT(DISTINCT l_partkey) AS d_parts,
+      |  COUNT(DISTINCT l_suppkey) AS d_supps,
+      |  COUNT(DISTINCT l_orderkey) AS d_orders,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q44: bag-semantics set operators — INTERSECT ALL / EXCEPT ALL
+    * keep duplicate multiplicity (q19 covers the set-semantics
+    * forms). */
+  def q44SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30).select(col("l_partkey"))
+    val ret = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val inter = hi.intersectAll(ret)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val exc = hi.exceptAll(ret)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(exc)
+      .select(col("op"), col("l_partkey"), col("n"))
+      .orderBy(col("op"), col("l_partkey"))
+  }
+
+  val q44Sql: String =
+    """WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30),
+      |ret AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |i AS (
+      |  SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+      |  FROM (SELECT l_partkey FROM hi INTERSECT ALL
+      |        SELECT l_partkey FROM ret)
+      |  GROUP BY 2),
+      |e AS (
+      |  SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+      |  FROM (SELECT l_partkey FROM hi EXCEPT ALL
+      |        SELECT l_partkey FROM ret)
+      |  GROUP BY 2)
+      |SELECT op, l_partkey, n FROM i
+      |UNION ALL SELECT op, l_partkey, n FROM e
+      |ORDER BY op, l_partkey""".stripMargin
+
+  /** q46: keyset-free pagination — OFFSET/LIMIT over a total order
+    * (page 3 of 500). Spark plans a global sort + skip; real
+    * pagination at scale should be keyset-based, but the operator
+    * must exist for drop-in compatibility. */
+  def q46Offset(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(1000).limit(500)
+
+  val q46Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey
+      |LIMIT 500 OFFSET 1000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_scalar_subquery" -> (q21ScalarSubquery _),
     "q22_cube" -> (q22Cube _),
@@ -573,7 +647,10 @@ object Relational2 {
     "q37_unpivot" -> (q37Unpivot _),
     "q38_nullsafe_join" -> (q38NullsafeJoin _),
     "q39_try_cast" -> (q39TryCast _),
-    "q40_range_frame" -> (q40RangeFrame _))
+    "q40_range_frame" -> (q40RangeFrame _),
+    "q41_multi_distinct" -> (q41MultiDistinct _),
+    "q44_set_ops_all" -> (q44SetOpsAll _),
+    "q46_offset" -> (q46Offset _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -595,5 +672,8 @@ object Relational2 {
     "q37_unpivot" -> q37Sql,
     "q38_nullsafe_join" -> q38Sql,
     "q39_try_cast" -> q39Sql,
-    "q40_range_frame" -> q40Sql)
+    "q40_range_frame" -> q40Sql,
+    "q41_multi_distinct" -> q41Sql,
+    "q44_set_ops_all" -> q44Sql,
+    "q46_offset" -> q46Sql)
 }

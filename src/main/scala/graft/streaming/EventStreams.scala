@@ -179,6 +179,36 @@ object EventStreams {
       .select(col("imp_id"), col("imp_ts"), col("click_ts"))
   }
 
+  /** Exactly-once-style sink: foreachBatch + idempotent keyed merge.
+    * Structured Streaming guarantees at-least-once delivery to
+    * foreachBatch (a restarted query re-delivers the last uncommitted
+    * batch); merging by key into the target makes the replay a no-op,
+    * which is the standard exactly-once recipe for sinks without
+    * transactional batch commits. The store abstracts the target
+    * (JDBC upsert, Delta MERGE, …; tests use an in-memory map). */
+  trait KeyedStore {
+    /** Merge rows by key: existing keys are overwritten, so replays
+      * of the same rows are idempotent. */
+    def merge(rows: Seq[(Long, String)]): Unit
+  }
+
+  final class InMemoryKeyedStore extends KeyedStore {
+    val data = scala.collection.concurrent.TrieMap.empty[Long, String]
+    override def merge(rows: Seq[(Long, String)]): Unit =
+      rows.foreach { case (k, v) => data.put(k, v) }
+  }
+
+  def upsertStream(events: DataFrame, store: KeyedStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        store.merge(batch.select(col("event_id"), col("event_type"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1))))
+    }
+
   // ---- stateful sessionization --------------------------------------
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -198,6 +198,26 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink is idempotent under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val store = new EventStreams.InMemoryKeyedStore
+    val q = EventStreams.upsertStream(
+      input.toDF().toDF("event_id", "event_type"), store).start()
+    try {
+      input.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      // the same rows delivered again (what a post-crash replay of an
+      // uncommitted batch looks like to the sink) must change nothing
+      input.addData((1L, "click"), (2L, "view"), (3L, "buy"))
+      q.processAllAvailable()
+      assert(store.data.toMap ==
+        Map(1L -> "click", 2L -> "view", 3L -> "buy"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
