@@ -146,8 +146,11 @@ object Dedup {
       .withColumn("label", col("node")).persist()
     // labels only ever decrease (min over own + neighbors), so the
     // label sum strictly decreases iff any node changed — convergence
-    // costs one aggregate per round instead of a self-join
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // costs one aggregate per round instead of a self-join. The
+    // initial sum is never computed: iteration 1 always changes
+    // something (or the sum simply repeats and we stop), so comparing
+    // consecutive per-iteration sums saves one full Spark action.
+    var prevSum = Long.MinValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
