@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{JaccardKernel, MinHashKernel, SimHashKernel,
+  TextCodec, VarintCodec}
+
+/** Property-based pins for the codegen'd kernels: these run inside
+  * whole-stage codegen on every row of a 100 TB pass, so their
+  * algebraic properties (order-independence, distributivity over
+  * union, roundtrips) are what make distributed results equal
+  * single-node results.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** scalatestplus isn't on the offline classpath; run scalacheck
+    * directly and surface any counterexample through the result. */
+  private def forAll[A](g: Gen[A])(f: A => Boolean): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(g)(f))
+    assert(res.passed, res.status.toString)
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])
+      (f: (A, B) => Boolean): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(ga, gb)(f))
+    assert(res.passed, res.status.toString)
+  }
+
+  private val longArray = Gen.listOf(Gen.long).map(_.distinct)
+
+  test("varint roundtrips hold across the wire-format range") {
+    // signed varints are sign-magnitude with a 55-bit magnitude cap
+    // (8 wire bytes max, matching the mapsforge format)
+    val sRange = Gen.choose(-(1L << 55) + 1, (1L << 55) - 1)
+    val uRange = Gen.choose(0L, (1L << 56) - 1)
+    forAll2(uRange, sRange) { (u, s) =>
+      VarintCodec.decodeU(VarintCodec.encodeU(u)) == u &&
+      VarintCodec.decodeS(VarintCodec.encodeS(s)) == s
+    }
+  }
+
+  test("simhash is independent of hash order (a set function)") {
+    forAll(longArray) { hs =>
+      SimHashKernel.signature(new GenericArrayData(hs.toArray)) ==
+        SimHashKernel.signature(new GenericArrayData(hs.reverse.toArray))
+    }
+  }
+
+  test("minhash distributes over union: sig(A+B) = min(sig(A), sig(B))") {
+    forAll2(longArray, longArray) { (xs, ys) =>
+      xs.isEmpty || ys.isEmpty || {
+        val k = 16
+        def sig(s: Seq[Long]) = MinHashKernel
+          .signature(new GenericArrayData(s.toArray), k)
+          .toLongArray()
+        val u = sig((xs ++ ys).distinct)
+        val m = sig(xs).zip(sig(ys)).map { case (a, b) => math.min(a, b) }
+        u.sameElements(m)
+      }
+    }
+  }
+
+  test("sorted-jaccard equals the set-definition jaccard") {
+    forAll2(longArray, longArray) { (xs, ys) =>
+      val a = xs.sorted; val b = ys.sorted
+      val got = JaccardKernel.jaccard(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val inter = (a.toSet & b.toSet).size
+      val union = (a.toSet | b.toSet).size
+      val expected = if (union == 0) 1.0 else inter.toDouble / union
+      got == expected
+    }
+  }
+
+  test("rolling fingerprint composes: fp(a++b) from fp(a), fp(b)") {
+    val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    forAll2(ascii, ascii) { (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def fp(s: String) = TextCodec.fingerprint(UTF8String.fromString(s))
+      val p = TextCodec.Mod
+      // fp(a++b) = (fp(a) * 131^|b| + fp(b)) mod p
+      val pow = b.getBytes("UTF-8").indices.foldLeft(1L)((acc, _) =>
+        acc * TextCodec.Mult % p)
+      fp(a + b) == (fp(a) * pow % p + fp(b)) % p
+    }
+  }
+}
