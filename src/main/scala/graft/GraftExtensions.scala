@@ -77,6 +77,9 @@ object GraftExtensions {
     fn("graft_sorted_jaccard",
       "graft_sorted_jaccard(a, b) - exact jaccard of sorted hash arrays",
       e => SortedJaccard(e.head, e(1))),
+    fn("graft_byte_resample",
+      "graft_byte_resample(bin, k) - nearest-neighbor resample to k bytes",
+      e => ByteResample(e.head, intArg(e(1), "graft_byte_resample"))),
     fn("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",
       composed(c => Similarity.cosine(c(0), c(1)))),

@@ -158,6 +158,36 @@ object Multimodal {
        |FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
        |ORDER BY chunk_md5""".stripMargin
 
+  /** m04: thumbnail resize — every payload resampled to a fixed
+    * [[ThumbBytes]]-byte thumbnail via the nearest-neighbor kernel
+    * (the 1-D stand-in for image resize; see [[graft.functions.
+    * MultimediaKernel]]). Fixed-size outputs are what a downstream
+    * embedding/training stage wants: constant-width batches. */
+  val ThumbBytes = 32
+
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    attachPayload(spark, dir).toDF()
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        hex(graft.functions.Multimedia.byteResample(col("payload"),
+          ThumbBytes)).as("thumb_hex"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle reconstructs the same nearest-neighbor byte picks from
+    * the (ASCII) text. */
+  val resizeSql: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(trim(text))) AS BIGINT) AS n_bytes,
+       |  hex(encode(array_to_string(list_transform(
+       |    generate_series(0, ${ThumbBytes - 1}),
+       |    i -> substring(trim(text),
+       |      CAST(i * octet_length(encode(trim(text)))
+       |        // $ThumbBytes AS INT) + 1, 1)), ''))) AS thumb_hex
+       |FROM documents
+       |WHERE octet_length(encode(trim(text))) > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle mirrors the byte statistics via ascii() (ASCII corpus). */
   val mediaFeaturesSql: String =
     """SELECT doc_id,

@@ -28,6 +28,7 @@ object PipelineOps {
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "m03_chunk_hash" -> (Multimodal.chunkHash _),
+    "m04_resize" -> (Multimodal.resize _),
     "s01_window_agg" -> (EventStreams.s01WindowAgg _),
     "s02_sessionize" -> (EventStreams.s02Sessionize _),
     "s03_hopping_window" -> (EventStreams.s03HoppingWindow _),
@@ -51,6 +52,7 @@ object PipelineOps {
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "m03_chunk_hash" -> Multimodal.chunkHashSql,
+    "m04_resize" -> Multimodal.resizeSql,
     "s01_window_agg" -> EventStreams.s01Sql,
     "s02_sessionize" -> EventStreams.s02Sql,
     "s03_hopping_window" -> EventStreams.s03Sql,

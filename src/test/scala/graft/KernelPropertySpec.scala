@@ -77,6 +77,19 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte resample: fixed output size, identity at equal size") {
+    val bytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    forAll2(bytes, Gen.choose(1, 64)) { (payload, k) =>
+      val out = graft.functions.MultimediaKernel.resample(payload, k)
+      val sized = payload.isEmpty || out.length == k
+      val identity = payload.isEmpty ||
+        graft.functions.MultimediaKernel
+          .resample(payload, payload.length).sameElements(payload)
+      sized && identity
+    }
+  }
+
   test("rolling fingerprint composes: fp(a++b) from fp(a), fp(b)") {
     val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     forAll2(ascii, ascii) { (a, b) =>
