@@ -41,10 +41,17 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
+        // the product sums carry scale 8 but their fractions only use
+        // 4 (price×disc) / 6 (×tax) decimals — narrowing the scale is
+        // EXACT and keeps the raw integer below 2^53, where the
+        // decimal→double conversion is identical on every engine
+        // (at scale 8 the conversion differs by 1 ULP between Spark
+        // and DuckDB once sums pass ~9e7)
         sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+          .cast(DecimalType(38, 4)).cast("double").as("sum_disc_price"),
         sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-          * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          * (one + dec(col("l_tax")))).cast(DecimalType(38, 6))
+          .cast("double").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
@@ -56,8 +63,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
        |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
        |  ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
        |  ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
