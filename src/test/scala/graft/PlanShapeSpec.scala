@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the round-2 operators: these assert the
+  * SHAPE that makes each query scale (single Expand pass, partial
+  * aggregation, pruned scans, bounded exchange counts), so an
+  * optimizer-hostile refactor fails locally instead of on a cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("cube/grouping-sets/multi-distinct run as ONE Expand pass") {
+    Seq("q22_cube", "q33_grouping_sets", "q41_multi_distinct")
+      .foreach { q =>
+        val p = plan(q)
+        assert(count(p, "Expand") == 1, s"$q:\n$p")
+        assert(count(p, "Scan parquet|FileScan") == 1, s"$q scans")
+      }
+  }
+
+  test("unpivot expands AFTER aggregation (tiny relation)") {
+    val p = plan("q37_unpivot")
+    // Expand (the melt) must sit above the final HashAggregate, i.e.
+    // appear before it in the top-down plan string
+    val expand = p.indexOf("Expand")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(expand >= 0 && agg >= 0 && expand < agg, p)
+  }
+
+  test("aggregates partial-combine before their shuffle") {
+    Seq("g10_bbox_agg", "q30_exact_stats", "q34_bitwise_agg")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("partial_"), s"$q has no partial agg:\n$p")
+      }
+  }
+
+  test("window queries sort once per window spec") {
+    Seq("q40_range_frame", "q24_window_frames").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Window") == 1, s"$q:\n$p")
+    }
+  }
+
+  test("pipeline scans prune to the referenced columns") {
+    val p = plan("m03_chunk_hash")
+    val schemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains("source") && !s.contains("n_chars"),
+        s"m03 reads unused columns: $s")
+    }
+  }
+
+  test("d09 stratified-sample filter reaches the scan") {
+    val p = plan("d09_stratified_sample")
+    // membership is a pure row predicate — it must evaluate in the
+    // scan stage (no shuffle at all except the output sort)
+    assert(count(p, "Exchange") <= 1, p)
+  }
+}
