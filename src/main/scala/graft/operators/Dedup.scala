@@ -108,7 +108,10 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sh = signed.select(col("doc_id"), col("shingles"))
-    val out = pairs
+    // persist the verified candidate set (tiny): d07's clustering
+    // consumes the same relation, so within one session the whole
+    // LSH pipeline runs once and the cache serves both queries
+    val verified = pairs
       .join(sh.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("shingles", "sa"), "a_id")
       .join(sh.withColumnRenamed("doc_id", "b_id")
@@ -117,8 +120,8 @@ object Dedup {
         graft.functions.MinHash.sortedJaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
-    out
+      .persist()
+    verified.orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- duplicate clustering -----------------------------------------
