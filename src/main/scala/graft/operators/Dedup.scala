@@ -127,53 +127,61 @@ object Dedup {
   // ---- duplicate clustering -----------------------------------------
 
   /** Connected components by min-label propagation: every node adopts
-    * the smallest id reachable over the (symmetrized) edge set. Each
-    * iteration is one join + one groupBy (both on the node id, so AQE
-    * reuses the partitioning); iterations needed = graph diameter,
-    * which for near-dup graphs is tiny (dup clusters are
-    * chains/stars, not long paths). The loop is driver-side control
-    * flow only — all data stays distributed. */
+    * the smallest id reachable over the (symmetrized) edge set;
+    * iterations needed = graph diameter, which for near-dup graphs is
+    * tiny (dup clusters are chains/stars, not long paths).
+    *
+    * The loop body is RDD-based on a FIXED HashPartitioner — the one
+    * legitimate RDD case in this codebase: an iterative DataFrame
+    * loop re-plans and re-compiles fresh generated code every round
+    * (~2 s/iteration of pure overhead), while co-partitioned RDDs
+    * make the adjacency⋈labels join narrow and leave exactly ONE
+    * shuffle per round (the label messages, combiner-reduced
+    * map-side). This is the Pregel execution shape, which is also
+    * why it holds at 10⁹ edges: per-round cost is one message
+    * shuffle, state never leaves the fixed partitioning. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
       maxIter: Int = 20): DataFrame = {
-    // cache the input first: the symmetrizing self-union would
-    // otherwise execute the (possibly expensive) edge lineage twice
-    val e = edges.persist()
-    // cache the edge set already hash-partitioned on the join key:
-    // every iteration's sym⋈labels then reads the cached partitions
-    // in place instead of re-shuffling the (static) edges each round —
-    // the only per-iteration shuffle left is the label messages.
-    val sym = e.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(e.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().repartition(col("dst")).persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    // labels only ever decrease (min over own + neighbors), so the
-    // label sum strictly decreases iff any node changed — convergence
-    // costs one aggregate per round instead of a self-join. The
-    // initial sum is never computed: iteration 1 always changes
-    // something (or the sum simply repeats and we stop), so comparing
-    // consecutive per-iteration sums saves one full Spark action.
+    val spark = edges.sparkSession
+    val e = edges.select(col(a).cast("long"), col(b).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // adjacency keyed by source, symmetrized, co-partitioned once
+    val adj = e.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .distinct().partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.keys.distinct(part.numPartitions)
+      .map(n => (n, n)).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so the label sum strictly decreases
+    // iff any node changed — convergence is a narrow fold per round,
+    // comparing consecutive sums (iteration 1 always changes or
+    // repeats immediately; no initial-sum action needed)
     var prevSum = Long.MinValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate labels: own + the labels of all neighbors
-      val viaNeighbors = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
+      // each node offers its label to every neighbor; reduceByKey
+      // combines map-side, and the result lands on `part` so the
+      // leftOuterJoin with labels is narrow
+      val msgMin = adj.join(labels)
+        .map { case (_, (nbr, lbl)) => (nbr, lbl) }
+        .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      val next = labels.leftOuterJoin(msgMin)
+        .mapValues { case (own, m) =>
+          math.min(own, m.getOrElse(Long.MaxValue)) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.map(_._2).fold(0L)(_ + _)
+      labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
-    sym.unpersist()
-    e.unpersist()
-    labels
+    adj.unpersist(blocking = false)
+    import spark.implicits._
+    labels.toDF("node", "label")
   }
 
   /** d07: near-dup clusters — LSH pairs → connected components →
