@@ -25,6 +25,7 @@ object PipelineOps {
     "t04_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "t05_bigram_freq" -> (TextAnalysis.t05BigramFreq _),
     "t06_repetition" -> (TextAnalysis.t06Repetition _),
+    "t07_normalize" -> (TextAnalysis.t07Normalize _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "m03_chunk_hash" -> (Multimodal.chunkHash _),
@@ -49,6 +50,7 @@ object PipelineOps {
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
     "t05_bigram_freq" -> TextAnalysis.bigramFreqSql,
     "t06_repetition" -> TextAnalysis.repetitionSql,
+    "t07_normalize" -> TextAnalysis.normalizeSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "m03_chunk_hash" -> Multimodal.chunkHashSql,

@@ -204,6 +204,39 @@ object TextAnalysis {
        |ORDER BY words.doc_id""".stripMargin
   }
 
+  /** t07: text normalization — the canonicalization pass that runs
+    * BEFORE hashing/dedup (lowercase, strip punctuation, collapse
+    * whitespace): without it near-dup recall collapses on trivially
+    * reformatted copies. Emits the normalized text plus its
+    * fingerprint so the effect is visible (docs differing only in
+    * case/punctuation now share norm_fp). */
+  def t07Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(norm).cast("long").as("norm_len"),
+        TextFunctions.fingerprint(norm).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS raw_len,
+      |  CAST(length(n) AS BIGINT) AS norm_len,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, length(n)),
+      |      i -> CAST(ascii(substr(n, i, 1)) AS BIGINT))),
+      |    (acc, b) -> (acc * 131 + b) % 2147483647) AS norm_fp
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** t05: top bigrams per language — n-gram frequency tables are the
     * vocabulary-analysis primitive; explode + one (lang, bigram)
     * aggregate, then a top-5 window with a total tiebreak. */
