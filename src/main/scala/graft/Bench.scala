@@ -27,7 +27,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // note: r1 timed count()-only execution, which let Catalyst skip
+    // sorts/projections/column reads; totals across rounds compare
+    // only per-query against the same execution mode
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","execution":"full-plan via noop sink (r1 used count() which pruned most work)"}""")
     spark.stop()
   }
 }
