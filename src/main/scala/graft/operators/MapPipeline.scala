@@ -186,8 +186,16 @@ object MapPipeline {
     (withCols.drop("vtags"), keys)
   }
 
+  /** `release()` drops every relation the build persisted (the decoded
+    * tile rows + the per-table results); call it after the last action
+    * on the tables (e.g. after the sink finishes). `decodedTiles()`
+    * reads the executor-side decode counter — a decode-once pipeline
+    * keeps it at the file's non-empty tile count (pinned by
+    * MapsforgeSpec). */
   case class MapTables(points: DataFrame, lines: DataFrame,
-      areas: DataFrame, vtagKeys: Seq[String])
+      areas: DataFrame, vtagKeys: Seq[String],
+      release: () => Unit = () => (),
+      decodedTiles: () => Long = () => 0L)
 
   /** Non-dbl path (map2db.py:878-885,958-964,1064-1070): no feature
     * ids exist, so every tile fragment becomes its own row — clipped
@@ -197,8 +205,8 @@ object MapPipeline {
     * dense (documented divergence). */
   def buildRaw(spark: SparkSession, path: String): MapTables = {
     import spark.implicits._
-    val (pois, ways) = Mapsforge.scan(spark, path)
-    val cachedWays = ways.persist()
+    val scanned = Mapsforge.scanCached(spark, path)
+    val (pois, cachedWays) = (scanned.pois, scanned.ways)
 
     val rawPoints = pois.flatMap { p =>
       val (minx, miny, maxx, maxy) = tileBox(p.level, p.tileX, p.tileY)
@@ -244,6 +252,12 @@ object MapPipeline {
         }
       }
 
+    // Persisted per table: the explodeVtags key collect is the first
+    // action and fills the cache (reading tile rows from the decode
+    // cache, clipping once); the sink then reads the cached rows, so
+    // decode and clip each run exactly once per table. Persisting
+    // also freezes the monotonically_increasing_id values between the
+    // key collect and the save.
     def numbered(df: org.apache.spark.sql.Dataset[Feature],
         idName: String): DataFrame =
       df.toDF()
@@ -253,11 +267,14 @@ object MapPipeline {
           "minz" -> "m2db_minz", "maxz" -> "m2db_maxz",
           "layer" -> "m2db_layer_num", "tags" -> "m2db_tags",
           "wkb" -> "m2db_geometry"))
+        .persist()
 
-    val (p, pk) = explodeVtags(numbered(rawPoints, "m2db_pnum"))
-    val (l, lk) = explodeVtags(numbered(rawLines, "m2db_lnum"))
-    val (a, ak) = explodeVtags(numbered(rawAreas, "m2db_anum"))
-    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted)
+    val tables = Seq(numbered(rawPoints, "m2db_pnum"),
+      numbered(rawLines, "m2db_lnum"), numbered(rawAreas, "m2db_anum"))
+    val Seq((p, pk), (l, lk), (a, ak)) = tables.map(explodeVtags)
+    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted,
+      release = () => { tables.foreach(_.unpersist()); scanned.release() },
+      decodedTiles = () => scanned.tilesDecoded.value)
   }
 
   /** Full decode→merge for a dbl map. Lines additionally get the
@@ -267,8 +284,8 @@ object MapPipeline {
     * default because at 100 TB a report table beats a crashed job. */
   def build(spark: SparkSession, path: String,
       strict: Boolean = false): MapTables = {
-    val (pois, ways) = Mapsforge.scan(spark, path)
-    val cachedWays = ways.persist()
+    val scanned = Mapsforge.scanCached(spark, path)
+    val (pois, cachedWays) = (scanned.pois, scanned.ways)
     if (strict) {
       // p/l/a ids are independent key spaces — validate per table
       Seq("points" -> validate(pointFeatures(pois)),
@@ -281,16 +298,25 @@ object MapPipeline {
               .mkString(", "))
       }
     }
+    // Each merged table persists so clip+merge run once: the
+    // explodeVtags key collect fills the cache (tile rows come from
+    // the decode cache, so the binary decode itself runs exactly
+    // once across all three tables) and the sink reads cached rows.
     val points = mergeFeatures(pointFeatures(pois))
-      .withColumnRenamed("fid", "m2db_pnum")
+      .withColumnRenamed("fid", "m2db_pnum").persist()
     val lines = FeatureMerge.mergeLines(
       mergeFeatures(lineFeatures(cachedWays)), "m2db_geometry")
-      .withColumnRenamed("fid", "m2db_lnum")
+      .withColumnRenamed("fid", "m2db_lnum").persist()
     val areas = mergeFeatures(areaFeatures(cachedWays))
-      .withColumnRenamed("fid", "m2db_anum")
+      .withColumnRenamed("fid", "m2db_anum").persist()
     val (p, pk) = explodeVtags(points)
     val (l, lk) = explodeVtags(lines)
     val (a, ak) = explodeVtags(areas)
-    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted)
+    MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted,
+      release = () => {
+        Seq(points, lines, areas).foreach(_.unpersist())
+        scanned.release()
+      },
+      decodedTiles = () => scanned.tilesDecoded.value)
   }
 }

@@ -372,6 +372,31 @@ object Mapsforge {
       permissive: Boolean = false): (Dataset[Poi], Dataset[Way]) =
     scanMany(spark, Seq(path), numPartitions, permissive)
 
+  /** A scan whose decoded tile rows are persisted, so the (expensive)
+    * binary decode materializes at most once no matter how many
+    * downstream actions consume `pois`/`ways`. The reference reads
+    * each tile exactly once in its serial loop (map2db.py:1487-1510);
+    * this is the distributed equivalent of that discipline.
+    *
+    * `tilesDecoded` counts executor-side tile decodes — a pipeline
+    * that is decode-once keeps it equal to the file's non-empty tile
+    * count (MapsforgeSpec pins this). Call `release()` after the last
+    * action (e.g. after the sink) to drop the cached rows. */
+  final case class CachedScan(pois: Dataset[Poi], ways: Dataset[Way],
+      tilesDecoded: org.apache.spark.util.LongAccumulator,
+      release: () => Unit)
+
+  def scanCached(spark: SparkSession, path: String,
+      numPartitions: Int = 0, permissive: Boolean = false): CachedScan = {
+    import spark.implicits._
+    val (decoded, counter) =
+      decodedTiles(spark, Seq(path), numPartitions, permissive)
+    val cached = decoded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CachedScan(cached.flatMap(_._1), cached.flatMap(_._2), counter,
+      () => { cached.unpersist(); () })
+  }
+
   /** Fleet scan: one job decoding tiles from MANY map files. All
     * headers parse driver-side (KB each); tag dictionaries ship once
     * as a broadcast keyed by fileId; tasks sort by (file, offset) so
@@ -381,6 +406,15 @@ object Mapsforge {
   def scanMany(spark: SparkSession, paths: Seq[String],
       numPartitions: Int = 0, permissive: Boolean = false)
       : (Dataset[Poi], Dataset[Way]) = {
+    import spark.implicits._
+    val (decoded, _) = decodedTiles(spark, paths, numPartitions, permissive)
+    (decoded.flatMap(_._1), decoded.flatMap(_._2))
+  }
+
+  private def decodedTiles(spark: SparkSession, paths: Seq[String],
+      numPartitions: Int, permissive: Boolean)
+      : (Dataset[(Seq[Poi], Seq[Way])],
+        org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val headers = paths.zipWithIndex.map { case (p, i) =>
       (p, i, readHeader(p))
@@ -395,6 +429,8 @@ object Mapsforge {
         h.wayTags.toIndexedSeq))
     }.toMap)
     val badTiles = spark.sparkContext.longAccumulator("graft.badTiles")
+    val tileCount =
+      spark.sparkContext.longAccumulator("graft.tilesDecoded")
     val taskDs = spark.createDataset(tasks).repartition(parts)
     val decoded = taskDs.mapPartitions { it =>
       // sequential IO per file within the task batch
@@ -415,6 +451,7 @@ object Mapsforge {
         f.seek(t.offset)
         f.readFully(buf)
         val (poiDict, wayDict) = dicts.value(t.fileId)
+        tileCount.add(1)
         if (permissive)
           try decodeTile(t, buf, poiDict, wayDict)
           catch { case scala.util.control.NonFatal(_) =>
@@ -424,9 +461,7 @@ object Mapsforge {
         else decodeTile(t, buf, poiDict, wayDict)
       } ++ { if (raf != null) raf.close(); Iterator.empty }
     }
-    val pois = decoded.flatMap(_._1)
-    val ways = decoded.flatMap(_._2)
-    (pois, ways)
+    (decoded, tileCount)
   }
 
   def poisDF(spark: SparkSession, path: String): DataFrame =

@@ -212,6 +212,19 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(gap.toSeq == Seq("zoom_gap"))
   }
 
+  test("map2db decodes each source tile exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("graft-once").toString
+    val t = FdoSink.map2db(spark, mapPath, out)
+    // The synthetic map has 3 non-empty tiles (two level-10, one
+    // level-8). The full build + vtag collect + 3-table sink must
+    // decode each exactly once — the round-2 pipeline ran the binary
+    // decode 3x per run. Read the counter BEFORE any further action
+    // on the (released) tables, which would recompute the decode.
+    assert(t.decodedTiles() == 3,
+      s"decoded ${t.decodedTiles()} tile(s); expected one decode of " +
+        "each of the 3 non-empty tiles")
+  }
+
   test("map2db entry writes the database and forgemap config for dbl maps") {
     val out = java.nio.file.Files.createTempDirectory("graft-m2db").toString
     val t = FdoSink.map2db(spark, mapPath, out)
