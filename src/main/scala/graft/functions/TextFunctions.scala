@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis primitives (SURVEY.md §2d). */
@@ -25,6 +27,90 @@ object TextCodec {
     }
     h
   }
+
+  /** The t01-t03 stopword list, as UTF-8 byte arrays for the kernel. */
+  private val StopBytes: Array[Array[Byte]] =
+    Array("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+      .map(_.getBytes("UTF-8"))
+
+  private def isStopword(bytes: Array[Byte], start: Int, len: Int)
+      : Boolean = {
+    var s = 0
+    while (s < StopBytes.length) {
+      val sw = StopBytes(s)
+      if (sw.length == len) {
+        var j = 0
+        while (j < len && bytes(start + j) == sw(j)) j += 1
+        if (j == len) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  /** Single-pass per-word statistics over an (already trimmed) text:
+    * word count, English-stopword hits, total word length (in code
+    * points) and the BPE-ish `ceil(len/4)` subword estimate. Word
+    * semantics mirror `split(text, " ")` exactly — every run between
+    * single spaces is a word, including empty runs from repeated
+    * spaces, and the empty string is one zero-length word. Replaces
+    * four interpreted HOF folds over the split array with one
+    * allocation-free byte scan (the per-token hot loop of a 100 TB
+    * text pipeline). */
+  def wordStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    var nWords = 0L; var stopHits = 0L; var lenSum = 0L; var bpeSum = 0L
+    var wordStart = 0
+    var chars = 0L
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        nWords += 1
+        lenSum += chars
+        bpeSum += (chars + 3) / 4
+        if (isStopword(bytes, wordStart, i - wordStart)) stopHits += 1
+        wordStart = i + 1
+        chars = 0
+      } else if ((bytes(i) & 0xC0) != 0x80) {
+        chars += 1 // count code points, matching length(str) semantics
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, stopHits, lenSum, bpeSum))
+  }
+
+  /** Adjacent-word bigrams of an (already trimmed) text. Because the
+    * word separator is exactly one space, each bigram
+    * `concat_ws(" ", w(i), w(i+1))` is a contiguous substring of the
+    * input, so the result array just wraps byte ranges — no string
+    * building at all (vs the interpreted
+    * `transform(sequence, element_at)` HOF). Fewer than two words →
+    * empty array, mirroring the `when(size >= 2, ...)` guard. */
+  def bigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // word start offsets
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < 2) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0; var wordStart = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        starts(w) = wordStart; ends(w) = i; w += 1; wordStart = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nWords - 1)
+    var b = 0
+    while (b < nWords - 1) {
+      out(b) = UTF8String.fromBytes(bytes, starts(b), ends(b + 1) - starts(b))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `fingerprint(text)` as a codegen'd Catalyst expression. */
@@ -40,9 +126,49 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** One-pass word statistics struct (see TextCodec.wordStats). */
+case class WordStats(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("len_sum", LongType, nullable = false),
+    StructField("bpe_sum", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextCodec.wordStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextCodec.wordStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Zero-copy adjacent-word bigram array (see TextCodec.bigrams). */
+case class Bigrams(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextCodec.bigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextCodec.bigrams($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextFunctions {
   def fingerprint(c: Column): Column =
     GraftShim.column(Fingerprint(GraftShim.expression(c)))
+
+  /** One-pass word statistics over trimmed text: struct(n_words,
+    * stop_hits, len_sum, bpe_sum). */
+  def wordStats(text: Column): Column =
+    GraftShim.column(WordStats(GraftShim.expression(trim(text))))
+
+  /** Adjacent-word bigram array over trimmed text. */
+  def bigrams(text: Column): Column =
+    GraftShim.column(Bigrams(GraftShim.expression(trim(text))))
 
   /** Whitespace tokens of trimmed text. */
   def words(text: Column): Column = split(trim(text), " ")

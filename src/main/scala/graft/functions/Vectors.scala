@@ -28,6 +28,21 @@ object VectorKernel {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** L2 norm in index order — bit-identical to
+    * `sqrt(aggregate(transform(v, x*x), 0.0, +))` without the
+    * interpreted fold or the squared intermediate array. */
+  def l2Norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }
 
 /** `cosine(a, b)` over two float arrays as a codegen'd expression. */
@@ -45,8 +60,24 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** `l2_norm(a)` over a float array as a codegen'd expression. */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VectorKernel.l2Norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernel.l2Norm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object Vectors {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a),
       GraftShim.expression(b)))
+  def l2Norm(a: Column): Column =
+    GraftShim.column(L2Norm(GraftShim.expression(a)))
 }

@@ -78,10 +78,8 @@ object Similarity {
   def d08EmbeddingNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), size(col("embedding")).as("dim"),
-        round(sqrt(aggregate(
-          transform(col("embedding"),
-            x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v)), 6).as("l2_norm"))
+        round(graft.functions.Vectors.l2Norm(col("embedding")), 6)
+          .as("l2_norm"))
       .orderBy(col("vec_id"))
 
   val d08Sql: String =

@@ -15,19 +15,17 @@ object TextAnalysis {
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  private def stopwordHits(ws: Column): Column =
-    aggregate(ws, lit(0L), (acc, w) =>
-      acc + when(w.isin(EnStopwords: _*), lit(1L)).otherwise(lit(0L)))
-
   private val stopListSql =
     EnStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
-  /** t01: n-gram/stopword language heuristic. */
+  /** t01: n-gram/stopword language heuristic. The per-word counts
+    * come from the one-pass WordStats kernel — the interpreted HOF
+    * fold this replaces was the per-token hot-loop scale risk. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFunctions.words(col("text"))
     Tables.load(spark, dir, "documents")
-      .withColumn("n_words", size(ws).cast("long"))
-      .withColumn("en_hits", stopwordHits(ws))
+      .withColumn("st", TextFunctions.wordStats(col("text")))
+      .withColumn("n_words", col("st.n_words"))
+      .withColumn("en_hits", col("st.stop_hits"))
       .withColumn("en_ratio",
         round(col("en_hits").cast("double") / col("n_words"), 6))
       .withColumn("pred_lang",
@@ -56,16 +54,15 @@ object TextAnalysis {
   /** t02: quality scoring — length, alphabetic ratio, mean word
     * length, composite score. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFunctions.words(col("text"))
     Tables.load(spark, dir, "documents")
+      .withColumn("st", TextFunctions.wordStats(col("text")))
       .withColumn("n_chars", length(trim(col("text"))).cast("long"))
-      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_words", col("st.n_words"))
       .withColumn("alpha_ratio", round(
         length(regexp_replace(trim(col("text")), "[^a-z]", ""))
           .cast("double") / col("n_chars"), 6))
       .withColumn("avg_word_len", round(
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-          .cast("double") / col("n_words"), 6))
+        col("st.len_sum").cast("double") / col("n_words"), 6))
       .withColumn("quality", round(
         least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
           col("alpha_ratio") * 0.3 +
@@ -97,12 +94,10 @@ object TextAnalysis {
   /** t03: token counting — whitespace tokens and a BPE-ish estimate
     * (⌈len/4⌉ subword pieces per word). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFunctions.words(col("text"))
     Tables.load(spark, dir, "documents")
-      .withColumn("tokens_ws", size(ws).cast("long"))
-      .withColumn("tokens_bpe",
-        aggregate(ws, lit(0L),
-          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")))
+      .withColumn("st", TextFunctions.wordStats(col("text")))
+      .withColumn("tokens_ws", col("st.n_words"))
+      .withColumn("tokens_bpe", col("st.bpe_sum"))
       .withColumn("chars_per_token", round(
         length(trim(col("text"))).cast("double") / col("tokens_bpe"), 6))
       .select(col("doc_id"), col("tokens_ws"), col("tokens_bpe"),
@@ -158,11 +153,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"),
         (col("max_word").cast("double") / col("n_words"))
           .as("top_word_ratio"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array())
-    val bg = docs.select(col("doc_id"), bigrams.as("bg"))
+    // zero-copy bigram kernel (each bigram wraps a byte range of the
+    // source text) instead of the interpreted transform/element_at HOF
+    val bg = docs.select(col("doc_id"),
+      TextFunctions.bigrams(col("text")).as("bg"))
       .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -239,23 +233,32 @@ object TextAnalysis {
 
   /** t05: top bigrams per language — n-gram frequency tables are the
     * vocabulary-analysis primitive; explode + one (lang, bigram)
-    * aggregate, then a top-5 window with a total tiebreak. */
+    * aggregate, then top-5 per language via the bounded-heap TopK
+    * aggregator. The former `row_number over (partition by lang)`
+    * sorted the ENTIRE (lang, bigram, n) relation inside a handful
+    * of lang partitions — a skewed low-cardinality window that dies
+    * at 100× scale; the heap ships ≤5 rows per lang per partition
+    * through the shuffle instead. Bigrams come from the zero-copy
+    * kernel rather than an interpreted HOF. */
   def t05BigramFreq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    val ws = TextFunctions.words(col("text"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array())
+    import spark.implicits._
     val counts = Tables.load(spark, dir, "documents")
-      .select(col("lang"), explode(bigrams).as("bigram"))
+      .select(col("lang"), explode(TextFunctions.bigrams(col("text")))
+        .as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
-    val w = W.partitionBy(col("lang"))
-      .orderBy(col("n").desc, col("bigram").asc)
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+    val agg = new TopK.TopKStrAgg(5)
+    counts
+      .select(col("lang"),
+        struct(col("n").as("score"), col("bigram").as("tag")).as("e"))
+      .as[(String, TopK.SEntry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top.entries")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("col.tag").as("bigram"), col("col.score").as("n"))
       .orderBy(col("lang"), col("rank"))
   }
 

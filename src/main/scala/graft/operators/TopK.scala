@@ -47,6 +47,27 @@ object TopK {
     override def outputEncoder: Encoder[Top] = Encoders.product[Top]
   }
 
+  /** String-tagged variant for (count, term) rankings: descending
+    * score, ascending tag as tiebreak. Same bounded-heap shape, used
+    * where the ranked payload is a term (t05 top bigrams) rather than
+    * a numeric id. */
+  case class SEntry(score: Long, tag: String)
+  case class STop(entries: Seq[SEntry])
+
+  class TopKStrAgg(k: Int) extends Aggregator[SEntry, STop, STop] {
+    private def beats(a: SEntry, b: SEntry): Boolean =
+      a.score > b.score || (a.score == b.score && a.tag < b.tag)
+    override def zero: STop = STop(Vector.empty)
+    override def reduce(buf: STop, e: SEntry): STop =
+      if (buf.entries.size >= k && beats(buf.entries.last, e)) buf
+      else STop((buf.entries :+ e).sortWith(beats) take k)
+    override def merge(a: STop, b: STop): STop =
+      STop((a.entries ++ b.entries).sortWith(beats) take k)
+    override def finish(buf: STop): STop = buf
+    override def bufferEncoder: Encoder[STop] = Encoders.product[STop]
+    override def outputEncoder: Encoder[STop] = Encoders.product[STop]
+  }
+
   /** q15: top-3 lineitems by extended price per supplier — grouped
     * top-k without a per-group full sort. */
   def q15GroupedTopk(spark: SparkSession, dir: String): DataFrame = {

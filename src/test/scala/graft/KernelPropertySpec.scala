@@ -90,6 +90,48 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordStats matches the split-array HOF formulation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // words including stopwords, multi-space runs (empty words), and
+    // non-ASCII chars (code-point vs byte length)
+    val word = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "and", "to", "in", "is", "on", "for",
+        "with"),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('é'),
+        Gen.const('ß'))).map(_.mkString))
+    val text = Gen.listOf(Gen.zip(word,
+      Gen.choose(1, 3).map(" " * _))).map(
+      _.map { case (w, sp) => w + sp }.mkString.stripSuffix(" "))
+    forAll(text.map(_.trim)) { t =>
+      val row = TextCodec.wordStats(UTF8String.fromString(t))
+      val ws = t.split(" ", -1).toSeq
+      val stop = Set("the", "a", "of", "and", "to", "in", "is", "on",
+        "for", "with")
+      row.getLong(0) == ws.length &&
+        row.getLong(1) == ws.count(stop) &&
+        row.getLong(2) ==
+          ws.map(w => w.codePointCount(0, w.length).toLong).sum &&
+        row.getLong(3) == ws.map(w =>
+          (w.codePointCount(0, w.length) + 3L) / 4L).sum
+    }
+  }
+
+  test("bigrams kernel equals concat_ws over adjacent split words") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(word).map(_.mkString(" ").trim)
+    forAll(text) { t =>
+      val got = TextCodec.bigrams(UTF8String.fromString(t))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val ws = t.split(" ", -1).toSeq
+      val expected =
+        if (ws.length < 2) Seq.empty
+        else ws.sliding(2).map(_.mkString(" ")).toSeq
+      got == expected
+    }
+  }
+
   test("rolling fingerprint composes: fp(a++b) from fp(a), fp(b)") {
     val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     forAll2(ascii, ascii) { (a, b) =>

@@ -60,6 +60,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t05 ranks bigrams with the bounded heap, not a lang window") {
+    val p = plan("t05_bigram_freq")
+    // row_number over partitionBy(lang) funnels the whole (lang,
+    // bigram, n) relation through a handful of sort partitions — the
+    // round-2 scale-killer. The TopK aggregator must appear instead,
+    // and it must partial-combine before the lang shuffle.
+    assert(count(p, "Window") == 0, s"t05 regressed to a window:\n$p")
+    assert(p.contains("partial_"), s"t05 top-k has no partial agg:\n$p")
+  }
+
+  test("t01-t03 use the WordStats kernel, not interpreted HOF folds") {
+    Seq("t01_lang_id", "t02_quality_score", "t03_token_count")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("aggregate(") && !p.contains("lambdafunction"),
+          s"$q still folds with an interpreted HOF:\n$p")
+        assert(p.contains("wordstats("), s"$q lost the kernel:\n$p")
+      }
+  }
+
   test("d09 stratified-sample filter reaches the scan") {
     val p = plan("d09_stratified_sample")
     // membership is a pure row predicate — it must evaluate in the
