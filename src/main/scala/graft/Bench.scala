@@ -20,17 +20,38 @@ object Bench {
         // noop sink executes the COMPLETE plan (count() would let
         // Catalyst drop sorts/projections from row-level queries and
         // read no parquet columns at all for pure selects).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val err =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          } catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a failed query records -1 (NOT its elapsed-until-throw time, so
+    // a broken query can't masquerade as a fast one) + an errors entry
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val ok = results.filter(_._3.isEmpty)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
     // only per-query against the same execution mode
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","execution":"full-plan via noop sink (r1 used count() which pruned most work)"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","execution":"full-plan via noop sink (r1 used count() which pruned most work)"}"""
+    println(json)
+    // belt-and-braces copy: the round-2 stdout capture truncated and
+    // lost 20 per-query entries, so also write the line to a file
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_out.json")),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

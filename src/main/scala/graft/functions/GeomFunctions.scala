@@ -29,9 +29,14 @@ object GeomFunctions {
   case class PtBuf(coords: Vector[Double])
 
   class PointUnionAgg extends Aggregator[PointXY, PtBuf, Array[Byte]] {
+    /** Collapse -0.0 to 0.0 so the boxed-equality dedup below agrees
+      * with JTS's IEEE == coordinate equality (java.lang.Double
+      * treats -0.0 and 0.0 as DISTINCT, which would leave a phantom
+      * extra point in groups containing both zero signs). */
+    private def canon(v: Double): Double = v + 0.0
     override def zero: PtBuf = PtBuf(Vector.empty)
     override def reduce(buf: PtBuf, p: PointXY): PtBuf =
-      PtBuf(buf.coords :+ p.x :+ p.y)
+      PtBuf(buf.coords :+ canon(p.x) :+ canon(p.y))
     override def merge(a: PtBuf, b: PtBuf): PtBuf =
       PtBuf(a.coords ++ b.coords)
     override def finish(buf: PtBuf): Array[Byte] =

@@ -74,6 +74,27 @@ object ShingleKernel {
   final val Seed = 42L
 
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val all = rawHashes(text, n)
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < all.length) { set.add(all(i)); i += 1 }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Multiset variant: one hash per shingle OCCURRENCE, in document
+    * order. SimHash consumes this so repeated shingles vote once per
+    * occurrence — Charikar's frequency-weighted definition — while
+    * MinHash/Jaccard keep the dedup'd variant (they are statistics of
+    * the shingle SET). */
+  def shingleHashesAll(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(rawHashes(text, n))
+
+  private def rawHashes(text: UTF8String, n: Int): Array[Long] = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes
@@ -87,37 +108,36 @@ object ShingleKernel {
       i += 1
     }
     val nw = starts.size()
-    val set = new java.util.HashSet[java.lang.Long]()
     if (nw < n) {
-      if (len > 0) set.add(XXH64.hashUnsafeBytes(base, off, len, Seed))
+      if (len > 0)
+        Array(XXH64.hashUnsafeBytes(base, off, len, Seed))
+      else Array.empty[Long]
     } else {
+      val out = new Array[Long](nw - n + 1)
       var w = 0
       while (w + n - 1 < nw) {
         val s = starts.get(w)
         val e = if (w + n < nw) starts.get(w + n) - 1 else len
-        set.add(XXH64.hashUnsafeBytes(base, off + s, e - s, Seed))
+        out(w) = XXH64.hashUnsafeBytes(base, off + s, e - s, Seed)
         w += 1
       }
+      out
     }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
   }
 }
 
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int,
+    dedup: Boolean = true) extends UnaryExpression {
+  private val kernel = if (dedup) "shingleHashes" else "shingleHashesAll"
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    ShingleKernel.shingleHashes(v.asInstanceOf[UTF8String], n)
+    if (dedup) ShingleKernel.shingleHashes(v.asInstanceOf[UTF8String], n)
+    else ShingleKernel.shingleHashesAll(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleKernel.shingleHashes($c, $n)")
+      c => s"graft.functions.ShingleKernel.$kernel($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -127,8 +147,10 @@ case class ShingleHashes(child: Expression, n: Int)
   * over the array (the HOF formulation — aggregate over sequence(0,63)
   * nested in an aggregate over the hashes — is interpreted, not
   * codegen'd, and walks the array 64 times: ~100 ms/doc vs ~1 µs
-  * here). Vote order is irrelevant, so the dedup'd sorted input from
-  * ShingleHashes is fine. */
+  * here). The vote is a commutative sum, so hash ORDER is irrelevant,
+  * but MULTIPLICITY is not: feed the multiset variant
+  * (shingleHashesAll) so a repeated shingle votes once per occurrence
+  * — Charikar's frequency-weighted definition. */
 object SimHashKernel {
   def signature(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -251,6 +273,11 @@ object MinHash {
 
   def shingleHashes(text: Column, n: Int = 3): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+
+  /** One hash per shingle occurrence (no dedup) — for SimHash. */
+  def shingleHashesAll(text: Column, n: Int = 3): Column =
+    GraftShim.column(
+      ShingleHashes(GraftShim.expression(text), n, dedup = false))
 
   def lshSignature(vec: Column, numPlanes: Int): Column =
     GraftShim.column(LshSignature(GraftShim.expression(vec), numPlanes))

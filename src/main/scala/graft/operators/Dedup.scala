@@ -68,11 +68,29 @@ object Dedup {
         graft.functions.MinHash.minhash(col("shingles"), NumHashes))
 
   /** Buckets above this size are excluded from the pair join: a
-    * degenerate bucket (the same boilerplate duplicated n times)
-    * would emit n²/2 candidate pairs and dominate the job, while its
-    * members are exactly what d01's exact dedup already catches.
-    * The cap turns the worst case from quadratic to linear. */
+    * degenerate bucket (boilerplate shingled alike n times, or a
+    * band-hash collision pile-up) would emit n²/2 candidate pairs and
+    * dominate the job. The cap trades RECALL for boundedness — pairs
+    * whose only co-bucketing was oversized are silently dropped, and
+    * only exact copies among them are guaranteed caught elsewhere (by
+    * d01). Monitor [[cappedBuckets]] in production; sf0.1 has no
+    * bucket anywhere near the cap, so the oracle comparison is
+    * unaffected there. */
   val MaxBucketSize = 10000L
+
+  /** Buckets the cap would drop at `maxBucket` — the report a 100 TB
+    * run must watch to know how much recall the cap is costing. */
+  def cappedBuckets(spark: SparkSession, dir: String,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    withSignature(corpusWithPlants(spark, dir))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * RowsPerBand + 1,
+              lit(RowsPerBand))).as("bh")))).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
   /** d02: LSH band buckets → candidate pairs → exact-Jaccard verify.
     * Only bucket-mates ever meet: the shuffle key is (band, hash of
@@ -80,8 +98,29 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshCapped(spark, dir, MaxBucketSize)
 
+  /** Cached relations pinned by the LSH pipeline, keyed by
+    * (session, dir, cap): repeated d02/d07 invocations reuse ONE
+    * cached pipeline instead of stacking a new persist per call
+    * (the round-2 leak). [[releaseLshCache]] is the explicit drop. */
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), (DataFrame, Seq[DataFrame])]
+
+  def releaseLshCache(): Unit = {
+    lshCache.values.foreach { case (_, pinned) =>
+      pinned.foreach(_.unpersist())
+    }
+    lshCache.clear()
+  }
+
   def minhashLshCapped(spark: SparkSession, dir: String,
       maxBucket: Long): DataFrame = {
+    val (verified, _) = lshCache.getOrElseUpdate((spark, dir, maxBucket),
+      buildMinhashLsh(spark, dir, maxBucket))
+    verified.orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def buildMinhashLsh(spark: SparkSession, dir: String,
+      maxBucket: Long): (DataFrame, Seq[DataFrame]) = {
     val signed = withSignature(corpusWithPlants(spark, dir))
       .select(col("doc_id"), col("shingles"), col("sig"))
       .persist()
@@ -121,7 +160,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .persist()
-    verified.orderBy(col("a_id"), col("b_id"))
+    (verified, Seq(signed, verified))
   }
 
   // ---- duplicate clustering -----------------------------------------
@@ -240,12 +279,15 @@ object Dedup {
 
   /** d03: 64-bit SimHash per document + hamming distance of the
     * planted pairs. Signature = sign of per-bit vote over shingle
-    * hashes, via the one-pass codegen'd kernel (SimHashSig over the
-    * same zero-copy shingle hashes d02 uses — the HOF formulation of
-    * the vote is interpreted and walks the hash array 64 times). */
+    * hashes, via the one-pass codegen'd kernel (SimHashSig — the HOF
+    * formulation of the vote is interpreted and walks the hash array
+    * 64 times). Votes come from the MULTISET of shingle occurrences
+    * (shingleHashesAll), i.e. Charikar's frequency-weighted
+    * definition — a doc repeating one shingle n times votes n times,
+    * unlike the set statistics MinHash/Jaccard compute. */
   def simhashCol: Column =
     graft.functions.MinHash.simhash(
-      graft.functions.MinHash.shingleHashes(trim(col("text")), 3))
+      graft.functions.MinHash.shingleHashesAll(trim(col("text")), 3))
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val signed = corpusWithPlants(spark, dir)

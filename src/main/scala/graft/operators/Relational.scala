@@ -410,6 +410,25 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q47: sketch quantiles per group — the 100 TB percentile path
+    * q16's Scaladoc promises. `approx_percentile` keeps a bounded
+    * quantile sketch per group that partial-aggregates map-side and
+    * merges across partitions, where exact `percentile` buffers every
+    * value of a group in one aggregator. Accuracy 10000 bounds rank
+    * error at n/10000. Rows-only like q12 (sketch internals are
+    * engine-specific); RelationalSpec bounds the error against q16's
+    * exact answer. */
+  def q47ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5D, 0.9D), 10000)")
+          .as("qty_p50_p90"),
+        expr("approx_percentile(l_extendedprice, 0.25D, 10000)")
+          .as("p25_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** q17: ROLLUP grouping sets — subtotals at (region, nation),
     * (region), and grand total in one Expand pass (no re-scan per
     * grouping level). */
@@ -516,6 +535,7 @@ object Relational {
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_range_join" -> (q14RangeJoin _),
     "q16_percentiles" -> (q16Percentiles _),
+    "q47_approx_percentile" -> (q47ApproxPercentile _),
     "q17_rollup" -> (q17Rollup _),
     "q18_pivot" -> (q18Pivot _),
     "q19_set_ops" -> (q19SetOps _),

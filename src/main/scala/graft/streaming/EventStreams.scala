@@ -186,27 +186,50 @@ object EventStreams {
     * which is the standard exactly-once recipe for sinks without
     * transactional batch commits. The store abstracts the target
     * (JDBC upsert, Delta MERGE, …; tests use an in-memory map). */
-  trait KeyedStore {
+  /** The store ships to executors (one merge call per partition
+    * batch), so implementations are serializable descriptors of the
+    * external target — a JDBC upserter serializes its connection
+    * config and opens the connection executor-side, a Delta MERGE
+    * keeps the table path. Merges must be key-idempotent. */
+  trait KeyedStore extends Serializable {
     /** Merge rows by key: existing keys are overwritten, so replays
       * of the same rows are idempotent. */
     def merge(rows: Seq[(Long, String)]): Unit
   }
 
+  /** Test double: a process-local map behind a registry id, so the
+    * deserialized executor-side copy (local mode shares the JVM)
+    * merges into the same map the driver asserts on. Cluster targets
+    * implement KeyedStore against a real external system instead. */
   final class InMemoryKeyedStore extends KeyedStore {
-    val data = scala.collection.concurrent.TrieMap.empty[Long, String]
+    private val id = java.util.UUID.randomUUID().toString
+    def data: scala.collection.concurrent.TrieMap[Long, String] =
+      InMemoryKeyedStore.registry
+        .getOrElseUpdate(id, scala.collection.concurrent.TrieMap.empty)
     override def merge(rows: Seq[(Long, String)]): Unit =
       rows.foreach { case (k, v) => data.put(k, v) }
   }
+  object InMemoryKeyedStore {
+    private val registry = scala.collection.concurrent.TrieMap
+      .empty[String, scala.collection.concurrent.TrieMap[Long, String]]
+  }
 
+  /** Exactly-once upsert sink: rows merge per PARTITION on the
+    * executors — nothing funnels through the driver (the round-2
+    * version collect()ed each micro-batch, which caps throughput at
+    * one driver and dies at cluster scale). */
   def upsertStream(events: DataFrame, store: KeyedStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        store.merge(batch.select(col("event_id"), col("event_type"))
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getString(1))))
+        batch.select(col("event_id"), col("event_type"))
+          .foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              it.grouped(10000).foreach(g =>
+                store.merge(g.map(r => (r.getLong(0), r.getString(1)))))
+          }
     }
 
   // ---- stateful sessionization --------------------------------------

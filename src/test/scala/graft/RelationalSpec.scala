@@ -56,6 +56,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q47 sketch quantiles bound error against q16 exact percentiles") {
+    val approx = Relational.q47ApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Any](1).map(_.toString.toDouble), r.get(2).toString.toDouble)))
+      .toMap
+    val exact = Relational.q16Percentiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.get(3).toString.toDouble)))
+      .toMap
+    // accuracy 10000 ⇒ rank error ≤ n/10000 ≈ exact at this sf; allow
+    // a small value-relative slack for interpolation-definition drift
+    // (approx returns an observed value, exact interpolates)
+    approx.foreach { case (k, (qty, p25Price)) =>
+      val (p50, p90, p25) = exact(k)
+      assert(math.abs(qty(0) - p50) / p50 < 0.05,
+        s"$k p50: ${qty(0)} vs $p50")
+      assert(math.abs(qty(1) - p90) / p90 < 0.05,
+        s"$k p90: ${qty(1)} vs $p90")
+      assert(math.abs(p25Price - p25) / p25 < 0.05,
+        s"$k p25 price: $p25Price vs $p25")
+    }
+  }
+
+  test("q47 sketch quantile plan partial-aggregates (mergeable sketch)") {
+    val p = Relational.q47ApproxPercentile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"sketch must combine map-side:\n$p")
+  }
+
   test("q02 plan pushes filter and prunes columns at the scan") {
     val plan = Relational.q02FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
