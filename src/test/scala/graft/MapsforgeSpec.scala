@@ -212,6 +212,82 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(gap.toSeq == Seq("zoom_gap"))
   }
 
+  test("SQLite export round-trips the RFC16 database single-file") {
+    import graft.sources.SqliteWriter
+    val t = MapPipeline.build(spark, mapPath)
+    val h = Mapsforge.readHeader(mapPath)
+    val out = java.nio.file.Files.createTempDirectory("graft-sqlite")
+      .resolve("map.db").toString
+    FdoSink.writeSqlite(spark, t, h, mapPath, out)
+
+    val db = new SqliteWriter.Reader.Db(out)
+    assert(db.master.keySet == Set("geometry_columns", "spatial_ref_sys",
+      "README", "points", "lines", "areas", "subfiles", "limits"))
+
+    // geometry_columns rows exactly as the reference inserts them
+    assert(db.tableRows("geometry_columns").map(_._2) == Seq(
+      Seq("points", "m2db_geometry", 4L, 2L, 1L, "WKB"),
+      Seq("lines", "m2db_geometry", 5L, 2L, 1L, "WKB"),
+      Seq("areas", "m2db_geometry", 6L, 2L, 1L, "WKB")))
+
+    // limits carry the header bbox as REALs
+    val limits = db.tableRows("limits").map(_._2)
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Double])
+      .toMap
+    assert(limits == Map("minlat" -> 51.5, "minlon" -> 7.1,
+      "maxlat" -> 51.6, "maxlon" -> 7.6))
+
+    // feature rowids ARE the dbl feature numbers (INTEGER PRIMARY KEY
+    // alias), and the geometry blobs parse as the same WKB the
+    // DataFrame carries
+    val pts = db.tableRows("points")
+    assert(pts.map(_._1) == Seq(1L, 2L))
+    val dfPts = t.points.collect().map(r =>
+      r.getAs[Long]("m2db_pnum") ->
+        r.getAs[Array[Byte]]("m2db_geometry").toSeq).toMap
+    pts.foreach { case (rowid, vals) =>
+      // schema: pnum(null alias), level, minz, maxz, geometry, ...
+      assert(vals(0) == null)
+      assert(vals(4).asInstanceOf[Array[Byte]].toSeq == dfPts(rowid))
+    }
+    // subfile_num is 0-based, as the reference enumerates them
+    // (map2db.py:1455); SQLite rowids may legally be 0
+    assert(db.tableRows("subfiles").map(_._1) == Seq(0L, 1L))
+    assert(db.tableRows("README").map(_._2)
+      .exists(_(1) == "ODbL-1.0"))
+
+    // the real-engine validation lives in tools/check_sqlite.py
+    // (Python stdlib sqlite3, incl. PRAGMA integrity_check) — no
+    // JDBC sqlite driver exists in this offline environment
+  }
+
+  test("SQLite writer round-trips interior pages and overflow chains") {
+    import graft.sources.SqliteWriter
+    import SqliteWriter.Table
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      // every 97th payload (~9 KB) exceeds the one-page payload limit
+      // → overflow chain; 3000 rows → multiple leaves → interior page
+      val b = new Array[Byte](if (i % 97 == 0) 9000 else rnd.nextInt(60) + 1)
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft-sql-stress")
+      .resolve("s.db").toString
+    SqliteWriter.write(path, Seq(Table("t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, payload BLOB, note TEXT)",
+      rows.iterator.map { case (id, b) => Seq(id, b, s"row$id") },
+      rowidCol = Some(0))))
+    val got = new SqliteWriter.Reader.Db(path).tableRows("t")
+    assert(got.size == 3000)
+    got.zip(rows).foreach { case ((rowid, vals), (id, b)) =>
+      assert(rowid == id)
+      assert(vals(1).asInstanceOf[Array[Byte]].toSeq == b.toSeq,
+        s"payload mismatch at row $id")
+      assert(vals(2) == s"row$id")
+    }
+  }
+
   test("map2db decodes each source tile exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-once").toString
     val t = FdoSink.map2db(spark, mapPath, out)
