@@ -40,10 +40,36 @@ object Bench {
     }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    // Scale drill: if the 10x bench replica exists (tools/gen_sf.py →
+    // localdata/sf1), also run a bounded headline subset at sf1 so
+    // every bench report carries a next-scale-factor section without
+    // an unbounded wall-clock cost.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/localdata/sf1")
+    val sf1Keys = Seq("q01_pricing_summary", "q09_conditional_agg",
+      "q10_union_merge", "q24_window_frames", "d01_exact_dedup",
+      "d02_minhash_lsh", "t01_lang_id", "t05_bigram_freq",
+      "s01_window_agg", "g11_polyline_length")
+    val sf1Json =
+      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) ""
+      else {
+        val entries = sf1Keys.flatMap(k => SparkEntry.queries.get(k)
+          .map(fn => (k, fn))).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val v =
+            try {
+              fn(spark, sf1Dir).write.format("noop").mode("overwrite")
+                .save()
+              ((System.nanoTime() - t0) / 1e9).toString
+            } catch { case _: Throwable => "-1" }
+          "\"" + name + "\":" + v
+        }
+        s""","sf1":{${entries.mkString(",")}},"sf1_dir":"$sf1Dir""""
+      }
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
     // only per-query against the same execution mode
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","execution":"full-plan via noop sink (r1 used count() which pruned most work)"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$sf1Json,"execution":"full-plan via noop sink (r1 used count() which pruned most work)"}"""
     println(json)
     // belt-and-braces copy: the round-2 stdout capture truncated and
     // lost 20 per-query entries, so also write the line to a file

@@ -80,6 +80,21 @@ object GraftExtensions {
     fn("graft_byte_resample",
       "graft_byte_resample(bin, k) - nearest-neighbor resample to k bytes",
       e => ByteResample(e.head, intArg(e(1), "graft_byte_resample"))),
+    fn("graft_shingle_hashes_all",
+      "graft_shingle_hashes_all(text, n) - one hash per shingle" +
+        " occurrence (multiset; feed graft_simhash)",
+      e => ShingleHashes(e.head,
+        intArg(e(1), "graft_shingle_hashes_all"), dedup = false)),
+    fn("graft_word_stats",
+      "graft_word_stats(text) - struct(n_words, stop_hits, len_sum," +
+        " bpe_sum) in one byte scan",
+      e => WordStats(e.head)),
+    fn("graft_bigrams",
+      "graft_bigrams(text) - adjacent-word bigram array (zero-copy)",
+      e => Bigrams(e.head)),
+    fn("graft_l2_norm",
+      "graft_l2_norm(vec) - L2 norm of a float vector",
+      e => L2Norm(e.head)),
     fn("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",
       composed(c => Similarity.cosine(c(0), c(1)))),

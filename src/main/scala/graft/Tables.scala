@@ -35,11 +35,21 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read natively; read it as a long (nanos since epoch) and convert
     * with exact integer division (a double division would lose
-    * precision above 2^53 ns). */
+    * precision above 2^53 ns). Files from other writers may carry ts
+    * as an adjusted/unadjusted timestamp instead (e.g. the sf1 bench
+    * replica) — normalize whatever arrives to a session-TZ timestamp
+    * so downstream plans see one type. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

@@ -306,10 +306,18 @@ object Dedup {
   }
 
   /** d04: exact n-gram Jaccard on the planted pairs (the verify
-    * kernel of every near-dup pipeline). */
+    * kernel of every near-dup pipeline). Shingles hash zero-copy from
+    * the document bytes (ShingleHashes) and Jaccard is the sorted
+    * merge-walk kernel — the string-array
+    * `array_intersect/array_union` HOF form was the slowest query of
+    * the sf1 drill (16.5 s; this form ~1 s). Hashed-set Jaccard
+    * equals string-set Jaccard absent an XXH64 collision within one
+    * document pair (probability ~n²/2⁶⁴ — negligible), and the
+    * DuckDB oracle stays on string shingles, so any collision would
+    * surface as a hash mismatch. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextFunctions.shingles3(TextFunctions.words(col("text")))
-    val corpus = corpusWithPlants(spark, dir).withColumn("sh", sh)
+    val corpus = corpusWithPlants(spark, dir).withColumn("sh",
+      graft.functions.MinHash.shingleHashes(trim(col("text")), 3))
     val a = corpus.filter(col("doc_id") % 10 === 0 &&
         col("doc_id") < 1000000L)
       .select(col("doc_id").as("a_id"), col("sh").as("sa"))
@@ -317,8 +325,8 @@ object Dedup {
       .select((col("doc_id") - 1000000L).as("a_id"), col("sh").as("sb"))
     a.join(b, "a_id")
       .select(col("a_id"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+        round(graft.functions.MinHash.sortedJaccard(col("sa"), col("sb")),
+          6).as("jaccard"))
       .orderBy(col("a_id"))
   }
 

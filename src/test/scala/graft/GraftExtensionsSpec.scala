@@ -48,6 +48,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == sh2)
   }
 
+  test("word-stats, bigram, multiset-shingle and norm SQL functions") {
+    val r = spark.sql(
+      "SELECT graft_word_stats('the cat sat') AS ws," +
+        " graft_bigrams('a b c') AS bg," +
+        " size(graft_shingle_hashes_all('a b a b a b a b', 2)) AS n_all," +
+        " size(graft_shingle_hashes('a b a b a b a b', 2)) AS n_set," +
+        " round(graft_l2_norm(array(CAST(3.0 AS FLOAT)," +
+        "   CAST(4.0 AS FLOAT))), 6) AS l2")
+      .collect().head
+    val ws = r.getStruct(0)
+    assert(ws.getLong(0) == 3) // n_words
+    assert(ws.getLong(1) == 1) // "the"
+    assert(ws.getLong(2) == 9) // the+cat+sat
+    assert(ws.getLong(3) == 3) // ceil/4 each
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    // 7 bigram occurrences, 2 distinct — multiset vs set semantics
+    assert(r.getAs[Number](2).intValue == 7)
+    assert(r.getAs[Number](3).intValue == 2)
+    assert(r.getDouble(4) == 5.0)
+  }
+
   test("tile SQL functions match the reference transforms") {
     val r = spark.sql(
       "SELECT graft_tile_x(10, 7.3) AS tx, graft_tile_y(10, 51.55) AS ty," +

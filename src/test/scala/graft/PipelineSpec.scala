@@ -83,6 +83,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH co-buckets >=90% of planted near-dup vectors") {
+    import org.apache.spark.sql.functions._
+    // plant near-identical copies (1% perturbation on one dimension,
+    // cosine ~0.9999) and pin the LSH parameters (4 tables x 8 bits
+    // over 32 hyperplanes): a planted pair must share at least one
+    // (table, bucket) cell — i.e. be FINDABLE by d06's bucketed
+    // search — for >=90% of plants. A parameter regression (fewer
+    // tables, wider buckets) fails here before it silently craters
+    // production recall.
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sigOf = Similarity.lshSignature("embedding")
+    val orig = emb.select(col("vec_id"), sigOf.as("sig_a"))
+    val planted = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)
+          .cast("float")).as("embedding"))
+      .select(col("vec_id"), sigOf.as("sig_b"))
+    val joined = orig.join(planted, "vec_id")
+    // shift-and-mask bucket equality per table
+    val matches = joined.select(col("vec_id"),
+      (0 until Similarity.Tables8).map { t =>
+        val mask = (1L << Similarity.BitsPerTable) - 1
+        (shiftrightunsigned(col("sig_a"), t * Similarity.BitsPerTable)
+          .bitwiseAND(lit(mask)) ===
+          shiftrightunsigned(col("sig_b"), t * Similarity.BitsPerTable)
+            .bitwiseAND(lit(mask)))
+      }.reduce(_ || _).as("hit"))
+    val total = matches.count()
+    val hits = matches.filter(col("hit")).count()
+    assert(total == 500)
+    assert(hits.toDouble / total >= 0.9,
+      s"LSH recall on planted pairs: $hits/$total")
+  }
+
   test("fingerprint expression matches a reference implementation") {
     val got = TextAnalysis.fingerprintDocs(spark, sf)
       .limit(5).collect()
