@@ -134,6 +134,30 @@ object MapBench {
     MapEncoder.writeToTemp(spec)
   }
 
+  /** g14: fleet decode — MANY map files in ONE job (the 100 TB shape:
+    * a directory of regional extracts, not one planet file). Two
+    * differently-sized synthetic maps decode through a single
+    * scanMany pass (per-file tile tasks, broadcast dictionaries) and
+    * aggregate per fileId; feature ids are per-file, so the count
+    * groups by (fileId) and distinct-counts ids WITHIN each file.
+    * Rows-only (no SQL oracle can re-decode the binary); the
+    * two-file row-tagging invariants are pinned by NonDblMapSpec. */
+  def g14FleetScan(spark: SparkSession, dir: String): DataFrame = {
+    val n = math.min(
+      Tables.load(spark, dir, "events").count() / 10, 6000L)
+    val p1 = mapCache.getOrElseUpdate(n, writeMap(n))
+    val p2 = mapCache.getOrElseUpdate(n / 2, writeMap(n / 2))
+    val (pois, ways) = graft.sources.Mapsforge
+      .scanMany(spark, Seq(p1, p2))
+    import org.apache.spark.sql.functions._
+    val p = pois.toDF().groupBy(col("fileId"))
+      .agg(count(lit(1)).as("n_pois"),
+        countDistinct(col("pnum")).as("n_features"))
+    val w = ways.toDF().groupBy(col("fileId"))
+      .agg(count(lit(1)).as("n_ways"))
+    p.join(w, "fileId").orderBy(col("fileId"))
+  }
+
   def g13MapPipeline(spark: SparkSession, dir: String): DataFrame = {
     // size the map from the scale factor (events row count), capped
     // so the driver-side encode stays a fraction of the pipeline time

@@ -407,6 +407,7 @@ object MapOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g13_map_pipeline" -> (MapBench.g13MapPipeline _),
+    "g14_fleet_scan" -> (MapBench.g14FleetScan _),
     "g10_bbox_agg" -> (g10BboxAgg _),
     "g11_polyline_length" -> (g11PolylineLength _),
     "g12_tile_neighbors" -> (g12TileNeighbors _),

@@ -389,9 +389,9 @@ object Relational {
 
   /** q16: exact interpolated percentiles per group — the linear-
     * interpolation definition both engines implement, so the oracle
-    * is exact. (The scale path for wide-cardinality quantiles is
-    * approx_percentile; kept rows-only like q12 since sketches are
-    * engine-specific.) */
+    * is exact. This buffers each group's values in one aggregator —
+    * correct for oracle-checkable output, NOT the 100 TB plan; that
+    * is q47's mergeable approx_percentile sketch. */
   def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))

@@ -288,6 +288,24 @@ class MapsforgeSpec extends AnyFunSuite {
     }
   }
 
+  test("SQLite writer builds multi-level interior b-trees") {
+    import graft.sources.SqliteWriter
+    import SqliteWriter.Table
+    // 120k tiny rows → hundreds of leaves → >1 interior level; pins
+    // the recursive tree build + key ordering at depth 3
+    val n = 120000
+    val path = java.nio.file.Files.createTempDirectory("graft-sql-deep")
+      .resolve("d.db").toString
+    SqliteWriter.write(path, Seq(Table("t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)",
+      (1 to n).iterator.map(i => Seq(i.toLong, i.toLong * 3)),
+      rowidCol = Some(0))))
+    val got = new SqliteWriter.Reader.Db(path).tableRows("t")
+    assert(got.size == n)
+    assert(got.map(_._1) == (1 to n).map(_.toLong))
+    assert(got.forall { case (id, vals) => vals(1) == id * 3 })
+  }
+
   test("map2db decodes each source tile exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-once").toString
     val t = FdoSink.map2db(spark, mapPath, out)

@@ -27,6 +27,11 @@ class PipelineSpec extends AnyFunSuite {
     // on this corpus (no bucket is near 10k docs)
     assert(Dedup.minhashLshCapped(spark, sf, 1L).count() == 0)
     assert(Dedup.minhashLsh(spark, sf).count() > 0)
+    // the production recall report: what the cap drops. Nothing at
+    // the default cap on this corpus; every pair-capable bucket at
+    // cap=1 (duplicated docs co-bucket in all 8 bands)
+    assert(Dedup.cappedBuckets(spark, sf).count() == 0)
+    assert(Dedup.cappedBuckets(spark, sf, 1L).count() > 0)
   }
 
   test("connected components handles chains, cycles, and stars") {
