@@ -48,7 +48,18 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // the NTZ wall-clock IS the UTC instant (the source data is
+        // written in UTC). convert_timezone is the NTZ-native tool:
+        // re-express the UTC wall-clock in the session zone's
+        // wall-clock, so the following session-zone cast lands on the
+        // original instant under ANY spark.sql.session.timeZone —
+        // a bare cast("timestamp") or to_utc_timestamp shifts events
+        // by the session offset and moves rows across window
+        // boundaries (ScaleOpsSpec pins this under America/New_York)
+        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts"))
+            .cast("timestamp"))
       case _ => raw
     }
   }

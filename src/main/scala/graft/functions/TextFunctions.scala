@@ -173,18 +173,14 @@ object TextFunctions {
   /** Whitespace tokens of trimmed text. */
   def words(text: Column): Column = split(trim(text), " ")
 
-  /** Distinct word n-gram shingles (n=3). */
-  def shingles3(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-      .otherwise(array_distinct(array(array_join(ws, " "))))
-
   /** SQL fragment mirroring [[words]] for the DuckDB oracle. */
   val wordsSql = "string_split(trim(text), ' ')"
 
-  /** SQL fragment mirroring [[shingles3]] over an alias of words. */
+  /** SQL fragment for distinct word 3-gram shingles over an alias of
+    * words — the DuckDB oracle side of the hashed `ShingleHashes`
+    * kernel (the Spark side hashes shingles zero-copy; the Column-API
+    * string form it mirrored was removed once d04 switched to the
+    * kernel). */
   def shinglesSql(w: String): String =
     s"""CASE WHEN len($w) >= 3 THEN
        |  list_distinct(list_transform(generate_series(1, len($w) - 2),

@@ -78,17 +78,25 @@ object Dedup {
     * unaffected there. */
   val MaxBucketSize = 10000L
 
-  /** Buckets the cap would drop at `maxBucket` — the report a 100 TB
-    * run must watch to know how much recall the cap is costing. */
-  def cappedBuckets(spark: SparkSession, dir: String,
-      maxBucket: Long = MaxBucketSize): DataFrame =
-    withSignature(corpusWithPlants(spark, dir))
-      .select(col("doc_id"),
+  /** The ONE band/bucket-hash construction both the LSH pipeline and
+    * the capped-bucket report use — they must never diverge, or the
+    * report describes buckets the pipeline no longer produces.
+    * Input must carry (doc_id, sig); output is (doc_id, band, bh). */
+  private def banded(signed: DataFrame): DataFrame =
+    signed.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band"),
             hash(slice(col("sig"), b * RowsPerBand + 1,
               lit(RowsPerBand))).as("bh")))).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+
+  /** Buckets the cap would drop at `maxBucket` — the report a 100 TB
+    * run must watch to know how much recall the cap is costing. */
+  def cappedBuckets(spark: SparkSession, dir: String,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    banded(withSignature(corpusWithPlants(spark, dir)))
+      .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
@@ -127,16 +135,10 @@ object Dedup {
     // Keep the banded relation NARROW — (doc_id, band, bh) only — so
     // the bucket self-join and the pair distinct never shuffle the
     // shingle arrays. Shingles re-attach to the (few) candidates.
-    val banded = signed.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band"),
-            hash(slice(col("sig"), b * RowsPerBand + 1,
-              lit(RowsPerBand))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bh").as("bh"))
+    val bandedDocs = banded(signed)
     // one narrow aggregate bounds every bucket before the self-join
-    val bounded = banded.join(
-      banded.groupBy(col("band"), col("bh"))
+    val bounded = bandedDocs.join(
+      bandedDocs.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") <= maxBucket)
         .select(col("band"), col("bh")),

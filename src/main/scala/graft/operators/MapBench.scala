@@ -147,15 +147,20 @@ object MapBench {
       Tables.load(spark, dir, "events").count() / 10, 6000L)
     val p1 = mapCache.getOrElseUpdate(n, writeMap(n))
     val p2 = mapCache.getOrElseUpdate(n / 2, writeMap(n / 2))
-    val (pois, ways) = graft.sources.Mapsforge
-      .scanMany(spark, Seq(p1, p2))
+    // cached scan: the poi and way aggregates are two consumers of
+    // one decode (scanMany would run the full binary decode twice)
+    val scanned = graft.sources.Mapsforge.scanManyCached(spark, Seq(p1, p2))
     import org.apache.spark.sql.functions._
-    val p = pois.toDF().groupBy(col("fileId"))
+    val p = scanned.pois.toDF().groupBy(col("fileId"))
       .agg(count(lit(1)).as("n_pois"),
         countDistinct(col("pnum")).as("n_features"))
-    val w = ways.toDF().groupBy(col("fileId"))
+    val w = scanned.ways.toDF().groupBy(col("fileId"))
       .agg(count(lit(1)).as("n_ways"))
-    p.join(w, "fileId").orderBy(col("fileId"))
+    // left join: a file with POIs but zero ways must still report
+    // (n_ways = 0), not vanish from the fleet stats
+    p.join(w, Seq("fileId"), "left")
+      .withColumn("n_ways", coalesce(col("n_ways"), lit(0L)))
+      .orderBy(col("fileId"))
   }
 
   def g13MapPipeline(spark: SparkSession, dir: String): DataFrame = {

@@ -387,10 +387,14 @@ object Mapsforge {
       release: () => Unit)
 
   def scanCached(spark: SparkSession, path: String,
+      numPartitions: Int = 0, permissive: Boolean = false): CachedScan =
+    scanManyCached(spark, Seq(path), numPartitions, permissive)
+
+  def scanManyCached(spark: SparkSession, paths: Seq[String],
       numPartitions: Int = 0, permissive: Boolean = false): CachedScan = {
     import spark.implicits._
     val (decoded, counter) =
-      decodedTiles(spark, Seq(path), numPartitions, permissive)
+      decodedTiles(spark, paths, numPartitions, permissive)
     val cached = decoded.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CachedScan(cached.flatMap(_._1), cached.flatMap(_._2), counter,

@@ -41,11 +41,12 @@ object SqliteWriter {
   // ---- varint + record encoding ------------------------------------
   private def varint(v: Long): Array[Byte] = {
     if (v >= 0 && v <= 127) return Array(v.toByte)
-    // 9-byte form only needed for negative; big-endian base-128
-    val out = new ArrayBuffer[Byte](9)
+    // values needing more than 8 seven-bit groups (negative, or
+    // >= 2^56) use the 9-byte form: 8 continuation groups of 7 bits
+    // + a final byte carrying the low 8 bits (the spec's layout;
+    // Reader.readVarint mirrors it)
     var x = v
-    if (x < 0) {
-      // full 9-byte encoding: 8 high groups of 7 bits + low 8 bits
+    if (x < 0 || x >= (1L << 56)) {
       val bytes = new Array[Byte](9)
       bytes(8) = (x & 0xFF).toByte
       x = x >>> 8
@@ -53,6 +54,7 @@ object SqliteWriter {
       while (i >= 0) { bytes(i) = ((x & 0x7F) | 0x80).toByte; x >>>= 7; i -= 1 }
       return bytes
     }
+    val out = new ArrayBuffer[Byte](9)
     var shift = 0
     var tmp = x
     while (tmp > 0) { shift += 7; tmp >>= 7 }

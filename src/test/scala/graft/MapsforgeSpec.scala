@@ -296,13 +296,17 @@ class MapsforgeSpec extends AnyFunSuite {
     val n = 120000
     val path = java.nio.file.Files.createTempDirectory("graft-sql-deep")
       .resolve("d.db").toString
+    // tail rowids >= 2^56 force the 9-byte varint form (8 7-bit
+    // groups + full low byte) in both leaf cells and interior keys
+    val huge = Seq((1L << 56) + 5, Long.MaxValue - 1)
     SqliteWriter.write(path, Seq(Table("t",
       "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)",
-      (1 to n).iterator.map(i => Seq(i.toLong, i.toLong * 3)),
+      ((1 to n).iterator.map(_.toLong) ++ huge.iterator)
+        .map(i => Seq(i, i * 3)),
       rowidCol = Some(0))))
     val got = new SqliteWriter.Reader.Db(path).tableRows("t")
-    assert(got.size == n)
-    assert(got.map(_._1) == (1 to n).map(_.toLong))
+    assert(got.size == n + 2)
+    assert(got.map(_._1) == (1 to n).map(_.toLong) ++ huge)
     assert(got.forall { case (id, vals) => vals(1) == id * 3 })
   }
 

@@ -104,6 +104,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("events load is session-timezone-proof (NTZ vs nanos paths)") {
+    // the sf1 bench replica carries ts as TIMESTAMP_NTZ; its UTC
+    // wall-clock must map to the same instants as the nanos-long
+    // path REGARDLESS of spark.sql.session.timeZone (a plain
+    // cast("timestamp") shifts by the session offset and moves rows
+    // across window boundaries)
+    val sf1 = new java.io.File("/root/repo/localdata/sf1")
+    assume(sf1.isDirectory, "sf1 replica not generated")
+    def firstMicros(): Long = Tables.load(spark, sf1.toString, "events")
+      .select(org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .orderBy(col("unix_micros(ts)")).limit(1).collect().head.getLong(0)
+    val utc = firstMicros()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(firstMicros() == utc,
+        "NTZ load shifted with the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
