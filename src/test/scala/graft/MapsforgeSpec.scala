@@ -261,6 +261,33 @@ class MapsforgeSpec extends AnyFunSuite {
     // JDBC sqlite driver exists in this offline environment
   }
 
+  test("readSqliteTable loads the exported database back (migration path)") {
+    val t = MapPipeline.build(spark, mapPath)
+    val h = Mapsforge.readHeader(mapPath)
+    val out = java.nio.file.Files.createTempDirectory("graft-rt")
+      .resolve("map.db").toString
+    FdoSink.writeSqlite(spark, t, h, mapPath, out)
+
+    val pts = FdoSink.readSqliteTable(spark, out, "points")
+    assert(pts.columns.take(5).toSeq == Seq("m2db_pnum", "m2db_level",
+      "m2db_minz", "m2db_maxz", "m2db_geometry"))
+    val got = pts.collect().map(r =>
+      r.getAs[Long]("m2db_pnum") ->
+        ((r.getAs[Long]("m2db_level"),
+          r.getAs[Array[Byte]]("m2db_geometry").toSeq,
+          r.getAs[String]("m2db_name")))).toMap
+    val want = t.points.collect().map(r =>
+      r.getAs[Long]("m2db_pnum") ->
+        ((r.getAs[Int]("m2db_level").toLong,
+          r.getAs[Array[Byte]]("m2db_geometry").toSeq,
+          r.getAs[String]("m2db_name")))).toMap
+    assert(got == want)
+
+    val limits = FdoSink.readSqliteTable(spark, out, "limits").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(limits("maxlon") == 7.6)
+  }
+
   test("SQLite writer round-trips interior pages and overflow chains") {
     import graft.sources.SqliteWriter
     import SqliteWriter.Table
