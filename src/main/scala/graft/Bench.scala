@@ -22,6 +22,7 @@ object Bench {
         // a measurement artifact, not a speedup (per-query times must
         // stay comparable across rounds)
         graft.operators.Dedup.releaseLshCache()
+        graft.operators.MapBench.releaseFleetCache()
         val t0 = System.nanoTime()
         // noop sink executes the COMPLETE plan (count() would let
         // Catalyst drop sorts/projections from row-level queries and
@@ -37,9 +38,13 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // a failed query records -1 (NOT its elapsed-until-throw time, so
-    // a broken query can't masquerade as a fast one) + an errors entry
+    // a broken query can't masquerade as a fast one) + an errors entry.
+    // Durations are ms-rounded: the driver captures a bounded stdout
+    // tail and the round-3 full-precision line overflowed it, so the
+    // JSON arrived head-truncated and unparseable.
+    def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + m + "\""
@@ -62,6 +67,7 @@ object Bench {
         val ran = sf1Keys.flatMap(k => SparkEntry.queries.get(k)
           .map(fn => (k, fn))).map { case (name, fn) =>
           graft.operators.Dedup.releaseLshCache()
+        graft.operators.MapBench.releaseFleetCache()
           val t0 = System.nanoTime()
           val err =
             try {
@@ -75,17 +81,23 @@ object Bench {
           (name, (System.nanoTime() - t0) / 1e9, err)
         }
         val entries = ran.map { case (name, v, err) =>
-          "\"" + name + "\":" + (if (err.isDefined) "-1" else v.toString)
+          "\"" + name + "\":" + (if (err.isDefined) "-1" else fmt(v))
         }
         val sf1Errs = ran.collect { case (k, _, Some(m)) =>
           "\"" + k + "\":\"" + m + "\""
-        }.mkString("{", ",", "}")
-        s""","sf1":{${entries.mkString(",")}},"sf1_errors":$sf1Errs,"sf1_dir":"$sf1Dir""""
+        }
+        val errPart =
+          if (sf1Errs.isEmpty) ""
+          else s""","sf1_errors":${sf1Errs.mkString("{", ",", "}")}"""
+        s""","sf1":{${entries.mkString(",")}}$errPart,"sf1_dir":"$sf1Dir""""
       }
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
-    // only per-query against the same execution mode
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$sf1Json,"execution":"full-plan via noop sink (r1 used count() which pruned most work)"}"""
+    // only per-query against the same execution mode. Keep this line
+    // COMPACT (empty objects omitted, short note): it must fit whole
+    // inside the driver's stdout tail window to be parseable.
+    val errPart = if (results.forall(_._3.isEmpty)) "" else s""","errors":$errs"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"$sf1Json,"execution":"full-plan noop sink"}"""
     println(json)
     // belt-and-braces copy: the round-2 stdout capture truncated and
     // lost 20 per-query entries, so also write the line to a file

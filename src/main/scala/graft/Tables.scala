@@ -49,17 +49,19 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // the NTZ wall-clock IS the UTC instant (the source data is
-        // written in UTC). convert_timezone is the NTZ-native tool:
-        // re-express the UTC wall-clock in the session zone's
-        // wall-clock, so the following session-zone cast lands on the
-        // original instant under ANY spark.sql.session.timeZone —
-        // a bare cast("timestamp") or to_utc_timestamp shifts events
-        // by the session offset and moves rows across window
-        // boundaries (ScaleOpsSpec pins this under America/New_York)
-        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
-        raw.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(sessionTz), col("ts"))
-            .cast("timestamp"))
+        // written in UTC). Rebuild the instant from the wall-clock
+        // FIELDS interpreted as UTC: field extraction on NTZ is pure
+        // wall-clock arithmetic and make_timestamp(..., 'UTC') is a
+        // bijection (UTC has no DST), so this is exact under ANY
+        // spark.sql.session.timeZone. The previous round's
+        // convert_timezone(UTC, sessionTz).cast("timestamp") was
+        // lossy across a DST fall-back: two UTC instants share one
+        // local wall-clock and the cast resolves a single offset,
+        // shifting events in the ambiguous hour (ScaleOpsSpec pins
+        // the fall-back hour explicitly).
+        raw.withColumn("ts", expr(
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
+            "minute(ts), extract(SECOND FROM ts), 'UTC')"))
       case _ => raw
     }
   }

@@ -25,6 +25,20 @@ object MapBench {
   /** encoded map per feature count, reused across verify/bench calls */
   private val mapCache = TrieMap.empty[Long, String]
 
+  /** Fleet CachedScan memoized per (session, path-set) — the
+    * Dedup.lshCache pattern. Without this every g14 invocation
+    * persisted a NEW MEMORY_AND_DISK dataset and none was ever
+    * unpersisted (the same stacking-persist leak fixed for LSH in
+    * round 2). [[releaseFleetCache]] is the explicit drop; the bench
+    * calls it between queries. */
+  private val fleetCache = TrieMap.empty[
+    (SparkSession, Seq[String]), graft.sources.Mapsforge.CachedScan]
+
+  def releaseFleetCache(): Unit = {
+    fleetCache.values.foreach(_.release())
+    fleetCache.clear()
+  }
+
   // fractional variants of Mapsforge.lonFromX/latFromY for positions
   // INSIDE a tile (the reader's helpers take integer tile corners)
   private def lonFromX(z: Int, x: Double): Double =
@@ -148,8 +162,10 @@ object MapBench {
     val p1 = mapCache.getOrElseUpdate(n, writeMap(n))
     val p2 = mapCache.getOrElseUpdate(n / 2, writeMap(n / 2))
     // cached scan: the poi and way aggregates are two consumers of
-    // one decode (scanMany would run the full binary decode twice)
-    val scanned = graft.sources.Mapsforge.scanManyCached(spark, Seq(p1, p2))
+    // one decode (scanMany would run the full binary decode twice);
+    // memoized so repeat invocations reuse one persist (see fleetCache)
+    val scanned = fleetCache.getOrElseUpdate((spark, Seq(p1, p2)),
+      graft.sources.Mapsforge.scanManyCached(spark, Seq(p1, p2)))
     import org.apache.spark.sql.functions._
     val p = scanned.pois.toDF().groupBy(col("fileId"))
       .agg(count(lit(1)).as("n_pois"),

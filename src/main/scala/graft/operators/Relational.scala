@@ -417,13 +417,15 @@ object Relational {
     * value of a group in one aggregator. Accuracy 10000 bounds rank
     * error at n/10000. Rows-only like q12 (sketch internals are
     * engine-specific); RelationalSpec bounds the error against q16's
-    * exact answer. */
+    * exact answer. Scalar output columns only — the round-3 array
+    * form (`approx_percentile(x, array(...))`) crashed the driver's
+    * result hashing, which can't sort array cells. */
   def q47ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, array(0.5D, 0.9D), 10000)")
-          .as("qty_p50_p90"),
+        expr("approx_percentile(l_quantity, 0.5D, 10000)").as("p50_qty"),
+        expr("approx_percentile(l_quantity, 0.9D, 10000)").as("p90_qty"),
         expr("approx_percentile(l_extendedprice, 0.25D, 10000)")
           .as("p25_price"),
         count(lit(1)).as("n"))

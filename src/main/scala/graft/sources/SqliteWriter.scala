@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
 import scala.collection.mutable.ArrayBuffer
 
 /** Minimal single-file SQLite 3 database WRITER, from the public file
@@ -113,12 +112,55 @@ object SqliteWriter {
   }
 
   // ---- page assembly ------------------------------------------------
-  /** Pages are 1-based; index 0 of this buffer is page 1. */
-  private final class PageStore {
-    val pages = new ArrayBuffer[Array[Byte]]()
-    def alloc(): Int = { pages += new Array[Byte](PageSize); pages.size }
-    def apply(pageNum: Int): Array[Byte] = pages(pageNum - 1)
+  /** Pages are 1-based, backed by the output file itself: completed
+    * pages spill to disk as the bounded cache fills, so peak driver
+    * memory is the WRITE FRINGE (≤ [[MaxCachedPages]] pages), not the
+    * whole database image — a multi-GB export no longer needs
+    * database-sized driver heap. A page fetched after eviction is
+    * transparently re-read (and re-flushed on close), so late patches
+    * — overflow-chain back-links, the page-1 re-home, the final
+    * header — stay correct regardless of eviction timing. Callers
+    * must NOT retain a page array across `alloc()` calls (eviction
+    * would orphan their mutations); they re-fetch via `apply`. */
+  private final class PageStore(path: String) {
+    private val file = new java.io.RandomAccessFile(path, "rw")
+    file.setLength(0) // truncate any pre-existing file
+    private val cache =
+      new scala.collection.mutable.LinkedHashMap[Int, Array[Byte]]()
+    private var nPages = 0
+    def size: Int = nPages
+    def alloc(): Int = {
+      nPages += 1
+      cache(nPages) = new Array[Byte](PageSize)
+      while (cache.size > MaxCachedPages) {
+        val (pn, pg) = cache.head // oldest entry
+        flushPage(pn, pg)
+        cache.remove(pn)
+      }
+      nPages
+    }
+    def apply(pageNum: Int): Array[Byte] =
+      cache.getOrElseUpdate(pageNum, {
+        val a = new Array[Byte](PageSize)
+        file.seek((pageNum - 1).toLong * PageSize)
+        file.readFully(a)
+        a
+      })
+    private def flushPage(pn: Int, pg: Array[Byte]): Unit = {
+      file.seek((pn - 1).toLong * PageSize)
+      file.write(pg)
+    }
+    /** Flush every cached page and close the output file. */
+    def close(): Unit = {
+      cache.foreach { case (pn, pg) => flushPage(pn, pg) }
+      cache.clear()
+      file.setLength(nPages.toLong * PageSize)
+      file.close()
+    }
   }
+
+  /** Write-fringe bound: 1024 × 4 KiB = 4 MiB of cached pages. */
+  private val MaxCachedPages = 1024
 
   private def put2(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = ((v >> 8) & 0xFF).toByte; b(off + 1) = (v & 0xFF).toByte
@@ -146,17 +188,19 @@ object SqliteWriter {
       val k = minLocal + (payload.length - minLocal) % (Usable - 4)
       val local = if (k <= maxLocal) k else minLocal
       var rest = payload.drop(local)
-      // build the chain; link pages as we go
+      // build the chain; link pages as we go. Track the previous page
+      // by NUMBER and re-fetch for the back-link: holding the array
+      // across alloc() would let cache eviction orphan the mutation.
       var firstPage = 0
-      var prev: Array[Byte] = null
+      var prevPn = 0
       while (rest.nonEmpty) {
         val pn = store.alloc()
-        if (prev != null) put4(prev, 0, pn) else firstPage = pn
+        if (prevPn != 0) put4(store(prevPn), 0, pn) else firstPage = pn
         val pg = store(pn)
         val take = math.min(Usable - 4, rest.length)
         System.arraycopy(rest, 0, pg, 4, take)
         rest = rest.drop(take)
-        prev = pg
+        prevPn = pn
       }
       val head = varint(payload.length) ++ varint(rowid) ++
         payload.take(local) ++ Array[Byte](0, 0, 0, 0)
@@ -283,7 +327,7 @@ object SqliteWriter {
 
   // ---- top level ----------------------------------------------------
   def write(path: String, tables: Seq[Table]): Unit = {
-    val store = new PageStore
+    val store = new PageStore(path)
     val page1 = store.alloc() // reserve page 1
     require(page1 == 1)
 
@@ -322,10 +366,8 @@ object SqliteWriter {
     val masterRoot = buildTree(store, masterLeaves)
     val freePage = rehomeRoot(store, masterRoot, store(1), 100)
 
-    writeHeader(store(1), store.pages.size, freePage)
-    val out = new BufferedOutputStream(new FileOutputStream(path))
-    try store.pages.foreach(out.write)
-    finally out.close()
+    writeHeader(store(1), store.size, freePage)
+    store.close()
   }
 
   // ---- minimal reader (round-trip validation + parity checks) ------

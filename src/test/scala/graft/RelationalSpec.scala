@@ -59,7 +59,8 @@ class RelationalSpec extends AnyFunSuite {
   test("q47 sketch quantiles bound error against q16 exact percentiles") {
     val approx = Relational.q47ApproxPercentile(spark, sf).collect()
       .map(r => r.getString(0) ->
-        ((r.getSeq[Any](1).map(_.toString.toDouble), r.get(2).toString.toDouble)))
+        ((r.get(1).toString.toDouble, r.get(2).toString.toDouble,
+          r.get(3).toString.toDouble)))
       .toMap
     val exact = Relational.q16Percentiles(spark, sf).collect()
       .map(r => r.getString(0) ->
@@ -68,12 +69,12 @@ class RelationalSpec extends AnyFunSuite {
     // accuracy 10000 ⇒ rank error ≤ n/10000 ≈ exact at this sf; allow
     // a small value-relative slack for interpolation-definition drift
     // (approx returns an observed value, exact interpolates)
-    approx.foreach { case (k, (qty, p25Price)) =>
+    approx.foreach { case (k, (qtyP50, qtyP90, p25Price)) =>
       val (p50, p90, p25) = exact(k)
-      assert(math.abs(qty(0) - p50) / p50 < 0.05,
-        s"$k p50: ${qty(0)} vs $p50")
-      assert(math.abs(qty(1) - p90) / p90 < 0.05,
-        s"$k p90: ${qty(1)} vs $p90")
+      assert(math.abs(qtyP50 - p50) / p50 < 0.05,
+        s"$k p50: $qtyP50 vs $p50")
+      assert(math.abs(qtyP90 - p90) / p90 < 0.05,
+        s"$k p90: $qtyP90 vs $p90")
       assert(math.abs(p25Price - p25) / p25 < 0.05,
         s"$k p25 price: $p25Price vs $p25")
     }

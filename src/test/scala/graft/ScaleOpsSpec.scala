@@ -124,6 +124,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("NTZ load is exact across a DST fall-back hour") {
+    // US DST ended 2025-11-02 02:00 EDT: UTC 05:30 and 06:30 BOTH
+    // read 01:30 on the America/New_York wall clock. A local-zone
+    // round-trip (convert_timezone + cast) collapses them to one
+    // offset; the field-wise make_timestamp(..., 'UTC') load must
+    // keep the two instants distinct and exact.
+    import org.apache.spark.sql.functions.{expr, unix_micros}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ntz-dst").toString
+    spark.range(1).select(
+      expr("to_timestamp_ntz('2025-11-02 05:30:00')").as("ts"))
+      .union(spark.range(1).select(
+        expr("to_timestamp_ntz('2025-11-02 06:30:00')").as("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val micros = Tables.load(spark, dir, "events")
+        .select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // 2025-11-02T05:30Z and 06:30Z in epoch micros
+      assert(micros == Seq(1762061400000000L, 1762065000000000L),
+        s"DST-ambiguous instants shifted: $micros")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
