@@ -19,6 +19,8 @@ object PipelineOps {
     "d08_embedding_norm" -> (Similarity.d08EmbeddingNorm _),
     "d09_stratified_sample" -> (Sampling.d09StratifiedSample _),
     "d10_ivf_assign" -> (Similarity.d10IvfAssign _),
+    "d11_embed_neardup" -> (Similarity.embedNearDup _),
+    "d12_embed_neardup_lsh" -> (Similarity.embedNearDupLsh _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
@@ -33,7 +35,8 @@ object PipelineOps {
     "s01_window_agg" -> (EventStreams.s01WindowAgg _),
     "s02_sessionize" -> (EventStreams.s02Sessionize _),
     "s03_hopping_window" -> (EventStreams.s03HoppingWindow _),
-    "s04_window_users" -> (EventStreams.s04WindowUsers _))
+    "s04_window_users" -> (EventStreams.s04WindowUsers _),
+    "s05_stream_enrich" -> (EventStreams.s05StreamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> Dedup.exactDedupSql,
@@ -44,6 +47,7 @@ object PipelineOps {
     "d08_embedding_norm" -> Similarity.d08Sql,
     "d09_stratified_sample" -> Sampling.d09Sql,
     "d10_ivf_assign" -> Similarity.d10Sql,
+    "d11_embed_neardup" -> Similarity.embedNearDupSql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,
@@ -58,5 +62,6 @@ object PipelineOps {
     "s01_window_agg" -> EventStreams.s01Sql,
     "s02_sessionize" -> EventStreams.s02Sql,
     "s03_hopping_window" -> EventStreams.s03Sql,
-    "s04_window_users" -> EventStreams.s04Sql)
+    "s04_window_users" -> EventStreams.s04Sql,
+    "s05_stream_enrich" -> EventStreams.s05Sql)
 }

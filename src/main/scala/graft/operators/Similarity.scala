@@ -151,6 +151,84 @@ object Similarity {
   def lshSignature(embCol: String): Column =
     graft.functions.MinHash.lshSignature(col(embCol), NumPlanes)
 
+  /** Cosine threshold for the near-dup pair queries (d11/d12).
+    * The synthetic embeddings carry no true near-identical pairs, so
+    * the threshold sits where the data has a small deterministic tail
+    * at every scale factor; the semantics (pair extraction + keep-
+    * lowest-id decision) are threshold-independent. */
+  val NearDupThreshold = 0.42
+
+  /** d11: embedding-cosine near-dup pairs, EXACT form — every pair
+    * above [[NearDupThreshold]], keyed (keep_id < dup_id) so each
+    * duplicate names the survivor it would collapse into. All-pairs
+    * via a broadcast of the vector relation: the oracle-checkable
+    * validation form (mirrors d05's role for top-k); the production
+    * path at 100 TB is [[embedNearDupLsh]]'s bucketed equi-join —
+    * this exact form is what you run on a sample to CALIBRATE that
+    * path's recall. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val right = emb
+      .select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"))
+    emb.join(broadcast(right), col("vec_id") < col("dup_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("b_emb")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_id").as("keep_id"), col("dup_id"), col("cos"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  val embedNearDupSql: String =
+    s"""SELECT keep_id, dup_id, cos FROM (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    ROUND($cosSql, 6) AS cos
+       |  FROM embeddings a
+       |    JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $NearDupThreshold
+       |ORDER BY keep_id, dup_id""".stripMargin
+      .replace("q.embedding", "a.embedding")
+      .replace("c.embedding", "b.embedding")
+
+  /** d12: the SCALE path for near-dup pairs — candidates meet only
+    * where their hyperplane signatures share a (table, bucket) cell
+    * (an EQUI-join on the banded signature, same shape as d02's
+    * MinHash bands: nothing quadratic, shuffle key is 8 bits × 8
+    * tables, the vectors ride along narrow), then exact cosine
+    * verifies each candidate. Approximate by construction — recall
+    * is the multi-table collision probability, ~0.99 for true
+    * near-identicals (cos ≥ 0.95) with 8×8-bit tables; the
+    * PipelineSpec planted-pair spec pins pair-level recall ≥ 0.9.
+    * Rows-only like d06 (the candidate set is parameter-dependent);
+    * the exact d11 is the calibration baseline. */
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsLsh(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      NearDupThreshold)
+
+  /** Core of d12, reusable on any (vec_id, embedding) relation —
+    * the PipelineSpec recall pin runs it over planted duplicates. */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val signed = emb.withColumn("sig", lshSignature("embedding"))
+    def banded(df: DataFrame) = df
+      .select(col("*"), explode(sequence(lit(0), lit(Tables8 - 1))).as("t"))
+      .withColumn("bucket", expr(
+        s"(sig >> (t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}"))
+    val a = banded(signed)
+      .select(col("vec_id").as("keep_id"), col("embedding").as("a_emb"),
+        col("t"), col("bucket"))
+    val b = banded(signed)
+      .select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"),
+        col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("keep_id") < col("dup_id"))
+      .dropDuplicates(Seq("keep_id", "dup_id"))
+      .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("keep_id"), col("dup_id"), col("cos"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
   /** d06: ANN via LSH buckets — candidates meet only inside a
     * (table, bucket) cell; brute-force cosine ranks within it. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

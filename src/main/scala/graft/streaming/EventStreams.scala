@@ -159,6 +159,65 @@ object EventStreams {
       |FROM events
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
+  /** Stream-static enrich join + windowed agg: the event stream joins
+    * a small static dimension (broadcast — no shuffle of the stream,
+    * and no join state: the static side is re-resolvable per
+    * micro-batch, so unlike a stream-stream join nothing ages out).
+    * Written once against DataFrames so the identical plan runs as a
+    * batch query (oracle-verified) and as a streaming query
+    * (spec: file source + memory sink equals the batch answer). This
+    * is THE enrichment shape of a 100 TB event pipeline: dimension
+    * broadcast to every executor, stream partitions never move. */
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"),
+        col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+
+  /** s05 batch form of [[enrichAgg]]. */
+  def s05StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    enrichAgg(
+      Tables.load(spark, dir, "events"),
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("c_nationkey"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("c_nationkey"))
+
+  val s05Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR)
+      |    AS w_start,
+      |  c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY w_start, c_nationkey""".stripMargin
+
+  /** s05 as a real streaming query: file-source event stream joined
+    * to the static customer dimension; used by the spec. */
+  def streamingEnrichAgg(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = Tables.load(spark, dir, "events").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(batchSchema.fields.foldLeft(
+        new org.apache.spark.sql.types.StructType()) { (st, f) =>
+        if (f.name == "ts")
+          st.add("ts", org.apache.spark.sql.types.LongType)
+        else st.add(f)
+      })
+      .parquet(dir)
+    enrichAgg(
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("c_nationkey"), col("n"), col("sum_value"))
+  }
+
   /** Stream-stream interval join — click attribution: each click
     * matches its impression if it arrives within `horizonMinutes` of
     * it. Both sides carry watermarks and the join condition bounds

@@ -123,6 +123,40 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall on planted pairs: $hits/$total")
   }
 
+  test("d12 near-dup pairs are a subset of exact d11 (precision 1.0)") {
+    // the LSH path verifies every candidate with the same exact
+    // cosine, so it can MISS pairs but never invent one
+    val exact = Similarity.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embedNearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH invented pairs: ${lsh -- exact}")
+  }
+
+  test("d12 LSH near-dup recall >= 0.9 on planted near-identical pairs") {
+    import org.apache.spark.sql.functions._
+    // plant a 1%-perturbed copy of every vector (cosine ~0.9999) at
+    // vec_id + 10000 and require the bucketed pair pipeline to
+    // RECOVER >= 90% of the planted pairs end-to-end (not just
+    // co-bucket the signatures — this runs the full candidate join +
+    // exact verify)
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)
+          .cast("float")).as("embedding"))
+    val pairs = Similarity
+      .nearDupPairsLsh(emb.union(planted), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val total = emb.count()
+    val recovered = (0L until total)
+      .count(id => pairs.contains((id, id + 10000L)))
+    assert(recovered.toDouble / total >= 0.9,
+      s"pair recall: $recovered/$total")
+  }
+
   test("fingerprint expression matches a reference implementation") {
     val got = TextAnalysis.fingerprintDocs(spark, sf)
       .limit(5).collect()
@@ -156,6 +190,22 @@ class PipelineSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val streamed = spark.table("s01_stream").as[(String, String, Long,
+        Double)].collect().map(t => (t._1, t._2, t._3)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-static enrich join equals the batch plan (memory sink)") {
+    import spark.implicits._
+    val batch = EventStreams.s05StreamEnrich(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val q = EventStreams.streamingEnrichAgg(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s05_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s05_stream").as[(String, Int, Long,
         Double)].collect().map(t => (t._1, t._2, t._3)).toSet
       assert(streamed == batch)
     } finally q.stop()

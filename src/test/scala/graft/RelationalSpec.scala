@@ -140,8 +140,11 @@ class RelationalSpec extends AnyFunSuite {
     // d05 broadcasts an 8-row query set and d10 a 16-row centroid set
     // against the candidates on purpose — the legitimate
     // broadcast-nested-loops in the suite (the big side streams once;
-    // nothing quadratic in the data)
-    val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign")
+    // nothing quadratic in the data). d11 is the declared-exact
+    // all-pairs near-dup VALIDATION form (its production path is
+    // d12's bucketed equi-join, which is not in this allowlist).
+    val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
+      "d11_embed_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
