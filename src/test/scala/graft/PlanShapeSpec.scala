@@ -86,4 +86,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // scan stage (no shuffle at all except the output sort)
     assert(count(p, "Exchange") <= 1, p)
   }
+
+  test("s05 enrich joins the dimension by broadcast and partial-aggregates") {
+    val p = plan("s05_stream_enrich")
+    // the stream side must NOT shuffle for the join: the dimension
+    // broadcasts (the 100 TB enrichment shape), and the windowed agg
+    // map-side combines before its exchange
+    assert(p.contains("BroadcastHashJoin"), s"s05 dim not broadcast:\n$p")
+    assert(p.contains("partial_"), s"s05 agg has no partial combine:\n$p")
+  }
+
+  test("d12 candidate generation is an equi-join on banded signatures") {
+    val p = plan("d12_embed_neardup_lsh")
+    // the scale path must never degrade to an all-pairs loop: the
+    // candidate join is hash-partitioned on (t, bucket)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"d12 went quadratic:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"d12 lost its equi-join:\n$p")
+  }
 }
