@@ -167,8 +167,14 @@ object Similarity {
     * this exact form is what you run on a sample to CALIBRATE that
     * path's recall. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // the probe side arrives as ONE parquet split at validation scale
+    // — without a spread, every one of the n²/2 cosine evaluations
+    // runs on a single core while 31 idle; round-robin it across the
+    // session's shuffle width first (cheap: n rows, not n²)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+      .repartition(width)
     val right = emb
       .select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"))
     emb.join(broadcast(right), col("vec_id") < col("dup_id"))
