@@ -212,23 +212,51 @@ object Similarity {
         .select(col("vec_id"), col("embedding")),
       NearDupThreshold)
 
+  /** Bucket cap for d12's candidate join — same role as d02's
+    * MaxBucketSize: a degenerate cell (mass-duplicated vectors all
+    * hashing alike) would emit n²/2 candidates and dominate the job;
+    * cells past the cap are dropped, trading bounded recall loss for
+    * bounded work. */
+  val NearDupMaxBucket = 10000L
+
   /** Core of d12, reusable on any (vec_id, embedding) relation —
-    * the PipelineSpec recall pin runs it over planted duplicates. */
-  def nearDupPairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
-    val signed = emb.withColumn("sig", lshSignature("embedding"))
-    def banded(df: DataFrame) = df
-      .select(col("*"), explode(sequence(lit(0), lit(Tables8 - 1))).as("t"))
+    * the PipelineSpec recall pin runs it over planted duplicates.
+    * The candidate relation stays NARROW — (vec_id, t, bucket) only,
+    * then (keep_id, dup_id) through the distinct — so the bucket
+    * self-join and the pair dedup never shuffle the vectors; the
+    * embeddings re-attach to the (few) surviving candidates by id
+    * (the d02 shape: at dedup scale most pairs ARE duplicates, and
+    * carrying two vectors per candidate through the shuffles is the
+    * difference between moving ids and moving the corpus). */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double,
+      maxBucket: Long = NearDupMaxBucket): DataFrame = {
+    val bandedNarrow = emb
+      .withColumn("sig", lshSignature("embedding"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(Tables8 - 1))).as("t"),
+        col("sig"))
       .withColumn("bucket", expr(
         s"(sig >> (t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}"))
-    val a = banded(signed)
-      .select(col("vec_id").as("keep_id"), col("embedding").as("a_emb"),
+      .select(col("vec_id"), col("t"), col("bucket"))
+    // one narrow aggregate bounds every cell before the self-join
+    val bounded = bandedNarrow.join(
+      bandedNarrow.groupBy(col("t"), col("bucket"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") <= maxBucket)
+        .select(col("t"), col("bucket")),
+      Seq("t", "bucket"))
+    val cand = bounded.select(col("vec_id").as("keep_id"),
         col("t"), col("bucket"))
-    val b = banded(signed)
-      .select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"),
-        col("t"), col("bucket"))
-    a.join(b, Seq("t", "bucket"))
+      .join(bounded.select(col("vec_id").as("dup_id"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
       .filter(col("keep_id") < col("dup_id"))
+      .select(col("keep_id"), col("dup_id"))
       .dropDuplicates(Seq("keep_id", "dup_id"))
+    cand
+      .join(emb.select(col("vec_id").as("keep_id"),
+        col("embedding").as("a_emb")), Seq("keep_id"))
+      .join(emb.select(col("vec_id").as("dup_id"),
+        col("embedding").as("b_emb")), Seq("dup_id"))
       .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("keep_id"), col("dup_id"), col("cos"))
