@@ -337,6 +337,50 @@ class MapsforgeSpec extends AnyFunSuite {
     assert(got.forall { case (id, vals) => vals(1) == id * 3 })
   }
 
+  test("SQLite writer spills pages past the cache bound (streamed store)") {
+    import graft.sources.SqliteWriter
+    import SqliteWriter.Table
+    // the file-backed PageStore keeps at most MaxCachedPages (1024 ×
+    // 4 KiB = 4 MiB) in memory; this database is ~9 MiB so completed
+    // pages spill and late patches (overflow back-links, the page-1
+    // re-home, the final header) hit RE-READ pages — the paths no
+    // small-file test touches. 2 KiB strings keep leaves multi-row;
+    // 20 KiB blobs force overflow chains that straddle evictions.
+    val path = java.nio.file.Files.createTempDirectory("graft-sql-spill")
+      .resolve("s.db").toString
+    val nSmall = 3500; val nBig = 200
+    def blob(i: Int) =
+      Array.tabulate[Byte](20000)(j => ((i * 31 + j) & 0xFF).toByte)
+    SqliteWriter.write(path, Seq(Table("t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT, b BLOB)",
+      (1 to nSmall + nBig).iterator.map { i =>
+        if (i <= nSmall) Seq(i.toLong, ("x" * 2000) + i, null)
+        else Seq(i.toLong, null, blob(i))
+      },
+      rowidCol = Some(0))))
+    assert(new java.io.File(path).length() > 8L * 1024 * 1024,
+      "fixture too small to cross the cache bound")
+    val got = new SqliteWriter.Reader.Db(path).tableRows("t")
+    assert(got.size == nSmall + nBig)
+    assert(got.map(_._1) == (1 to nSmall + nBig).map(_.toLong))
+    assert(got.take(nSmall).forall { case (id, vals) =>
+      vals(1) == ("x" * 2000) + id })
+    assert(got.drop(nSmall).forall { case (id, vals) =>
+      java.util.Arrays.equals(vals(2).asInstanceOf[Array[Byte]],
+        blob(id.toInt)) })
+    // the REAL engine's structural validation (covers freelist, cell
+    // ordering, overflow chain integrity) when python3 is available
+    val ic = try {
+      scala.sys.process.Process(Seq("python3", "-c",
+        s"""import sqlite3,sys
+           |c=sqlite3.connect("$path")
+           |print(c.execute("PRAGMA integrity_check").fetchone()[0])
+           |n,=c.execute("SELECT COUNT(*) FROM t").fetchone()
+           |sys.exit(0 if n==${nSmall + nBig} else 1)""".stripMargin)).! == 0
+    } catch { case _: Throwable => true } // no python3: Reader pass stands
+    assert(ic, "real-engine integrity_check failed on the spilled file")
+  }
+
   test("map2db decodes each source tile exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-once").toString
     val t = FdoSink.map2db(spark, mapPath, out)
