@@ -86,13 +86,19 @@ object TextCodec {
     * building at all (vs the interpreted
     * `transform(sequence, element_at)` HOF). Fewer than two words →
     * empty array, mirroring the `when(size >= 2, ...)` guard. */
-  def bigrams(s: UTF8String): ArrayData = {
+  def bigrams(s: UTF8String): ArrayData = wordNgrams(s, 2)
+
+  /** Adjacent word n-grams, generalizing [[bigrams]]: each n-gram is
+    * a contiguous substring of the single-space-separated input, so
+    * the result array wraps byte ranges — no string building. Fewer
+    * than n words → empty array (the oracle's `ELSE []`). */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // word start offsets
     var nWords = 1
     var i = 0
     while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
-    if (nWords < 2) return new GenericArrayData(Array.empty[Any])
+    if (nWords < n) return new GenericArrayData(Array.empty[Any])
     val starts = new Array[Int](nWords)
     val ends = new Array[Int](nWords)
     var w = 0; var wordStart = 0
@@ -103,10 +109,11 @@ object TextCodec {
       }
       i += 1
     }
-    val out = new Array[Any](nWords - 1)
+    val out = new Array[Any](nWords - n + 1)
     var b = 0
-    while (b < nWords - 1) {
-      out(b) = UTF8String.fromBytes(bytes, starts(b), ends(b + 1) - starts(b))
+    while (b < nWords - n + 1) {
+      out(b) =
+        UTF8String.fromBytes(bytes, starts(b), ends(b + n - 1) - starts(b))
       b += 1
     }
     new GenericArrayData(out)
@@ -157,6 +164,23 @@ case class Bigrams(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Zero-copy adjacent word n-grams (see TextCodec.wordNgrams); `n`
+  * is fixed at plan time. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be positive, got $n")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextCodec.wordNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextCodec.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextFunctions {
   def fingerprint(c: Column): Column =
     GraftShim.column(Fingerprint(GraftShim.expression(c)))
@@ -169,6 +193,9 @@ object TextFunctions {
   /** Adjacent-word bigram array over trimmed text. */
   def bigrams(text: Column): Column =
     GraftShim.column(Bigrams(GraftShim.expression(trim(text))))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftShim.column(WordNgrams(GraftShim.expression(trim(text)), n))
 
   /** Whitespace tokens of trimmed text. */
   def words(text: Column): Column = split(trim(text), " ")

@@ -21,6 +21,7 @@ object PipelineOps {
     "d10_ivf_assign" -> (Similarity.d10IvfAssign _),
     "d11_embed_neardup" -> (Similarity.embedNearDup _),
     "d12_embed_neardup_lsh" -> (Similarity.embedNearDupLsh _),
+    "d13_decontaminate" -> (TextAnalysis.d13Decontaminate _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
@@ -48,6 +49,7 @@ object PipelineOps {
     "d09_stratified_sample" -> Sampling.d09Sql,
     "d10_ivf_assign" -> Similarity.d10Sql,
     "d11_embed_neardup" -> Similarity.embedNearDupSql,
+    "d13_decontaminate" -> TextAnalysis.decontaminateSql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,

@@ -279,4 +279,55 @@ object TextAnalysis {
        |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
        |ORDER BY lang, rank""".stripMargin
   }
+
+  /** Benchmark set for d13: the first [[EvalDocs]] doc_ids stand in
+    * for an eval/benchmark corpus; everything else is "training
+    * data" to be screened against it. */
+  val EvalDocs = 20
+
+  /** Overlap n-gram size. 4 words is long enough that chance
+    * collisions are rare but boilerplate/verbatim reuse still hits. */
+  val ContamN = 4
+
+  /** d13: train/eval DECONTAMINATION — the pipeline step that keeps
+    * benchmark text out of the training corpus. Every distinct word
+    * 4-gram of the (small, by construction) eval set broadcasts;
+    * training docs match by n-gram equi-join — the big side never
+    * shuffles for the join, and the n-gram arrays come from the
+    * zero-copy WordNgrams kernel, not an interpreted HOF. Output:
+    * each contaminated doc with its count of distinct shared 4-grams
+    * (the triage score deciding drop vs manual review). */
+  def d13Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = explode(
+      array_distinct(TextFunctions.wordNgrams(col("text"), ContamN)))
+    val bench = docs.filter(col("doc_id") < EvalDocs)
+      .select(grams.as("gram")).distinct()
+    val train = docs.filter(col("doc_id") >= EvalDocs)
+      .select(col("doc_id"), grams.as("gram"))
+    train.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val w = TextFunctions.wordsSql
+    val parts = (0 until ContamN)
+      .map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, $w AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $ContamN THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1, len(ws) - ${ContamN - 1}),
+       |      i -> $parts))
+       |    ELSE [] END) AS gram
+       |  FROM w),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
+       |train AS (SELECT doc_id, gram FROM g WHERE doc_id >= $EvalDocs)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM train JOIN bench USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

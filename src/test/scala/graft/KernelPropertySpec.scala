@@ -132,6 +132,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordNgrams kernel equals sliding-window join; bigrams = n2") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(word).map(_.mkString(" ").trim)
+    forAll2(text, Gen.choose(1, 6)) { (t, n) =>
+      def arr(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      val got = arr(TextCodec.wordNgrams(UTF8String.fromString(t), n))
+      val ws = t.split(" ", -1).toSeq
+      val expected =
+        if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      got == expected &&
+        arr(TextCodec.bigrams(UTF8String.fromString(t))) ==
+          arr(TextCodec.wordNgrams(UTF8String.fromString(t), 2))
+    }
+  }
+
   test("rolling fingerprint composes: fp(a++b) from fp(a), fp(b)") {
     val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     forAll2(ascii, ascii) { (a, b) =>
