@@ -92,6 +92,10 @@ object GraftExtensions {
     fn("graft_bigrams",
       "graft_bigrams(text) - adjacent-word bigram array (zero-copy)",
       e => Bigrams(e.head)),
+    fn("graft_word_ngrams",
+      "graft_word_ngrams(text, n) - adjacent word n-gram array" +
+        " (zero-copy)",
+      e => WordNgrams(e.head, intArg(e(1), "graft_word_ngrams"))),
     fn("graft_l2_norm",
       "graft_l2_norm(vec) - L2 norm of a float vector",
       e => L2Norm(e.head)),

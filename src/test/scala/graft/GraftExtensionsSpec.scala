@@ -67,6 +67,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Number](2).intValue == 7)
     assert(r.getAs[Number](3).intValue == 2)
     assert(r.getDouble(4) == 5.0)
+    val ng = spark.sql(
+      "SELECT graft_word_ngrams('a b c d', 3) AS g3," +
+        " graft_word_ngrams('a b', 3) AS g_short").collect().head
+    assert(ng.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(ng.getSeq[String](1).isEmpty)
   }
 
   test("tile SQL functions match the reference transforms") {
