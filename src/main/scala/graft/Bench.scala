@@ -56,28 +56,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    // Scale drill: if the 10x bench replica exists (tools/gen_sf.py →
-    // localdata/sf1), also run a bounded headline subset at sf1 so
-    // every bench report carries a next-scale-factor section without
-    // an unbounded wall-clock cost.
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-      "/root/repo/localdata/sf1")
-    val sf1Keys = Seq("q01_pricing_summary", "q09_conditional_agg",
-      "q10_union_merge", "q24_window_frames", "d01_exact_dedup",
-      "d02_minhash_lsh", "d12_embed_neardup_lsh", "t01_lang_id",
-      "t05_bigram_freq", "s01_window_agg", "s05_stream_enrich",
-      "g11_polyline_length")
-    val sf1Json =
-      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) ""
+    // Scale drills: if a replica exists (tools/gen_sf.py →
+    // localdata/sf1 at 10x, localdata/sf10 at 100x), also run a
+    // bounded headline subset there, so every bench report carries a
+    // scale CURVE (sf0.1 → sf1 → sf10) without unbounded wall-clock
+    // cost. The sf10 list holds only plant-semantics-safe queries
+    // (doc_id offsets stay below the 1e6 plant boundary, but the
+    // minhash corpus at 100x would dominate the run).
+    def drill(tag: String, dir: String, keys: Seq[String]): String =
+      if (!new java.io.File(dir).isDirectory || only.isDefined) ""
       else {
-        val ran = sf1Keys.flatMap(k => SparkEntry.queries.get(k)
+        val ran = keys.flatMap(k => SparkEntry.queries.get(k)
           .map(fn => (k, fn))).map { case (name, fn) =>
           graft.operators.Dedup.releaseLshCache()
-        graft.operators.MapBench.releaseFleetCache()
+          graft.operators.MapBench.releaseFleetCache()
           val t0 = System.nanoTime()
           val err =
             try {
-              fn(spark, sf1Dir).write.format("noop").mode("overwrite")
+              fn(spark, dir).write.format("noop").mode("overwrite")
                 .save()
               None
             } catch { case e: Throwable =>
@@ -89,14 +85,26 @@ object Bench {
         val entries = ran.map { case (name, v, err) =>
           "\"" + name + "\":" + (if (err.isDefined) "-1" else fmt(v))
         }
-        val sf1Errs = ran.collect { case (k, _, Some(m)) =>
+        val drillErrs = ran.collect { case (k, _, Some(m)) =>
           "\"" + k + "\":\"" + m + "\""
         }
         val errPart =
-          if (sf1Errs.isEmpty) ""
-          else s""","sf1_errors":${sf1Errs.mkString("{", ",", "}")}"""
-        s""","sf1":{${entries.mkString(",")}}$errPart,"sf1_dir":"$sf1Dir""""
+          if (drillErrs.isEmpty) ""
+          else s""","${tag}_errors":${drillErrs.mkString("{", ",", "}")}"""
+        s""","$tag":{${entries.mkString(",")}}$errPart"""
       }
+    val sf1Json = drill("sf1",
+      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1"),
+      Seq("q01_pricing_summary", "q09_conditional_agg",
+        "q10_union_merge", "q24_window_frames", "d01_exact_dedup",
+        "d02_minhash_lsh", "d12_embed_neardup_lsh", "t01_lang_id",
+        "t05_bigram_freq", "s01_window_agg", "s05_stream_enrich",
+        "g11_polyline_length")) +
+      drill("sf10",
+        sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+          "/root/repo/localdata/sf10"),
+        Seq("q01_pricing_summary", "d01_exact_dedup",
+          "s01_window_agg", "g11_polyline_length"))
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
     // only per-query against the same execution mode. Keep this line

@@ -62,9 +62,19 @@ def main(src, dst, factor):
         "SELECT event_id + {i}*10000000 AS event_id,"
         " CAST(ts AS TIMESTAMP_NS) AS ts,"
         " user_id + {i}*1000000 AS user_id, event_type, value, props")
+    # doc_id must stay below the 1e6 near-dup plant offset for EVERY
+    # copy, so the per-copy step shrinks with the factor (factor 10 →
+    # 100000, identical to the original sf1 generation; factor 100 →
+    # 10000). Guarded so a too-large source can't silently collide.
+    doc_step = 1000000 // int(factor)
+    max_doc = con.execute(
+        f"SELECT max(doc_id) FROM '{src}/documents.parquet'").fetchone()[0]
+    assert max_doc < doc_step, (
+        f"source doc_id {max_doc} >= step {doc_step}: ids would cross"
+        " the 1e6 plant boundary")
     gen("documents",
-        "SELECT doc_id + {i}*100000 AS doc_id, text, lang, source,"
-        " n_chars")
+        "SELECT doc_id + {i}*" + str(doc_step) + " AS doc_id, text,"
+        " lang, source, n_chars")
     gen("embeddings",
         "SELECT vec_id + {i}*100000 AS vec_id, embedding, label")
     print(f"OK: {dst} (factor {factor})")
