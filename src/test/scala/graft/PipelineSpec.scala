@@ -288,6 +288,46 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionize runs under the RocksDB state store") {
+    // the 100 TB streaming answer for state larger than executor
+    // memory: the SAME flatMapGroupsWithState plan, with only the
+    // state store provider swapped to RocksDB (disk-backed,
+    // incremental-checkpoint). Results must be identical to the
+    // default in-memory provider run above.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    def ev(uid: Long, minute: Long) =
+      EventStreams.Event(uid, new Timestamp(minute * 60000L), "click")
+    val q = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_rocksdb").start()
+    try {
+      input.addData(ev(1, 0), ev(1, 10), ev(2, 5))
+      q.processAllAvailable()
+      input.addData(ev(1, 60), ev(2, 50)) // close both sessions
+      q.processAllAvailable()
+      val out = spark.table("sessions_rocksdb")
+        .as[EventStreams.Session].collect()
+        .map(s => (s.user_id, s.n_events)).sorted.toSeq
+      assert(out == Seq((1L, 2), (2L, 1)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert sink is idempotent under replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
