@@ -124,6 +124,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the OTHER skew tool besides manual salting: AQE detects an
+    // oversized shuffle partition after the map stage and splits it.
+    // Thresholds are lowered so a ~MB hot key triggers what a ~GB hot
+    // key triggers in production; the executed plan must carry the
+    // skew=true marker on the join.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(confs(0), "262144")   // 256 KB counts as skewed
+      spark.conf.set(confs(1), "65536")    // split to ~64 KB targets
+      spark.conf.set(confs(2), "2")
+      spark.conf.set(confs(3), "-1")       // force the shuffle join
+      // one key owns ~95% of 200k fact rows with a fat payload column
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 20 === 0, col("id") % 7)
+          .otherwise(lit(42L)).as("k"),
+          concat(lit("p"), col("id"), lit("x" * 64)).as("payload"))
+      val dim = spark.range(0, 50).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataset's own QueryExecution (count() would plan
+      // a separate agg tree and leave this one's AQE un-finalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("NTZ load is exact across a DST fall-back hour") {
     // US DST ended 2025-11-02 02:00 EDT: UTC 05:30 and 06:30 BOTH
     // read 01:30 on the America/New_York wall clock. A local-zone
