@@ -235,6 +235,50 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** d14: duplicate clusters at MASS-DUPLICATION scale — the
+    * composition that survives when most of the corpus IS duplicates.
+    * d02/d07 materialize every co-bucket pair: exact and
+    * oracle-checkable, but O(s²) edges per bucket, quadratic in
+    * duplication depth — on the 100×-replicated bench corpus the
+    * pair relation runs to tens of millions of rows (measured 67 s at
+    * sf10). Here each (band, bucket) cell emits only a STAR —
+    * (min_member, member) — O(s) edges that preserve the cell's
+    * connectivity; exact Jaccard still verifies every emitted edge
+    * before clustering. Semantic caveat: connectivity that existed
+    * only through a verification-failing star center is lost (needs a
+    * band-hash collision between dissimilar docs — negligible by
+    * construction); PipelineSpec pins cluster-for-cluster equality
+    * with d07 on the oracle corpus. Output contract matches d07. */
+  def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val signed = withSignature(corpusWithPlants(spark, dir))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val bandedDocs = banded(signed)
+    // one narrow aggregate per cell: its min doc_id (star center) and
+    // size (cap + singleton skip) — the same shape as the d02 bound
+    val roots = bandedDocs.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("root"),
+        count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") >= 2 && col("cell_n") <= MaxBucketSize)
+      .select(col("band"), col("bh"), col("root"))
+    val starEdges = bandedDocs.join(roots, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    val sh = signed.select(col("doc_id"), col("shingles"))
+    val verified = starEdges
+      .join(sh.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("shingles", "sa"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("shingles", "sb"), "b_id")
+      .filter(graft.functions.MinHash.sortedJaccard(
+        col("sa"), col("sb")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    connectedComponents(verified, "a_id", "b_id")
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Oracle: recursive min-label reachability over the same pair set
     * (the d02 oracle's pairs), feasible exactly because dup graphs
     * are small-diameter. Lazy: minhashLshSql initializes later in

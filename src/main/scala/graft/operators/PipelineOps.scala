@@ -22,6 +22,7 @@ object PipelineOps {
     "d11_embed_neardup" -> (Similarity.embedNearDup _),
     "d12_embed_neardup_lsh" -> (Similarity.embedNearDupLsh _),
     "d13_decontaminate" -> (TextAnalysis.d13Decontaminate _),
+    "d14_clusters_scale" -> (Dedup.d14ClustersAtScale _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),
@@ -50,6 +51,9 @@ object PipelineOps {
     "d10_ivf_assign" -> Similarity.d10Sql,
     "d11_embed_neardup" -> Similarity.embedNearDupSql,
     "d13_decontaminate" -> TextAnalysis.decontaminateSql,
+    // d14 intentionally shares d07's oracle: the star reduction must
+    // land on the SAME clusters as the all-pairs path on this corpus
+    "d14_clusters_scale" -> Dedup.dedupClustersSql,
     "t01_lang_id" -> TextAnalysis.langIdSql,
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_token_count" -> TextAnalysis.tokenCountSql,

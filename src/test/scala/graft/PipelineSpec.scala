@@ -123,6 +123,20 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall on planted pairs: $hits/$total")
   }
 
+  test("d14 star-reduced clusters equal d07's pairwise clusters") {
+    // the star reduction emits O(s) edges per bucket instead of
+    // O(s²) but must land on the SAME clusters wherever band-hash
+    // collisions between dissimilar docs don't occur (true on this
+    // corpus by construction)
+    Dedup.releaseLshCache()
+    val full = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Dedup.d14ClustersAtScale(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == full,
+      s"missing=${full -- star} extra=${star -- full}")
+  }
+
   test("d12 near-dup pairs are a subset of exact d11 (precision 1.0)") {
     // the LSH path verifies every candidate with the same exact
     // cosine, so it can MISS pairs but never invent one
