@@ -104,8 +104,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
           "/root/repo/localdata/sf10"),
         Seq("q01_pricing_summary", "d01_exact_dedup",
-          "d14_clusters_scale", "s01_window_agg",
-          "g11_polyline_length"))
+          "d14_clusters_scale", "d15_embed_clusters_scale",
+          "s01_window_agg", "g11_polyline_length"))
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
     // only per-query against the same execution mode. Keep this line

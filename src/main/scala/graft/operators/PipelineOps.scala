@@ -23,6 +23,7 @@ object PipelineOps {
     "d12_embed_neardup_lsh" -> (Similarity.embedNearDupLsh _),
     "d13_decontaminate" -> (TextAnalysis.d13Decontaminate _),
     "d14_clusters_scale" -> (Dedup.d14ClustersAtScale _),
+    "d15_embed_clusters_scale" -> (Similarity.d15EmbedClustersScale _),
     "t01_lang_id" -> (TextAnalysis.langId _),
     "t02_quality_score" -> (TextAnalysis.qualityScore _),
     "t03_token_count" -> (TextAnalysis.tokenCount _),

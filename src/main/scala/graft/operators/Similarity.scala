@@ -263,6 +263,51 @@ object Similarity {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
+  /** d15: embedding duplicate CLUSTERS at mass-duplication scale.
+    * d12 materializes every verified co-bucket pair, quadratic in
+    * duplication depth (measured 545 s on the 100×-replicated sf10
+    * corpus, where ~100 copies of each vector share every bucket).
+    * The fix is a different composition than d14's star reduction:
+    * embedding LSH cells are only 8 bits wide, so a cell's min-id
+    * "star center" is usually a DISSIMILAR stranger and verification
+    * severs the star (measured: 21% of planted pairs lost). Instead,
+    * (1) collapse EXACT duplicates first — groupBy(embedding),
+    * min(vec_id) as representative, one linear shuffle that absorbs
+    * the entire duplication depth — then (2) run the pairwise
+    * [[nearDupPairsLsh]] (whose ≥0.9 pair recall is already pinned)
+    * over the representatives only, and (3) cluster representatives
+    * by connected components, weighting each by its exact-copy
+    * count. Output: (keep_id, cluster_size) histogram over ORIGINAL
+    * rows, matching d07/d14's contract shape. */
+  def d15EmbedClustersScale(spark: SparkSession, dir: String): DataFrame =
+    embedClustersLsh(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      NearDupThreshold)
+
+  /** Core of d15, reusable on any (vec_id, embedding) relation. */
+  def embedClustersLsh(emb: DataFrame, threshold: Double,
+      maxBucket: Long = NearDupMaxBucket): DataFrame = {
+    // exact collapse: identical vectors → one representative row
+    // carrying its member count (grouping on the raw array column —
+    // bit-exact equality, which is what replicated/mass-dup data has)
+    val reps = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        count(lit(1)).as("n_members"))
+    val edges = nearDupPairsLsh(
+      reps.select(col("vec_id"), col("embedding")), threshold, maxBucket)
+      .select(col("keep_id").as("a_id"), col("dup_id").as("b_id"))
+    val labels = Dedup.connectedComponents(edges, "a_id", "b_id")
+    // representatives untouched by any edge are singleton clusters
+    reps.select(col("vec_id"), col("n_members"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"),
+        "left")
+      .withColumn("label", coalesce(col("label"), col("vec_id")))
+      .groupBy(col("label").as("keep_id"))
+      .agg(sum(col("n_members")).cast("long").as("cluster_size"))
+      .orderBy(col("keep_id"))
+  }
+
   /** d06: ANN via LSH buckets — candidates meet only inside a
     * (table, bucket) cell; brute-force cosine ranks within it. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -137,6 +137,31 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${full -- star} extra=${star -- full}")
   }
 
+  test("d15 LSH clusters co-cluster >=90% of planted embedding dups") {
+    import org.apache.spark.sql.functions._
+    // same planted corpus as the d12 recall pin, but judged on the
+    // END product: original and its near-identical copy must land in
+    // the SAME cluster after star edges + verify + components
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)
+          .cast("float")).as("embedding"))
+    val labels = Similarity
+      .embedClustersLsh(emb.union(planted), threshold = 0.99)
+    // at threshold 0.99 a plant is near only its OWN original (raw
+    // originals top out at cos ~0.51), so a cluster of size >= 2
+    // rooted at an original id (the pair's min) means exactly "this
+    // original co-clustered with its plant"
+    val total = emb.count()
+    val coClustered = labels
+      .filter(col("keep_id") < 10000L && col("cluster_size") >= 2)
+      .count()
+    assert(coClustered.toDouble / total >= 0.9,
+      s"co-clustered $coClustered/$total planted pairs")
+  }
+
   test("d12 near-dup pairs are a subset of exact d11 (precision 1.0)") {
     // the LSH path verifies every candidate with the same exact
     // cosine, so it can MISS pairs but never invent one
