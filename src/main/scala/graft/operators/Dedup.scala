@@ -248,7 +248,11 @@ object Dedup {
     * only through a verification-failing star center is lost (needs a
     * band-hash collision between dissimilar docs — negligible by
     * construction); PipelineSpec pins cluster-for-cluster equality
-    * with d07 on the oracle corpus. Output contract matches d07. */
+    * with d07 on the oracle corpus. Output contract matches d07.
+    * Production note: when duplication is mostly EXACT (replicated
+    * crawls), compose with d01's exact-collapse first — one linear
+    * shuffle absorbs the duplication depth before any LSH work, the
+    * d15 shape on the embedding side. */
   def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame = {
     val signed = withSignature(corpusWithPlants(spark, dir))
       .select(col("doc_id"), col("shingles"), col("sig"))
