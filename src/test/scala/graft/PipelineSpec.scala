@@ -387,6 +387,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once sink resumes from checkpoint without re-delivery") {
+    import spark.implicits._
+    // crash-restart semantics, not just replay-idempotence: a
+    // restarted query must resume from the committed checkpoint
+    // offsets, so rows delivered before the stop are NOT re-applied
+    // to the sink (counted, since value-idempotence would mask it)
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-restart-src").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-restart-cp").toString
+    val store = new RestartCountingStore
+    def write(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    def start() = {
+      val stream = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("event_id", org.apache.spark.sql.types.LongType)
+          .add("event_type", org.apache.spark.sql.types.StringType))
+        .parquet(src)
+      EventStreams.upsertStream(stream, store)
+        .option("checkpointLocation", cp).start()
+    }
+    write(1L -> "click", 2L -> "view")
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(store.applied.get() == 2)
+    write(3L -> "buy")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(store.data.toMap ==
+      Map(1L -> "click", 2L -> "view", 3L -> "buy"))
+    // 3, not 5: the restarted query applied ONLY the new file
+    assert(store.applied.get() == 3,
+      s"pre-stop rows re-delivered: ${store.applied.get()} applies")
+  }
+
   test("stream-stream interval join attributes clicks within horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -412,4 +449,29 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == Seq(1L))
     } finally q.stop()
   }
+}
+
+/** Counting KeyedStore for the checkpoint-restart spec: state lives
+  * in a JVM-static registry keyed by instance id, so the
+  * closure-deserialized executor-side copy (local mode, one JVM)
+  * updates the same map/counter the driver asserts on. */
+final class RestartCountingStore
+    extends graft.streaming.EventStreams.KeyedStore {
+  private val id = java.util.UUID.randomUUID().toString
+  def data: scala.collection.concurrent.TrieMap[Long, String] =
+    RestartCountingStore.maps.getOrElseUpdate(id,
+      scala.collection.concurrent.TrieMap.empty)
+  def applied: java.util.concurrent.atomic.AtomicLong =
+    RestartCountingStore.counts.getOrElseUpdate(id,
+      new java.util.concurrent.atomic.AtomicLong)
+  override def merge(rows: Seq[(Long, String)]): Unit = {
+    applied.addAndGet(rows.size)
+    rows.foreach { case (k, v) => data.put(k, v) }
+  }
+}
+object RestartCountingStore {
+  val maps = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[Long, String]]
+  val counts = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
 }
