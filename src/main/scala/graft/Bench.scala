@@ -27,6 +27,7 @@ object Bench {
         // a measurement artifact, not a speedup (per-query times must
         // stay comparable across rounds)
         graft.operators.Dedup.releaseLshCache()
+        graft.operators.Similarity.releaseSimCache()
         graft.operators.MapBench.releaseFleetCache()
         val t0 = System.nanoTime()
         // noop sink executes the COMPLETE plan (count() would let
@@ -49,7 +50,8 @@ object Bench {
     // JSON arrived head-truncated and unparseable.
     // 2 decimals (10 ms grain) keeps the whole line inside the
     // driver's stdout tail window even with three drill sections
-    def fmt(v: Double): String = f"$v%.2f"
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
     }.mkString("{", ",", "}")
@@ -71,6 +73,7 @@ object Bench {
         val ran = keys.flatMap(k => SparkEntry.queries.get(k)
           .map(fn => (k, fn))).map { case (name, fn) =>
           graft.operators.Dedup.releaseLshCache()
+          graft.operators.Similarity.releaseSimCache()
           graft.operators.MapBench.releaseFleetCache()
           val t0 = System.nanoTime()
           val err =

@@ -114,11 +114,16 @@ object Dedup {
     .empty[(SparkSession, String, Long), (DataFrame, Seq[DataFrame])]
 
   def releaseLshCache(): Unit = {
-    lshCache.values.foreach { case (_, pinned) =>
+    (lshCache.values ++ d14Cache.values).foreach { case (_, pinned) =>
       pinned.foreach(_.unpersist())
     }
     lshCache.clear()
+    d14Cache.clear()
   }
+
+  /** d14's pinned pipeline, same lifecycle as [[lshCache]]. */
+  private val d14Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
 
   def minhashLshCapped(spark: SparkSession, dir: String,
       maxBucket: Long): DataFrame = {
@@ -253,9 +258,18 @@ object Dedup {
     * crawls), compose with d01's exact-collapse first — one linear
     * shuffle absorbs the duplication depth before any LSH work, the
     * d15 shape on the embedding side. */
-  def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame = {
-    val signed = withSignature(corpusWithPlants(spark, dir))
-      .select(col("doc_id"), col("shingles"), col("sig"))
+  def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame =
+    d14Cache.getOrElseUpdate((spark, dir), {
+      // signed feeds the banded relation (2 uses: roots + star join)
+      // and the shingle re-attach (2 uses) — pin it so the shingle +
+      // MinHash kernel pass over the corpus runs exactly once
+      val signed = withSignature(corpusWithPlants(spark, dir))
+        .select(col("doc_id"), col("shingles"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (d14Body(signed), Seq(signed))
+    })._1
+
+  private def d14Body(signed: DataFrame): DataFrame = {
     val bandedDocs = banded(signed)
     // one narrow aggregate per cell: its min doc_id (star center) and
     // size (cap + singleton skip) — the same shape as the d02 bound

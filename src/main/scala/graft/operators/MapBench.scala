@@ -46,13 +46,23 @@ object MapBench {
     * not the workload under comparison. Same cache keys as
     * [[g13MapPipeline]]/[[g14FleetScan]] compute. */
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
-    val events = Tables.load(spark, dir, "events").count()
-    val n13 = math.min(events, 60000L)
+    val n13 = g13FixtureSize(spark, dir)
     mapCache.getOrElseUpdate(n13, writeMap(n13))
-    val n14 = math.min(events / 10, 6000L)
+    val n14 = g14FixtureSize(spark, dir)
     mapCache.getOrElseUpdate(n14, writeMap(n14))
     mapCache.getOrElseUpdate(n14 / 2, writeMap(n14 / 2))
   }
+
+  /** Fixture sizing shared by the warmer and the queries — if these
+    * ever diverge, the warm encode misses the cache and driver-side
+    * encoding silently lands back inside the measured time. Sized
+    * from the scale factor (events row count), capped so the
+    * driver-side encode stays a fraction of the pipeline time. */
+  private def g13FixtureSize(spark: SparkSession, dir: String): Long =
+    math.min(Tables.load(spark, dir, "events").count(), 60000L)
+
+  private def g14FixtureSize(spark: SparkSession, dir: String): Long =
+    math.min(Tables.load(spark, dir, "events").count() / 10, 6000L)
 
   // fractional variants of Mapsforge.lonFromX/latFromY for positions
   // INSIDE a tile (the reader's helpers take integer tile corners)
@@ -172,8 +182,7 @@ object MapBench {
     * Rows-only (no SQL oracle can re-decode the binary); the
     * two-file row-tagging invariants are pinned by NonDblMapSpec. */
   def g14FleetScan(spark: SparkSession, dir: String): DataFrame = {
-    val n = math.min(
-      Tables.load(spark, dir, "events").count() / 10, 6000L)
+    val n = g14FixtureSize(spark, dir)
     val p1 = mapCache.getOrElseUpdate(n, writeMap(n))
     val p2 = mapCache.getOrElseUpdate(n / 2, writeMap(n / 2))
     // cached scan: the poi and way aggregates are two consumers of
@@ -195,9 +204,7 @@ object MapBench {
   }
 
   def g13MapPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // size the map from the scale factor (events row count), capped
-    // so the driver-side encode stays a fraction of the pipeline time
-    val n = math.min(Tables.load(spark, dir, "events").count(), 60000L)
+    val n = g13FixtureSize(spark, dir)
     val path = mapCache.getOrElseUpdate(n, writeMap(n))
     val out = java.nio.file.Files
       .createTempDirectory("graft-bench-fdo").toString

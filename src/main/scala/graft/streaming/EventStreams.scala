@@ -42,12 +42,15 @@ object EventStreams {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
-  /** The same aggregation as a real streaming query over a file
-    * source; used by the spec. */
-  def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source event stream with the same ts semantics as the
+    * batch loader (nanos-as-long parquet read, micros conversion) —
+    * the ONE place the stream-vs-batch ts handling lives, shared by
+    * every streaming query so a ts fix can't silently diverge them. */
+  private def streamingEvents(spark: SparkSession, dir: String)
+      : DataFrame = {
     val batchSchema = Tables.load(spark, dir, "events").schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
+    spark.readStream
       .schema(batchSchema.fields.foldLeft(
         new org.apache.spark.sql.types.StructType()) { (st, f) =>
         if (f.name == "ts")
@@ -55,10 +58,15 @@ object EventStreams {
         else st.add(f)
       })
       .parquet(dir)
-    windowedAgg(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The same aggregation as a real streaming query over a file
+    * source; used by the spec. */
+  def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(streamingEvents(spark, dir))
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
-  }
 
   /** Streaming ingest dedup: duplicate event_ids arriving within the
     * watermark horizon are dropped exactly once; dedup state ages out
@@ -199,24 +207,12 @@ object EventStreams {
 
   /** s05 as a real streaming query: file-source event stream joined
     * to the static customer dimension; used by the spec. */
-  def streamingEnrichAgg(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = Tables.load(spark, dir, "events").schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(batchSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType()) { (st, f) =>
-        if (f.name == "ts")
-          st.add("ts", org.apache.spark.sql.types.LongType)
-        else st.add(f)
-      })
-      .parquet(dir)
-    enrichAgg(
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+  def streamingEnrichAgg(spark: SparkSession, dir: String): DataFrame =
+    enrichAgg(streamingEvents(spark, dir),
       Tables.load(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")))
       .select(col("w.start").cast("string").as("w_start"),
         col("c_nationkey"), col("n"), col("sum_value"))
-  }
 
   /** Stream-stream interval join — click attribution: each click
     * matches its impression if it arrives within `horizonMinutes` of
@@ -260,7 +256,7 @@ object EventStreams {
     * deserialized executor-side copy (local mode shares the JVM)
     * merges into the same map the driver asserts on. Cluster targets
     * implement KeyedStore against a real external system instead. */
-  final class InMemoryKeyedStore extends KeyedStore {
+  class InMemoryKeyedStore extends KeyedStore {
     private val id = java.util.UUID.randomUUID().toString
     def data: scala.collection.concurrent.TrieMap[Long, String] =
       InMemoryKeyedStore.registry

@@ -374,9 +374,11 @@ class MapsforgeSpec extends AnyFunSuite {
       scala.sys.process.Process(Seq("python3", "-c",
         s"""import sqlite3,sys
            |c=sqlite3.connect("$path")
-           |print(c.execute("PRAGMA integrity_check").fetchone()[0])
+           |ok,=c.execute("PRAGMA integrity_check").fetchone()
+           |print(ok)
            |n,=c.execute("SELECT COUNT(*) FROM t").fetchone()
-           |sys.exit(0 if n==${nSmall + nBig} else 1)""".stripMargin)).! == 0
+           |sys.exit(0 if (ok=="ok" and n==${nSmall + nBig}) else 1)"""
+          .stripMargin)).! == 0
     } catch { case _: Throwable => true } // no python3: Reader pass stands
     assert(ic, "real-engine integrity_check failed on the spilled file")
   }

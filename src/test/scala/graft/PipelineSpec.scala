@@ -451,27 +451,23 @@ class PipelineSpec extends AnyFunSuite {
   }
 }
 
-/** Counting KeyedStore for the checkpoint-restart spec: state lives
-  * in a JVM-static registry keyed by instance id, so the
-  * closure-deserialized executor-side copy (local mode, one JVM)
-  * updates the same map/counter the driver asserts on. */
+/** Counting KeyedStore for the checkpoint-restart spec: reuses
+  * InMemoryKeyedStore's registry-backed data map and adds an applied
+  * counter behind the same registry-id pattern (the counter, like the
+  * data, must be shared between the driver and the
+  * closure-deserialized executor-side copy). */
 final class RestartCountingStore
-    extends graft.streaming.EventStreams.KeyedStore {
-  private val id = java.util.UUID.randomUUID().toString
-  def data: scala.collection.concurrent.TrieMap[Long, String] =
-    RestartCountingStore.maps.getOrElseUpdate(id,
-      scala.collection.concurrent.TrieMap.empty)
+    extends graft.streaming.EventStreams.InMemoryKeyedStore {
+  private val cid = java.util.UUID.randomUUID().toString
   def applied: java.util.concurrent.atomic.AtomicLong =
-    RestartCountingStore.counts.getOrElseUpdate(id,
+    RestartCountingStore.counts.getOrElseUpdate(cid,
       new java.util.concurrent.atomic.AtomicLong)
   override def merge(rows: Seq[(Long, String)]): Unit = {
     applied.addAndGet(rows.size)
-    rows.foreach { case (k, v) => data.put(k, v) }
+    super.merge(rows)
   }
 }
 object RestartCountingStore {
-  val maps = scala.collection.concurrent.TrieMap
-    .empty[String, scala.collection.concurrent.TrieMap[Long, String]]
   val counts = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicLong]
 }

@@ -75,6 +75,10 @@ def main(src, dst, factor):
     gen("documents",
         "SELECT doc_id + {i}*" + str(doc_step) + " AS doc_id, text,"
         " lang, source, n_chars")
+    max_vec = con.execute(
+        f"SELECT max(vec_id) FROM '{src}/embeddings.parquet'").fetchone()[0]
+    assert max_vec < 100000, (
+        f"source vec_id {max_vec} >= step 100000: replica ids would collide")
     gen("embeddings",
         "SELECT vec_id + {i}*100000 AS vec_id, embedding, label")
     print(f"OK: {dst} (factor {factor})")
