@@ -31,6 +31,9 @@ object PipelineOps {
     "t05_bigram_freq" -> (TextAnalysis.t05BigramFreq _),
     "t06_repetition" -> (TextAnalysis.t06Repetition _),
     "t07_normalize" -> (TextAnalysis.t07Normalize _),
+    "t08_pii_scrub" -> (TextAnalysis.t08PiiScrub _),
+    "t09_common_ratio" -> (TextAnalysis.t09CommonRatio _),
+    "d16_boilerplate" -> (TextAnalysis.d16Boilerplate _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "m03_chunk_hash" -> (Multimodal.chunkHash _),
@@ -62,6 +65,9 @@ object PipelineOps {
     "t05_bigram_freq" -> TextAnalysis.bigramFreqSql,
     "t06_repetition" -> TextAnalysis.repetitionSql,
     "t07_normalize" -> TextAnalysis.normalizeSql,
+    "t08_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "t09_common_ratio" -> TextAnalysis.commonRatioSql,
+    "d16_boilerplate" -> TextAnalysis.boilerplateSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "m03_chunk_hash" -> Multimodal.chunkHashSql,

@@ -330,4 +330,167 @@ object TextAnalysis {
        |FROM train JOIN bench USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t08: PII scrubbing -------------------------------------------
+
+  /** Patterns are deliberately RE2-compatible (no backreferences, no
+    * lookaround): the DuckDB oracle and any RE2-based engine run the
+    * SAME expressions, and RE2's linear-time guarantee is what you
+    * want against adversarial inputs at 100 TB anyway. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Redaction composes email -> ip -> phone; an IP inside an email
+    * is consumed by the email token before the IP pass sees it. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** t08: PII scrubbing — the redaction pass every crawl corpus runs
+    * before training. Counts are per-pattern over the ORIGINAL text
+    * (independent audit metrics); `clean` is the redacted text. Pure
+    * codegen'd regexp kernels, embarrassingly parallel — no shuffle
+    * at any scale. The synthetic corpus contains no PII (all counts
+    * 0 — the oracle still pins the full counting + rewrite frame);
+    * planted-PII behavior is pinned by PipelineSpec. */
+  def t08PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long")
+          .as("n_phones"),
+        piiScrub(col("text")).as("clean"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT)
+       |    AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+       |    AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$IpRe', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t09: corpus-statistics quality (common-word ratio) -----------
+
+  /** Head-vocabulary size for t09. A fixed top-K (not a frequency
+    * threshold) keeps the semantics scale-invariant: the head of a
+    * Zipfian vocabulary is bounded, so the broadcast side stays tiny
+    * at any corpus size. */
+  val CommonK = 20
+
+  /** t09: CCNet-shape quality scoring from corpus statistics — pass 1
+    * computes global word frequencies (map-side partial aggregation
+    * absorbs the Zipf head, so "the" never concentrates a shuffle
+    * partition), pass 2 broadcasts the top-K head back and scores
+    * each document by the share of its tokens drawn from it (a
+    * perplexity proxy: gibberish and boilerplate both sit in the
+    * tails). Exact integer counts + one division — oracle-stable. */
+  def t09CommonRatio(spark: SparkSession, dir: String): DataFrame =
+    commonRatio(Tables.load(spark, dir, "documents"))
+
+  /** Core of t09 on any (doc_id, text) relation. */
+  def commonRatio(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("w"))
+    val common = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(CommonK)
+      .select(col("w"), lit(1).as("is_common"))
+    words.join(broadcast(common), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("is_common"), lit(0))).cast("long")
+          .as("n_common"))
+      .withColumn("common_ratio",
+        round(col("n_common").cast("double") / col("n_words"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val commonRatioSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest($w) AS w FROM documents),
+       |common AS (
+       |  SELECT w FROM (SELECT w, count(*) AS cnt FROM w GROUP BY w)
+       |  ORDER BY cnt DESC, w LIMIT $CommonK)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN c.w IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  ROUND(CAST(sum(CASE WHEN c.w IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS common_ratio
+       |FROM w LEFT JOIN common c ON w.w = c.w
+       |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d16: boilerplate (repeated cross-document n-grams) -----------
+
+  val BoilerN = 3
+  val BoilerMinDocs = 3
+
+  /** d16: boilerplate scoring — the C4-style signal for template/
+    * navigation text: the share of a document's distinct word
+    * trigrams that also occur in >= [[BoilerMinDocs]] documents
+    * corpus-wide. Pass 1 counts documents per gram (grams are
+    * per-doc distinct, so count(*) IS the doc count); pass 2 flags
+    * each doc's grams against the common set by EQUI-join (the
+    * boilerplate relation is data-dependent, so no broadcast
+    * assumption) and aggregates the ratio. N-gram arrays come from
+    * the zero-copy WordNgrams kernel. */
+  def d16Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerRatio(Tables.load(spark, dir, "documents"))
+
+  /** Core of d16 on any (doc_id, text) relation. */
+  def boilerRatio(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(array_distinct(
+      TextFunctions.wordNgrams(col("text"), BoilerN))).as("gram"))
+    val common = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("gram"), lit(1).as("is_b"))
+    grams.join(common, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateSql: String = {
+    val w = TextFunctions.wordsSql
+    val parts = (0 until BoilerN)
+      .map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, $w AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $BoilerN THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1, len(ws) - ${BoilerN - 1}),
+       |      i -> $parts))
+       |    ELSE [] END) AS gram
+       |  FROM w),
+       |common AS (
+       |  SELECT gram FROM g GROUP BY gram
+       |  HAVING count(*) >= $BoilerMinDocs)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boiler,
+       |  ROUND(CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS boiler_ratio
+       |FROM g LEFT JOIN common c ON g.gram = c.gram
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+  }
 }

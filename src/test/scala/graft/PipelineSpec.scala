@@ -424,6 +424,78 @@ class PipelineSpec extends AnyFunSuite {
       s"pre-stop rows re-delivered: ${store.applied.get()} applies")
   }
 
+  test("t08 scrubs planted emails, IPs and phone numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact Bob.Smith+x@corp.example.COM or call +14155550123"),
+      (2L, "server 10.0.255.3 and 192.168.1.1 serve from 999.1.2.3"),
+      (3L, "plain text with no pii at all"),
+      (4L, "a@b.io mailto a@b.io twice")).toDF("doc_id", "text")
+    val got = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      TextAnalysis.piiScrub(
+        org.apache.spark.sql.functions.col("text")).as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "contact <EMAIL> or call <PHONE>")
+    // 999.1.2.3 still matches the octet pattern ([0-9]{1,3} does not
+    // range-check) — the documented recall-over-precision trade
+    assert(got(2L) == "server <IP> and <IP> serve from <IP>")
+    assert(got(3L) == "plain text with no pii at all")
+    assert(got(4L) == "<EMAIL> mailto <EMAIL> twice")
+    // counts side: the registered query's metric columns on the
+    // same patterns
+    val counts = docs.select(
+      org.apache.spark.sql.functions.regexp_count(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(TextAnalysis.EmailRe))
+        .as("e"),
+      org.apache.spark.sql.functions.regexp_count(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(TextAnalysis.PhoneRe))
+        .as("p"))
+      .as[(Int, Int)].collect()
+    assert(counts.map(_._1).sum == 3 && counts.map(_._2).sum == 1)
+  }
+
+  test("t09 common-word ratio ranks head-vocabulary docs above tail") {
+    import spark.implicits._
+    // 21 distinct filler words ensure the top-20 head excludes
+    // exactly the single least-frequent one ("zq")
+    val fill = (0 until 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, (fill ++ fill).mkString(" ")), // all words in the head
+      (2L, (fill :+ "zq").mkString(" ")), // one tail word
+      (3L, "zq zq zq zq")                 // pure tail... if zq were rare
+    ).toDF("doc_id", "text")
+    // corpus counts: each w_i appears 3x (doc1 2x + doc2 1x), zq 5x —
+    // zq is the MOST frequent, so the head holds zq + 19 of the w_i,
+    // and exactly one w_i falls out
+    val byDoc = TextAnalysis.commonRatio(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byDoc.size == 3)
+    assert(byDoc(1L)._2 == 40 && byDoc(1L)._3 == 38) // 2 hits lost
+    assert(byDoc(3L)._2 == 4 && byDoc(3L)._3 == 4)   // zq is head
+    assert(byDoc(3L)._4 == 1.0)
+  }
+
+  test("d16 flags trigrams shared by >= 3 docs as boilerplate") {
+    import spark.implicits._
+    val boiler = "click here now"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"delta $boiler epsilon"),
+      (3L, s"zeta eta $boiler"),
+      (4L, "completely unrelated text body here")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerRatio(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // "click here now" occurs in docs 1-3; no other trigram repeats
+    assert(Seq(1L, 2L, 3L).forall(d => got(d)._3 == 1))
+    assert(got(4L)._3 == 0 && got(4L)._4 == 0.0)
+    // doc1: 4 distinct trigrams from 6 words, 1 boilerplate
+    assert(got(1L)._2 == 4 && got(1L)._4 == 0.25)
+  }
+
   test("stream-stream interval join attributes clicks within horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
