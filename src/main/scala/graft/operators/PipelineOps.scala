@@ -33,6 +33,7 @@ object PipelineOps {
     "t07_normalize" -> (TextAnalysis.t07Normalize _),
     "t08_pii_scrub" -> (TextAnalysis.t08PiiScrub _),
     "t09_common_ratio" -> (TextAnalysis.t09CommonRatio _),
+    "t10_heavy_hitters" -> (TextAnalysis.t10HeavyHitters _),
     "d16_boilerplate" -> (TextAnalysis.d16Boilerplate _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
@@ -67,6 +68,7 @@ object PipelineOps {
     "t07_normalize" -> TextAnalysis.normalizeSql,
     "t08_pii_scrub" -> TextAnalysis.piiScrubSql,
     "t09_common_ratio" -> TextAnalysis.commonRatioSql,
+    "t10_heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "d16_boilerplate" -> TextAnalysis.boilerplateSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,

@@ -435,6 +435,38 @@ object TextAnalysis {
        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t10: heavy hitters (Misra-Gries sketch) ----------------------
+
+  val HitterCapacity = 64
+  val HitterTopK = 20
+
+  /** t10: top words by a Misra-Gries heavy-hitters sketch — the
+    * frequency-table path that never shuffles a vocabulary: each
+    * partition ships a <=64-entry mergeable summary. On this corpus
+    * (vocabulary < capacity) the sketch is provably exact, so a
+    * plain SQL word count is a valid oracle; the over-capacity
+    * approximation guarantee (every word with freq > n/(c+1)
+    * survives, undercount <= n/(c+1)) is pinned by KernelPropertySpec
+    * on an adversarial corpus. */
+  def t10HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyHitters
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .agg(HeavyHitters.heavyHitters(HitterCapacity)(col("w"))
+        .as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.word").as("word"), col("h.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(HitterTopK)
+  }
+
+  val heavyHittersSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       |FROM (SELECT unnest($w) AS w FROM documents)
+       |GROUP BY w ORDER BY cnt DESC, word LIMIT $HitterTopK""".stripMargin
+  }
+
   // ---- d16: boilerplate (repeated cross-document n-grams) -----------
 
   val BoilerN = 3

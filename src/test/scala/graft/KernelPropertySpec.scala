@@ -151,6 +151,47 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries sketch: exact under capacity, bounded over it") {
+    import graft.functions.HeavyHitters
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // adversarial corpus: 200 distinct words >> capacity 16; ten
+    // planted heavy hitters at 300 occurrences over n = 4140 total
+    // (tail: 190 words x 6): n/(c+1) = 243 < 300, so the MG guarantee
+    // REQUIRES every planted word to survive the truncations.
+    val heavy = (0 until 10).map(i => s"hh$i")
+    val tail = (0 until 190).map(i => s"t$i")
+    val rows = heavy.flatMap(w => Seq.fill(300)(w)) ++
+      tail.flatMap(w => Seq.fill(6)(w))
+    val n = rows.size.toLong
+    val cap = 16
+    val got = rows.toDF("w").repartition(8)
+      .agg(HeavyHitters.heavyHitters(cap)($"w").as("hits"))
+      .select(org.apache.spark.sql.functions.explode($"hits").as("h"))
+      .select($"h.word", $"h.cnt").as[(String, Long)].collect().toMap
+    val bound = n / (cap + 1) // 4140/17 = 243 < the planted 300
+    assert(300L > bound, s"test corpus no longer exercises survival")
+    // every word with true freq > n/(c+1) must be reported
+    heavy.foreach { w =>
+      assert(got.contains(w), s"heavy hitter $w lost (bound $bound)")
+    }
+    // reported counts never OVERcount and undercount by <= n/(c+1)
+    got.foreach { case (w, c) =>
+      val truth = if (w.startsWith("hh")) 300L else 6L
+      assert(c <= truth, s"$w overcounted: $c > $truth")
+      assert(truth - c <= bound, s"$w undercount ${truth - c} > $bound")
+    }
+    // under-capacity: the sketch is exact regardless of partitioning
+    val small = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(3)("c")
+    (1 to 4).foreach { parts =>
+      val m = small.toDF("w").repartition(parts)
+        .agg(HeavyHitters.heavyHitters(cap)($"w").as("hits"))
+        .select(org.apache.spark.sql.functions.explode($"hits").as("h"))
+        .select($"h.word", $"h.cnt").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 40L, "b" -> 25L, "c" -> 3L), s"parts=$parts: $m")
+    }
+  }
+
   test("rolling fingerprint composes: fp(a++b) from fp(a), fp(b)") {
     val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     forAll2(ascii, ascii) { (a, b) =>

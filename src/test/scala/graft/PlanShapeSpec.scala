@@ -50,6 +50,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t09 joins the head vocabulary by broadcast, t08 never shuffles") {
+    val t09 = plan("t09_common_ratio")
+    assert(t09.contains("BroadcastHashJoin"), t09)
+    assert(!t09.contains("SortMergeJoin"), t09)
+    // t08 is a pure per-row rewrite: no exchange anywhere above the
+    // scan except the output ordering
+    val t08 = plan("t08_pii_scrub")
+    assert(count(t08, "Exchange") <= 1, t08) // the orderBy range part
+    assert(!t08.contains("ShuffledHashJoin")
+      && !t08.contains("SortMergeJoin"), t08)
+  }
+
+  test("d16 flags boilerplate by equi-join (no cartesian products)") {
+    val p = plan("d16_boilerplate")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // gram doc-counts map-side combine
+  }
+
   test("pipeline scans prune to the referenced columns") {
     val p = plan("m03_chunk_hash")
     val schemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
