@@ -100,10 +100,10 @@ object Bench {
       }
     val sf1Json = drill("sf1",
       sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1"),
-      Seq("q01_pricing_summary", "q09_conditional_agg",
-        "q10_union_merge", "q24_window_frames", "d01_exact_dedup",
-        "d02_minhash_lsh", "d12_embed_neardup_lsh", "t01_lang_id",
-        "t05_bigram_freq", "s01_window_agg", "s05_stream_enrich",
+      Seq("q01_pricing_summary", "q10_union_merge",
+        "d01_exact_dedup", "d02_minhash_lsh",
+        "d12_embed_neardup_lsh", "t01_lang_id", "t05_bigram_freq",
+        "s01_window_agg", "s05_stream_enrich",
         "g11_polyline_length")) +
       drill("sf10",
         sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
