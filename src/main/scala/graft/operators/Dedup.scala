@@ -341,6 +341,76 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Ingest-time near-dup filter: match each incoming document
+    * against a pre-built LSH index of the existing corpus — the
+    * shape a crawl pipeline runs at the door (does this new page
+    * near-duplicate anything we already hold?) instead of
+    * re-clustering the whole corpus per batch. Candidates meet only
+    * where a signature band collides (equi-join on (band, bh), the
+    * d02 shape — the index side never re-shuffles per batch at
+    * cluster scale: it is pre-bucketed once); exact Jaccard verifies
+    * every candidate. STREAMING-COMPATIBLE: no sort inside, the
+    * stream side only flows through kernels, an explode, a
+    * dropDuplicates and stream-static joins — PipelineSpec runs it
+    * under a MemoryStream. (Production note: swap dropDuplicates for
+    * dropDuplicatesWithinWatermark so pair-dedup state ages out.) */
+  def ingestNearDup(incoming: DataFrame, index: DataFrame): DataFrame = {
+    val idx = withSignature(index)
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val idxBanded = banded(idx.select(col("doc_id"), col("sig")))
+      .withColumnRenamed("doc_id", "match_id")
+    val inSigned = withSignature(incoming)
+      .select(col("doc_id").as("new_id"),
+        col("shingles").as("new_sh"), col("sig"))
+    val inBanded = banded(inSigned
+        .select(col("new_id").as("doc_id"), col("sig")))
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = inBanded.join(idxBanded, Seq("band", "bh"))
+      .select(col("new_id"), col("match_id"))
+      .dropDuplicates(Seq("new_id", "match_id"))
+    cand
+      .join(inSigned.select(col("new_id"), col("new_sh")), Seq("new_id"))
+      .join(idx.select(col("doc_id").as("match_id"),
+        col("shingles").as("match_sh")), Seq("match_id"))
+      .withColumn("jaccard", round(graft.functions.MinHash
+        .sortedJaccard(col("new_sh"), col("match_sh")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("match_id"), col("jaccard"))
+  }
+
+  /** d17: the batch validation form — plants (doc_id >= 1e6) arrive
+    * as the incoming batch, originals are the index; the exact
+    * all-pairs SQL over the same split is the oracle. */
+  def d17IngestNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpusWithPlants(spark, dir)
+    ingestNearDup(
+      all.filter(col("doc_id") >= 1000000L),
+      all.filter(col("doc_id") < 1000000L))
+      .orderBy(col("new_id"), col("match_id"))
+  }
+
+  val ingestNearDupSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(${TextFunctions.shinglesSql(w)}) AS s
+       |  FROM corpus),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT y.doc_id AS new_id, x.doc_id AS match_id,
+       |    COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s
+       |  WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000
+       |  GROUP BY 1, 2)
+       |SELECT new_id, match_id,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = match_id
+       |JOIN cnt cb ON cb.doc_id = new_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+       |ORDER BY new_id, match_id""".stripMargin
+  }
+
   /** d03: 64-bit SimHash per document + hamming distance of the
     * planted pairs. Signature = sign of per-bit vote over shingle
     * hashes, via the one-pass codegen'd kernel (SimHashSig — the HOF

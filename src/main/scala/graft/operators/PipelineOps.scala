@@ -35,6 +35,7 @@ object PipelineOps {
     "t09_common_ratio" -> (TextAnalysis.t09CommonRatio _),
     "t10_heavy_hitters" -> (TextAnalysis.t10HeavyHitters _),
     "d16_boilerplate" -> (TextAnalysis.d16Boilerplate _),
+    "d17_ingest_neardup" -> (Dedup.d17IngestNearDup _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "m03_chunk_hash" -> (Multimodal.chunkHash _),
@@ -70,6 +71,7 @@ object PipelineOps {
     "t09_common_ratio" -> TextAnalysis.commonRatioSql,
     "t10_heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "d16_boilerplate" -> TextAnalysis.boilerplateSql,
+    "d17_ingest_neardup" -> Dedup.ingestNearDupSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "m03_chunk_hash" -> Multimodal.chunkHashSql,

@@ -424,6 +424,44 @@ class PipelineSpec extends AnyFunSuite {
       s"pre-stop rows re-delivered: ${store.applied.get()} applies")
   }
 
+  test("streaming ingest near-dup filter flags near-copies of the index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 100L).select(col("doc_id"), col("text"))
+    // incoming: 9000001 = doc 3 with its last word dropped (a true
+    // near-dup), 9000002 = novel text sharing no shingles
+    val doc3 = index.filter(col("doc_id") === 3L)
+      .select(col("text")).as[String].head()
+    val nearDup = doc3.split(" ").dropRight(1).mkString(" ")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.ingestNearDup(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_neardup").start()
+    try {
+      in.addData((9000001L, nearDup),
+        (9000002L, "qq ww ee rr tt yy uu ii oo pp"))
+      q.processAllAvailable()
+      val got = spark.table("ingest_neardup")
+        .as[(Long, Long, Double)].collect()
+      assert(got.exists(r => r._1 == 9000001L && r._2 == 3L
+        && r._3 >= 0.5), s"near-dup not flagged: ${got.toSeq}")
+      assert(!got.exists(_._1 == 9000002L),
+        s"novel doc falsely flagged: ${got.toSeq}")
+      // the streamed verdicts agree with the batch form on the same
+      // relations
+      val batch = graft.operators.Dedup.ingestNearDup(
+        Seq((9000001L, nearDup),
+          (9000002L, "qq ww ee rr tt yy uu ii oo pp"))
+          .toDF("doc_id", "text"), index)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == batch)
+    } finally q.stop()
+  }
+
   test("t08 scrubs planted emails, IPs and phone numbers") {
     import spark.implicits._
     val docs = Seq(
