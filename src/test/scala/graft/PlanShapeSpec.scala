@@ -62,6 +62,12 @@ class PlanShapeSpec extends AnyFunSuite {
       && !t08.contains("SortMergeJoin"), t08)
   }
 
+  test("d17 candidates meet only in band buckets (equi-join)") {
+    val p = plan("d17_ingest_neardup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d16 flags boilerplate by equi-join (no cartesian products)") {
     val p = plan("d16_boilerplate")
     assert(!p.contains("CartesianProduct")
