@@ -13,13 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ MapOps.queries ++
-      PipelineOps.queries ++
+      PipelineOps.queries ++ graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ MapOps.oracles ++
-      PipelineOps.oracles ++
+      PipelineOps.oracles ++ graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)
 }

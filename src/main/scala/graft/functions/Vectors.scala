@@ -43,6 +43,28 @@ object VectorKernel {
     }
     math.sqrt(s)
   }
+
+  /** Integer-quantized squared L2 distance over one subvector:
+    * elements [sub*subDim, (sub+1)*subDim) of both arrays are
+    * quantized to floor(x·10⁶) longs before differencing, so the
+    * distance is EXACT integer arithmetic — any engine reproduces it
+    * bit-for-bit (doubles would force a cross-engine summation-order
+    * contract). floor (not cast-truncation) because DuckDB's
+    * DOUBLE→BIGINT cast rounds while the JVM's truncates. */
+  def quantizedSubL2(a: ArrayData, b: ArrayData, sub: Int,
+      subDim: Int): Long = {
+    val off = sub * subDim
+    var s = 0L
+    var j = 0
+    while (j < subDim) {
+      val qa = math.floor(a.getFloat(off + j).toDouble * 1e6).toLong
+      val qb = math.floor(b.getFloat(off + j).toDouble * 1e6).toLong
+      val d = qa - qb
+      s += d * d
+      j += 1
+    }
+    s
+  }
 }
 
 /** `cosine(a, b)` over two float arrays as a codegen'd expression. */
@@ -74,10 +96,34 @@ case class L2Norm(child: Expression)
     copy(child = c)
 }
 
+/** `quantized_sub_l2(vec, code, sub)` — exact integer squared L2 over
+  * subspace `sub` (product-quantization inner loop), codegen'd. */
+case class QuantizedSubL2(first: Expression, second: Expression,
+    third: Expression, subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    VectorKernel.quantizedSubL2(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], s.asInstanceOf[Int], subDim)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, s) =>
+      s"graft.functions.VectorKernel.quantizedSubL2($a, $b, $s, $subDim)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object Vectors {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a),
       GraftShim.expression(b)))
   def l2Norm(a: Column): Column =
     GraftShim.column(L2Norm(GraftShim.expression(a)))
+  def quantizedSubL2(vec: Column, code: Column, sub: Column,
+      subDim: Int): Column =
+    GraftShim.column(QuantizedSubL2(GraftShim.expression(vec),
+      GraftShim.expression(code), GraftShim.expression(sub), subDim))
 }

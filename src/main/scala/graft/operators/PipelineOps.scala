@@ -36,6 +36,9 @@ object PipelineOps {
     "t10_heavy_hitters" -> (TextAnalysis.t10HeavyHitters _),
     "d16_boilerplate" -> (TextAnalysis.d16Boilerplate _),
     "d17_ingest_neardup" -> (Dedup.d17IngestNearDup _),
+    "d18_mixture_sample" -> (Sampling.d18MixtureSample _),
+    "d19_pq_codes" -> (Similarity.d19PqCodes _),
+    "t11_boiler_strip" -> (TextAnalysis.t11BoilerStrip _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "m02_frame_sample" -> (Multimodal.frameSample _),
     "m03_chunk_hash" -> (Multimodal.chunkHash _),
@@ -72,6 +75,9 @@ object PipelineOps {
     "t10_heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "d16_boilerplate" -> TextAnalysis.boilerplateSql,
     "d17_ingest_neardup" -> Dedup.ingestNearDupSql,
+    "d18_mixture_sample" -> Sampling.d18Sql,
+    "d19_pq_codes" -> Similarity.d19Sql,
+    "t11_boiler_strip" -> TextAnalysis.boilerStripSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,
     "m02_frame_sample" -> Multimodal.frameSampleSql,
     "m03_chunk_hash" -> Multimodal.chunkHashSql,

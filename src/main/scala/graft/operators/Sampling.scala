@@ -58,4 +58,47 @@ object Sampling {
       |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
       |    ELSE 0 END
       |ORDER BY doc_id""".stripMargin
+
+  /** d18's normalizer: per-source keep rate = min(1, K/√chars(s)) —
+    * the α=0.5 temperature mixture (sampled mass ∝ √source size:
+    * big sources are flattened, small ones kept whole) with a fixed
+    * normalizing constant instead of a cross-source Σ√chars, so no
+    * double is ever SUMMED across rows in float space (summation
+    * order is the one thing two engines won't agree on bit-for-bit;
+    * √ and ÷ of exact integers they will). */
+  val MixtureK = 40.0
+
+  /** d18: deterministic temperature-mixture sample. Pass 1 is a
+    * map-side-combined per-source char count (|sources| rows);
+    * pass 2 broadcasts the 20-row rate table and filters by the same
+    * engine-portable Knuth-hash membership as d09 — the sample is a
+    * pure function of (doc_id, source size), stable under
+    * repartitioning, cluster size, and engine. */
+  def d18MixtureSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val cuts = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("cs"))
+      .withColumn("cut", floor(
+        least(lit(1.0), lit(MixtureK) / sqrt(col("cs").cast("double")))
+          * 1000000).cast("long"))
+      .select(col("source"), col("cut"))
+    docs.join(broadcast(cuts), Seq("source"))
+      .filter(pmod(col("doc_id") * 2654435761L, lit(1000000L))
+        < col("cut"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String =
+    s"""WITH cuts AS (
+       |  SELECT source,
+       |    CAST(FLOOR(LEAST(1.0,
+       |      $MixtureK / SQRT(CAST(SUM(n_chars) AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS cut
+       |  FROM documents GROUP BY source)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN cuts c ON d.source = c.source
+       |WHERE (d.doc_id * 2654435761) % 1000000 < c.cut
+       |ORDER BY d.doc_id""".stripMargin
 }

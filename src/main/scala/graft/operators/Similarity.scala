@@ -387,4 +387,74 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("match_id"), col("cos"))
       .orderBy(col("q_id"))
   }
+
+  val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
+  val PqSubDim = 16
+  val PqCodes = 16 // codebook entries per subspace
+
+  /** d19: product-quantization code assignment — the memory-scale leg
+    * of ANN (IVF partitions the corpus, PQ compresses the residuals:
+    * a 64-dim float vector becomes [[PqSubspaces]] small code ids, a
+    * 64× compression that lets a 100 TB embedding corpus fit an
+    * in-memory distance table). The codebook here is a deterministic
+    * subset of the vectors (as with d10's centroids, a real pipeline
+    * would k-means it; assignment is the distributed part and is
+    * identical): each vector × subspace picks the codebook row with
+    * the smallest subvector distance. Shape: broadcast the (tiny)
+    * codebook, explode [[PqSubspaces]] rows per vector, one
+    * partial-aggregable struct-min — the vector side never shuffles
+    * before the final per-(vec, subspace) min. Distances are exact
+    * integer quantized-L2 ([[graft.functions.VectorKernel.quantizedSubL2]],
+    * codegen'd), so the assignment is engine-portable — no
+    * cross-engine double-summation contract needed. */
+  def d19PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    pqAssign(
+      emb.filter(col("vec_id") < PqCodes)
+        .select(col("vec_id").as("code_id"), col("embedding").as("c_emb")),
+      emb.filter(col("vec_id") >= PqCodes)
+        .select(col("vec_id"), col("embedding")))
+  }
+
+  /** Core of d19 on any codebook (code_id, c_emb) × vectors
+    * (vec_id, embedding) pair of relations. */
+  def pqAssign(codebook: DataFrame, vecs: DataFrame): DataFrame =
+    vecs.join(broadcast(codebook))
+      .select(col("vec_id"), col("code_id"), col("embedding"),
+        col("c_emb"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("subspace"))
+      .withColumn("dist", graft.functions.Vectors.quantizedSubL2(
+        col("embedding"), col("c_emb"), col("subspace"), PqSubDim))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("subspace"),
+        col("best.code_id").as("code"), col("best.dist").as("dist"))
+      .orderBy(col("vec_id"), col("subspace"))
+
+  val d19Sql: String = {
+    def q(e: String) =
+      s"CAST(FLOOR(CAST($e AS DOUBLE) * 1000000) AS BIGINT)"
+    val term = q(s"v.embedding[s.s * $PqSubDim + j]") + " - " +
+      q(s"c.c_emb[s.s * $PqSubDim + j]")
+    s"""WITH c AS (
+       |  SELECT vec_id AS code_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < $PqCodes),
+       |v AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id >= $PqCodes),
+       |s AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s),
+       |scored AS (
+       |  SELECT v.vec_id, s.s AS subspace, c.code_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      j -> ($term) * ($term))) AS BIGINT) AS dist
+       |  FROM v CROSS JOIN c CROSS JOIN s),
+       |best AS (
+       |  SELECT vec_id, subspace, code_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id, subspace
+       |    ORDER BY dist, code_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, subspace, code_id AS code, dist
+       |FROM best WHERE rn = 1
+       |ORDER BY vec_id, subspace""".stripMargin
+  }
 }

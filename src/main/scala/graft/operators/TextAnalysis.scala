@@ -540,4 +540,92 @@ object TextAnalysis {
        |FROM g LEFT JOIN common c ON g.gram = c.gram
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t11: boilerplate STRIP (rewrite, not score) ------------------
+
+  /** t11: boilerplate removal — d16 scores template text; this
+    * actually rewrites the corpus without it (the C4 cleaning step: a
+    * word survives unless some cross-document-common trigram covers
+    * its position). Two narrow shuffles at any scale: the per-gram
+    * doc count (map-side combined) and the per-doc reassembly; the
+    * gram relation carries (doc_id, position, gram) only, and the
+    * covered-position set re-meets the tokens by (doc_id, pos)
+    * equi-anti-join. Reassembly sorts each doc's surviving words
+    * in-memory — bounded by document length, never by corpus size. */
+  def t11BoilerStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerStrip(Tables.load(spark, dir, "documents"))
+
+  /** Core of t11 on any (doc_id, text) relation. */
+  def boilerStrip(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), " ")).as(Seq("pos", "word")))
+    val grams = docs.select(col("doc_id"),
+      posexplode(TextFunctions.wordNgrams(col("text"), BoilerN))
+        .as(Seq("gpos", "gram")))
+    // doc-frequency over per-doc-DISTINCT grams, as in d16
+    val common = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("gram"))
+    val covered = grams.join(common, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + BoilerN - 1))
+          .as("pos"))
+      .distinct()
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerStripSql: String = {
+    val w = TextFunctions.wordsSql
+    val parts = (0 until BoilerN)
+      .map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, $w AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS word,
+       |    unnest(generate_series(1, len(ws))) AS pos FROM w),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(ws) >= $BoilerN THEN
+       |      list_transform(generate_series(1, len(ws) - ${BoilerN - 1}),
+       |        i -> $parts) ELSE [] END) AS gram,
+       |    unnest(CASE WHEN len(ws) >= $BoilerN THEN
+       |      generate_series(1, len(ws) - ${BoilerN - 1})
+       |      ELSE [] END) AS gpos
+       |  FROM w),
+       |common AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |  GROUP BY gram HAVING count(*) >= $BoilerMinDocs),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT g.doc_id,
+       |      unnest(generate_series(g.gpos, g.gpos + ${BoilerN - 1}))
+       |        AS pos
+       |    FROM g JOIN common c ON g.gram = c.gram)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.word FROM tok t
+       |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(word, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |  COALESCE(r.n_kept, 0) AS n_kept,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interchange formats (SURVEY.md §2a): JSONL and CSV ingest/egress.
+  *
+  * Training corpora overwhelmingly arrive as JSONL (one object per
+  * line — Spark's native json source shape) and leave audits as CSV;
+  * the engine must round-trip both without drift. Each query writes
+  * the documents table to the format under test, reads it back with
+  * the EXPLICIT parquet schema in FAILFAST mode (silent-null
+  * permissive parsing would hide corruption), and aggregates
+  * per-language fidelity digests; the oracle computes the same
+  * digests straight from the parquet table, so a hash match proves
+  * the round trip lost nothing. Both formats split across files and
+  * read back partition-parallel — line-splittable at any scale.
+  */
+object Interchange {
+
+  private def roundTripDir(fmt: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$fmt" +
+      s"_${Integer.toHexString(dir.hashCode)}"
+
+  /** Per-language fidelity digest: counts, exact integer sums and
+    * extrema over every column — any parse drift (a lost row, a
+    * mangled string, a re-typed number) moves at least one digest. */
+  private def digest(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        min(col("text")).as("min_text"),
+        max(col("source")).as("max_source"))
+      .orderBy(col("lang"))
+
+  private val digestSql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  min(text) AS min_text, max(source) AS max_source
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** f01: documents → JSONL files → read(schema, FAILFAST) → digest. */
+  def f01JsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("jsonl", dir)
+    docs.write.mode("overwrite").json(out)
+    digest(spark.read.schema(docs.schema)
+      .option("mode", "FAILFAST").json(out))
+  }
+
+  val f01Sql: String = digestSql
+
+  /** f02: documents → CSV (header, RFC-quoted) → read(schema,
+    * FAILFAST) → digest. */
+  def f02CsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("csv", dir)
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"")
+      .option("escape", "\"")
+      // the writer TRIMS field whitespace by default — a silent
+      // corpus mutation at scale; keep bytes exact. The \N sentinel
+      // keeps empty string and NULL distinct (reader's default
+      // nullValue is "").
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "\"\"").option("nullValue", "\\N")
+      .csv(out)
+    digest(spark.read.schema(docs.schema)
+      .option("header", "true").option("quote", "\"")
+      .option("escape", "\"").option("mode", "FAILFAST")
+      .option("emptyValue", "").option("nullValue", "\\N")
+      .csv(out))
+  }
+
+  val f02Sql: String = digestSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
+    "f02_csv_roundtrip" -> (f02CsvRoundTrip _))
+
+  val oracles: Map[String, String] = Map(
+    "f01_jsonl_roundtrip" -> f01Sql,
+    "f02_csv_roundtrip" -> f02Sql)
+}

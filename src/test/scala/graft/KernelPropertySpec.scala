@@ -204,4 +204,22 @@ class KernelPropertySpec extends AnyFunSuite {
       fp(a + b) == (fp(a) * pow % p + fp(b)) % p
     }
   }
+
+  test("quantizedSubL2 equals the scalar formulation; d(a,a)=0") {
+    import graft.functions.VectorKernel
+    val subDim = 16
+    val vecGen = Gen.listOfN(4 * subDim,
+      Gen.choose(-1.0f, 1.0f)).map(_.toArray)
+    forAll(Gen.zip(vecGen, vecGen, Gen.choose(0, 3))) {
+      case (a, b, s) =>
+        def qz(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+        val expect = (s * subDim until (s + 1) * subDim).map { j =>
+          val d = qz(a(j)) - qz(b(j)); d * d
+        }.sum
+        val ga = new GenericArrayData(a)
+        val gb = new GenericArrayData(b)
+        VectorKernel.quantizedSubL2(ga, gb, s, subDim) == expect &&
+          VectorKernel.quantizedSubL2(ga, ga, s, subDim) == 0L
+    }
+  }
 }

@@ -559,6 +559,99 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == Seq(1L))
     } finally q.stop()
   }
+
+  test("boiler strip removes planted common trigrams, keeps the rest") {
+    import spark.implicits._
+    val tpl = "visit our great site now" // common template, 5 words
+    val docs = Seq(
+      (1L, s"alpha beta gamma $tpl"),
+      (2L, s"$tpl delta epsilon"),
+      (3L, s"zeta $tpl eta"),
+      (4L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerStrip(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // trigram coverage removes the template AND the words its
+    // overlapping trigrams reach; untouched docs pass through verbatim
+    assert(out(1L)._3 == "alpha beta gamma")
+    assert(out(2L)._3 == "delta epsilon")
+    assert(out(3L)._3 == "zeta eta")
+    assert(out(4L)._3 == "unique words only here nothing shared")
+    out.values.foreach { case (nWords, nKept, clean) =>
+      assert(nKept <= nWords)
+      assert(nKept ==
+        (if (clean.isEmpty) 0L else clean.split(" ").length.toLong))
+    }
+  }
+
+  test("mixture sample matches independent membership math exactly") {
+    val got = graft.operators.Sampling.d18MixtureSample(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val charsBySource = docs.groupBy(_._2).map { case (s, rows) =>
+      s -> rows.map(_._3).sum
+    }
+    val expected = docs.filter { case (id, src, _) =>
+      val rate = math.min(1.0,
+        graft.operators.Sampling.MixtureK /
+          math.sqrt(charsBySource(src).toDouble))
+      java.lang.Math.floorMod(id * 2654435761L, 1000000L) <
+        math.floor(rate * 1000000).toLong
+    }.map(_._1).toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty && got.length < docs.length,
+      "sample should be a strict non-empty subset")
+  }
+
+  test("pq assignment: exact codebook copies land on their code, dist 0") {
+    import spark.implicits._
+    val dim = Similarity.PqSubspaces * Similarity.PqSubDim
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 13 - 6) / 7.0f)
+    val codebook = (0 until 4)
+      .map(c => (c.toLong, vec(c))).toDF("code_id", "c_emb")
+    // vec 100 copies code 2 exactly; vec 101 copies code 0 with one
+    // element nudged inside subspace 3 only
+    val nudged = vec(0).clone(); nudged(dim - 1) += 0.5f
+    val vecs = Seq((100L, vec(2)), (101L, nudged))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAssign(codebook, vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    (0 until Similarity.PqSubspaces).foreach { s =>
+      assert(got((100L, s)) == ((2L, 0L)))
+    }
+    (0 until Similarity.PqSubspaces - 1).foreach { s =>
+      assert(got((101L, s)) == ((0L, 0L)))
+    }
+    val (lastCode, lastDist) = got((101L, Similarity.PqSubspaces - 1))
+    assert(lastCode == 0L && lastDist > 0L,
+      "nudge must surface only in its own subspace")
+  }
+
+  test("pq assignment at sf equals brute-force quantized argmin") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def qz(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    def dist(a: Array[Float], b: Array[Float], s: Int): Long =
+      (s * Similarity.PqSubDim until (s + 1) * Similarity.PqSubDim)
+        .map { j => val d = qz(a(j)) - qz(b(j)); d * d }.sum
+    val codebook = emb.filter(_._1 < Similarity.PqCodes)
+    val got = Similarity.d19PqCodes(spark, sf).collect()
+    assert(got.length ==
+      (emb.size - Similarity.PqCodes) * Similarity.PqSubspaces)
+    got.foreach { r =>
+      val (v, s, code, d) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val best = codebook.toSeq
+        .map { case (c, ce) => (dist(emb(v), ce, s), c) }.min
+      assert((d, code) == best, s"vec $v subspace $s")
+    }
+  }
 }
 
 /** Counting KeyedStore for the checkpoint-restart spec: reuses
