@@ -48,10 +48,15 @@ object Bench {
     // Durations are ms-rounded: the driver captures a bounded stdout
     // tail and the round-3 full-precision line overflowed it, so the
     // JSON arrived head-truncated and unparseable.
-    // 2 decimals (10 ms grain) keeps the whole line inside the
-    // driver's stdout tail window even with three drill sections
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // 2 decimals (10 ms grain), trailing zeros stripped — every byte
+    // counts toward keeping the whole line inside the driver's
+    // stdout tail window even with three drill sections
+    def fmt(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
     }.mkString("{", ",", "}")
@@ -100,9 +105,11 @@ object Bench {
       }
     val sf1Json = drill("sf1",
       sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1"),
+      // d01/t01 dropped from the sf1 list (flat, and d01's curve is
+      // carried by the sf10 section) — byte budget for the new ops
       Seq("q01_pricing_summary", "q10_union_merge",
-        "d01_exact_dedup", "d02_minhash_lsh",
-        "d12_embed_neardup_lsh", "t01_lang_id", "t05_bigram_freq",
+        "d02_minhash_lsh", "d12_embed_neardup_lsh",
+        "t05_bigram_freq", "t11_boiler_strip",
         "s01_window_agg", "s05_stream_enrich",
         "g11_polyline_length")) +
       drill("sf10",
@@ -120,14 +127,19 @@ object Bench {
     // COMPACT (empty objects omitted, short note): it must fit whole
     // inside the driver's stdout tail window to be parseable.
     val errPart = if (results.forall(_._3.isEmpty)) "" else s""","errors":$errs"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"$sf1Json,"execution":"full-plan noop"}"""
+    // stdout gets the compact form (bounded driver capture); the file
+    // copy below carries the full sfDir path + execution-mode note
+    val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfTag"$sf1Json}"""
     println(json)
+    val fileJson = json.dropRight(1) +
+      s""","sf_dir":"$sfDir","execution":"full-plan noop"}"""
     // belt-and-braces copy: the round-2 stdout capture truncated and
     // lost 20 per-query entries, so also write the line to a file
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_out.json")),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -130,4 +130,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), s"d12 lost its equi-join:\n$p")
   }
+
+  test("d19 broadcasts the codebook; struct-min partial-aggregates") {
+    val p = plan("d19_pq_codes")
+    // vectors must never shuffle before the per-(vec,subspace) min:
+    // codebook rides a broadcast, the min partial-combines map-side
+    assert(p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin")
+      && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_"), s"d19 min lost its partial:\n$p")
+  }
+
+  test("d18 mixture rates ride a broadcast; membership is a filter") {
+    val p = plan("d18_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"),
+      s"d18 char-mass agg has no map-side combine:\n$p")
+  }
+
+  test("t11 strip never windows; covered positions anti-join by key") {
+    val p = plan("t11_boiler_strip")
+    // reassembly is a hash aggregate over doc_id, NOT a global or
+    // per-lang window sort; candidate flagging stays an equi-join
+    assert(!p.contains("Window"), s"t11 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
