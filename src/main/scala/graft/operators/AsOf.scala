@@ -50,4 +50,57 @@ object AsOf {
       df.withColumn(prefix + f, col(s"__m.$f"))
     }.drop("__k", "__ts", "__rval", "__side", "__m")
   }
+
+  /** q48: time-series gap fill (resample + forward fill) — the
+    * feature-pipeline staple: per-supplier daily shipped quantity
+    * over a dense day spine, missing days carrying the last observed
+    * value. Composition of owned operators: per-series bounds →
+    * `sequence()` spine explode → backward [[asofJoin]] (one key
+    * shuffle, no inequality join). The spine is generated, never
+    * collected; series count grows with the data, so the as-of
+    * window partitioning scales with the corpus — there is no
+    * low-cardinality sort anywhere. 1995 scan range reaches the
+    * parquet reader as a pushed filter. */
+  def q48GapFill(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val daily = li
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val spine = daily.groupBy(col("l_suppkey"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("l_suppkey"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    asofJoin(spine, daily, "l_suppkey", "day", "day")
+      // flag BEFORE the string cast (date = string would be false)
+      .withColumn("is_gap",
+        when(col("r_day") === col("day"), lit(0)).otherwise(lit(1)))
+      .select(col("l_suppkey"),
+        col("day").cast("string").as("day"),
+        col("r_qty").as("qty_filled"), col("is_gap"))
+      .orderBy(col("l_suppkey"), col("day"))
+  }
+
+  val q48Sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT l_suppkey,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM (SELECT l_suppkey, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1))
+      |SELECT s.l_suppkey, CAST(s.day AS VARCHAR) AS day,
+      |  d.qty AS qty_filled,
+      |  CASE WHEN d.day = s.day THEN 0 ELSE 1 END AS is_gap
+      |FROM spine s ASOF LEFT JOIN daily d
+      |  ON s.l_suppkey = d.l_suppkey AND d.day <= s.day
+      |ORDER BY s.l_suppkey, s.day""".stripMargin
 }

@@ -536,6 +536,7 @@ object Relational {
     "q12_approx_distinct" -> (q12ApproxDistinct _),
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_range_join" -> (q14RangeJoin _),
+    "q48_gap_fill" -> (AsOf.q48GapFill _),
     "q16_percentiles" -> (q16Percentiles _),
     "q47_approx_percentile" -> (q47ApproxPercentile _),
     "q17_rollup" -> (q17Rollup _),
@@ -557,6 +558,7 @@ object Relational {
     "q11_json_props" -> q11Sql,
     "q13_asof_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
+    "q48_gap_fill" -> AsOf.q48Sql,
     "q16_percentiles" -> q16Sql,
     "q17_rollup" -> q17Sql,
     "q18_pivot" -> q18Sql,

@@ -82,11 +82,56 @@ object Interchange {
 
   val f02Sql: String = digestSql
 
+  /** f03: documents → ORC → read → digest. ORC is the other columnar
+    * interchange format warehouses hand over; Spark's reader gets
+    * the same pushdown/pruning treatment as parquet. */
+  def f03OrcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("orc", dir)
+    docs.write.mode("overwrite").orc(out)
+    digest(spark.read.schema(docs.schema).orc(out))
+  }
+
+  val f03Sql: String = digestSql
+
+  /** f04: hive-style partitioned layout + partition PRUNING — the
+    * single most important 100 TB storage decision: a `lang='en'`
+    * read over a lang-partitioned corpus must touch only that
+    * directory (the scan's PartitionFilters, pinned in
+    * PlanShapeSpec), not filter post-hoc over everything. The digest
+    * aggregates only the pruned read; the oracle filters the flat
+    * table, so a hash match proves pruning lost no rows. */
+  def f04PartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("part", dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+      // partition columns come back last and typed by inference;
+      // restore the original column order and lang's string type
+      .select(docs.columns.map(c =>
+        if (c == "lang") col(c).cast("string").as(c) else col(c))
+        .toIndexedSeq: _*)
+    digest(en)
+  }
+
+  val f04Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  min(text) AS min_text, max(source) AS max_source
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
-    "f02_csv_roundtrip" -> (f02CsvRoundTrip _))
+    "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
+    "f03_orc_roundtrip" -> (f03OrcRoundTrip _),
+    "f04_partition_prune" -> (f04PartitionedPrune _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
-    "f02_csv_roundtrip" -> f02Sql)
+    "f02_csv_roundtrip" -> f02Sql,
+    "f03_orc_roundtrip" -> f03Sql,
+    "f04_partition_prune" -> f04Sql)
 }

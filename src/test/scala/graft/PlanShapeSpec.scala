@@ -150,6 +150,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d18 char-mass agg has no map-side combine:\n$p")
   }
 
+  test("f04 read prunes to the lang partition; q48 pushes its range") {
+    val f04 = plan("f04_partition_prune")
+    assert(f04.contains("PartitionFilters"), f04)
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r
+      .findFirstIn(f04).isDefined, s"f04 scan not pruned:\n$f04")
+    val q48 = plan("q48_gap_fill")
+    assert(q48.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q48 range filter not pushed:\n$q48")
+    // exactly one window pass (the as-of fill), partitioned by series
+    assert(count(q48, "Window") == 1, q48)
+  }
+
   test("t11 strip never windows; covered positions anti-join by key") {
     val p = plan("t11_boiler_strip")
     // reassembly is a hash aggregate over doc_id, NOT a global or

@@ -122,6 +122,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_.getLong(3) >= 0)) // gap_us >= 0
   }
 
+  test("q48 gap fill forward-fills missing days per series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, sequence}
+    // series 1: days 1,4 observed; series 2: single day (no gaps)
+    val daily = Seq((1L, "2024-01-01", 10L), (1L, "2024-01-04", 40L),
+      (2L, "2024-03-01", 7L))
+      .toDF("k", "day", "qty")
+      .select(col("k"), col("day").cast("date").as("day"), col("qty"))
+    val spine = daily.groupBy(col("k"))
+      .agg(org.apache.spark.sql.functions.min(col("day")).as("d0"),
+        org.apache.spark.sql.functions.max(col("day")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = graft.operators.AsOf
+      .asofJoin(spine, daily, "k", "day", "day")
+      .select(col("k"), col("day").cast("string"), col("r_qty"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(filled == Map(
+      (1L, "2024-01-01") -> 10L, (1L, "2024-01-02") -> 10L,
+      (1L, "2024-01-03") -> 10L, (1L, "2024-01-04") -> 40L,
+      (2L, "2024-03-01") -> 7L))
+  }
+
   test("q15 grouped top-k partial-aggregates before the shuffle") {
     val plan = graft.operators.TopK.q15GroupedTopk(spark, sf)
       .queryExecution.executedPlan.toString
@@ -143,8 +166,9 @@ class RelationalSpec extends AnyFunSuite {
     // nothing quadratic in the data). d11 is the declared-exact
     // all-pairs near-dup VALIDATION form (its production path is
     // d12's bucketed equi-join, which is not in this allowlist).
+    // d19 broadcasts a 16-row PQ codebook the same way.
     val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
-      "d11_embed_neardup")
+      "d11_embed_neardup", "d19_pq_codes")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
