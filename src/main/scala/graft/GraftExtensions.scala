@@ -102,6 +102,11 @@ object GraftExtensions {
     fn("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",
       composed(c => Similarity.cosine(c(0), c(1)))),
+    fn("graft_quantized_sub_l2",
+      "graft_quantized_sub_l2(vec, code, sub, subdim) - exact integer" +
+        " squared L2 over subspace sub (PQ inner loop)",
+      e => graft.functions.QuantizedSubL2(e(0), e(1), e(2),
+        intArg(e(3), "graft_quantized_sub_l2"))),
     fn("graft_tile_x", "graft_tile_x(z, lon) - fractional tile x",
       composed(c => Tiles.tileXFromLon(c(0), c(1)))),
     fn("graft_tile_y", "graft_tile_y(z, lat) - fractional tile y",

@@ -72,6 +72,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         " graft_word_ngrams('a b', 3) AS g_short").collect().head
     assert(ng.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(ng.getSeq[String](1).isEmpty)
+    // PQ inner loop: subspace 1 of dim 2 differs by (1e6)^2 + 0
+    val pq = spark.sql(
+      "SELECT graft_quantized_sub_l2(" +
+        "array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)," +
+        "      CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT))," +
+        "array(CAST(9.0 AS FLOAT), CAST(9.0 AS FLOAT)," +
+        "      CAST(0.0 AS FLOAT), CAST(0.5 AS FLOAT))," +
+        " 1, 2) AS d").collect().head
+    assert(pq.getLong(0) == 1000000L * 1000000L)
   }
 
   test("tile SQL functions match the reference transforms") {
