@@ -47,7 +47,8 @@ object PipelineOps {
     "s02_sessionize" -> (EventStreams.s02Sessionize _),
     "s03_hopping_window" -> (EventStreams.s03HoppingWindow _),
     "s04_window_users" -> (EventStreams.s04WindowUsers _),
-    "s05_stream_enrich" -> (EventStreams.s05StreamEnrich _))
+    "s05_stream_enrich" -> (EventStreams.s05StreamEnrich _),
+    "s06_stream_hitters" -> (EventStreams.s06StreamHitters _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> Dedup.exactDedupSql,
@@ -86,5 +87,6 @@ object PipelineOps {
     "s02_sessionize" -> EventStreams.s02Sql,
     "s03_hopping_window" -> EventStreams.s03Sql,
     "s04_window_users" -> EventStreams.s04Sql,
-    "s05_stream_enrich" -> EventStreams.s05Sql)
+    "s05_stream_enrich" -> EventStreams.s05Sql,
+    "s06_stream_hitters" -> EventStreams.s06Sql)
 }

@@ -167,6 +167,47 @@ object EventStreams {
       |FROM events
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
+  /** s06 core: per-window Misra–Gries heavy hitters — a MERGEABLE
+    * sketch inside a streaming aggregation. One stateful operator
+    * (the windowed agg), so the plan is streaming-legal; each
+    * partition/micro-batch ships a ≤capacity summary, the property
+    * that keeps per-window frequency state bounded on an unbounded
+    * feed. event_type cardinality sits far under the capacity, so
+    * the sketch is exact here and the batch form oracle-checkable
+    * (same reasoning as t10). */
+  val HitterWindowCapacity = 64
+
+  def windowHitters(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.HeavyHitters
+        .heavyHitters(HitterWindowCapacity)(col("event_type"))
+        .as("hits"))
+
+  private def hitterRows(agg: DataFrame): DataFrame =
+    agg.select(col("w.start").cast("string").as("w_start"),
+        explode(col("hits")).as("h"))
+      .select(col("w_start"), col("h.word").as("event_type"),
+        col("h.cnt").as("n"))
+
+  /** s06 batch form (driver-verified vs exact counts). */
+  def s06StreamHitters(spark: SparkSession, dir: String): DataFrame =
+    hitterRows(windowHitters(Tables.load(spark, dir, "events")))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val s06Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
+      |    AS w_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** s06 as a real streaming query (file source); used by the spec. */
+  def streamingWindowHitters(spark: SparkSession, dir: String)
+      : DataFrame =
+    hitterRows(windowHitters(streamingEvents(spark, dir)))
+
   /** Stream-static enrich join + windowed agg: the event stream joins
     * a small static dimension (broadcast — no shuffle of the stream,
     * and no join state: the static side is re-resolvable per

@@ -234,6 +234,51 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-window heavy hitters equals the batch sketch") {
+    import spark.implicits._
+    val batch = EventStreams.s06StreamHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val q = EventStreams.streamingWindowHitters(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s06_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s06_stream")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("jsonl landing zone streams in incrementally with the schema") {
+    // the training-corpus ingest shape: JSONL files land in a
+    // directory, the stream picks each batch up exactly once
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_landing").toString
+    val (b1, b2) = (docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 =!= 0))
+    b1.write.mode("append").json(zone)
+    val counted = spark.readStream.schema(docs.schema).json(zone)
+      .groupBy($"lang").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = counted.writeStream.outputMode("complete")
+      .format("memory").queryName("landing_stream").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("landing_stream")
+        .agg(org.apache.spark.sql.functions.sum($"n")).head.getLong(0)
+      assert(n1 == b1.count())
+      b2.write.mode("append").json(zone) // second file batch lands
+      q.processAllAvailable()
+      val n2 = spark.table("landing_stream")
+        .agg(org.apache.spark.sql.functions.sum($"n")).head.getLong(0)
+      assert(n2 == docs.count(), "second batch picked up exactly once")
+    } finally q.stop()
+  }
+
   test("stream-static enrich join equals the batch plan (memory sink)") {
     import spark.implicits._
     val batch = EventStreams.s05StreamEnrich(spark, sf).collect()
