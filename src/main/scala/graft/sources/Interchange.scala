@@ -123,15 +123,51 @@ object Interchange {
       |FROM documents WHERE lang = 'en'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** How many small files f05 plants, and how many it compacts to. */
+  val SmallFiles = 50
+  val CompactTargets = 4
+
+  /** f05: small-file compaction — the petabyte housekeeping job: a
+    * landing zone of per-micro-batch/per-task files (here
+    * [[SmallFiles]] planted parts) rewritten into [[CompactTargets]]
+    * right-sized files with one round-robin repartition (no key
+    * shuffle semantics to preserve). At real scale the same job runs
+    * per partition directory with `maxRecordsPerFile` as the bound;
+    * the digest proves compaction moved every row, the spec pins the
+    * file counts. */
+  def f05Compact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val small = roundTripDir("small", dir)
+    val compacted = roundTripDir("compacted", dir)
+    docs.repartition(SmallFiles).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small)
+      .repartition(CompactTargets)
+      .write.mode("overwrite").parquet(compacted)
+    digest(spark.read.parquet(compacted))
+  }
+
+  val f05Sql: String = digestSql
+
+  /** Data-file count in a parquet directory (spec helper). */
+  def partFileCount(path: String): Int =
+    Option(new java.io.File(path).listFiles()).map(_.count { f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")
+    }).getOrElse(0)
+
+  def smallDir(dir: String): String = roundTripDir("small", dir)
+  def compactedDir(dir: String): String = roundTripDir("compacted", dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
     "f03_orc_roundtrip" -> (f03OrcRoundTrip _),
-    "f04_partition_prune" -> (f04PartitionedPrune _))
+    "f04_partition_prune" -> (f04PartitionedPrune _),
+    "f05_compaction" -> (f05Compact _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
     "f02_csv_roundtrip" -> f02Sql,
     "f03_orc_roundtrip" -> f03Sql,
-    "f04_partition_prune" -> f04Sql)
+    "f04_partition_prune" -> f04Sql,
+    "f05_compaction" -> f05Sql)
 }

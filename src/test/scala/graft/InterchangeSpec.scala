@@ -76,4 +76,16 @@ class InterchangeSpec extends AnyFunSuite {
     val b = Interchange.f02CsvRoundTrip(spark, sf).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("compaction rewrites 50 planted files into 4, losing nothing") {
+    val digest = Interchange.f05Compact(spark, sf).collect().toSeq
+    assert(digest.nonEmpty)
+    assert(Interchange.partFileCount(Interchange.smallDir(sf))
+      == Interchange.SmallFiles)
+    assert(Interchange.partFileCount(Interchange.compactedDir(sf))
+      == Interchange.CompactTargets)
+    // row mass is conserved: compacted digest == direct digest
+    assert(digest == Interchange.f01JsonlRoundTrip(spark, sf)
+      .collect().toSeq)
+  }
 }

@@ -161,6 +161,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the third join-scale tool (besides broadcast and salting):
+    // Catalyst injects a bloom_filter_agg on the selective dim side
+    // and a might_contain filter on the fact scan, so fact rows that
+    // cannot match die before the shuffle. Size thresholds are
+    // production-scale; lowered here so the sf-test tables qualify.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(confs(0), "true")
+      spark.conf.set(confs(1), "0")
+      spark.conf.set(confs(2), "100MB")
+      spark.conf.set(confs(3), "-1") // shuffle join, not broadcast
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val sel = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom creation on the dim side:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"no runtime filter on the fact side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("NTZ load is exact across a DST fall-back hour") {
     // US DST ended 2025-11-02 02:00 EDT: UTC 05:30 and 06:30 BOTH
     // read 01:30 on the America/New_York wall clock. A local-zone
