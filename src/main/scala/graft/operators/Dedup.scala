@@ -240,6 +240,47 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** d20: the cleaned corpus itself — the dedup pipeline's actual
+    * deliverable (d02 finds pairs, d07 shapes clusters; a training
+    * run consumes the SURVIVORS). A doc survives iff it touches no
+    * near-dup cluster (label null) or is its cluster's
+    * representative (label == own id, the keep-lowest-id contract).
+    * One left equi-join of the corpus against the (tiny) label
+    * relation — the corpus itself never shuffles wide. `had_dups`
+    * marks survivors that absorbed duplicates (provenance for
+    * downstream weighting/repetition-aware sampling). */
+  def d20DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithPlants(spark, dir).select(col("doc_id"))
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val labels = connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("node", "doc_id")
+    corpus.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"),
+        when(col("label").isNotNull, 1).otherwise(0).as("had_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val dedupCorpusSql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |comp AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT node, node FROM nodes
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e
+       |      JOIN reach r ON e.dst = r.node)
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+       |corpus AS ($corpusSql)
+       |SELECT c.doc_id,
+       |  CASE WHEN comp.label IS NOT NULL THEN 1 ELSE 0 END AS had_dups
+       |FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+       |WHERE comp.label IS NULL OR comp.label = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** d14: duplicate clusters at MASS-DUPLICATION scale — the
     * composition that survives when most of the corpus IS duplicates.
     * d02/d07 materialize every co-bucket pair: exact and

@@ -37,6 +37,7 @@ object PipelineOps {
     "d16_boilerplate" -> (TextAnalysis.d16Boilerplate _),
     "d17_ingest_neardup" -> (Dedup.d17IngestNearDup _),
     "d18_mixture_sample" -> (Sampling.d18MixtureSample _),
+    "d20_dedup_corpus" -> (Dedup.d20DedupCorpus _),
     "d19_pq_codes" -> (Similarity.d19PqCodes _),
     "t11_boiler_strip" -> (TextAnalysis.t11BoilerStrip _),
     "m01_multimodal_meta" -> (Multimodal.mediaFeatures _),
@@ -77,6 +78,7 @@ object PipelineOps {
     "d16_boilerplate" -> TextAnalysis.boilerplateSql,
     "d17_ingest_neardup" -> Dedup.ingestNearDupSql,
     "d18_mixture_sample" -> Sampling.d18Sql,
+    "d20_dedup_corpus" -> Dedup.dedupCorpusSql,
     "d19_pq_codes" -> Similarity.d19Sql,
     "t11_boiler_strip" -> TextAnalysis.boilerStripSql,
     "m01_multimodal_meta" -> Multimodal.mediaFeaturesSql,

@@ -630,6 +630,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup corpus keeps one representative per cluster") {
+    val corpusN = Dedup.corpusWithPlants(spark, sf).count()
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = Dedup.d20DedupCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // every cluster loses size-1 docs; everything else survives
+    assert(survivors.length ==
+      corpusN - clusters.values.map(_ - 1).sum)
+    val reps = survivors.filter(_._2 == 1).map(_._1).toSet
+    assert(reps == clusters.keySet,
+      "had_dups rows must be exactly the cluster representatives")
+    // no dropped doc appears
+    val survivorIds = survivors.map(_._1).toSet
+    clusters.keySet.foreach(k => assert(survivorIds.contains(k)))
+  }
+
   test("mixture sample matches independent membership math exactly") {
     val got = graft.operators.Sampling.d18MixtureSample(spark, sf)
       .collect().map(_.getLong(0)).toSeq
