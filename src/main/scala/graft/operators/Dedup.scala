@@ -141,18 +141,26 @@ object Dedup {
     // the bucket self-join and the pair distinct never shuffle the
     // shingle arrays. Shingles re-attach to the (few) candidates.
     val bandedDocs = banded(signed)
-    // one narrow aggregate bounds every bucket before the self-join
+    // one narrow aggregate bounds every bucket before the self-join.
+    // The surviving-cell list and the candidate pairs below are
+    // aggregate-derived (no stats) AND corpus-scaling: unhinted,
+    // Catalyst broadcasts them — at mass-duplication scale the pair
+    // relation is quadratic in duplication depth and a broadcast of
+    // it OOMs the driver. shuffle_hash pins every such build.
     val bounded = bandedDocs.join(
       bandedDocs.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") <= maxBucket)
-        .select(col("band"), col("bh")),
+        .select(col("band"), col("bh"))
+        .hint("shuffle_hash"),
       Seq("band", "bh"))
-    val pairs = bounded.as("a").join(bounded.as("b"),
+    val pairs = bounded.as("a").join(
+        bounded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+      .hint("shuffle_hash")
     val sh = signed.select(col("doc_id"), col("shingles"))
     // persist the verified candidate set (tiny): d07's clustering
     // consumes the same relation, so within one session the whole

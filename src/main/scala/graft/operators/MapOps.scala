@@ -378,7 +378,11 @@ object MapOps {
       .select(col("tx"), col("ty"), explode(offsets).as("o"))
       .select(col("tx"), col("ty"),
         (col("tx") + col("o.dx")).as("nx"), (col("ty") + col("o.dy")).as("ny"))
+    // the tile set scales with map coverage (a z14 planet is ~2^28
+    // tiles) and is aggregate-derived (statless): pin the shuffled
+    // build so Catalyst can't broadcast it
     val present = tiles.select(col("tx").as("nx"), col("ty").as("ny"))
+      .hint("shuffle_hash")
     cand.join(present, Seq("nx", "ny"))
       .groupBy(col("tx"), col("ty"))
       .agg((count(lit(1)) - 1).as("n_neighbors"))

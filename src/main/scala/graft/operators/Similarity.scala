@@ -274,20 +274,26 @@ object Similarity {
       if (pin) bandedRaw.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else bandedRaw
-    // one narrow aggregate bounds every cell before the self-join
+    // one narrow aggregate bounds every cell before the self-join.
+    // The cell list and the candidate pairs are aggregate-derived
+    // (statless) and corpus-scaling — unhinted, Catalyst broadcasts
+    // them (the t11 failure class); shuffle_hash pins the builds.
     val bounded = bandedNarrow.join(
       bandedNarrow.groupBy(col("t"), col("bucket"))
         .agg(count(lit(1)).as("cell_n"))
         .filter(col("cell_n") <= maxBucket)
-        .select(col("t"), col("bucket")),
+        .select(col("t"), col("bucket"))
+        .hint("shuffle_hash"),
       Seq("t", "bucket"))
     val cand = bounded.select(col("vec_id").as("keep_id"),
         col("t"), col("bucket"))
       .join(bounded.select(col("vec_id").as("dup_id"),
-        col("t"), col("bucket")), Seq("t", "bucket"))
+        col("t"), col("bucket")).hint("shuffle_hash"),
+        Seq("t", "bucket"))
       .filter(col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"))
       .dropDuplicates(Seq("keep_id", "dup_id"))
+      .hint("shuffle_hash")
     val pairs = cand
       .join(emb.select(col("vec_id").as("keep_id"),
         col("embedding").as("a_emb")), Seq("keep_id"))

@@ -507,7 +507,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= BoilerMinDocs)
       .select(col("gram"), lit(1).as("is_b"))
-    grams.join(common, Seq("gram"), "left")
+    // the common-gram relation scales with corpus vocabulary and has
+    // no post-aggregation stats — unhinted, Catalyst broadcasts it
+    // (fine at sf0.01, fatal at corpus scale); force the shuffled
+    // build the scaladoc promises
+    grams.join(common.hint("shuffle_hash"), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
@@ -555,7 +559,15 @@ object TextAnalysis {
   def t11BoilerStrip(spark: SparkSession, dir: String): DataFrame =
     boilerStrip(Tables.load(spark, dir, "documents"))
 
-  /** Core of t11 on any (doc_id, text) relation. */
+  /** Core of t11 on any (doc_id, text) relation.
+    *
+    * Every aggregate-derived relation here (common grams, covered
+    * positions, rebuilt docs) scales WITH the corpus, but Catalyst
+    * has no stats for post-aggregation outputs and would happily
+    * broadcast them (measured: the covered-positions broadcast made
+    * the sf1 run 12× the sf0.1 one; at real scale it OOMs the
+    * driver). The shuffle_hash hints pin every such join to a
+    * shuffled build — size-robust by construction. */
   def boilerStrip(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       posexplode(split(trim(col("text")), " ")).as(Seq("pos", "word")))
@@ -567,12 +579,13 @@ object TextAnalysis {
       .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= BoilerMinDocs)
       .select(col("gram"))
-    val covered = grams.join(common, Seq("gram"))
+    val covered = grams.join(common.hint("shuffle_hash"), Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + BoilerN - 1))
           .as("pos"))
       .distinct()
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val kept = words.join(covered.hint("shuffle_hash"),
+      Seq("doc_id", "pos"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
@@ -580,7 +593,7 @@ object TextAnalysis {
           s => s.getField("word"))).as("clean_text"))
     docs.select(col("doc_id"),
         size(split(trim(col("text")), " ")).cast("long").as("n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(rebuilt.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

@@ -73,6 +73,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p) // gram doc-counts map-side combine
+    // vocabulary-sized common grams must build shuffled, not broadcast
+    assert(!p.contains("BroadcastHashJoin"), s"d16 broadcast:\n$p")
   }
 
   test("pipeline scans prune to the referenced columns") {
@@ -162,12 +164,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(q48, "Window") == 1, q48)
   }
 
-  test("t11 strip never windows; covered positions anti-join by key") {
+  test("t11 strip never windows, never broadcasts corpus-sized sides") {
     val p = plan("t11_boiler_strip")
     // reassembly is a hash aggregate over doc_id, NOT a global or
     // per-lang window sort; candidate flagging stays an equi-join
     assert(!p.contains("Window"), s"t11 grew a window:\n$p")
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p)
+    // common/covered/rebuilt all scale with the corpus: every join
+    // must be a shuffled build (a broadcast here OOMed at sf1)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"t11 broadcasts an aggregate-derived relation:\n$p")
   }
 }
