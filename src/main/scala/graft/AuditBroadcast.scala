@@ -9,26 +9,29 @@ package graft
   * from SparkPlan.collect. Output is a worklist for human triage,
   * not an assertion. */
 object AuditBroadcast {
+
+  /** Count of BroadcastExchange nodes whose subtree (all following
+    * lines more indented than the node) contains an Aggregate —
+    * i.e. statless builds Catalyst guessed small. Shared with the
+    * PlanShapeSpec pins. */
+  def aggFedBroadcasts(plan: String): Int = {
+    val lines = plan.split("\n")
+    def indent(l: String): Int = l.indexWhere(c => c != ' ' &&
+      c != ':' && c != '+' && c != '-' && c != '*' && c != '(')
+    lines.indices.count { i =>
+      lines(i).contains("BroadcastExchange") && {
+        val base = indent(lines(i))
+        lines.drop(i + 1)
+          .takeWhile(l => indent(l) > base)
+          .exists(_.contains("Aggregate"))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir =
       if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = Sessions.local()
-
-    /** True if any BroadcastExchange subtree (all following lines
-      * more indented than it) contains an Aggregate. */
-    def aggFedBroadcasts(plan: String): Int = {
-      val lines = plan.split("\n")
-      def indent(l: String): Int = l.indexWhere(c => c != ' ' &&
-        c != ':' && c != '+' && c != '-' && c != '*' && c != '(')
-      lines.indices.count { i =>
-        lines(i).contains("BroadcastExchange") && {
-          val base = indent(lines(i))
-          lines.drop(i + 1)
-            .takeWhile(l => indent(l) > base)
-            .exists(_.contains("Aggregate"))
-        }
-      }
-    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString

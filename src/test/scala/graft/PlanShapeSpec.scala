@@ -129,8 +129,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // candidate join is hash-partitioned on (t, bucket)
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"d12 went quadratic:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), s"d12 lost its equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"d12 lost its equi-join:\n$p")
+  }
+
+  test("LSH pipelines never broadcast STATLESS corpus-scaling builds") {
+    // cell lists, candidate pairs and bucket self-joins scale with
+    // the data and are aggregate-derived (no stats): those builds
+    // must be shuffled — a broadcast there passes sf0.01 and OOMs a
+    // cluster. Parquet-backed sides (the shingle re-attach) may
+    // legitimately broadcast at test scale: stats steer them to a
+    // shuffle at real scale on their own.
+    Seq("d02_minhash_lsh", "d12_embed_neardup_lsh", "d20_dedup_corpus")
+      .foreach { q =>
+        val n = AuditBroadcast.aggFedBroadcasts(plan(q))
+        assert(n == 0, s"$q has $n aggregate-fed broadcast(s)")
+      }
   }
 
   test("d19 broadcasts the codebook; struct-min partial-aggregates") {
