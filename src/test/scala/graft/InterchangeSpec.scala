@@ -77,6 +77,46 @@ class InterchangeSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("corrupt jsonl: FAILFAST throws, PERMISSIVE quarantines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-000.json"),
+      """{"doc_id": 1, "text": "good row"}
+        |{"doc_id": 2, "text": "truncated
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // FAILFAST: corruption is an error, never silent nulls
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(dir).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("malformed")
+      || Option(thrown.getCause).exists(
+        _.getMessage.toLowerCase.contains("malformed")))
+    // PERMISSIVE + columnNameOfCorruptRecord: bad line quarantined,
+    // good rows parse — the audit-then-continue production shape
+    val quarantineSchema = schema.add("_bad",
+      org.apache.spark.sql.types.StringType)
+    // (cache required: Spark refuses corrupt-column-only queries
+    // over the raw file source)
+    val rows = spark.read.schema(quarantineSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir).cache()
+    try {
+      assert(rows.filter($"_bad".isNotNull).count() == 1)
+      assert(rows.filter($"_bad".isNull).select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    } finally rows.unpersist()
+  }
+
   test("compaction rewrites 50 planted files into 4, losing nothing") {
     val digest = Interchange.f05Compact(spark, sf).collect().toSeq
     assert(digest.nonEmpty)
