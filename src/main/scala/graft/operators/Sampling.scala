@@ -74,16 +74,20 @@ object Sampling {
     * engine-portable Knuth-hash membership as d09 — the sample is a
     * pure function of (doc_id, source size), stable under
     * repartitioning, cluster size, and engine. */
-  def d18MixtureSample(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val docs = graft.Tables.load(spark, dir, "documents")
-    val cuts = docs.groupBy(col("source"))
+  /** Per-source sampling cut table (|sources| rows) — reusable by
+    * any pipeline stage that wants the same mixture membership. */
+  def mixtureCuts(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
       .agg(sum(col("n_chars")).as("cs"))
       .withColumn("cut", floor(
         least(lit(1.0), lit(MixtureK) / sqrt(col("cs").cast("double")))
           * 1000000).cast("long"))
       .select(col("source"), col("cut"))
-    docs.join(broadcast(cuts), Seq("source"))
+
+  def d18MixtureSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.join(broadcast(mixtureCuts(docs)), Seq("source"))
       .filter(pmod(col("doc_id") * 2654435761L, lit(1000000L))
         < col("cut"))
       .select(col("doc_id"), col("source"))

@@ -647,6 +647,23 @@ class PipelineSpec extends AnyFunSuite {
     clusters.keySet.foreach(k => assert(survivorIds.contains(k)))
   }
 
+  test("e2e pipeline delivers a bounded, quality-gated mixture") {
+    val out = graft.operators.PipelineE2e.d21PipelineE2e(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val corpusN = Dedup.corpusWithPlants(spark, sf).count()
+    assert(out.map(_._2).sum < corpusN,
+      "pipeline must strictly filter the corpus")
+    out.foreach { case (src, nDocs, nTokens) =>
+      assert(nDocs > 0, s"$src empty after filtering")
+      // every surviving doc passed the >=MinWords gate and each word
+      // contributes at least one BPE token
+      assert(nTokens >= nDocs * graft.operators.PipelineE2e.MinWords,
+        s"$src token mass below the quality-gate floor")
+    }
+  }
+
   test("mixture sample matches independent membership math exactly") {
     val got = graft.operators.Sampling.d18MixtureSample(spark, sf)
       .collect().map(_.getLong(0)).toSeq
