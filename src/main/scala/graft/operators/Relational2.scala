@@ -627,6 +627,40 @@ object Relational2 {
       |FROM orders ORDER BY o_orderkey
       |LIMIT 500 OFFSET 1000""".stripMargin
 
+  /** q49: IGNORE NULLS window offsets — sparse-observation filling
+    * (sensor/price series where most rows carry no reading): values
+    * are nulled for all but one event type, then each row takes the
+    * most recent and the first observed reading in its user's
+    * ordered history. One window sort serves both; partition count
+    * scales with users. */
+  def q49IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("v",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("ffill", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("first_seen",
+        first(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v"),
+        col("ffill"), col("first_seen"))
+      .orderBy(col("event_id"))
+  }
+
+  val q49Sql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_type = 'purchase' THEN value END AS v,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER w AS ffill,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER w AS first_seen
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_scalar_subquery" -> (q21ScalarSubquery _),
     "q22_cube" -> (q22Cube _),
@@ -650,7 +684,8 @@ object Relational2 {
     "q40_range_frame" -> (q40RangeFrame _),
     "q41_multi_distinct" -> (q41MultiDistinct _),
     "q44_set_ops_all" -> (q44SetOpsAll _),
-    "q46_offset" -> (q46Offset _))
+    "q46_offset" -> (q46Offset _),
+    "q49_ignore_nulls" -> (q49IgnoreNulls _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -675,5 +710,6 @@ object Relational2 {
     "q40_range_frame" -> q40Sql,
     "q41_multi_distinct" -> q41Sql,
     "q44_set_ops_all" -> q44Sql,
-    "q46_offset" -> q46Sql)
+    "q46_offset" -> q46Sql,
+    "q49_ignore_nulls" -> q49Sql)
 }

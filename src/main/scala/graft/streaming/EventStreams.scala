@@ -208,6 +208,56 @@ object EventStreams {
       : DataFrame =
     hitterRows(windowHitters(streamingEvents(spark, dir)))
 
+  /** s07 core: NATIVE session windows — `session_window(ts, gap)` is
+    * the streaming-first sessionization (state merges adjacent
+    * windows per key; append-mode emission on watermark), here run
+    * batch-equivalent. Semantics note vs s02: a gap of EXACTLY 30
+    * minutes starts a NEW session (the window is right-open
+    * [ts, ts+gap)), where s02's lag-formulation keeps it — the
+    * oracle encodes `>=`. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+
+  def s07SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindows(Tables.load(spark, dir, "events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val s07Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+      |              >= 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+      |  FROM flagged)
+      |SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+      |  COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sess_idx
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** s07 as a real streaming query (file source); used by the spec. */
+  def streamingSessionWindows(spark: SparkSession, dir: String)
+      : DataFrame =
+    sessionWindows(streamingEvents(spark, dir))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+
   /** Stream-static enrich join + windowed agg: the event stream joins
     * a small static dimension (broadcast — no shuffle of the stream,
     * and no join state: the static side is re-resolvable per
@@ -273,6 +323,26 @@ object EventStreams {
          |click_ts <= imp_ts + interval $horizonMinutes minutes"""
         .stripMargin))
       .select(col("imp_id"), col("imp_ts"), col("click_ts"))
+  }
+
+  /** LEFT OUTER stream-stream interval join — the attribution report
+    * that also shows UNCONVERTED impressions. The outer side cannot
+    * emit eagerly (a match may still arrive): Spark holds each
+    * impression in state until BOTH watermarks pass its join horizon,
+    * then emits it null-matched exactly once. State stays bounded by
+    * the watermark, which is the property that makes outer joins
+    * viable on unbounded feeds. */
+  def attributeClicksOuter(impressions: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 10): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", "20 minutes")
+    val clk = clicks.withWatermark("click_ts", "20 minutes")
+    imp.join(clk, expr(
+      s"""imp_id = click_imp_id AND
+         |click_ts >= imp_ts AND
+         |click_ts <= imp_ts + interval $horizonMinutes minutes"""
+        .stripMargin), "left_outer")
+      .select(col("imp_id"), col("imp_ts"), col("click_ts"),
+        col("click_imp_id").isNotNull.as("converted"))
   }
 
   /** Exactly-once-style sink: foreachBatch + idempotent keyed merge.

@@ -605,6 +605,52 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unconverted rows on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    def t(minute: Long) = new Timestamp(1754900000000L + minute * 60000L)
+    val joined = EventStreams.attributeClicksOuter(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_imp_id", "click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_outer").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))
+      clicks.addData((1L, t(5))) // imp 2 never converts
+      q.processAllAvailable()
+      // advance both watermarks far past imp 2's horizon so the
+      // held-back outer row must flush
+      imps.addData((99L, t(120)))
+      clicks.addData((99L, t(121)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .select($"imp_id", $"converted").as[(Long, Boolean)]
+        .collect().filter(_._1 != 99L).sortBy(_._1).toSeq
+      assert(got == Seq((1L, true), (2L, false)),
+        s"expected converted imp 1 + null-matched imp 2, got $got")
+    } finally q.stop()
+  }
+
+  test("native session windows equal the lag-formulation (and stream)") {
+    import spark.implicits._
+    val batch = EventStreams.s07SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val q = EventStreams.streamingSessionWindows(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s07_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s07_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("boiler strip removes planted common trigrams, keeps the rest") {
     import spark.implicits._
     val tpl = "visit our great site now" // common template, 5 words
