@@ -93,7 +93,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the driver may run with any parallelism — results must not
     // depend on the partition count (ordering, first(), agg order)
     val names = Seq("q01_pricing_summary", "q13_asof_join",
-      "d02_minhash_lsh", "g09_zoom_dedup", "t01_lang_id")
+      "d02_minhash_lsh", "g09_zoom_dedup", "t01_lang_id",
+      // round-4 surface: reassembly order, integer argmin ties,
+      // hash membership, as-of fill, full-pipeline composition
+      "t11_boiler_strip", "d19_pq_codes", "d18_mixture_sample",
+      "q48_gap_fill", "d21_pipeline_e2e")
     def run(n: String): Seq[String] =
       SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
     val base = names.map(run)
