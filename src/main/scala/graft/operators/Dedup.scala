@@ -259,8 +259,12 @@ object Dedup {
     * downstream weighting/repetition-aware sampling). */
   def d20DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithPlants(spark, dir).select(col("doc_id"))
-    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
-    val labels = connectedComponents(pairs, "a_id", "b_id")
+    // cluster on the star-reduced edge set, NOT the pairwise d02
+    // relation: components are identical (d14's spec pins it) but the
+    // edge count is O(cell size), not O(cell size²) — measured 196 s
+    // → star path on the 100×-duplicated sf10 corpus, where pairwise
+    // clustering is quadratic in duplication depth
+    val labels = d14Labels(spark, dir)
       .withColumnRenamed("node", "doc_id")
     corpus.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
@@ -307,7 +311,12 @@ object Dedup {
     * crawls), compose with d01's exact-collapse first — one linear
     * shuffle absorbs the duplication depth before any LSH work, the
     * d15 shape on the embedding side. */
-  def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame =
+  /** Star-reduced component labels, memoized per (session, dir) —
+    * the shared clustering backbone for d14's histogram, d20's
+    * survivor selection and d21's pipeline (the label RDD is
+    * persisted by connectedComponents, so each consumer pays a
+    * narrow derivation, not a re-clustering). */
+  def d14Labels(spark: SparkSession, dir: String): DataFrame =
     d14Cache.getOrElseUpdate((spark, dir), {
       // signed feeds the banded relation (2 uses: roots + star join)
       // and the shingle re-attach (2 uses) — pin it so the shingle +
@@ -315,10 +324,17 @@ object Dedup {
       val signed = withSignature(corpusWithPlants(spark, dir))
         .select(col("doc_id"), col("shingles"), col("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (d14Body(signed), Seq(signed))
+      (connectedComponents(starVerifiedEdges(signed), "a_id", "b_id"),
+        Seq(signed))
     })._1
 
-  private def d14Body(signed: DataFrame): DataFrame = {
+  def d14ClustersAtScale(spark: SparkSession, dir: String): DataFrame =
+    d14Labels(spark, dir)
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("keep_id"))
+
+  private def starVerifiedEdges(signed: DataFrame): DataFrame = {
     val bandedDocs = banded(signed)
     // one narrow aggregate per cell: its min doc_id (star center) and
     // size (cap + singleton skip) — the same shape as the d02 bound
@@ -327,12 +343,14 @@ object Dedup {
         count(lit(1)).as("cell_n"))
       .filter(col("cell_n") >= 2 && col("cell_n") <= MaxBucketSize)
       .select(col("band"), col("bh"), col("root"))
+      .hint("shuffle_hash")
     val starEdges = bandedDocs.join(roots, Seq("band", "bh"))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
       .distinct()
+      .hint("shuffle_hash")
     val sh = signed.select(col("doc_id"), col("shingles"))
-    val verified = starEdges
+    starEdges
       .join(sh.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("shingles", "sa"), "a_id")
       .join(sh.withColumnRenamed("doc_id", "b_id")
@@ -340,10 +358,6 @@ object Dedup {
       .filter(graft.functions.MinHash.sortedJaccard(
         col("sa"), col("sb")) >= 0.5)
       .select(col("a_id"), col("b_id"))
-    connectedComponents(verified, "a_id", "b_id")
-      .groupBy(col("label").as("keep_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .orderBy(col("keep_id"))
   }
 
   /** Oracle: recursive min-label reachability over the same pair set

@@ -32,11 +32,10 @@ object PipelineE2e {
   def d21PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val corpus = Dedup.corpusWithPlants(spark, dir)
-    // near-dup survivors — d20's algebra over the shared cached LSH
-    // pipeline (corpus scanned once per session across d02/d07/d20/d21)
-    val pairs = Dedup.minhashLsh(spark, dir)
-      .select(col("a_id"), col("b_id"))
-    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    // near-dup survivors — d20's algebra over the shared star-reduced
+    // clustering backbone (same components as the pairwise path, edge
+    // count linear in duplication depth; memoized per session)
+    val labels = Dedup.d14Labels(spark, dir)
       .withColumnRenamed("node", "doc_id")
     val survivors = corpus.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
