@@ -28,6 +28,45 @@ object TextCodec {
     h
   }
 
+  /** One-pass normalize-and-fingerprint: the t07 composition
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]",
+    * " "), " +", " "))` followed by length + [[fingerprint]], with
+    * NO normalized string ever materialized and no regex engine —
+    * ASCII letters lowercase in place, every other byte is a
+    * separator, separator runs collapse to one interior space.
+    * Equivalent to the Column form whenever Unicode-lowercasing
+    * never turns a non-ASCII character into an ASCII alphanumeric
+    * (true of Latin-1 and essentially all real text; the known
+    * exceptions are exotica like U+0130 and U+212A). Multi-byte
+    * UTF-8 sequences become separator runs byte-wise, which the
+    * collapse makes equivalent to the regex's one-space-per-char. */
+  def normStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    var fp = 0L
+    var len = 0L
+    var pendingSep = false
+    var emitted = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && emitted) {
+          fp = (fp * Mult + ' ') % Mod
+          len += 1
+        }
+        pendingSep = false
+        emitted = true
+        fp = (fp * Mult + c) % Mod
+        len += 1
+      } else {
+        pendingSep = true
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](len, fp))
+  }
+
   /** The t01-t03 stopword list, as UTF-8 byte arrays for the kernel. */
   private val StopBytes: Array[Array[Byte]] =
     Array("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -150,6 +189,21 @@ case class WordStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** One-pass text normalization stats (see TextCodec.normStats). */
+case class NormStats(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("norm_len", LongType, nullable = false),
+    StructField("norm_fp", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextCodec.normStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextCodec.normStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Zero-copy adjacent-word bigram array (see TextCodec.bigrams). */
 case class Bigrams(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -193,6 +247,10 @@ object TextFunctions {
   /** Adjacent-word bigram array over trimmed text. */
   def bigrams(text: Column): Column =
     GraftShim.column(Bigrams(GraftShim.expression(trim(text))))
+
+  /** One-pass normalization stats: struct(norm_len, norm_fp). */
+  def normStats(text: Column): Column =
+    GraftShim.column(NormStats(GraftShim.expression(text)))
 
   def wordNgrams(text: Column, n: Int): Column =
     GraftShim.column(WordNgrams(GraftShim.expression(trim(text)), n))

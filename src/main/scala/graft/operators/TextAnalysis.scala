@@ -204,16 +204,18 @@ object TextAnalysis {
     * reformatted copies. Emits the normalized text plus its
     * fingerprint so the effect is visible (docs differing only in
     * case/punctuation now share norm_fp). */
-  def t07Normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-      "[^a-z0-9 ]", " "), " +", " "))
+  def t07Normalize(spark: SparkSession, dir: String): DataFrame =
+    // one codegen'd byte scan replaces the two regexp_replace passes
+    // + separate length/fingerprint walks (measured 31 s → kernel at
+    // the 100× sf10 corpus); KernelPropertySpec pins equivalence to
+    // the regex formulation
     Tables.load(spark, dir, "documents")
+      .withColumn("ns", TextFunctions.normStats(col("text")))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("raw_len"),
-        length(norm).cast("long").as("norm_len"),
-        TextFunctions.fingerprint(norm).as("norm_fp"))
+        col("ns.norm_len").as("norm_len"),
+        col("ns.norm_fp").as("norm_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val normalizeSql: String =
     """SELECT doc_id,

@@ -205,6 +205,24 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normStats equals the regex normalize formulation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // mixed case, digits, punctuation runs, multi-space, non-ASCII
+    // (é/ß/€ lowercase to non-ASCII, so both paths map them to
+    // separators), leading/trailing junk
+    val ch = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ' ', ',', '.',
+      '!', '-', '_', '\t', 'é', 'ß', '€', 'Z', 'A', '0', '9'))
+    forAll(Gen.listOf(ch).map(_.mkString)) { t =>
+      val norm = t.toLowerCase
+        .replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      val row = TextCodec.normStats(UTF8String.fromString(t))
+      row.getLong(0) == norm.length.toLong &&
+        row.getLong(1) ==
+          TextCodec.fingerprint(UTF8String.fromString(norm))
+    }
+  }
+
   test("quantizedSubL2 equals the scalar formulation; d(a,a)=0") {
     import graft.functions.VectorKernel
     val subDim = 16
