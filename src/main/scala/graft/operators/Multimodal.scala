@@ -139,6 +139,97 @@ object Multimodal {
       .orderBy(col("chunk_md5"))
   }
 
+  /** Chunks shared by more docs than this are dropped from m05's
+    * candidate join — the degenerate-bucket cap (a boilerplate
+    * header chunk shared by the whole corpus would otherwise emit a
+    * quadratic pair set), same role as d02's MaxBucketSize. */
+  val MaxChunkCopies = 1000L
+
+  /** Containment threshold for m05: pair reported when the smaller
+    * payload shares at least this fraction of its chunks. */
+  val NearDupChunkRatio = 0.5
+
+  /** m05: BINARY near-dup pairs via shared content chunks — the
+    * multimodal analogue of d02 (image/video/audio payloads dedupe
+    * by content blocks, not text shingles). Chunk hashes ARE the
+    * buckets: candidates meet only where a chunk matches (equi-join
+    * on the hash, nothing quadratic), capped at [[MaxChunkCopies]];
+    * verification is exact containment — shared chunks over the
+    * smaller doc's chunk count. Every aggregate-derived relation
+    * (per-doc totals, pair counts) is corpus-scaling and statless,
+    * so the joins pin shuffled builds. */
+  def m05BinaryNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Dedup.corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        encode(trim(col("text")), "UTF-8").as("payload"))
+      .withColumn("n_chunks",
+        ceil(length(col("payload")) / lit(ChunkBytes.toDouble))
+          .cast("long"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("n_chunks"), col("payload"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk_md5", md5(substring(col("payload"),
+        (col("chunk_idx") * ChunkBytes + 1).cast("int"),
+        lit(ChunkBytes))))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_md5"))
+      .distinct()
+    val usable = chunks.join(
+      chunks.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") <= MaxChunkCopies)
+        .select(col("chunk_md5"))
+        .hint("shuffle_hash"),
+      Seq("chunk_md5"))
+    val shared = usable.select(col("chunk_md5"),
+        col("doc_id").as("keep_id"), col("n_chunks").as("n_a"))
+      .join(usable.select(col("chunk_md5"),
+        col("doc_id").as("dup_id"), col("n_chunks").as("n_b"))
+        .hint("shuffle_hash"),
+        Seq("chunk_md5"))
+      .filter(col("keep_id") < col("dup_id"))
+      .groupBy(col("keep_id"), col("dup_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .withColumn("overlap", round(col("shared").cast("double")
+        / least(col("n_a"), col("n_b")), 6))
+      .filter(col("overlap") >= NearDupChunkRatio)
+      .select(col("keep_id"), col("dup_id"), col("shared"),
+        col("overlap"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  val binaryNearDupSql: String =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |c AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    CAST(CEIL(octet_length(encode(trim(text)))
+       |      / ${ChunkBytes}.0) AS BIGINT) AS n_chunks
+       |  FROM corpus),
+       |chunks AS (
+       |  SELECT DISTINCT doc_id, n_chunks,
+       |    md5(substring(t, CAST(chunk_idx * $ChunkBytes + 1 AS INT),
+       |      $ChunkBytes)) AS chunk_md5
+       |  FROM c, unnest(range(0, n_chunks)) AS u(chunk_idx)
+       |  WHERE n_chunks > 0),
+       |usable AS (
+       |  SELECT ch.* FROM chunks ch JOIN (
+       |    SELECT chunk_md5 FROM chunks GROUP BY chunk_md5
+       |    HAVING COUNT(*) <= $MaxChunkCopies) ok
+       |  ON ch.chunk_md5 = ok.chunk_md5),
+       |shared AS (
+       |  SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+       |    a.n_chunks AS n_a, b.n_chunks AS n_b,
+       |    COUNT(*) AS shared
+       |  FROM usable a JOIN usable b
+       |    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT keep_id, dup_id, shared,
+       |  ROUND(CAST(shared AS DOUBLE) / LEAST(n_a, n_b), 6) AS overlap
+       |FROM shared
+       |WHERE CAST(shared AS DOUBLE) / LEAST(n_a, n_b)
+       |  >= $NearDupChunkRatio
+       |ORDER BY keep_id, dup_id""".stripMargin
+
   /** Oracle: the corpus is ASCII, so VARCHAR md5 of the substring
     * hashes the same bytes Spark's binary md5 sees. */
   val chunkHashSql: String =

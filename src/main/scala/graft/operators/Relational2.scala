@@ -627,6 +627,27 @@ object Relational2 {
       |FROM orders ORDER BY o_orderkey
       |LIMIT 500 OFFSET 1000""".stripMargin
 
+  /** q50: equi-width histogram binning — the profiling staple
+    * (distribution shape per group before choosing partition/skew
+    * strategy). Bucket arithmetic is plain integer floor on doubles
+    * (`width_bucket` is Spark-only; the portable form is identical
+    * math on both engines); one partial-aggregated groupBy. */
+  def q50Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin
+
   /** q49: IGNORE NULLS window offsets — sparse-observation filling
     * (sensor/price series where most rows carry no reading): values
     * are nulled for all but one event type, then each row takes the
@@ -685,7 +706,8 @@ object Relational2 {
     "q41_multi_distinct" -> (q41MultiDistinct _),
     "q44_set_ops_all" -> (q44SetOpsAll _),
     "q46_offset" -> (q46Offset _),
-    "q49_ignore_nulls" -> (q49IgnoreNulls _))
+    "q49_ignore_nulls" -> (q49IgnoreNulls _),
+    "q50_histogram" -> (q50Histogram _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -711,5 +733,6 @@ object Relational2 {
     "q41_multi_distinct" -> q41Sql,
     "q44_set_ops_all" -> q44Sql,
     "q46_offset" -> q46Sql,
-    "q49_ignore_nulls" -> q49Sql)
+    "q49_ignore_nulls" -> q49Sql,
+    "q50_histogram" -> q50Sql)
 }
