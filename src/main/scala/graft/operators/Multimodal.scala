@@ -157,7 +157,11 @@ object Multimodal {
     * verification is exact containment — shared chunks over the
     * smaller doc's chunk count. Every aggregate-derived relation
     * (per-doc totals, pair counts) is corpus-scaling and statless,
-    * so the joins pin shuffled builds. */
+    * so the joins pin shuffled builds. Like d02, the pair set is
+    * quadratic in duplication DEPTH (measured 42 s on the
+    * 100×-replicated sf10 corpus): on mass-duplicated media,
+    * exact-collapse identical payloads first (`groupBy(payload)`,
+    * the d01/d15 shape) and run this over representatives. */
   def m05BinaryNearDup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Dedup.corpusWithPlants(spark, dir)
       .select(col("doc_id"),
