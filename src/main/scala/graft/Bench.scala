@@ -110,16 +110,15 @@ object Bench {
       // + one stream baseline) — byte budget: the whole stdout line
       // must fit the driver's bounded tail capture
       Seq("q01_pricing_summary", "d02_minhash_lsh",
-        "d12_embed_neardup_lsh", "t11_boiler_strip",
-        "d21_pipeline_e2e", "g11_polyline_length")) +
+        "t11_boiler_strip", "d21_pipeline_e2e",
+        "g11_polyline_length")) +
       drill("sf10",
         sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
           "/root/repo/localdata/sf10"),
         // g11 (23 s at sf10, near-linear window sort — measured once,
         // recorded in SURVEY §4) stays out so the whole bench keeps
         // fitting the driver's per-round budget
-        Seq("q01_pricing_summary", "d14_clusters_scale",
-          "d15_embed_clusters_scale"))
+        Seq("q01_pricing_summary", "d14_clusters_scale"))
     // note: r1 timed count()-only execution, which let Catalyst skip
     // sorts/projections/column reads; totals across rounds compare
     // only per-query against the same execution mode. Keep this line
