@@ -102,6 +102,10 @@ object GraftExtensions {
     fn("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",
       composed(c => Similarity.cosine(c(0), c(1)))),
+    fn("graft_norm_stats",
+      "graft_norm_stats(text) - struct(norm_len, norm_fp) of the" +
+        " normalized text (one-pass, no regex)",
+      e => graft.functions.NormStats(e.head)),
     fn("graft_quantized_sub_l2",
       "graft_quantized_sub_l2(vec, code, sub, subdim) - exact integer" +
         " squared L2 over subspace sub (PQ inner loop)",

@@ -72,6 +72,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         " graft_word_ngrams('a b', 3) AS g_short").collect().head
     assert(ng.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(ng.getSeq[String](1).isEmpty)
+    val ns = spark.sql(
+      "SELECT graft_norm_stats('  Hello,  WORLD! 42 ') AS ns")
+      .collect().head.getStruct(0)
+    assert(ns.getLong(0) == "hello world 42".length)
     // PQ inner loop: subspace 1 of dim 2 differs by (1e6)^2 + 0
     val pq = spark.sql(
       "SELECT graft_quantized_sub_l2(" +

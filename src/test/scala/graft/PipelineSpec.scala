@@ -605,6 +605,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming file sink commits via manifest, read sees no dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_filesink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_filesink_ckpt").toString
+    val q = src.toDF().toDF("id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData(1L to 100L: _*)
+      q.processAllAvailable()
+      src.addData(101L to 200L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sink's transaction log is what makes the directory
+    // exactly-once: readers list committed files from the manifest,
+    // not the raw directory
+    assert(new java.io.File(s"$out/_spark_metadata").exists())
+    val back = spark.read.parquet(out).as[Long].collect().sorted
+    assert(back.toSeq == (1L to 200L))
+  }
+
   test("left-outer interval join emits unconverted rows on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
