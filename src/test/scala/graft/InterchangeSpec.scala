@@ -117,6 +117,42 @@ class InterchangeSpec extends AnyFunSuite {
     } finally rows.unpersist()
   }
 
+  test("csv and jsonl round trips hold on adversarial random strings") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // quotes, commas, newlines, CR, tabs, unicode, leading/trailing
+    // whitespace, empty — the payloads that break naive writers
+    val ch = Gen.frequency(
+      (6, Gen.alphaNumChar.map(_.toString)),
+      (1, Gen.oneOf("\"", ",", "\n", "\r", "\t", " ", "\\", "é",
+        "𝄞", "ß", "'", ";")))
+    val strGen = Gen.listOf(ch).map(_.mkString)
+    val rows = org.scalacheck.Gen.listOfN(60, strGen)
+      .sample.getOrElse(Seq.fill(60)("fallback"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzz_rt").toString
+    df.write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "\"\"").option("nullValue", "\\N")
+      .csv(s"$dir/csv")
+    val csvBack = spark.read.schema(df.schema)
+      .option("header", "true").option("quote", "\"")
+      .option("escape", "\"").option("multiLine", "true")
+      .option("emptyValue", "").option("nullValue", "\\N")
+      .option("mode", "FAILFAST").csv(s"$dir/csv")
+    assert(csvBack.exceptAll(df).isEmpty && df.exceptAll(csvBack).isEmpty,
+      "csv round trip drift")
+    df.write.mode("overwrite").json(s"$dir/jsonl")
+    val jsonBack = spark.read.schema(df.schema)
+      .option("mode", "FAILFAST").json(s"$dir/jsonl")
+    assert(jsonBack.exceptAll(df).isEmpty
+      && df.exceptAll(jsonBack).isEmpty, "jsonl round trip drift")
+  }
+
   test("compaction rewrites 50 planted files into 4, losing nothing") {
     val digest = Interchange.f05Compact(spark, sf).collect().toSeq
     assert(digest.nonEmpty)
