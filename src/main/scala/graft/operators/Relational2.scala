@@ -648,6 +648,69 @@ object Relational2 {
       |FROM lineitem
       |GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin
 
+  /** q51: funnel analysis — ordered-stage conversion (view → click →
+    * purchase): a user converts a stage only with an event AFTER
+    * their previous stage's first event. Each stage is one filtered
+    * aggregate + one user-keyed equi-join against the previous
+    * stage; the stage relations are user-count-scaling and statless
+    * (aggregate-derived), so the joins pin shuffled builds. Exact
+    * integer sums carry the stage delays. */
+  def q51Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val s1 = stage("view").groupBy(col("user_id"))
+      .agg(min(col("us")).as("t1"))
+    val s2 = stage("click")
+      .join(s1.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(col("us")).as("t2"))
+    val s3 = stage("purchase")
+      .join(s2.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("t2"))
+      .agg(min(col("us")).as("t3"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"),
+        lit(0L).as("sum_delay_us"))
+      .select(lit("1_view").as("stage"), col("n_users"),
+        col("sum_delay_us"))
+    val r2 = s2.agg(count(lit(1)).as("n_users"),
+        sum(col("t2") - col("t1")).cast("long").as("sum_delay_us"))
+      .select(lit("2_click").as("stage"), col("n_users"),
+        col("sum_delay_us"))
+    val r3 = s3.agg(count(lit(1)).as("n_users"),
+        sum(col("t3") - col("t2")).cast("long").as("sum_delay_us"))
+      .select(lit("3_purchase").as("stage"), col("n_users"),
+        col("sum_delay_us"))
+    r1.unionByName(r2).unionByName(r3).orderBy(col("stage"))
+  }
+
+  val q51Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, s1.t1, MIN(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |  GROUP BY e.user_id, s1.t1),
+      |s3 AS (
+      |  SELECT e.user_id, s2.t2, MIN(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |  GROUP BY e.user_id, s2.t2)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |  CAST(0 AS BIGINT) AS sum_delay_us FROM s1
+      |UNION ALL
+      |SELECT '2_click', COUNT(*),
+      |  CAST(SUM(t2 - t1) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*),
+      |  CAST(SUM(t3 - t2) AS BIGINT) FROM s3
+      |ORDER BY stage""".stripMargin
+
   /** q49: IGNORE NULLS window offsets — sparse-observation filling
     * (sensor/price series where most rows carry no reading): values
     * are nulled for all but one event type, then each row takes the
@@ -707,7 +770,8 @@ object Relational2 {
     "q44_set_ops_all" -> (q44SetOpsAll _),
     "q46_offset" -> (q46Offset _),
     "q49_ignore_nulls" -> (q49IgnoreNulls _),
-    "q50_histogram" -> (q50Histogram _))
+    "q50_histogram" -> (q50Histogram _),
+    "q51_funnel" -> (q51Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -734,5 +798,6 @@ object Relational2 {
     "q44_set_ops_all" -> q44Sql,
     "q46_offset" -> q46Sql,
     "q49_ignore_nulls" -> q49Sql,
-    "q50_histogram" -> q50Sql)
+    "q50_histogram" -> q50Sql,
+    "q51_funnel" -> q51Sql)
 }
