@@ -359,6 +359,52 @@ object Relational {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q52: tolerance-bounded as-of join — the sensor-staleness
+    * contract: a match older than the tolerance is WORSE than no
+    * match (a feature pipeline must not silently join hour-old
+    * prices onto a trade). Same single-key-shuffle as-of plan as
+    * q13; the staleness bound is a post-fill projection, so the
+    * tolerance costs nothing extra. Matched rows keep their gap,
+    * stale rows survive with a NULL match (outer semantics). */
+  val AsofToleranceUs: Long = 30L * 60 * 1000000 // 30 minutes
+
+  def q52AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOf.asofJoin(purchases, views, "user_id", "ts", "ts")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("r_ts")))
+      .withColumn("fresh",
+        col("r_view_id").isNotNull && col("gap_us") <= AsofToleranceUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("fresh"), col("r_view_id")).as("view_id"),
+        when(col("fresh"), col("gap_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q52Sql: String =
+    s"""WITH views AS (
+       |  SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+       |  WHERE event_type = 'view' GROUP BY 1, 2),
+       |p AS (
+       |  SELECT user_id, ts, event_id FROM events
+       |  WHERE event_type = 'purchase'),
+       |m AS (
+       |  SELECT p.event_id AS purchase_id, p.user_id,
+       |    v.view_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       |  FROM p ASOF LEFT JOIN views v
+       |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+       |SELECT purchase_id, user_id,
+       |  CASE WHEN gap_us <= $AsofToleranceUs THEN view_id END
+       |    AS view_id,
+       |  CASE WHEN gap_us <= $AsofToleranceUs THEN gap_us END
+       |    AS gap_us
+       |FROM m ORDER BY purchase_id""".stripMargin
+
   /** q14: point-in-interval range join — events binned into
     * variable-width (quadratic) value bands. Bucketed equi-join under
     * the hood (RangeJoin), so no nested-loop join appears even though
@@ -537,6 +583,7 @@ object Relational {
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_range_join" -> (q14RangeJoin _),
     "q48_gap_fill" -> (AsOf.q48GapFill _),
+    "q52_asof_tolerance" -> (q52AsofTolerance _),
     "q16_percentiles" -> (q16Percentiles _),
     "q47_approx_percentile" -> (q47ApproxPercentile _),
     "q17_rollup" -> (q17Rollup _),
@@ -559,6 +606,7 @@ object Relational {
     "q13_asof_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
     "q48_gap_fill" -> AsOf.q48Sql,
+    "q52_asof_tolerance" -> q52Sql,
     "q16_percentiles" -> q16Sql,
     "q17_rollup" -> q17Sql,
     "q18_pivot" -> q18Sql,
