@@ -111,7 +111,7 @@ object Bench {
       // must fit the driver's bounded tail capture
       Seq("q01_pricing_summary", "d02_minhash_lsh",
         "t11_boiler_strip", "d21_pipeline_e2e",
-        "g11_polyline_length")) +
+        "g13_map_pipeline", "g11_polyline_length")) +
       drill("sf10",
         sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
           "/root/repo/localdata/sf10"),
