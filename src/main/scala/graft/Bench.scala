@@ -2,6 +2,22 @@ package graft
 
 
 object Bench {
+
+  /** Format seconds with 2-decimal grain, trailing zeros stripped —
+    * every stdout byte counts toward the driver's bounded tail
+    * capture.
+    */
+  private def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else s
+  }
+
+  private def jsonMap(entries: Seq[(String, String)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -17,15 +33,26 @@ object Bench {
     // SPARK_GRAFT_ONLY=d07_dedup_clusters,d02_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map {
-      case (name, fn) =>
-        // drop cross-query operator caches so every query pays its
-        // OWN pipeline: d02 fills the LSH cache that d07 would
-        // otherwise read, turning d07's number into clustering-only —
-        // a measurement artifact, not a speedup (per-query times must
-        // stay comparable across rounds)
+
+    /** Time one query `reps` times against `dir`, reporting the MIN.
+      * Suite-mode numbers were contention-dominated (round-4 verdict:
+      * q05 10.7 s in-suite vs 1.71 s isolated); a second back-to-back
+      * run almost always lands on a quiet JVM, so min-of-2 tracks the
+      * isolated number without a separate process. A failed query
+      * records -1 (NOT its elapsed-until-throw time, so a broken query
+      * can't masquerade as a fast one) plus an errors entry.
+      */
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame, dir: String,
+        reps: Int): (String, Double, Option[String]) = {
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        // drop cross-query operator caches so every query (and every
+        // rep) pays its OWN pipeline: d02 fills the LSH cache that d07
+        // would otherwise read, turning d07's number into
+        // clustering-only — a measurement artifact, not a speedup.
         graft.operators.Dedup.releaseLshCache()
         graft.operators.Similarity.releaseSimCache()
         graft.operators.MapBench.releaseFleetCache()
@@ -33,107 +60,98 @@ object Bench {
         // noop sink executes the COMPLETE plan (count() would let
         // Catalyst drop sorts/projections from row-level queries and
         // read no parquet columns at all for pure selects).
-        val err =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            None
-          } catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
-          }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+        }
+        r += 1
+      }
+      (name, if (err.isDefined) -1.0 else best, err)
     }
-    // a failed query records -1 (NOT its elapsed-until-throw time, so
-    // a broken query can't masquerade as a fast one) + an errors entry.
-    // Durations are ms-rounded: the driver captures a bounded stdout
-    // tail and the round-3 full-precision line overflowed it, so the
-    // JSON arrived head-truncated and unparseable.
-    // 2 decimals (10 ms grain), trailing zeros stripped — every byte
-    // counts toward keeping the whole line inside the driver's
-    // stdout tail window even with three drill sections
-    def fmt(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      if (s.contains('.'))
-        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      timeOne(name, fn, sfDir, reps = 2)
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m + "\""
-    }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map { case (k, v, _) => (k, fmt(v)) })
+    val errs = jsonMap(results.collect { case (k, _, Some(m)) =>
+      (k, "\"" + m + "\"") })
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+
     // Scale drills: if a replica exists (tools/gen_sf.py →
     // localdata/sf1 at 10x, localdata/sf10 at 100x), also run a
     // bounded headline subset there, so every bench report carries a
     // scale CURVE (sf0.1 → sf1 → sf10) without unbounded wall-clock
     // cost. The sf10 list holds only plant-semantics-safe queries
     // (doc_id offsets stay below the 1e6 plant boundary, but the
-    // minhash corpus at 100x would dominate the run).
-    def drill(tag: String, dir: String, keys: Seq[String]): String =
-      if (!new java.io.File(dir).isDirectory || only.isDefined) ""
-      else {
-        val ran = keys.flatMap(k => SparkEntry.queries.get(k)
-          .map(fn => (k, fn))).map { case (name, fn) =>
-          graft.operators.Dedup.releaseLshCache()
-          graft.operators.Similarity.releaseSimCache()
-          graft.operators.MapBench.releaseFleetCache()
-          val t0 = System.nanoTime()
-          val err =
-            try {
-              fn(spark, dir).write.format("noop").mode("overwrite")
-                .save()
-              None
-            } catch { case e: Throwable =>
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
-            }
-          (name, (System.nanoTime() - t0) / 1e9, err)
-        }
-        val entries = ran.map { case (name, v, err) =>
-          "\"" + name + "\":" + (if (err.isDefined) "-1" else fmt(v))
-        }
-        val drillErrs = ran.collect { case (k, _, Some(m)) =>
-          "\"" + k + "\":\"" + m + "\""
-        }
-        val errPart =
-          if (drillErrs.isEmpty) ""
-          else s""","${tag}_errors":${drillErrs.mkString("{", ",", "}")}"""
-        s""","$tag":{${entries.mkString(",")}}$errPart"""
-      }
-    val sf1Json = drill("sf1",
-      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1"),
-      // kept to the queries whose scale behavior is informative
-      // (LSH pipelines, the fixed t11, the near-linear g11, one agg
-      // + one stream baseline) — byte budget: the whole stdout line
-      // must fit the driver's bounded tail capture
-      Seq("q01_pricing_summary", "d02_minhash_lsh",
-        "t11_boiler_strip", "d21_pipeline_e2e",
-        "g13_map_pipeline", "g11_polyline_length")) +
-      drill("sf10",
-        sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
-          "/root/repo/localdata/sf10"),
-        // g11 (23 s at sf10, near-linear window sort — measured once,
-        // recorded in SURVEY §4) stays out so the whole bench keeps
-        // fitting the driver's per-round budget
-        Seq("q01_pricing_summary", "d14_clusters_scale"))
-    // note: r1 timed count()-only execution, which let Catalyst skip
-    // sorts/projections/column reads; totals across rounds compare
-    // only per-query against the same execution mode. Keep this line
-    // COMPACT (empty objects omitted, short note): it must fit whole
-    // inside the driver's stdout tail window to be parseable.
-    val errPart = if (results.forall(_._3.isEmpty)) "" else s""","errors":$errs"""
-    // stdout gets the compact form (bounded driver capture); the file
-    // copy below carries the full sfDir path + execution-mode note
+    // minhash corpus at 100x would dominate the run). Single-rep:
+    // drills run serialized after the suite on a quiet JVM.
+    def drill(dir: String, keys: Seq[String])
+        : Seq[(String, Double, Option[String])] =
+      if (!new java.io.File(dir).isDirectory || only.isDefined) Nil
+      else keys.flatMap(k => SparkEntry.queries.get(k).map(fn => (k, fn)))
+        .map { case (name, fn) => timeOne(name, fn, dir, reps = 1) }
+
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/localdata/sf1")
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/root/repo/localdata/sf10")
+    // kept to the queries whose scale behavior is informative
+    // (LSH pipelines, the fixed t11, the near-linear g11, one agg
+    // + one stream baseline)
+    val sf1 = drill(sf1Dir, Seq("q01_pricing_summary", "d02_minhash_lsh",
+      "t11_boiler_strip", "d21_pipeline_e2e",
+      "g13_map_pipeline", "g11_polyline_length"))
+    // g11 (23 s at sf10, near-linear window sort — measured once,
+    // recorded in SURVEY §4) stays out so the whole bench keeps
+    // fitting the driver's per-round budget
+    val sf10 = drill(sf10Dir, Seq("q01_pricing_summary", "d14_clusters_scale"))
+    // Pathological-skew drill (SURVEY §4): one zipf-hot key holding
+    // ~30% of an sf1-sized fact vs a non-broadcastable dim — plain
+    // shuffle join vs salted (key,salt) scatter vs AQE runtime split.
+    val skew: Seq[(String, Double)] =
+      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) Nil
+      else try graft.operators.SkewBench.drill(spark, sf1Dir)
+      catch { case _: Throwable => Nil }
+
+    def drillJson(tag: String, ran: Seq[(String, Double, Option[String])])
+        : String =
+      if (ran.isEmpty) ""
+      else s""","$tag":${jsonMap(ran.map { case (k, v, _) => (k, fmt(v)) })}"""
+
+    val skewJson =
+      if (skew.isEmpty) ""
+      else s""","skew_sf1":${jsonMap(skew.map { case (k, v) => (k, fmt(v)) })}"""
+
+    // STDOUT CONTRACT (round-4 verdict #1): the driver's tail capture
+    // is ~2 KB; a 112-entry per-query map alone exceeds it, so three
+    // rounds of BENCH_r{N}.json arrived unparseable. stdout carries
+    // only total + errors + a headline-query subset + the drill
+    // sections (< 1 KB); the FULL per-query map goes exclusively to
+    // bench_out.json.
+    val headlineKeys = Seq("q01_pricing_summary", "q05_topk_revenue",
+      "d02_minhash_lsh", "d20_dedup_corpus", "d21_pipeline_e2e",
+      "g13_map_pipeline", "t11_boiler_strip", "s01_window_agg")
+    val headline = results.filter(r => headlineKeys.contains(r._1))
     val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfTag"$sf1Json}"""
-    println(json)
-    val fileJson = json.dropRight(1) +
-      s""","sf_dir":"$sfDir","execution":"full-plan noop"}"""
-    // belt-and-braces copy: the round-2 stdout capture truncated and
-    // lost 20 per-query entries, so also write the line to a file
+    val errPart = if (results.forall(_._3.isEmpty)) "" else s""","errors":$errs"""
+    val stdoutJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        jsonMap(headline.map { case (k, v, _) => (k, fmt(v)) })
+      },"n":${results.size},"reps":2$errPart,"sf":"$sfTag"${
+        drillJson("sf1", sf1)}${drillJson("sf10", sf10)}$skewJson,"detail":"bench_out.json"}"""
+    println(stdoutJson)
+    // full per-query copy: the bounded stdout capture can't carry the
+    // whole map, so the file is the canonical per-query record
+    val fileJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n":${
+        results.size},"reps":2$errPart,"sf":"$sfTag"${
+        drillJson("sf1", sf1)}${drillJson("sf10", sf10)}$skewJson,"sf_dir":"$sfDir","execution":"full-plan noop, min of 2 reps"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_out.json")),

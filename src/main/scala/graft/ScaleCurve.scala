@@ -1,0 +1,105 @@
+package graft
+
+/** Machine-recorded scale sweep (round-4 verdict #3).
+  *
+  * SURVEY §4's 100× drill existed only as prose; this main re-measures
+  * a representative query per §2 family at sf1 (10×) and sf10 (100×)
+  * and writes the whole curve — plus the pathological-skew join drill
+  * — to `scale_curve.json`, a committed artifact, so the "every family
+  * linear-or-better" claim is reproducible instead of asserted.
+  *
+  * Run: `sbt "runMain graft.ScaleCurve"` (or `... graft.ScaleCurve
+  * skew` for the skew drill alone). Deliberately separate from
+  * [[Bench]]: the driver's bench has a bounded stdout budget and
+  * per-round wall-clock; this sweep is unbounded and manual.
+  */
+object ScaleCurve {
+
+  /** family → representative query (one per SURVEY §2 family, plus a
+    * second §2d entry so both the clustering and the text-kernel legs
+    * of the pipeline tranche are on the curve).
+    */
+  val families: Seq[(String, String)] = Seq(
+    "2a_relational" -> "q01_pricing_summary",
+    "2b_mapsforge" -> "g13_map_pipeline",
+    "2c_geometry" -> "g11_polyline_length",
+    "2d_pipeline_cluster" -> "d14_clusters_scale",
+    "2d_pipeline_text" -> "t07_normalize",
+    "2e_streaming" -> "s01_window_agg")
+
+  private def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/localdata/sf1")
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/root/repo/localdata/sf10")
+    val skewOnly = args.contains("skew")
+
+    try graft.operators.MapBench.warmFixtures(spark, sf01)
+    catch { case _: Throwable => () }
+
+    def time(key: String, dir: String): Double = {
+      graft.operators.Dedup.releaseLshCache()
+      graft.operators.Similarity.releaseSimCache()
+      graft.operators.MapBench.releaseFleetCache()
+      val fn = SparkEntry.queries(key)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def sweep(dir: String): Seq[(String, String, Double)] =
+      if (!new java.io.File(dir).isDirectory) Nil
+      else families.map { case (fam, key) =>
+        val t = try time(key, dir) catch { case _: Throwable => -1.0 }
+        println(s"  $fam/$key @ ${dir.split('/').last}: ${fmt(t)} s")
+        (fam, key, t)
+      }
+
+    val curve: Seq[(String, Seq[(String, String, Double)])] =
+      if (skewOnly) Nil
+      else {
+        println("sf0.1 sweep:")
+        val c01 = sweep(sf01)
+        println("sf1 sweep:")
+        val c1 = sweep(sf1)
+        println("sf10 sweep:")
+        val c10 = sweep(sf10)
+        Seq("sf0.1" -> c01, "sf1" -> c1, "sf10" -> c10)
+      }
+
+    println("skew drill (sf1):")
+    val skew =
+      try graft.operators.SkewBench.drill(spark, sf1)
+      catch { case e: Throwable =>
+        println("  skew drill failed: " + e.getMessage); Nil }
+    skew.foreach { case (k, v) => println(s"  $k: ${fmt(v)} s") }
+
+    val curveJson = curve.map { case (tag, rows) =>
+      "\"" + tag + "\":{" + rows.map { case (fam, key, t) =>
+        s""""$key":${fmt(t)}"""
+      }.mkString(",") + "}"
+    }.mkString(",")
+    val famJson = families.map { case (fam, key) =>
+      s""""$fam":"$key"""" }.mkString("{", ",", "}")
+    val skewJson = skew.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val curvePart = if (curveJson.isEmpty) "" else curveJson + ","
+    val json = s"""{"families":$famJson,$curvePart"skew_sf1":$skewJson,"execution":"full-plan noop, local[${
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"}"""
+    if (!skewOnly)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("scale_curve.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -208,11 +208,16 @@ object Dedup {
     var labels = adj.keys.distinct(part.numPartitions)
       .map(n => (n, n)).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only ever decrease, so the label sum strictly decreases
-    // iff any node changed — convergence is a narrow fold per round,
-    // comparing consecutive sums (iteration 1 always changes or
-    // repeats immediately; no initial-sum action needed)
-    var prevSum = Long.MinValue
+    // convergence = "no node changed label this round", counted
+    // EXACTLY by an accumulator (one count() action per round — the
+    // same single action the previous label-sum fold cost). A sum
+    // comparison could in principle wrap Long at the 100 TB design
+    // point (~10⁹ nodes × 10¹⁸-scale ids) and alias a real decrease
+    // as "no change"; the changed-count can't. Task recomputation may
+    // over-count (accumulator updates in a transformation replay),
+    // which at worst runs one extra round — it can never fabricate
+    // convergence, because a round where NO label changes has nothing
+    // to increment.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -222,15 +227,17 @@ object Dedup {
       val msgMin = adj.join(labels)
         .map { case (_, (nbr, lbl)) => (nbr, lbl) }
         .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      val changed = spark.sparkContext.longAccumulator("labelsChanged")
       val next = labels.leftOuterJoin(msgMin)
         .mapValues { case (own, m) =>
-          math.min(own, m.getOrElse(Long.MaxValue)) }
+          val nl = math.min(own, m.getOrElse(Long.MaxValue))
+          if (nl != own) changed.add(1L)
+          nl }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.map(_._2).fold(0L)(_ + _)
+      next.count()
       labels.unpersist(blocking = false)
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      converged = changed.value == 0L
       i += 1
     }
     adj.unpersist(blocking = false)

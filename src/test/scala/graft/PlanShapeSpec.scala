@@ -147,6 +147,83 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("aggFedBroadcasts heuristic flags a planted statless broadcast") {
+    // positive control (round-4 advice): the gate below is only as
+    // good as the plan-string heuristic — if a Spark upgrade changes
+    // the tree format, this synthetic plan keeps the sweep honest by
+    // failing loudly instead of letting the gate go vacuous.
+    val statless =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- BroadcastHashJoin [k#1L], [k#2L], Inner, BuildRight, false
+        |   :- Project [k#1L, v#3L]
+        |   :  +- FileScan parquet [k#1L,v#3L]
+        |   +- BroadcastExchange HashedRelationBroadcastMode(List(k#2L))
+        |      +- HashAggregate(keys=[k#2L], functions=[sum(v#4L)])
+        |         +- Exchange hashpartitioning(k#2L, 32)
+        |            +- HashAggregate(keys=[k#2L], functions=[partial_sum(v#4L)])
+        |               +- FileScan parquet [k#2L,v#4L]""".stripMargin
+    assert(AuditBroadcast.aggFedBroadcasts(statless) == 1,
+      "heuristic failed to flag an aggregate-fed BroadcastExchange")
+    // ...and a stats-backed (scan-fed) broadcast must NOT flag
+    val statted =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- BroadcastHashJoin [k#1L], [k#2L], Inner, BuildRight, false
+        |   :- HashAggregate(keys=[k#1L], functions=[sum(v#3L)])
+        |   :  +- FileScan parquet [k#1L,v#3L]
+        |   +- BroadcastExchange HashedRelationBroadcastMode(List(k#2L))
+        |      +- Filter isnotnull(k#2L)
+        |         +- FileScan parquet [k#2L]""".stripMargin
+    assert(AuditBroadcast.aggFedBroadcasts(statted) == 0,
+      "heuristic flags a scan-fed broadcast (false positive)")
+  }
+
+  test("NO registered query broadcasts a statless build outside the allowlist") {
+    // the t11/d16 bug class, gated globally (round-4 verdict #2): an
+    // aggregate-derived relation has no stats, so Catalyst guesses
+    // small and broadcasts — fine for provably bounded relations,
+    // OOM for corpus-scaling ones. Every query below is adjudicated
+    // bounded; a NEW query that flags must either get a shuffled-
+    // build hint or a justified allowlist entry.
+    val allow = Map(
+      "d13_decontaminate" -> "eval-suite grams: bounded by construction",
+      "d18_mixture_sample" -> "per-source mixture cuts: |sources| rows",
+      "d21_pipeline_e2e" -> "composes d13 eval grams + d18 cuts",
+      "g14_fleet_scan" -> "per-file fleet summary: |files| rows",
+      "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
+      "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
+      "t09_common_ratio" -> "top-K head vocabulary: K rows")
+    val flagged = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains)
+      .flatMap { q =>
+        val n = AuditBroadcast.aggFedBroadcasts(plan(q))
+        if (n > 0) Some(s"$q ($n)") else None
+      }
+    assert(flagged.isEmpty,
+      s"unadjudicated aggregate-fed broadcast(s): ${flagged.mkString(", ")}")
+    // and the allowlist itself must not rot: every entry still exists
+    allow.keys.foreach(q => assert(SparkEntry.queries.contains(q),
+      s"allowlist entry $q is no longer a registered query"))
+  }
+
+  test("skew drill: salted join shuffles on (key, salt)") {
+    // the zipf-drill contract (round-4 verdict #6): Skew.saltedJoin
+    // must scatter the hot key across salt sub-partitions — i.e. the
+    // join's exchanges hash-partition on BOTH the key and __salt, and
+    // no broadcast sneaks in to dodge the skew being measured.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = operators.SkewBench.zipfFact(spark, sf)
+      val dim = operators.SkewBench.dim(spark)
+      val p = operators.Skew.saltedJoin(fact, dim, "k", salt = 8)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"skew pin dodged:\n$p")
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+        s"salted join does not shuffle on (key, salt):\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("d19 broadcasts the codebook; struct-min partial-aggregates") {
     val p = plan("d19_pq_codes")
     // vectors must never shuffle before the per-(vec,subspace) min:
