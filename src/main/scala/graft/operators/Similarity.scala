@@ -437,6 +437,168 @@ object Similarity {
         col("best.code_id").as("code"), col("best.dist").as("dist"))
       .orderBy(col("vec_id"), col("subspace"))
 
+  // ---- trained codebooks (Lloyd's k-means) --------------------------
+
+  /** Quantize a float vector to floor(x·10⁶) longs — the same grid
+    * [[graft.functions.VectorKernel.quantizedSubL2]] uses, which is
+    * what makes the whole TRAINING loop below exact integer
+    * arithmetic: sums are order-independent, so the trained centroids
+    * are identical on any partitioning/cluster size AND replicable by
+    * the DuckDB oracle (d22 hash-matches an iterative k-means — no
+    * "training is approximate" escape hatch needed). */
+  def quantizeVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact squared L2 between two quantized vectors. HOF fold — fine
+    * here because training touches k×N distance pairs per round on a
+    * TRAINING SAMPLE (codebooks are trained on a bounded sample even
+    * at 100 TB; assignment over the full corpus is d10/d19's codegen
+    * kernel, not this). */
+  def qDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  val KmIters = 3
+
+  /** Lloyd's k-means over quantized vectors, deterministic init.
+    *
+    * Per round: every vector joins the BROADCAST centroid set (the
+    * big side never shuffles), keeps its argmin cell via one
+    * partial-aggregable struct-min, and new centroids are the
+    * floor-of-mean per dimension (floor(Σ/n) in exact arithmetic:
+    * component sums stay < 2⁵³ so the double division is exact, and
+    * both engines floor identically). Empty cells keep their previous
+    * centroid. Centroids are COLLECTED between rounds — k×dim values,
+    * bounded by construction (the vtag-universe precedent): that
+    * truncates the growing lineage so round r+1's plan doesn't
+    * re-execute rounds 1..r, and makes the broadcast literal.
+    *
+    * `vecs` = (vec_id LONG, qv ARRAY<LONG>); `init` = (cent_id, qc)
+    * same shapes. Returns (cent_id, qc) after `iters` rounds.
+    */
+  def kmeansQuantized(vecs: DataFrame, init: DataFrame, iters: Int)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Long])] = init
+      .select(col("cent_id").cast("long"), col("qc"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    for (_ <- 1 to iters) {
+      val centDf = cents.toDF("cent_id", "qc")
+      val assigned = vecs.join(broadcast(centDf))
+        .withColumn("dist", qDist(col("qv"), col("qc")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+          first(col("qv")).as("qv"))
+      val means = assigned
+        .select(col("best.cent_id").as("cent_id"),
+          posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("comp"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("comp")))),
+          s => s.getField("comp")).as("qc"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents.toDF("cent_id", "qc")
+  }
+
+  /** Assignment histogram under a quantized codebook: one row per
+    * non-empty cell with its member count and total distortion. */
+  def qAssignHistogram(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .groupBy(col("best.cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("best.dist")).cast("long").as("total_dist"))
+      .orderBy(col("cell"))
+
+  /** d22: IVF with TRAINED centroids — closes d10's documented "a
+    * real pipeline would k-means" caveat. Same deterministic subset
+    * init as d10, then [[KmIters]] Lloyd's rounds in the quantized
+    * space, then the assignment histogram (cell, n_vectors,
+    * total_dist). Hash-matched against a DuckDB oracle that unrolls
+    * the identical iterations — training itself is verified, not just
+    * asserted. */
+  def d22KmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val init = q.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val vecs = q.filter(col("vec_id") >= IvfCells)
+    qAssignHistogram(vecs, kmeansQuantized(vecs, init, KmIters))
+  }
+
+  /** DuckDB oracle for d22: the same k-means, iterations unrolled as
+    * CTE stages (assign aᵢ → means mᵢ → centroids cᵢ), every
+    * arithmetic step on the same integer grid. */
+  val d22Sql: String = {
+    val dim = PqSubspaces * PqSubDim
+    def assign(i: Int, c: String) =
+      s"""a$i AS (
+         |  SELECT vec_id, qv, cent_id, dist, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+         |  FROM (SELECT v.vec_id, v.qv, c.cent_id,
+         |    CAST(list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (v.qv[j] - c.qc[j]) * (v.qv[j] - c.qc[j])))
+         |      AS BIGINT) AS dist
+         |  FROM v CROSS JOIN $c c))""".stripMargin
+    def update(i: Int) =
+      s"""m$i AS (
+         |  SELECT cent_id, pos,
+         |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |      AS comp
+         |  FROM (SELECT cent_id, p.pos, qv[p.pos] AS val
+         |        FROM a$i CROSS JOIN p WHERE rn = 1)
+         |  GROUP BY cent_id, pos),
+         |c$i AS (
+         |  SELECT c.cent_id, COALESCE(l.qc, c.qc) AS qc
+         |  FROM c${i - 1} c LEFT JOIN (
+         |    SELECT cent_id, list(comp ORDER BY pos) AS qc
+         |    FROM m$i GROUP BY cent_id) l USING (cent_id))""".stripMargin
+    val rounds = (1 to KmIters)
+      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i))
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+       |c0 AS (SELECT vec_id AS cent_id, qv AS qc FROM q
+       |       WHERE vec_id < $IvfCells),
+       |v AS (SELECT vec_id, qv FROM q WHERE vec_id >= $IvfCells),
+       |$rounds,
+       |${assign(KmIters + 1, s"c$KmIters")}
+       |SELECT cent_id AS cell, COUNT(*) AS n_vectors,
+       |  CAST(SUM(dist) AS BIGINT) AS total_dist
+       |FROM a${KmIters + 1} WHERE rn = 1
+       |GROUP BY cent_id ORDER BY cell""".stripMargin
+  }
+
+  /** Per-subspace trained PQ codebook: [[kmeansQuantized]] over each
+    * 16-dim subvector slice, returned as (sub, code_id, qc). Spec
+    * coverage (PipelineSpec) asserts the trained book's total
+    * distortion beats the d19 subset book's on every subspace. */
+  def trainPqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    (0 until PqSubspaces).map { sub =>
+      val sliced = q.withColumn("qv",
+        slice(col("qv"), sub * PqSubDim + 1, PqSubDim))
+      val init = sliced.filter(col("vec_id") < PqCodes)
+        .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+      kmeansQuantized(sliced.filter(col("vec_id") >= PqCodes), init,
+        KmIters).select(lit(sub).as("sub"), col("cent_id").as("code_id"),
+        col("qc"))
+    }.reduce(_ unionAll _)
+  }
+
   val d19Sql: String = {
     def q(e: String) =
       s"CAST(FLOOR(CAST($e AS DOUBLE) * 1000000) AS BIGINT)"

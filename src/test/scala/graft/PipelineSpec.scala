@@ -10,6 +10,46 @@ import graft.streaming.EventStreams
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("trained k-means codebooks strictly reduce quantized distortion") {
+    import org.apache.spark.sql.functions._
+    // IVF: total distortion under the trained centroids (what d22
+    // reports) must beat the deterministic-subset codebook (what d10
+    // assigns with) — the "a real pipeline would k-means" caveat,
+    // closed and measured. Lloyd's is monotone in exact arithmetic;
+    // the floor-quantized update could in principle break that, so
+    // the assertion is on the REAL corpus, not the theory.
+    val q = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeVec(col("embedding")).as("qv"))
+    val init = q.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val vecs = q.filter(col("vec_id") >= Similarity.IvfCells)
+    def distortion(cents: org.apache.spark.sql.DataFrame): Long =
+      Similarity.qAssignHistogram(vecs, cents)
+        .agg(sum("total_dist")).collect()(0).getLong(0)
+    val before = distortion(init)
+    val after = distortion(
+      Similarity.kmeansQuantized(vecs, init, Similarity.KmIters))
+    assert(after < before, s"IVF distortion $before -> $after")
+
+    // PQ: same contract per 16-dim subspace — the trained book must
+    // win on EVERY subspace, not just in aggregate
+    val trained = Similarity.trainPqCodebook(spark, sf)
+    (0 until Similarity.PqSubspaces).foreach { sub =>
+      val sliced = q.withColumn("qv",
+        slice(col("qv"), sub * Similarity.PqSubDim + 1, Similarity.PqSubDim))
+      val subInit = sliced.filter(col("vec_id") < Similarity.PqCodes)
+        .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+      val subVecs = sliced.filter(col("vec_id") >= Similarity.PqCodes)
+      def subDist(cents: org.apache.spark.sql.DataFrame): Long =
+        Similarity.qAssignHistogram(subVecs, cents)
+          .agg(sum("total_dist")).collect()(0).getLong(0)
+      val b = subDist(subInit)
+      val a = subDist(trained.filter(col("sub") === sub)
+        .select(col("code_id").as("cent_id"), col("qc")))
+      assert(a < b, s"PQ subspace $sub distortion $b -> $a")
+    }
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
