@@ -481,15 +481,52 @@ object Dedup {
        |ORDER BY new_id, match_id""".stripMargin
   }
 
+  /** Word 3-gram shingle STRINGS, multiset form (one entry per
+    * occurrence) — the Column-API mirror of ShingleKernel's word
+    * windows, kept for the portable-hash simhash where the hash input
+    * must be a value both engines can see (a zero-copy byte-range
+    * XXH64 can't be replayed in SQL). */
+  def shingleStrings(text: Column, n: Int): Column = {
+    val t = trim(text)
+    val w = split(t, " ")
+    when(length(t) === 0, array().cast("array<string>"))
+      .when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array(t))
+  }
+
+  /** Portable 64-bit hash: the top 16 hex chars of md5, split into
+    * two 32-bit halves and recombined — bit-identical in Spark and
+    * DuckDB (both emit lowercase md5 hex; the halves dodge unsigned-
+    * 64-bit parsing). A keyed non-crypto hash (XXH64) is the faster
+    * production choice; md5 here buys cross-engine replayability. */
+  def md5Long(s: Column): Column = {
+    val h = md5(s)
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
   /** d03: 64-bit SimHash per document + hamming distance of the
     * planted pairs. Signature = sign of per-bit vote over shingle
     * hashes, via the one-pass codegen'd kernel (SimHashSig — the HOF
     * formulation of the vote is interpreted and walks the hash array
-    * 64 times). Votes come from the MULTISET of shingle occurrences
-    * (shingleHashesAll), i.e. Charikar's frequency-weighted
-    * definition — a doc repeating one shingle n times votes n times,
-    * unlike the set statistics MinHash/Jaccard compute. */
+    * 64 times). Votes come from the MULTISET of shingle occurrences,
+    * i.e. Charikar's frequency-weighted definition — a doc repeating
+    * one shingle n times votes n times, unlike the set statistics
+    * MinHash/Jaccard compute. Shingles hash via [[md5Long]] so the
+    * DuckDB oracle can replay the signature bit-for-bit (hash-matched
+    * since round 5; the XXH64 multiset variant remains as
+    * [[simhashXxhCol]] — same kernel, faster hash, spec-verified). */
   def simhashCol: Column =
+    graft.functions.MinHash.simhash(
+      transform(shingleStrings(col("text"), 3), md5Long _))
+
+  /** The zero-copy XXH64 formulation — the throughput choice when no
+    * cross-engine replay is needed; PipelineSpec pins that both
+    * variants agree on the planted-pair hamming CONTRACT (dup pairs
+    * land far under the random-pair baseline). */
+  def simhashXxhCol: Column =
     graft.functions.MinHash.simhash(
       graft.functions.MinHash.shingleHashesAll(trim(col("text")), 3))
 
@@ -507,6 +544,54 @@ object Dedup {
       .select(col("a_id"), col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .orderBy(col("a_id"))
+  }
+
+  /** DuckDB oracle for d03: the identical Charikar pipeline unrolled
+    * in SQL — multiset shingles → md5-derived 64-bit hashes (two
+    * 32-bit halves) → per-bit ±1 votes → sign → signature longs →
+    * planted-pair hamming. Bit 63 is added as Long.MinValue so the
+    * signed BIGINT bit pattern matches Spark's Long exactly. */
+  val simhashSql: String = {
+    val w = TextFunctions.wordsSql
+    def half(from: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(1, 8),
+         |  p -> (CAST(strpos('0123456789abcdef',
+         |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
+         |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
+        .stripMargin
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |    WHEN len($w) >= 3 THEN
+       |      list_transform(generate_series(1, len($w) - 2),
+       |        i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+       |    ELSE [trim(text)] END) AS s
+       |  FROM corpus),
+       |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |hl AS (SELECT doc_id, ${half(1)} AS hi, ${half(9)} AS lo FROM hx),
+       |bits AS (
+       |  SELECT doc_id, k.k AS k,
+       |    CASE WHEN k.k < 32 THEN (lo >> k.k) & 1
+       |         ELSE (hi >> (k.k - 32)) & 1 END AS b
+       |  FROM hl CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 63)) AS k) k),
+       |votes AS (
+       |  SELECT doc_id, k, SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 AND k < 63
+       |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+       |      + CASE WHEN MAX(CASE WHEN k = 63 AND v > 0
+       |          THEN 1 ELSE 0 END) = 1
+       |        THEN -9223372036854775808 ELSE 0 END AS simhash
+       |  FROM votes GROUP BY 1)
+       |SELECT a.doc_id AS a_id, a.simhash AS sig_a, b.simhash AS sig_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+       |WHERE a.doc_id < 1000000
+       |ORDER BY a_id""".stripMargin
   }
 
   /** d04: exact n-gram Jaccard on the planted pairs (the verify

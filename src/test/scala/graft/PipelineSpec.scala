@@ -111,6 +111,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(hammings.forall(_ <= 16), s"max=${hammings.max}")
     val sigs = rows.map(_.getAs[Long]("sig_a")).distinct
     assert(sigs.length > rows.length / 2)
+    // the zero-copy XXH64 variant (throughput path) must satisfy the
+    // same contract: different hash family, same Charikar vote kernel
+    import org.apache.spark.sql.functions._
+    val xxh = Dedup.corpusWithPlants(spark, sf)
+      .withColumn("simhash", Dedup.simhashXxhCol)
+      .select(col("doc_id"), col("simhash"))
+    val orig = xxh.filter(col("doc_id") < 1000000L)
+      .withColumnRenamed("simhash", "sig_a")
+    val plant = xxh.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"),
+        col("simhash").as("sig_b"))
+    val xh = orig.join(plant, "doc_id")
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+        .as("hamming")).collect().map(_.getInt(0))
+    assert(xh.nonEmpty && xh.forall(_ <= 16), s"xxh max=${xh.max}")
   }
 
   test("ANN-LSH matches are good approximations of exact top-1") {
