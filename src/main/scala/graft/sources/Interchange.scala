@@ -16,13 +16,18 @@ import graft.Tables
   * per-language fidelity digests; the oracle computes the same
   * digests straight from the parquet table, so a hash match proves
   * the round trip lost nothing. Both formats split across files and
-  * read back partition-parallel — line-splittable at any scale.
+  * read back file-parallel; JSONL is additionally line-splittable
+  * WITHIN a file at any scale, while CSV with quoted embedded
+  * newlines (multiLine) necessarily is not.
   */
 object Interchange {
 
   private def roundTripDir(fmt: String, dir: String): String =
+    // pid in the path: concurrent processes over the same data dir
+    // (Verify alongside Bench, parallel test forks) must not race each
+    // other's mode("overwrite") writes or flap f05's file-count pins
     s"${sys.props("java.io.tmpdir")}/graft_$fmt" +
-      s"_${Integer.toHexString(dir.hashCode)}"
+      s"_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
   /** Per-language fidelity digest: counts, exact integer sums and
     * extrema over every column — any parse drift (a lost row, a
@@ -73,9 +78,15 @@ object Interchange {
       .option("ignoreTrailingWhiteSpace", "false")
       .option("emptyValue", "\"\"").option("nullValue", "\\N")
       .csv(out)
+    // multiLine: document text may legally embed newlines (the writer
+    // quotes them); without it the reader splits mid-record and
+    // FAILFAST aborts. The cost is intra-file split parallelism —
+    // quoted-newline CSV is NOT line-splittable; JSONL (f01) is the
+    // splittable text format at scale.
     digest(spark.read.schema(docs.schema)
       .option("header", "true").option("quote", "\"")
       .option("escape", "\"").option("mode", "FAILFAST")
+      .option("multiLine", "true")
       .option("emptyValue", "").option("nullValue", "\\N")
       .csv(out))
   }
