@@ -166,9 +166,11 @@ class RelationalSpec extends AnyFunSuite {
     // nothing quadratic in the data). d11 is the declared-exact
     // all-pairs near-dup VALIDATION form (its production path is
     // d12's bucketed equi-join, which is not in this allowlist).
-    // d19 broadcasts a 16-row PQ codebook the same way.
+    // d19 broadcasts a 16-row PQ codebook the same way; d22's k-means
+    // broadcasts its 16 trained centroids (a LITERAL relation —
+    // collected between rounds, bounded k×dim by construction).
     val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
-      "d11_embed_neardup", "d19_pq_codes")
+      "d11_embed_neardup", "d19_pq_codes", "d22_kmeans_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
