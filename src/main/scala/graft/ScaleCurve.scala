@@ -45,6 +45,19 @@ object ScaleCurve {
 
     try graft.operators.MapBench.warmFixtures(spark, sf01)
     catch { case _: Throwable => () }
+    if (!skewOnly) {
+      // throwaway warm pass at sf0.01: absorbs JIT/codegen/first-touch
+      // costs so the sf0.1 column isn't inflated by cold-JVM effects
+      // (the r5 first cut read sf0.1 SLOWER than sf1 for the first
+      // families measured — pure warm-up order, not scaling)
+      val warmDir = sf01.replace("sf0.1", "sf0.01")
+      if (new java.io.File(warmDir).isDirectory)
+        families.foreach { case (_, key) =>
+          try SparkEntry.queries(key)(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+    }
 
     def time(key: String, dir: String): Double = {
       graft.operators.Dedup.releaseLshCache()

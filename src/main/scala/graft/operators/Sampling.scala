@@ -105,4 +105,77 @@ object Sampling {
        |FROM documents d JOIN cuts c ON d.source = c.source
        |WHERE (d.doc_id * 2654435761) % 1000000 < c.cut
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- token-budget sharding (training split packing) ---------------
+
+  /** Tokens per training shard for d23. */
+  val ShardBudget = 4096L
+
+  /** d23: deterministic token-budget sharding — pack the corpus, in
+    * doc_id order, into shards of ~[[ShardBudget]] tokens (the
+    * fixed-budget splits a data-parallel training run feeds each
+    * worker). shard = floor(exclusive-prefix-sum(tokens) / budget):
+    * a pure function of the corpus, independent of partitioning.
+    *
+    * The naive formulation is `sum(n) OVER (ORDER BY doc_id)` — a
+    * GLOBAL window, which Spark executes as a single-partition sort:
+    * the whole corpus funnels through one task (the t05-class
+    * scale-killer). This is instead the textbook DISTRIBUTED prefix
+    * sum: (1) bin rows into contiguous doc_id ranges (deterministic
+    * arithmetic on the one collected scalar max — not
+    * repartitionByRange, whose sampled boundaries could differ
+    * between the two passes over the data); (2) one narrow per-bin
+    * total (|bins| rows, bounded by the shuffle width) whose own
+    * prefix sum is a window over that TINY relation; (3) per-row
+    * running sums inside each bin — [[spark.sql.shuffle.partitions]]
+    * windows running in parallel, each sorting only its slice. Same
+    * semantics, no global funnel, at any corpus size.
+    */
+  def d23TokenShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one scalar — bounded driver materialization (the vtag-universe
+    // precedent); makes the bin function a literal, so both passes
+    // below see identical bins with no re-sampling hazard
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val binOf = least(lit(bins - 1),
+      (col("doc_id") * bins / (maxId + 1)).cast("int"))
+    val binned = docs.withColumn("bin", binOf)
+    // per-bin totals; prefix over |bins| rows is legitimately a
+    // single tiny window (bounded by the configured shuffle width)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("offset", coalesce(sum(col("bin_tokens")).over(w), lit(0L)))
+      .select(col("bin"), col("offset"))
+    // per-row running sum WITHIN each bin — parallel across bins
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    binned.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(wRow), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_before") / ShardBudget).cast("long").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: the single-window formulation — semantics are
+    * partitioning-invisible, so the naive global cumsum IS the
+    * correctness contract the distributed form must hit. */
+  val d23Sql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $ShardBudget)
+       |    AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -10,6 +10,40 @@ import graft.streaming.EventStreams
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("token shards: budget respected, agrees with the naive global cumsum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val shards = operators.Sampling.d23TokenShards(spark, sf)
+    // contract: a shard holds consecutive docs and its token total
+    // stays within budget + one overflowing doc (the doc that crosses
+    // the boundary lands in the shard where it started)
+    val maxDoc = shards.agg(max("n_tokens")).collect()(0).getLong(0)
+    val over = shards.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > operators.Sampling.ShardBudget + maxDoc)
+    assert(over.count() == 0)
+    // shard ids are nondecreasing in doc order (contiguous packing)
+    val nonMono = shards
+      .withColumn("prev", lag("shard", 1).over(Window.orderBy("doc_id")))
+      .filter(col("prev").isNotNull && col("shard") < col("prev"))
+    assert(nonMono.count() == 0)
+    // the distributed prefix sum must equal the naive single-window
+    // form row-for-row — partitioning is invisible to the semantics
+    val naive = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("doc_id"),
+        (coalesce(col("cum"), lit(0L)) / operators.Sampling.ShardBudget)
+          .cast("long").as("shard"))
+    assert(shards.select("doc_id", "shard").exceptAll(naive).count() == 0)
+    // and the scale shape: the corpus-wide running sum must ride a
+    // per-BIN window (parallel), never a global single-partition sort
+    val plan = shards.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bin"),
+      s"d23 lost its bin-parallel window:\n$plan")
+  }
+
   test("trained k-means codebooks strictly reduce quantized distortion") {
     import org.apache.spark.sql.functions._
     // IVF: total distortion under the trained centroids (what d22

@@ -189,6 +189,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "d18_mixture_sample" -> "per-source mixture cuts: |sources| rows",
       "d21_pipeline_e2e" -> "composes d13 eval grams + d18 cuts",
       "g14_fleet_scan" -> "per-file fleet summary: |files| rows",
+      "d23_token_shards" -> "per-bin prefix offsets: |shuffle width| rows",
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
       "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
       "t09_common_ratio" -> "top-K head vocabulary: K rows")
