@@ -106,11 +106,12 @@ object Bench {
     // + one stream baseline)
     val sf1 = drill(sf1Dir, Seq("q01_pricing_summary", "d02_minhash_lsh",
       "t11_boiler_strip", "d21_pipeline_e2e",
-      "g13_map_pipeline", "g11_polyline_length"))
+      "g13_map_pipeline", "g11_polyline_length", "d23_token_shards"))
     // g11 (23 s at sf10, near-linear window sort — measured once,
     // recorded in SURVEY §4) stays out so the whole bench keeps
     // fitting the driver's per-round budget
-    val sf10 = drill(sf10Dir, Seq("q01_pricing_summary", "d14_clusters_scale"))
+    val sf10 = drill(sf10Dir,
+      Seq("q01_pricing_summary", "d14_clusters_scale", "d23_token_shards"))
     // Pathological-skew drill (SURVEY §4): one zipf-hot key holding
     // ~30% of an sf1-sized fact vs a non-broadcastable dim — plain
     // shuffle join vs salted (key,salt) scatter vs AQE runtime split.

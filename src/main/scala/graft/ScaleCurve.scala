@@ -25,6 +25,7 @@ object ScaleCurve {
     "2c_geometry" -> "g11_polyline_length",
     "2d_pipeline_cluster" -> "d14_clusters_scale",
     "2d_pipeline_text" -> "t07_normalize",
+    "2d_pipeline_shard" -> "d23_token_shards",
     "2e_streaming" -> "s01_window_agg")
 
   private def fmt(v: Double): String = {
