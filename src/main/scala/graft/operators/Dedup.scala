@@ -594,6 +594,57 @@ object Dedup {
        |ORDER BY a_id""".stripMargin
   }
 
+  /** Prefix length for d24's edit-distance verify: Levenshtein is
+    * O(len²) PER PAIR, so production fuzzy-dedup runs it on bounded
+    * prefixes of already-filtered candidates, never on raw documents
+    * (a 100 KB doc pair would be 10¹⁰ cell updates). 256 chars
+    * separates boilerplate-shifted near-dups from strangers just as
+    * well on this corpus and keeps the per-pair cost constant. */
+  val EditPrefix = 256
+
+  /** d24: edit-distance verification — the fuzzy-dedup last mile.
+    * d02's banded LSH proposes candidates (cheap, set-statistic);
+    * Levenshtein on bounded prefixes then scores them by actual
+    * edit similarity 1 − dist/max(len) — the character-level measure
+    * that catches reorder-free edits Jaccard shingles blur. Both
+    * engines ship a native levenshtein, so the whole verify is
+    * oracle-replayable; the candidate relation never widens (texts
+    * re-attach by id AFTER the pair set exists — the d02 shape). */
+  def d24EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithPlants(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("p"))
+    // the candidate pair relation is aggregate-derived (statless) and
+    // scales with the corpus: unhinted, Catalyst broadcasts it — the
+    // t11 failure class, and the global PlanShapeSpec gate flagged
+    // exactly this line when d24 first landed. Shuffled build pinned.
+    minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .hint("shuffle_hash")
+      .join(corpus.select(col("doc_id").as("a_id"), col("p").as("pa")),
+        Seq("a_id"))
+      .join(corpus.select(col("doc_id").as("b_id"), col("p").as("pb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double")
+          / greatest(length(col("pa")), length(col("pb"))).cast("double"),
+          6).as("edit_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  lazy val d24Sql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |corpus AS (
+       |  SELECT doc_id, substring(text, 1, $EditPrefix) AS p
+       |  FROM ($corpusSql))
+       |SELECT a_id, b_id,
+       |  CAST(levenshtein(ca.p, cb.p) AS BIGINT) AS edit_dist,
+       |  ROUND(1.0 - CAST(levenshtein(ca.p, cb.p) AS DOUBLE)
+       |    / GREATEST(len(ca.p), len(cb.p)), 6) AS edit_sim
+       |FROM pairs
+       |JOIN corpus ca ON ca.doc_id = a_id
+       |JOIN corpus cb ON cb.doc_id = b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** d04: exact n-gram Jaccard on the planted pairs (the verify
     * kernel of every near-dup pipeline). Shingles hash zero-copy from
     * the document bytes (ShingleHashes) and Jaccard is the sorted

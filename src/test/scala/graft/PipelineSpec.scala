@@ -10,6 +10,17 @@ import graft.streaming.EventStreams
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("edit-distance verify scores planted near-dups high") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.d24EditDistance(spark, sf)
+      .filter(col("b_id") === col("a_id") + 1000000L).collect()
+    assert(rows.nonEmpty)
+    // a one-word tail drop moves few characters of a 256-char prefix
+    // (short docs fit whole, so their one lost word weighs more)
+    val sims = rows.map(_.getAs[Double]("edit_sim"))
+    assert(sims.forall(_ >= 0.85), s"min=${sims.min}")
+  }
+
   test("token shards: budget respected, agrees with the naive global cumsum") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
