@@ -486,15 +486,17 @@ object Dedup {
     * windows, kept for the portable-hash simhash where the hash input
     * must be a value both engines can see (a zero-copy byte-range
     * XXH64 can't be replayed in SQL). */
-  def shingleStrings(text: Column, n: Int): Column = {
-    val t = trim(text)
-    val w = split(t, " ")
+  /** IMPORTANT: pass BOUND attributes (projected columns), not raw
+    * expressions — `w` is referenced inside the per-element lambda,
+    * and Catalyst does NOT common-subexpression-eliminate into
+    * higher-order lambdas, so an inline `split(text)` would re-split
+    * the document once per shingle (measured ~30× on d03). */
+  def shingleStrings(t: Column, w: Column, n: Int): Column =
     when(length(t) === 0, array().cast("array<string>"))
       .when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array(t))
-  }
 
   /** Portable 64-bit hash: the top 16 hex chars of md5, split into
     * two 32-bit halves and recombined — bit-identical in Spark and
@@ -518,9 +520,16 @@ object Dedup {
     * DuckDB oracle can replay the signature bit-for-bit (hash-matched
     * since round 5; the XXH64 multiset variant remains as
     * [[simhashXxhCol]] — same kernel, faster hash, spec-verified). */
-  def simhashCol: Column =
+  /** Signature column over pre-projected (trimmed text, words)
+    * attributes — see [[shingleStrings]] for why they must be bound.
+    * Two explicit passes so each shingle is md5'd exactly once. */
+  def simhashCol(t: Column, w: Column): Column = {
+    val hexes = transform(shingleStrings(t, w, 3), s => md5(s))
     graft.functions.MinHash.simhash(
-      transform(shingleStrings(col("text"), 3), md5Long _))
+      transform(hexes, h =>
+        shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))))
+  }
 
   /** The zero-copy XXH64 formulation — the throughput choice when no
     * cross-engine replay is needed; PipelineSpec pins that both
@@ -532,7 +541,9 @@ object Dedup {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val signed = corpusWithPlants(spark, dir)
-      .withColumn("simhash", simhashCol)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("simhash", simhashCol(col("t"), col("w")))
       .select(col("doc_id"), col("simhash"))
     val orig = signed.filter(col("doc_id") < 1000000L)
       .withColumnRenamed("doc_id", "a_id")
