@@ -116,6 +116,38 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zero-copy shingle hashes equal hashes of the built strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ShingleKernel
+    // the kernel hashes [wordStart(i), wordEnd(i+2)] byte ranges
+    // in-place; d02/d04's oracles (and d03's portable form) build the
+    // 3-gram STRINGS instead — this pins that both views of "shingle"
+    // are the same function, multiset and dedup'd alike
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(word).map(_.mkString(" ").trim)
+    forAll(text) { t =>
+      def model(s: String): Long = {
+        val u = UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+            u.numBytes, ShingleKernel.Seed)
+      }
+      val ws = t.split(" ", -1).toSeq
+      val expectedAll: Seq[Long] =
+        if (t.isEmpty) Seq.empty
+        else if (ws.length < 3) Seq(model(t))
+        else ws.sliding(3).map(w => model(w.mkString(" "))).toSeq
+      val gotAll = ShingleKernel
+        .shingleHashesAll(UTF8String.fromString(t), 3)
+        .toLongArray().toSeq
+      val gotSet = ShingleKernel
+        .shingleHashes(UTF8String.fromString(t), 3)
+        .toLongArray().toSeq
+      gotAll == expectedAll &&
+        gotSet == expectedAll.distinct.sorted
+    }
+  }
+
   test("bigrams kernel equals concat_ws over adjacent split words") {
     import org.apache.spark.unsafe.types.UTF8String
     val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
