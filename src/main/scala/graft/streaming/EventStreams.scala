@@ -443,6 +443,74 @@ object EventStreams {
     }
   }
 
+  // ---- s08: shard assignment at ingest ------------------------------
+
+  case class DocTok(doc_id: Long, source: String, n_tokens: Long)
+  case class ShardAssign(doc_id: Long, source: String, shard: Long)
+
+  /** s08: per-source token-budget shard assignment — d23's packing
+    * contract, scoped per source (the order a stream can actually
+    * guarantee) so it can run AT INGEST. This registered form is the
+    * declarative window algebra (exact SQL oracle; per-source sort —
+    * the g04/g11 bounded-cardinality class); the SCALE path is
+    * [[shardStream]]'s stateful stream: one running counter per
+    * source, O(1) state and O(1) work per arriving doc, no sort at
+    * all — spec-pinned to agree with this form exactly. */
+  def s08StreamShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w),
+        lit(0L)))
+      .select(col("doc_id"), col("source"),
+        (col("cum_before") / graft.operators.Sampling.ShardBudget)
+          .cast("long").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val s08Sql: String =
+    s"""SELECT doc_id, source,
+       |  CAST(FLOOR(CAST(cum - n AS DOUBLE)
+       |    / ${graft.operators.Sampling.ShardBudget}) AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id, source, n,
+       |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** The ingest-time form: running token total per source carried in
+    * group state, shard id handed out as each doc arrives. Within a
+    * micro-batch arrival order isn't guaranteed, so each batch's
+    * group slice sorts by doc_id (bounded by the batch, never the
+    * stream); across batches the state carries the exact cumulative
+    * total, so the assignment equals the batch window form whenever
+    * doc_ids arrive batch-monotonically (the ingest contract). */
+  def shardStream(docs: Dataset[DocTok],
+      budget: Long = graft.operators.Sampling.ShardBudget)
+      : Dataset[ShardAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[DocTok], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val s = cum / budget
+            cum += d.n_tokens
+            ShardAssign(d.doc_id, src, s)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming form with explicit state, for the spec: one state
     * object per user, emitting closed sessions. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)

@@ -10,6 +10,35 @@ import graft.streaming.EventStreams
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("streaming shard assignment equals the batch window form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real corpus, fed in three doc_id-monotone micro-batches
+    // (the ingest contract); the stateful stream must hand out the
+    // SAME shard ids the batch per-source window computes
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .as[EventStreams.DocTok].collect().sortBy(_.doc_id)
+    val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.DocTok]
+    val q = EventStreams.shardStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shard_stream").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("shard_stream")
+        .select("doc_id", "source", "shard")
+      val batch = EventStreams.s08StreamShards(spark, sf)
+        .select("doc_id", "source", "shard")
+      assert(streamed.count() == docs.length.toLong)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("edit-distance verify scores planted near-dups high") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.d24EditDistance(spark, sf)
