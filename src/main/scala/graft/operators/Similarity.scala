@@ -538,17 +538,29 @@ object Similarity {
   /** DuckDB oracle for d22: the same k-means, iterations unrolled as
     * CTE stages (assign aᵢ → means mᵢ → centroids cᵢ), every
     * arithmetic step on the same integer grid. */
-  val d22Sql: String = {
-    val dim = PqSubspaces * PqSubDim
-    def assign(i: Int, c: String) =
-      s"""a$i AS (
-         |  SELECT vec_id, qv, cent_id, dist, ROW_NUMBER() OVER (
-         |    PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
-         |  FROM (SELECT v.vec_id, v.qv, c.cent_id,
-         |    CAST(list_sum(list_transform(generate_series(1, $dim),
-         |      j -> (v.qv[j] - c.qc[j]) * (v.qv[j] - c.qc[j])))
-         |      AS BIGINT) AS dist
-         |  FROM v CROSS JOIN $c c))""".stripMargin
+  private val QDim = PqSubspaces * PqSubDim
+
+  /** Squared-L2 SQL fragment between two quantized-vector columns. */
+  private def qDistSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $QDim),
+       |      j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))
+       |      AS BIGINT)""".stripMargin
+
+  /** One assignment CTE: every row of `v` ranked against centroids
+    * `c` by (dist, cent_id) — rn = 1 is the argmin cell. */
+  private def assignCte(name: String, v: String, c: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qv, cent_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT v.vec_id, v.qv, c.cent_id,
+       |    ${qDistSql("v.qv", "c.qc")} AS dist
+       |  FROM $v v CROSS JOIN $c c))""".stripMargin
+
+  /** The shared k-means CTE chain (q, p, c0, v, unrolled rounds) —
+    * ends with centroids `c$KmIters`. `initPred`/`trainPred` are the
+    * vec_id predicates selecting the deterministic init subset and
+    * the training set; d22 and d25 instantiate them differently. */
+  private def kmeansCtes(initPred: String, trainPred: String): String = {
     def update(i: Int) =
       s"""m$i AS (
          |  SELECT cent_id, pos,
@@ -563,23 +575,108 @@ object Similarity {
          |    SELECT cent_id, list(comp ORDER BY pos) AS qc
          |    FROM m$i GROUP BY cent_id) l USING (cent_id))""".stripMargin
     val rounds = (1 to KmIters)
-      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i))
+      .map(i => assignCte(s"a$i", "v", s"c${i - 1}") + ",\n" + update(i))
       .mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |p AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+       |p AS (SELECT unnest(generate_series(1, $QDim)) AS pos),
        |c0 AS (SELECT vec_id AS cent_id, qv AS qc FROM q
-       |       WHERE vec_id < $IvfCells),
-       |v AS (SELECT vec_id, qv FROM q WHERE vec_id >= $IvfCells),
-       |$rounds,
-       |${assign(KmIters + 1, s"c$KmIters")}
+       |       WHERE $initPred),
+       |v AS (SELECT vec_id, qv FROM q WHERE $trainPred),
+       |$rounds""".stripMargin
+  }
+
+  val d22Sql: String =
+    s"""WITH ${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
+       |${assignCte(s"a${KmIters + 1}", "v", s"c$KmIters")}
        |SELECT cent_id AS cell, COUNT(*) AS n_vectors,
        |  CAST(SUM(dist) AS BIGINT) AS total_dist
        |FROM a${KmIters + 1} WHERE rn = 1
        |GROUP BY cent_id ORDER BY cell""".stripMargin
+
+  val NProbe = 4
+
+  /** d25: IVF SEARCH — the query path the trained index exists for,
+    * closing the ANN loop (d22 trains, d10/d22 assign, this answers).
+    * Queries rank the [[IvfCells]] trained centroids, probe their
+    * [[NProbe]] best cells, and brute-force exact-rank only the
+    * candidates ASSIGNED to those cells — O(N·nprobe/K) work per
+    * query instead of O(N), the IVF contract. Everything stays in
+    * the quantized integer space, so the DuckDB oracle replays the
+    * ENTIRE chain — training rounds, assignment, probe choice,
+    * final ranking — bit-for-bit. Centroids/probes are bounded
+    * (k×dim / queries×nprobe) and ride broadcasts; the corpus side
+    * never shuffles except the one cell-bounded search join. */
+  def d25IvfSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, NProbe)
+
+  /** Core of d25 with the probe width exposed: at nprobe =
+    * [[IvfCells]] every cell is searched and IVF MUST equal exact
+    * brute force — the degeneracy property PipelineSpec pins (the
+    * non-flaky way to test an ANN index: exactness at full probe,
+    * rather than a recall bound at partial probe on unclustered
+    * synthetic data). */
+  def ivfSearch(spark: SparkSession, dir: String, nprobe: Int)
+      : DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= NumQueries)
+    val init = qz.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+    val cents = kmeansQuantized(train, init, KmIters)
+    val assigned = cands.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"), col("qv"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_qv"), col("cent_id").as("cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
+
+  val d25Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id FROM sa WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, qqv, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.qqv, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |res AS (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM (SELECT pr.q_id, a.vec_id,
+       |    ${qDistSql("pr.qqv", "a.qv")} AS dist
+       |  FROM pr JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe))
+       |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Per-subspace trained PQ codebook: [[kmeansQuantized]] over each
     * 16-dim subvector slice, returned as (sub, code_id, qc). Spec

@@ -10,6 +10,32 @@ import graft.streaming.EventStreams
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("IVF search at full probe width equals exact brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // probing every cell removes the approximation: the index path
+    // (train -> assign -> probe -> rank) must then return exactly the
+    // unrestricted quantized top-k, computed here the flat way
+    val qz = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= Similarity.NumQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val brute = cands.crossJoin(broadcast(queries))
+      .withColumn("dist", Similarity.qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+    val full = Similarity.ivfSearch(spark, sf, Similarity.IvfCells)
+    assert(full.exceptAll(brute).count() == 0
+      && brute.exceptAll(full).count() == 0)
+    // and the partial-probe default still returns TopK rows per query
+    val part = Similarity.d25IvfSearch(spark, sf)
+    assert(part.groupBy("q_id").count().filter(
+      col("count") =!= Similarity.TopK).count() == 0)
+  }
+
   test("streaming shard assignment equals the batch window form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -169,8 +169,12 @@ class RelationalSpec extends AnyFunSuite {
     // d19 broadcasts a 16-row PQ codebook the same way; d22's k-means
     // broadcasts its 16 trained centroids (a LITERAL relation —
     // collected between rounds, bounded k×dim by construction).
+    // d25 rides the same literal 16-row centroid broadcast for its
+    // assignment and probe stages (the search join itself is an
+    // equi-join on the cell id).
     val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
-      "d11_embed_neardup", "d19_pq_codes", "d22_kmeans_ivf")
+      "d11_embed_neardup", "d19_pq_codes", "d22_kmeans_ivf",
+      "d25_ivf_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
