@@ -541,50 +541,59 @@ object Similarity {
   private val QDim = PqSubspaces * PqSubDim
 
   /** Squared-L2 SQL fragment between two quantized-vector columns. */
-  private def qDistSql(a: String, b: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, $QDim),
+  private def qDistSql(a: String, b: String, dim: Int = QDim): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $dim),
        |      j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))
        |      AS BIGINT)""".stripMargin
 
   /** One assignment CTE: every row of `v` ranked against centroids
     * `c` by (dist, cent_id) — rn = 1 is the argmin cell. */
-  private def assignCte(name: String, v: String, c: String): String =
+  private def assignCte(name: String, v: String, c: String,
+      dim: Int = QDim): String =
     s"""$name AS (
        |  SELECT vec_id, qv, cent_id, dist, ROW_NUMBER() OVER (
        |    PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
        |  FROM (SELECT v.vec_id, v.qv, c.cent_id,
-       |    ${qDistSql("v.qv", "c.qc")} AS dist
+       |    ${qDistSql("v.qv", "c.qc", dim)} AS dist
        |  FROM $v v CROSS JOIN $c c))""".stripMargin
 
   /** The shared k-means CTE chain (q, p, c0, v, unrolled rounds) —
-    * ends with centroids `c$KmIters`. `initPred`/`trainPred` are the
-    * vec_id predicates selecting the deterministic init subset and
-    * the training set; d22 and d25 instantiate them differently. */
-  private def kmeansCtes(initPred: String, trainPred: String): String = {
+    * ends with centroids `${pre}c$KmIters`. `initPred`/`trainPred`
+    * are the vec_id predicates selecting the deterministic init
+    * subset and the training set. `pre` prefixes every CTE name (so
+    * multiple chains — d26's four subspaces — can share one WITH),
+    * `slice` optionally narrows qv to a subvector, `dim` is the
+    * working vector length. d22/d25 use the defaults. */
+  private def kmeansCtes(initPred: String, trainPred: String,
+      pre: String = "", slice: String = "qv", dim: Int = QDim): String = {
     def update(i: Int) =
-      s"""m$i AS (
+      s"""${pre}m$i AS (
          |  SELECT cent_id, pos,
          |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT)
          |      AS comp
          |  FROM (SELECT cent_id, p.pos, qv[p.pos] AS val
-         |        FROM a$i CROSS JOIN p WHERE rn = 1)
+         |        FROM ${pre}a$i CROSS JOIN ${pre}p p WHERE rn = 1)
          |  GROUP BY cent_id, pos),
-         |c$i AS (
+         |${pre}c$i AS (
          |  SELECT c.cent_id, COALESCE(l.qc, c.qc) AS qc
-         |  FROM c${i - 1} c LEFT JOIN (
+         |  FROM ${pre}c${i - 1} c LEFT JOIN (
          |    SELECT cent_id, list(comp ORDER BY pos) AS qc
-         |    FROM m$i GROUP BY cent_id) l USING (cent_id))""".stripMargin
+         |    FROM ${pre}m$i GROUP BY cent_id) l USING (cent_id))""".stripMargin
     val rounds = (1 to KmIters)
-      .map(i => assignCte(s"a$i", "v", s"c${i - 1}") + ",\n" + update(i))
+      .map(i =>
+        assignCte(s"${pre}a$i", s"${pre}v", s"${pre}c${i - 1}", dim)
+          + ",\n" + update(i))
       .mkString(",\n")
-    s"""q AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |p AS (SELECT unnest(generate_series(1, $QDim)) AS pos),
-       |c0 AS (SELECT vec_id AS cent_id, qv AS qc FROM q
+    s"""${pre}q AS (
+       |  SELECT vec_id, $slice AS qv FROM (
+       |    SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qv
+       |    FROM embeddings)),
+       |${pre}p AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+       |${pre}c0 AS (SELECT vec_id AS cent_id, qv AS qc FROM ${pre}q
        |       WHERE $initPred),
-       |v AS (SELECT vec_id, qv FROM q WHERE $trainPred),
+       |${pre}v AS (SELECT vec_id, qv FROM ${pre}q WHERE $trainPred),
        |$rounds""".stripMargin
   }
 
@@ -694,6 +703,49 @@ object Similarity {
         KmIters).select(lit(sub).as("sub"), col("cent_id").as("code_id"),
         col("qc"))
     }.reduce(_ unionAll _)
+  }
+
+  /** d26: PQ code assignment under the TRAINED per-subspace
+    * codebooks — d19's contract with [[trainPqCodebook]]'s books, the
+    * PQ counterpart of d25 (train → assign, whole chain replayed by
+    * the oracle: four per-subspace k-means CTE chains + assignment).
+    * Shape is d19's: explode subspaces, broadcast the (tiny) trained
+    * book, slice the quantized vector, one partial-aggregable
+    * struct-min — the vector side never shuffles. */
+  def d26PqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val book = trainPqCodebook(spark, dir) // (sub, code_id, qc)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .filter(col("vec_id") >= PqCodes)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("qv"))
+      .withColumn("qv",
+        expr(s"slice(qv, sub * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub").as("subspace"),
+        col("best.code_id").as("code"), col("best.dist").as("dist"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  val d26Sql: String = {
+    val chains = (0 until PqSubspaces).map { k =>
+      kmeansCtes(s"vec_id < $PqCodes", s"vec_id >= $PqCodes",
+        pre = s"s$k",
+        slice = s"list_slice(qv, ${k * PqSubDim + 1}, ${(k + 1) * PqSubDim})",
+        dim = PqSubDim) + ",\n" +
+        assignCte(s"s${k}sa", s"s${k}v", s"s${k}c$KmIters", PqSubDim)
+    }.mkString(",\n")
+    val selects = (0 until PqSubspaces).map { k =>
+      s"""SELECT vec_id, $k AS subspace, cent_id AS code, dist
+         |FROM s${k}sa WHERE rn = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains
+       |$selects
+       |ORDER BY vec_id, subspace""".stripMargin
   }
 
   val d19Sql: String = {
