@@ -38,9 +38,11 @@ object Bench {
       * Suite-mode numbers were contention-dominated (round-4 verdict:
       * q05 10.7 s in-suite vs 1.71 s isolated); a second back-to-back
       * run almost always lands on a quiet JVM, so min-of-2 tracks the
-      * isolated number without a separate process. A failed query
-      * records -1 (NOT its elapsed-until-throw time, so a broken query
-      * can't masquerade as a fast one) plus an errors entry.
+      * isolated number without a separate process. A query records -1
+      * (NOT its elapsed-until-throw time, so a broken query can't
+      * masquerade as a fast one) plus an errors entry only when EVERY
+      * rep failed; a flaky second rep keeps rep 1's valid measurement
+      * with the error noted alongside.
       */
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame, dir: String,
@@ -48,7 +50,7 @@ object Bench {
       var best = Double.MaxValue
       var err: Option[String] = None
       var r = 0
-      while (r < reps && err.isEmpty) {
+      while (r < reps) {
         // drop cross-query operator caches so every query (and every
         // rep) pays its OWN pipeline: d02 fills the LSH cache that d07
         // would otherwise read, turning d07's number into
@@ -69,7 +71,7 @@ object Bench {
         }
         r += 1
       }
-      (name, if (err.isDefined) -1.0 else best, err)
+      (name, if (best == Double.MaxValue) -1.0 else best, err)
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -89,13 +91,15 @@ object Bench {
     // scale CURVE (sf0.1 → sf1 → sf10) without unbounded wall-clock
     // cost. The sf10 list holds only plant-semantics-safe queries
     // (doc_id offsets stay below the 1e6 plant boundary, but the
-    // minhash corpus at 100x would dominate the run). Single-rep:
-    // drills run serialized after the suite on a quiet JVM.
+    // minhash corpus at 100x would dominate the run). Min-of-2 like
+    // the suite (round-5 verdict: single-rep drills produced phantom
+    // 3× swings — rep 1 absorbs cold page-cache reads of the 2.3 GB
+    // sf10 replica, rep 2 measures the plan).
     def drill(dir: String, keys: Seq[String])
         : Seq[(String, Double, Option[String])] =
       if (!new java.io.File(dir).isDirectory || only.isDefined) Nil
       else keys.flatMap(k => SparkEntry.queries.get(k).map(fn => (k, fn)))
-        .map { case (name, fn) => timeOne(name, fn, dir, reps = 1) }
+        .map { case (name, fn) => timeOne(name, fn, dir, reps = 2) }
 
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/localdata/sf1")
@@ -148,11 +152,20 @@ object Bench {
         drillJson("sf1", sf1)}${drillJson("sf10", sf10)}$skewJson,"detail":"bench_out.json"}"""
     println(stdoutJson)
     // full per-query copy: the bounded stdout capture can't carry the
-    // whole map, so the file is the canonical per-query record
+    // whole map, so the file is the canonical per-query record — it
+    // also carries the drill ERROR maps (a failed drill query in
+    // stdout is just -1; the message lives here, where the byte
+    // budget doesn't apply)
+    def drillErrJson(tag: String,
+        ran: Seq[(String, Double, Option[String])]): String = {
+      val es = ran.collect { case (k, _, Some(m)) => (k, "\"" + m + "\"") }
+      if (es.isEmpty) "" else s""","${tag}_errors":${jsonMap(es)}"""
+    }
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n":${
         results.size},"reps":2$errPart,"sf":"$sfTag"${
-        drillJson("sf1", sf1)}${drillJson("sf10", sf10)}$skewJson,"sf_dir":"$sfDir","execution":"full-plan noop, min of 2 reps"}"""
+        drillJson("sf1", sf1)}${drillErrJson("sf1", sf1)}${
+        drillJson("sf10", sf10)}${drillErrJson("sf10", sf10)}$skewJson,"sf_dir":"$sfDir","execution":"full-plan noop, min of 2 reps"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_out.json")),

@@ -70,23 +70,35 @@ object ScaleCurve {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def sweep(dir: String): Seq[(String, String, Double)] =
+    // At sf10 the replica is ~2.3 GB and the first execution pays the
+    // page-cache miss: round 5 recorded 72 s for g11 where an earlier
+    // warm measurement read 23 s — same plan, different cache state.
+    // Recording BOTH runs as separate columns (cold = first touch,
+    // warm = back-to-back repeat) makes the artifact adjudicate that
+    // ambiguity itself: plan-scaling claims read the warm column, I/O
+    // claims read the cold one.
+    def sweep(dir: String, twice: Boolean)
+        : Seq[(String, String, Double, Option[Double])] =
       if (!new java.io.File(dir).isDirectory) Nil
       else families.map { case (fam, key) =>
-        val t = try time(key, dir) catch { case _: Throwable => -1.0 }
-        println(s"  $fam/$key @ ${dir.split('/').last}: ${fmt(t)} s")
-        (fam, key, t)
+        val cold = try time(key, dir) catch { case _: Throwable => -1.0 }
+        val warm =
+          if (!twice || cold < 0) None
+          else Some(try time(key, dir) catch { case _: Throwable => -1.0 })
+        println(s"  $fam/$key @ ${dir.split('/').last}: ${fmt(cold)} s" +
+          warm.map(w => s" cold, ${fmt(w)} s warm").getOrElse(""))
+        (fam, key, cold, warm)
       }
 
-    val curve: Seq[(String, Seq[(String, String, Double)])] =
+    val curve: Seq[(String, Seq[(String, String, Double, Option[Double])])] =
       if (skewOnly) Nil
       else {
         println("sf0.1 sweep:")
-        val c01 = sweep(sf01)
+        val c01 = sweep(sf01, twice = false)
         println("sf1 sweep:")
-        val c1 = sweep(sf1)
-        println("sf10 sweep:")
-        val c10 = sweep(sf10)
+        val c1 = sweep(sf1, twice = false)
+        println("sf10 sweep (cold + warm):")
+        val c10 = sweep(sf10, twice = true)
         Seq("sf0.1" -> c01, "sf1" -> c1, "sf10" -> c10)
       }
 
@@ -98,8 +110,10 @@ object ScaleCurve {
     skew.foreach { case (k, v) => println(s"  $k: ${fmt(v)} s") }
 
     val curveJson = curve.map { case (tag, rows) =>
-      "\"" + tag + "\":{" + rows.map { case (fam, key, t) =>
-        s""""$key":${fmt(t)}"""
+      "\"" + tag + "\":{" + rows.map {
+        case (_, key, t, None) => s""""$key":${fmt(t)}"""
+        case (_, key, c, Some(w)) =>
+          s""""$key":{"cold":${fmt(c)},"warm":${fmt(w)}}"""
       }.mkString(",") + "}"
     }.mkString(",")
     val famJson = families.map { case (fam, key) =>

@@ -590,14 +590,21 @@ object Dedup {
        |votes AS (
        |  SELECT doc_id, k, SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS v
        |  FROM bits GROUP BY 1, 2),
-       |sig AS (
+       |sigv AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN v > 0 AND k < 63
        |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
        |      + CASE WHEN MAX(CASE WHEN k = 63 AND v > 0
        |          THEN 1 ELSE 0 END) = 1
        |        THEN -9223372036854775808 ELSE 0 END AS simhash
-       |  FROM votes GROUP BY 1)
+       |  FROM votes GROUP BY 1),
+       |-- blank docs produce ZERO shingle rows (sh unnests []), so they
+       |-- vanish from sigv — but Spark's kernel gives the empty multiset
+       |-- signature 0 and keeps the doc. Re-attach them with signature 0
+       |-- so both engines agree on corpora that contain empty documents.
+       |sig AS (
+       |  SELECT c.doc_id, COALESCE(s.simhash, 0) AS simhash
+       |  FROM corpus c LEFT JOIN sigv s USING (doc_id))
        |SELECT a.doc_id AS a_id, a.simhash AS sig_a, b.simhash AS sig_b,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
@@ -636,8 +643,12 @@ object Dedup {
         Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        // the lit(1) floor defines edit_sim = 1.0 for two EMPTY
+        // prefixes (identical blank docs are likely LSH candidates)
+        // instead of 0/0 — NaN on Spark, engine-dependent in SQL
         round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double")
-          / greatest(length(col("pa")), length(col("pb"))).cast("double"),
+          / greatest(length(col("pa")), length(col("pb")), lit(1))
+            .cast("double"),
           6).as("edit_sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -650,7 +661,7 @@ object Dedup {
        |SELECT a_id, b_id,
        |  CAST(levenshtein(ca.p, cb.p) AS BIGINT) AS edit_dist,
        |  ROUND(1.0 - CAST(levenshtein(ca.p, cb.p) AS DOUBLE)
-       |    / GREATEST(len(ca.p), len(cb.p)), 6) AS edit_sim
+       |    / GREATEST(len(ca.p), len(cb.p), 1), 6) AS edit_sim
        |FROM pairs
        |JOIN corpus ca ON ca.doc_id = a_id
        |JOIN corpus cb ON cb.doc_id = b_id

@@ -41,10 +41,11 @@ object SkewBench {
       col("l_extendedprice").as("price"))
   }
 
-  /** 50,001-key dim with a payload column; wide enough (padded string)
-    * that at cluster scale it would not broadcast — broadcast is
-    * force-disabled in the drill regardless, so all three strategies
-    * pay a genuine shuffle (or salted replication) for it.
+  /** 50,001-key narrow dim. At this size it WOULD broadcast under any
+    * default threshold, so the drill simulates non-broadcastability
+    * solely via autoBroadcastJoinThreshold=-1 (set in [[drill]]) —
+    * all three strategies then pay a genuine shuffle (or salted
+    * replication) for it, the cluster-scale big-dim situation.
     */
   def dim(spark: SparkSession): DataFrame =
     spark.range(0L, 50001L).select(

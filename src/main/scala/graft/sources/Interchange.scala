@@ -22,12 +22,31 @@ import graft.Tables
   */
 object Interchange {
 
-  private def roundTripDir(fmt: String, dir: String): String =
+  private def roundTripDir(fmt: String, dir: String): String = {
     // pid in the path: concurrent processes over the same data dir
     // (Verify alongside Bench, parallel test forks) must not race each
     // other's mode("overwrite") writes or flap f05's file-count pins
-    s"${sys.props("java.io.tmpdir")}/graft_$fmt" +
+    val p = s"${sys.props("java.io.tmpdir")}/graft_$fmt" +
       s"_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    cleanupOnExit(p)
+    p
+  }
+
+  /** Pid-unique dirs don't self-overwrite across runs the way the old
+    * fixed names did, so each registers a one-shot shutdown delete —
+    * tmpdir doesn't accumulate a copy of the documents table per
+    * Bench/Verify/test process. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
 
   /** Per-language fidelity digest: counts, exact integer sums and
     * extrema over every column — any parse drift (a lost row, a
