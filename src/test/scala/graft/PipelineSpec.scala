@@ -150,6 +150,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled k-means training stays within bound of full-corpus training") {
+    import org.apache.spark.sql.functions._
+    // the sampleFraction contract (round-5 verdict #3): at 100 TB a
+    // codebook trains on a bounded deterministic sample — the API now
+    // ENFORCES that instead of documenting it. Training on half the
+    // corpus (Knuth-hash membership, reproducible on any cluster)
+    // must still (a) beat the untrained subset book and (b) land
+    // within a small factor of full-corpus training when distortion
+    // is measured over EVERY vector.
+    val q = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeVec(col("embedding")).as("qv"))
+    val init = q.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val vecs = q.filter(col("vec_id") >= Similarity.IvfCells)
+    def distortion(cents: org.apache.spark.sql.DataFrame): Long =
+      Similarity.qAssignHistogram(vecs, cents)
+        .agg(sum("total_dist")).collect()(0).getLong(0)
+    val untrained = distortion(init)
+    val full = distortion(
+      Similarity.kmeansQuantized(vecs, init, Similarity.KmIters))
+    val sampled = distortion(Similarity.kmeansQuantized(
+      vecs, init, Similarity.KmIters, sampleFraction = 0.5))
+    assert(sampled < untrained,
+      s"sampled training lost to the untrained book: $sampled vs $untrained")
+    assert(sampled <= (full * 1.05).toLong,
+      s"half-sample distortion $sampled vs full-training $full")
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
