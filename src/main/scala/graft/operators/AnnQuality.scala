@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN QUALITY measurement (SURVEY.md §2d): recall@k vs nprobe for
+  * the trained IVF index.
+  *
+  * d25 proves the index EXACT at full probe (nprobe = K ⇒ identical
+  * to brute force — the degeneracy pin). A real user runs nprobe ≪ K
+  * and needs the quality curve: what fraction of the true top-k does
+  * a partial probe return? The sf embeddings are uniform synthetic —
+  * no cluster structure, so recall there measures noise. This module
+  * PLANTS a clustered corpus (deterministic: every value is a hash of
+  * its indices — reproducible on any cluster size, no RNG stream),
+  * trains the same integer-quantized k-means the production path
+  * uses, and sweeps nprobe, measuring recall@k against exact brute
+  * force over the same vectors.
+  *
+  * The geometry is deliberately OVERLAPPING (jitter comparable to
+  * centroid separation): tight well-separated clusters would pin the
+  * whole curve at 1.0 and measure nothing. With overlap, a query's
+  * true neighbors spill into adjacent cells and recall climbs with
+  * nprobe — the shape a production tuning decision actually reads.
+  *
+  * The committed artifact is `ann_recall.json` ([[graft.AnnRecall]]);
+  * PipelineSpec pins the floor (recall@10 ≥ 0.9 at nprobe = 4), the
+  * monotone climb, and exactness at full probe.
+  */
+object AnnQuality {
+
+  val Dim = 64
+  val Clusters = 16
+  val PerCluster = 125 // corpus = 2000 vectors
+  val CorpusN: Long = Clusters.toLong * PerCluster
+  val QueryN = 32
+  val RecallK = 10
+  val NProbes = Seq(1, 2, 4, 8, 16)
+
+  /** Cluster centers spread per-dim over [0, CentScale); member
+    * jitter over [0, Jitter). Chosen so clusters overlap enough that
+    * partial probes lose neighbors (a measurable curve) but remain
+    * the dominant structure (k-means recovers them). */
+  val CentScale = 100000L
+  val Jitter = 180000L
+
+  /** A planted member vector, directly in the quantized integer space
+    * the trained path searches: qv[d] = center(cluster, d) + jitter.
+    * `seed` decouples corpus member jitter from query jitter. */
+  private def plantedQv(cluster: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, seed: Long) =
+    transform(sequence(lit(0), lit(Dim - 1)), d =>
+      pmod(xxhash64(cluster, d, lit(1L)), lit(CentScale))
+        + pmod(xxhash64(id, d, lit(seed)), lit(Jitter)))
+
+  /** (vec_id, cluster, qv) — vec_id % Clusters is the cluster, so the
+    * first [[Clusters]] ids are one seed member per cluster (the
+    * deterministic k-means init subset). */
+  def corpus(spark: SparkSession): DataFrame =
+    spark.range(CorpusN).select(
+      col("id").as("vec_id"),
+      pmod(col("id"), lit(Clusters.toLong)).as("cluster"))
+      .withColumn("qv", plantedQv(col("cluster"), col("vec_id"), 2L))
+
+  /** (q_id, q_qv) — fresh jittered members of the same clusters. */
+  def queries(spark: SparkSession): DataFrame =
+    spark.range(QueryN.toLong).select(
+      col("id").as("q_id"),
+      pmod(col("id"), lit(Clusters.toLong)).as("cluster"))
+      .withColumn("q_qv", plantedQv(col("cluster"), col("q_id"), 3L))
+      .select(col("q_id"), col("q_qv"))
+
+  /** Exact top-k ground truth: every query against every corpus
+    * vector. Quadratic by design — this is the calibration baseline
+    * (the d11 role), bounded to the planted relation. */
+  def bruteTopK(queries: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .withColumn("dist", Similarity.qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** recall@[[RecallK]] per nprobe: train ONCE (the centroids are a
+    * bounded local relation), sweep the probe width over the search
+    * leg only. Returns (nprobe, recall) with recall ∈ [0, 1]. */
+  def recallCurve(spark: SparkSession,
+      nprobes: Seq[Int] = NProbes): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(
+      corp, init, Similarity.KmIters)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    nprobes.map { np =>
+      val hits = Similarity.ivfSearchTrained(qs, corp, cents, np, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (np, hits / denom)
+    }
+  }
+}

@@ -667,7 +667,17 @@ object Similarity {
         col("vec_id") < NumQueries + IvfCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
     val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
-    val cents = kmeansQuantized(train, init, KmIters)
+    ivfSearchTrained(queries, cands, kmeansQuantized(train, init, KmIters),
+      nprobe, TopK)
+  }
+
+  /** The search leg alone, on an ALREADY-TRAINED centroid relation —
+    * reusable on any (q_id, q_qv) × (vec_id, qv) pair (the AnnQuality
+    * recall sweep trains once and sweeps nprobe over this). Exactly
+    * d25's composition: assign candidates to their argmin cell, probe
+    * each query's best `nprobe` cells, exact-rank only their members. */
+  def ivfSearchTrained(queries: DataFrame, cands: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val assigned = cands.join(broadcast(cents))
       .withColumn("dist", qDist(col("qv"), col("qc")))
       .groupBy(col("vec_id"))
@@ -686,7 +696,7 @@ object Similarity {
     broadcast(probes).join(assigned, Seq("cell"))
       .withColumn("dist", qDist(col("q_qv"), col("qv")))
       .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -36,6 +36,23 @@ class PipelineSpec extends AnyFunSuite {
       col("count") =!= Similarity.TopK).count() == 0)
   }
 
+  test("IVF recall@10 climbs with nprobe and clears 0.9 at nprobe=4") {
+    // the quality contract at PARTIAL probe — the only regime a 100 TB
+    // user actually runs (full probe is d25's exactness pin above).
+    // Deterministic planted clusters, so these are fixed numbers, not
+    // a statistical bound: ~0.79 at nprobe=1 climbing through ~0.92
+    // at 4 to exactly 1.0 at 16. Candidate sets nest as nprobe grows,
+    // so recall is provably monotone — a drop means the search leg
+    // broke, not the data.
+    val curve = graft.operators.AnnQuality.recallCurve(spark)
+    val byProbe = curve.toMap
+    curve.zip(curve.tail).foreach { case ((np0, r0), (np1, r1)) =>
+      assert(r1 >= r0 - 1e-9, s"recall fell $np0:$r0 -> $np1:$r1") }
+    assert(byProbe(4) >= 0.9, s"recall@10 at nprobe=4: ${byProbe(4)}")
+    assert(byProbe(16) == 1.0,
+      s"full probe must equal brute force: ${byProbe(16)}")
+  }
+
   test("streaming shard assignment equals the batch window form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
