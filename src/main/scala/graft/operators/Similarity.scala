@@ -368,11 +368,49 @@ object Similarity {
     (clusters, if (pin) reps +: pairPinned else Nil)
   }
 
+  /** PORTABLE hyperplane family for d06's oracle-replayable form —
+    * the d03 pattern: plane i's 64 ±1 signs are the bits of the
+    * 64-bit word derived from md5(i) (two 32-bit hex halves, exactly
+    * the oracle's derivation, so a table drift here is a hash
+    * mismatch, not a silent divergence). The XXH64-derived
+    * [[lshSignature]] kernel stays the THROUGHPUT family — d12/d15
+    * ride it with their own recall/precision pins. */
+  private lazy val portablePlanes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      (0 until 64).map { d =>
+        val bit = if (d < 32) (lo >> d) & 1L else (hi >> (d - 32)) & 1L
+        if (bit == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** Signature under the portable family: bit i = sign of the ORDERED
+    * fold Σ_d emb[d]·±1 — both engines sum the products in array
+    * order, so the sign decision is bit-identical (the d05 cosine
+    * contract). Interpreted HOFs are fine here: this form exists for
+    * oracle verification; the corpus-scale path is the codegen
+    * kernel. */
+  def portableLshSignature(emb: Column): Column =
+    portablePlanes.zipWithIndex.map { case (signs, i) =>
+      val dot = aggregate(
+        zip_with(emb, typedLit(signs), (x, y) => x.cast("double") * y),
+        lit(0.0), (a, v) => a + v)
+      when(dot > lit(0.0), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** d06: ANN via LSH buckets — candidates meet only inside a
-    * (table, bucket) cell; brute-force cosine ranks within it. */
+    * (table, bucket) cell; brute-force cosine ranks within it.
+    * Hash-matched since round 6: the signature uses the portable
+    * md5-derived family above, and the DuckDB oracle replays the
+    * whole chain (plane derivation → signs → banded buckets →
+    * bucket join → cosine rank). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-      .withColumn("sig", lshSignature("embedding"))
+      .withColumn("sig", portableLshSignature(col("embedding")))
     def banded(df: DataFrame) = df
       .select(col("*"), explode(sequence(lit(0), lit(Tables8 - 1))).as("t"))
       .withColumn("bucket", expr(
@@ -392,6 +430,57 @@ object Similarity {
       .filter(col("rank") === 1)
       .select(col("q_id"), col("vec_id").as("match_id"), col("cos"))
       .orderBy(col("q_id"))
+  }
+
+  /** DuckDB oracle for d06: replays the full portable chain — md5
+    * plane words (the d03 `half` hex parse), per-plane ORDERED dot
+    * folds, sign bits, 4×8-bit banding, bucket equi-join, cosine
+    * rank. Bit d of plane i comes from the lo half for d < 32 and
+    * the hi half above — exactly [[portablePlanes]]' derivation. */
+  val d06Sql: String = {
+    def half(from: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(1, 8),
+         |  p -> (CAST(strpos('0123456789abcdef',
+         |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
+         |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
+        .stripMargin
+    s"""WITH planes AS (
+       |  SELECT i, md5(CAST(i AS VARCHAR)) AS h
+       |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS i)),
+       |pw AS (SELECT i, ${half(1)} AS hi, ${half(9)} AS lo FROM planes),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << i)
+       |      ELSE 0 END) AS BIGINT) AS sig
+       |  FROM (
+       |    SELECT e.vec_id, p.i,
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        d -> CAST(e.embedding[d] AS DOUBLE) *
+       |          (CASE WHEN (CASE WHEN d <= 32 THEN (p.lo >> (d - 1)) & 1
+       |             ELSE (p.hi >> (d - 33)) & 1 END) = 1
+       |           THEN 1.0 ELSE -1.0 END))) AS dot
+       |    FROM embeddings e CROSS JOIN pw p)
+       |  GROUP BY vec_id),
+       |banded AS (
+       |  SELECT s.vec_id, t.t AS t,
+       |    (s.sig >> (t.t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}
+       |      AS bucket
+       |  FROM sig s CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${Tables8 - 1})) AS t) t),
+       |cand AS (
+       |  SELECT DISTINCT bq.vec_id AS q_id, bc.vec_id AS vec_id
+       |  FROM banded bq JOIN banded bc
+       |    ON bq.t = bc.t AND bq.bucket = bc.bucket
+       |  WHERE bq.vec_id < $NumQueries AND bc.vec_id >= $NumQueries),
+       |best AS (
+       |  SELECT cand.q_id, cand.vec_id, ROUND($cosSql, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.q_id
+       |      ORDER BY ROUND($cosSql, 6) DESC, cand.vec_id) AS rn
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings c ON c.vec_id = cand.vec_id)
+       |SELECT q_id, vec_id AS match_id, cos FROM best WHERE rn = 1
+       |ORDER BY q_id""".stripMargin
   }
 
   val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
