@@ -485,6 +485,46 @@ object EventStreams {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** s09: the same per-source packing contract as [[s08StreamShards]]
+    * in d23's BIN-PARALLEL shape, scoped by source — the form that
+    * removes even the per-source window sort from the declarative
+    * path (round-5 verdict #6). Rows bin into contiguous doc_id
+    * ranges (deterministic arithmetic on one collected scalar), one
+    * narrow (source, bin) aggregate computes per-bin offsets via a
+    * window over that TINY relation (partitioned by source), and
+    * per-row running sums ride (source, bin)-partitioned windows —
+    * |sources|×|bins| parallel slices, NO unpartitioned window
+    * anywhere at any corpus size or source cardinality. Same oracle
+    * as s08: the semantics are partitioning-invisible. */
+  def s09ShardsBinned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val binOf = least(lit(bins - 1),
+      (col("doc_id") * bins / (maxId + 1)).cast("int"))
+    val binned = docs.withColumn("bin", binOf)
+    val wOff = W.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bin_tokens")).over(wOff), lit(0L)))
+      .select(col("source"), col("bin"), col("offset"))
+    val wRow = W.partitionBy(col("source"), col("bin"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    binned.join(broadcast(offsets), Seq("source", "bin"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(wRow), lit(0L)))
+      .select(col("doc_id"), col("source"),
+        (col("cum_before") / graft.operators.Sampling.ShardBudget)
+          .cast("long").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The ingest-time form: running token total per source carried in
     * group state, shard id handed out as each doc arrives. Within a
     * micro-batch arrival order isn't guaranteed, so each batch's

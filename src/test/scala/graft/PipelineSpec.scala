@@ -167,6 +167,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s09 bin-parallel shards equal s08 with no unpartitioned window") {
+    import org.apache.spark.sql.functions._
+    // same packing, different shape: every window in s09 is
+    // partitioned (offsets by source, row sums by (source, bin)) —
+    // the per-source sort s08 tolerates at bounded source cardinality
+    // is gone entirely. Assignments must be byte-identical.
+    val binned = EventStreams.s09ShardsBinned(spark, sf)
+    val windowed = EventStreams.s08StreamShards(spark, sf)
+    assert(binned.exceptAll(windowed).count() == 0
+      && windowed.exceptAll(binned).count() == 0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"s09 lost its source-partitioned windows:\n$plan")
+    // and no window runs unpartitioned (SinglePartition feeds a
+    // global sort only in the contracted final orderBy, not a Window)
+    val windowSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty)
+    assert(windowSpecs.forall(l => l.contains("source")),
+      s"unpartitioned window in s09:\n${windowSpecs.mkString("\n")}")
+  }
+
+  test("shardStream packs by ARRIVAL order when ingest violates id-monotonicity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the documented contract (EventStreams.shardStream): state
+    // carries the exact running total in arrival order; within a
+    // batch the group slice sorts by doc_id, across batches there is
+    // no reordering — so a LATE low id packs into a LATER shard, and
+    // the result deliberately diverges from the batch window form.
+    // budget 10; batch 1: id5(4tok), id7(8tok); batch 2: id1(3), id6(2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.DocTok]
+    val q = EventStreams.shardStream(input.toDS(), budget = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shard_ooo").start()
+    try {
+      input.addData(Seq(EventStreams.DocTok(5L, "a", 4L),
+        EventStreams.DocTok(7L, "a", 8L)))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.DocTok(1L, "a", 3L),
+        EventStreams.DocTok(6L, "a", 2L)))
+      q.processAllAvailable()
+      val got = spark.table("shard_ooo")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // batch 1: cum 0 -> id5 shard 0 (cum 4), id7 shard 0 (cum 12)
+      // batch 2 sorted (1, 6): id1 shard 1 (cum 15), id6 shard 1
+      assert(got == Map(5L -> 0L, 7L -> 0L, 1L -> 1L, 6L -> 1L),
+        s"arrival-order packing contract broke: $got")
+    } finally q.stop()
+  }
+
   test("sampled k-means training stays within bound of full-corpus training") {
     import org.apache.spark.sql.functions._
     // the sampleFraction contract (round-5 verdict #3): at 100 TB a
