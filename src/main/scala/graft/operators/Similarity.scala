@@ -867,6 +867,88 @@ object Similarity {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /** d27: ADC search — asymmetric distance computation over PQ codes,
+    * the memory-scale QUERY path (FAISS's IndexPQ contract, public
+    * algorithm): the corpus is represented ONLY by its 4 trained code
+    * ids per vector (the d26 assignment), and each query ranks the
+    * whole corpus by table lookups instead of 64-dim arithmetic.
+    * Per query: a (sub, code) → distance table — |queries|×4×16 rows,
+    * bounded — broadcasts against the NARROW code relation; the
+    * per-(query, vector) ADC distance is Σ_sub table[sub, code], one
+    * partial-aggregable integer sum. The full-precision vectors are
+    * never touched after assignment: at 100 TB the scan moves 4 bytes
+    * of codes per vector, not 256 bytes of floats — that's the 64×
+    * compression PQ exists for. Exact integer arithmetic throughout,
+    * so the oracle replays training → assignment → table → scan. */
+  def d27AdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val book = trainPqCodebook(spark, dir) // (sub, code_id, qc)
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    // corpus side: ONLY the trained code ids ride forward (d26's
+    // assignment, inlined so the plan is one chain)
+    val codes = qz.filter(col("vec_id") >= PqCodes)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("qv"))
+      .withColumn("qv", expr(s"slice(qv, sub * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code_id").as("code"))
+    // query side: the bounded (q_id, sub, code) → distance table
+    val table = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("qv"))
+      .withColumn("qv", expr(s"slice(qv, sub * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(book), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code_id").as("code"),
+        qDist(col("qv"), col("qc")).as("qd"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("long").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d27: d26's four training+assignment chains,
+    * plus per-subspace query distance tables and the summed ADC scan. */
+  val d27Sql: String = {
+    val chains = (0 until PqSubspaces).map { k =>
+      kmeansCtes(s"vec_id < $PqCodes", s"vec_id >= $PqCodes",
+        pre = s"s$k",
+        slice = s"list_slice(qv, ${k * PqSubDim + 1}, ${(k + 1) * PqSubDim})",
+        dim = PqSubDim) + ",\n" +
+        assignCte(s"s${k}sa", s"s${k}v", s"s${k}c$KmIters", PqSubDim)
+    }.mkString(",\n")
+    val terms = (0 until PqSubspaces).map { k =>
+      s"""SELECT t.q_id, c.vec_id, t.qd
+         |FROM (SELECT vec_id, cent_id FROM s${k}sa WHERE rn = 1) c
+         |JOIN (
+         |  SELECT q.vec_id AS q_id, b.cent_id,
+         |    ${qDistSql("q.qv", "b.qc", PqSubDim)} AS qd
+         |  FROM (SELECT vec_id, qv FROM s${k}q
+         |        WHERE vec_id < $NumQueries) q
+         |  CROSS JOIN s${k}c$KmIters b) t
+         |  ON c.cent_id = t.cent_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains,
+       |adc AS (
+       |  SELECT q_id, vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+       |  FROM ($terms) GROUP BY q_id, vec_id),
+       |res AS (
+       |  SELECT q_id, vec_id, adc_dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, vec_id, adc_dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val d26Sql: String = {
     val chains = (0 until PqSubspaces).map { k =>
       kmeansCtes(s"vec_id < $PqCodes", s"vec_id >= $PqCodes",

@@ -190,6 +190,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "d21_pipeline_e2e" -> "composes d13 eval grams + d18 cuts",
       "g14_fleet_scan" -> "per-file fleet summary: |files| rows",
       "d23_token_shards" -> "per-bin prefix offsets: |shuffle width| rows",
+      "s09_shards_binned" ->
+        "per-(source, bin) prefix offsets: |sources|x|shuffle width| rows",
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
       "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
       "t09_common_ratio" -> "top-K head vocabulary: K rows")
