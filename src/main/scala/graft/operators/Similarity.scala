@@ -221,16 +221,18 @@ object Similarity {
     * approach identity (the mass-duplication case this path exists
     * for); raise [[Tables8]] (with more planes) to buy recall at
     * looser thresholds. The PipelineSpec planted-pair spec pins
-    * pair-level recall ≥ 0.9. Rows-only like d06 (the candidate set
-    * is parameter-dependent); the exact d11 is the calibration
-    * baseline. */
+    * pair-level recall ≥ 0.9 on the KERNEL family. Hash-matched
+    * since r6: the registered form runs the portable md5-derived
+    * family (the d06/d03 promotion pattern) so the oracle replays
+    * the whole pipeline; the XXH64 kernel stays the corpus-scale
+    * throughput family under the spec pins. */
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     simCache.getOrElseUpdate((spark, dir, "d12"), {
       val emb = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (df, pinned) =
-        nearDupPairsLshPinned(emb, NearDupThreshold, NearDupMaxBucket)
+      val (df, pinned) = nearDupPairsLshPinned(emb, NearDupThreshold,
+        NearDupMaxBucket, portable = true)
       (df, emb +: pinned)
     })._1
 
@@ -261,9 +263,12 @@ object Similarity {
     * memoized path-entry queries pin (direct spec calls on ad-hoc
     * frames must not leak persists into a shared session). */
   private def nearDupPairsLshPinned(emb: DataFrame, threshold: Double,
-      maxBucket: Long, pin: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+      maxBucket: Long, pin: Boolean = true,
+      portable: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val bandedRaw = emb
-      .withColumn("sig", lshSignature("embedding"))
+      .withColumn("sig",
+        if (portable) portableLshSignature(col("embedding"))
+        else lshSignature("embedding"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(Tables8 - 1))).as("t"),
         col("sig"))
@@ -432,19 +437,19 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** DuckDB oracle for d06: replays the full portable chain — md5
-    * plane words (the d03 `half` hex parse), per-plane ORDERED dot
-    * folds, sign bits, 4×8-bit banding, bucket equi-join, cosine
-    * rank. Bit d of plane i comes from the lo half for d < 32 and
-    * the hi half above — exactly [[portablePlanes]]' derivation. */
-  val d06Sql: String = {
+  /** Shared oracle CTE chain for the portable-family LSH queries
+    * (d06, d12): md5 plane words (the d03 `half` hex parse),
+    * per-plane ORDERED dot folds, sign bits, 4×8-bit banding. Bit d
+    * of plane i comes from the lo half for d < 32 and the hi half
+    * above — exactly [[portablePlanes]]' derivation. */
+  private val portableSigCtes: String = {
     def half(from: Int) =
       s"""CAST(list_sum(list_transform(generate_series(1, 8),
          |  p -> (CAST(strpos('0123456789abcdef',
          |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
          |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
         .stripMargin
-    s"""WITH planes AS (
+    s"""planes AS (
        |  SELECT i, md5(CAST(i AS VARCHAR)) AS h
        |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS i)),
        |pw AS (SELECT i, ${half(1)} AS hi, ${half(9)} AS lo FROM planes),
@@ -466,7 +471,14 @@ object Similarity {
        |    (s.sig >> (t.t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}
        |      AS bucket
        |  FROM sig s CROSS JOIN
-       |    (SELECT unnest(generate_series(0, ${Tables8 - 1})) AS t) t),
+       |    (SELECT unnest(generate_series(0, ${Tables8 - 1})) AS t) t)"""
+      .stripMargin
+  }
+
+  /** DuckDB oracle for d06: the portable chain + bucket equi-join +
+    * cosine rank. */
+  val d06Sql: String = {
+    s"""WITH $portableSigCtes,
        |cand AS (
        |  SELECT DISTINCT bq.vec_id AS q_id, bc.vec_id AS vec_id
        |  FROM banded bq JOIN banded bc
@@ -482,6 +494,32 @@ object Similarity {
        |SELECT q_id, vec_id AS match_id, cos FROM best WHERE rn = 1
        |ORDER BY q_id""".stripMargin
   }
+
+  /** DuckDB oracle for d12 (hash-matched since r6): the portable
+    * chain + the capped-cell candidate equi-join + pair dedup +
+    * exact cosine verify — the registered query's whole pipeline. */
+  val d12Sql: String =
+    s"""WITH $portableSigCtes,
+       |cells AS (
+       |  SELECT t, bucket FROM banded GROUP BY t, bucket
+       |  HAVING COUNT(*) <= $NearDupMaxBucket),
+       |bounded AS (
+       |  SELECT ba.vec_id, ba.t, ba.bucket
+       |  FROM banded ba JOIN cells c
+       |    ON ba.t = c.t AND ba.bucket = c.bucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+       |  FROM bounded a JOIN bounded b
+       |    ON a.t = b.t AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT cand.keep_id, cand.dup_id, ROUND($cosSql, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.keep_id
+       |  JOIN embeddings c ON c.vec_id = cand.dup_id)
+       |SELECT keep_id, dup_id, cos FROM scored
+       |WHERE cos >= $NearDupThreshold
+       |ORDER BY keep_id, dup_id""".stripMargin
 
   val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
   val PqSubDim = 16
