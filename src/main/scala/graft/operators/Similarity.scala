@@ -332,7 +332,7 @@ object Similarity {
       embedClustersLshPinned(
         Tables.load(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding")),
-        NearDupThreshold, NearDupMaxBucket)
+        NearDupThreshold, NearDupMaxBucket, portable = true)
     })._1
 
   /** Core of d15, reusable on any (vec_id, embedding) relation.
@@ -342,7 +342,8 @@ object Similarity {
     embedClustersLshPinned(emb, threshold, maxBucket, pin = false)._1
 
   private def embedClustersLshPinned(emb: DataFrame, threshold: Double,
-      maxBucket: Long, pin: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+      maxBucket: Long, pin: Boolean = true,
+      portable: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     // exact collapse: identical vectors → one representative row
     // carrying its member count (grouping on the raw array column —
     // bit-exact equality, which is what replicated/mass-dup data has)
@@ -358,7 +359,7 @@ object Similarity {
       else repsRaw
     val (pairDf, pairPinned) = nearDupPairsLshPinned(
       reps.select(col("vec_id"), col("embedding")), threshold, maxBucket,
-      pin)
+      pin, portable)
     val edges = pairDf
       .select(col("keep_id").as("a_id"), col("dup_id").as("b_id"))
     val labels = Dedup.connectedComponents(edges, "a_id", "b_id")
@@ -407,6 +408,52 @@ object Similarity {
       when(dot > lit(0.0), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** DuckDB oracle for d15 (hash-matched since r6): exact collapse
+    * (GROUP BY the raw embedding — bit-exact, what replicated data
+    * has) → the portable-family capped-bucket pair pipeline over the
+    * representatives → min-label connected components (the d07
+    * recursive-CTE pattern) → member-weighted cluster sizes with
+    * untouched representatives as singletons. */
+  val d15Sql: String =
+    s"""WITH reps AS (
+       |  SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n_members, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |${portableSigCtes("reps")},
+       |cells AS (
+       |  SELECT t, bucket FROM banded GROUP BY t, bucket
+       |  HAVING COUNT(*) <= $NearDupMaxBucket),
+       |bounded AS (
+       |  SELECT ba.vec_id, ba.t, ba.bucket
+       |  FROM banded ba JOIN cells c
+       |    ON ba.t = c.t AND ba.bucket = c.bucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+       |  FROM bounded a JOIN bounded b
+       |    ON a.t = b.t AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT keep_id, dup_id FROM (
+       |    SELECT cand.keep_id, cand.dup_id, ROUND($cosSql, 6) AS cos
+       |    FROM cand
+       |    JOIN reps q ON q.vec_id = cand.keep_id
+       |    JOIN reps c ON c.vec_id = cand.dup_id)
+       |  WHERE cos >= $NearDupThreshold),
+       |edges AS (
+       |  SELECT keep_id AS src, dup_id AS dst FROM pairs
+       |  UNION SELECT dup_id, keep_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |comp AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT node, node FROM nodes
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e
+       |      JOIN reach r ON e.dst = r.node)
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+       |SELECT COALESCE(c.label, r.vec_id) AS keep_id,
+       |  CAST(SUM(r.n_members) AS BIGINT) AS cluster_size
+       |FROM reps r LEFT JOIN comp c ON c.node = r.vec_id
+       |GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   /** d06: ANN via LSH buckets — candidates meet only inside a
     * (table, bucket) cell; brute-force cosine ranks within it.
     * Hash-matched since round 6: the signature uses the portable
@@ -442,7 +489,7 @@ object Similarity {
     * per-plane ORDERED dot folds, sign bits, 4×8-bit banding. Bit d
     * of plane i comes from the lo half for d < 32 and the hi half
     * above — exactly [[portablePlanes]]' derivation. */
-  private val portableSigCtes: String = {
+  private def portableSigCtes(src: String = "embeddings"): String = {
     def half(from: Int) =
       s"""CAST(list_sum(list_transform(generate_series(1, 8),
          |  p -> (CAST(strpos('0123456789abcdef',
@@ -464,7 +511,7 @@ object Similarity {
        |          (CASE WHEN (CASE WHEN d <= 32 THEN (p.lo >> (d - 1)) & 1
        |             ELSE (p.hi >> (d - 33)) & 1 END) = 1
        |           THEN 1.0 ELSE -1.0 END))) AS dot
-       |    FROM embeddings e CROSS JOIN pw p)
+       |    FROM $src e CROSS JOIN pw p)
        |  GROUP BY vec_id),
        |banded AS (
        |  SELECT s.vec_id, t.t AS t,
@@ -478,7 +525,7 @@ object Similarity {
   /** DuckDB oracle for d06: the portable chain + bucket equi-join +
     * cosine rank. */
   val d06Sql: String = {
-    s"""WITH $portableSigCtes,
+    s"""WITH ${portableSigCtes()},
        |cand AS (
        |  SELECT DISTINCT bq.vec_id AS q_id, bc.vec_id AS vec_id
        |  FROM banded bq JOIN banded bc
@@ -499,7 +546,7 @@ object Similarity {
     * chain + the capped-cell candidate equi-join + pair dedup +
     * exact cosine verify — the registered query's whole pipeline. */
   val d12Sql: String =
-    s"""WITH $portableSigCtes,
+    s"""WITH ${portableSigCtes()},
        |cells AS (
        |  SELECT t, bucket FROM banded GROUP BY t, bucket
        |  HAVING COUNT(*) <= $NearDupMaxBucket),
