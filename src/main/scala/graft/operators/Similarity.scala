@@ -1034,6 +1034,134 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** d28: IVF+PQ search — the full composition every large-scale ANN
+    * service runs (FAISS IndexIVFPQ, public algorithm): IVF trained
+    * centroids partition the corpus (d22/d25), PQ trained books
+    * compress every vector to 4 code ids (d26), and a query ranks
+    * ONLY its [[NProbe]] probed cells' members by ADC table lookups
+    * (d27) — O(N·nprobe/K) candidates × O(1) lookup work each, never
+    * touching a full-precision vector after assignment. At 100 TB:
+    * the index scan reads 4 bytes/vector over 1/K of the corpus per
+    * probe; centroids, books, query tables, and probe lists are all
+    * bounded broadcasts; the one shuffle is the cell-bounded
+    * candidate join. Exact integer arithmetic end to end — the
+    * oracle replays BOTH training chains, both assignments, probe
+    * choice, and the ADC scan. */
+  def d28IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    // IVF leg: d25's exact relations
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= NumQueries)
+    val init = qz.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = kmeansQuantized(
+      qz.filter(col("vec_id") >= NumQueries + IvfCells), init, KmIters)
+    val assigned = cands.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    // PQ leg: trained books, codes for EVERY candidate (d26's shape
+    // over the search candidate set), bounded query tables (d27's)
+    val book = trainPqCodebook(spark, dir)
+    def sliced(df: DataFrame, idCol: String) = df
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("qv"))
+      .withColumn("qv", expr(s"slice(qv, sub * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(book), Seq("sub"))
+    val codes = sliced(cands, "vec_id")
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code_id").as("code"))
+    val table = sliced(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv")), "q_id")
+      .select(col("q_id"), col("sub"), col("code_id").as("code"),
+        qDist(col("qv"), col("qc")).as("qd"))
+    // search: probed cells pick the candidate ids; codes + table
+    // lookups rank them — full vectors never reappear
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(table), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("long").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d28: the d25 IVF chain (training, assignment,
+    * probes) + the four d26 PQ chains with assignment extended to the
+    * SEARCH candidate set + d27's query tables + the probed ADC scan. */
+  val d28Sql: String = {
+    val pqChains = (0 until PqSubspaces).map { k =>
+      kmeansCtes(s"vec_id < $PqCodes", s"vec_id >= $PqCodes",
+        pre = s"s$k",
+        slice = s"list_slice(qv, ${k * PqSubDim + 1}, ${(k + 1) * PqSubDim})",
+        dim = PqSubDim) + ",\n" +
+        s"""s${k}cand AS (SELECT vec_id, qv FROM s${k}q
+           |  WHERE vec_id >= $NumQueries),""".stripMargin + "\n" +
+        assignCte(s"s${k}ca", s"s${k}cand", s"s${k}c$KmIters", PqSubDim)
+    }.mkString(",\n")
+    val terms = (0 until PqSubspaces).map { k =>
+      s"""SELECT pq.q_id, pq.vec_id, t.qd
+         |FROM pairsq pq
+         |JOIN (SELECT vec_id, cent_id FROM s${k}ca WHERE rn = 1) c
+         |  ON c.vec_id = pq.vec_id
+         |JOIN (
+         |  SELECT q.vec_id AS q_id, b.cent_id,
+         |    ${qDistSql("q.qv", "b.qc", PqSubDim)} AS qd
+         |  FROM (SELECT vec_id, qv FROM s${k}q
+         |        WHERE vec_id < $NumQueries) q
+         |  CROSS JOIN s${k}c$KmIters b) t
+         |  ON t.q_id = pq.q_id AND t.cent_id = c.cent_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, cent_id FROM sa WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |pairsq AS (
+       |  SELECT pr.q_id, a.vec_id FROM pr
+       |  JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe),
+       |$pqChains,
+       |adc AS (
+       |  SELECT q_id, vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+       |  FROM ($terms) GROUP BY q_id, vec_id),
+       |res AS (
+       |  SELECT q_id, vec_id, adc_dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, vec_id, adc_dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val d26Sql: String = {
     val chains = (0 until PqSubspaces).map { k =>
       kmeansCtes(s"vec_id < $PqCodes", s"vec_id >= $PqCodes",

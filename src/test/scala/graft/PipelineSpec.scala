@@ -53,22 +53,23 @@ class PipelineSpec extends AnyFunSuite {
       s"full probe must equal brute force: ${byProbe(16)}")
   }
 
-  test("ADC search returns full top-k per query with sane distances") {
-    import org.apache.spark.sql.functions._
-    // the oracle hash-match proves the arithmetic; this pins the
+  test("ADC and IVFPQ search return full top-k per query, sane distances") {
+    // the oracle hash-matches prove the arithmetic; this pins the
     // CONTRACT shape — TopK rows per query, ranks dense from 1,
     // distances non-decreasing in rank (a window regression would
     // break ordering before it broke values)
-    val res = Similarity.d27AdcSearch(spark, sf).collect()
-    val byQ = res.groupBy(_.getLong(0))
-    assert(byQ.size.toLong == Similarity.NumQueries)
-    byQ.foreach { case (q, rows) =>
-      val sorted = rows.sortBy(_.getInt(3))
-      assert(sorted.map(_.getInt(3)).toSeq ==
-        (1 to Similarity.TopK).toSeq, s"q=$q ranks not dense")
-      val dists = sorted.map(_.getLong(2)).toSeq
-      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
-        s"q=$q ADC distances out of order: $dists")
+    Seq(Similarity.d27AdcSearch(spark, sf),
+        Similarity.d28IvfPqSearch(spark, sf)).foreach { df =>
+      val byQ = df.collect().groupBy(_.getLong(0))
+      assert(byQ.size.toLong == Similarity.NumQueries)
+      byQ.foreach { case (q, rows) =>
+        val sorted = rows.sortBy(_.getInt(3))
+        assert(sorted.map(_.getInt(3)).toSeq ==
+          (1 to Similarity.TopK).toSeq, s"q=$q ranks not dense")
+        val dists = sorted.map(_.getLong(2)).toSeq
+        assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+          s"q=$q ADC distances out of order: $dists")
+      }
     }
   }
 
