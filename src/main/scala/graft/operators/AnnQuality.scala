@@ -45,30 +45,40 @@ object AnnQuality {
   val CentScale = 100000L
   val Jitter = 180000L
 
+  /** Codebook sizes for the PQ quality sweep. 16 codes/subspace (the
+    * oracle-verified default) resolves only between-cluster structure
+    * — with 16 planted clusters the codes COLLAPSE onto them and ADC
+    * cannot rank within a cluster (measured: recall ≈ k/members, the
+    * tie-break floor; the known small-book failure mode). Recall
+    * climbs with book size because finer codes start separating
+    * within-cluster neighbors — the production tuning lever (real
+    * systems run 256 codes/subspace + residual encoding). */
+  val BookSizes = Seq(16, 64, 256)
+
   /** A planted member vector, directly in the quantized integer space
     * the trained path searches: qv[d] = center(cluster, d) + jitter.
     * `seed` decouples corpus member jitter from query jitter. */
   private def plantedQv(cluster: org.apache.spark.sql.Column,
-      id: org.apache.spark.sql.Column, seed: Long) =
+      id: org.apache.spark.sql.Column, seed: Long, jitter: Long) =
     transform(sequence(lit(0), lit(Dim - 1)), d =>
       pmod(xxhash64(cluster, d, lit(1L)), lit(CentScale))
-        + pmod(xxhash64(id, d, lit(seed)), lit(Jitter)))
+        + pmod(xxhash64(id, d, lit(seed)), lit(jitter)))
 
   /** (vec_id, cluster, qv) — vec_id % Clusters is the cluster, so the
     * first [[Clusters]] ids are one seed member per cluster (the
     * deterministic k-means init subset). */
-  def corpus(spark: SparkSession): DataFrame =
+  def corpus(spark: SparkSession, jitter: Long = Jitter): DataFrame =
     spark.range(CorpusN).select(
       col("id").as("vec_id"),
       pmod(col("id"), lit(Clusters.toLong)).as("cluster"))
-      .withColumn("qv", plantedQv(col("cluster"), col("vec_id"), 2L))
+      .withColumn("qv", plantedQv(col("cluster"), col("vec_id"), 2L, jitter))
 
   /** (q_id, q_qv) — fresh jittered members of the same clusters. */
-  def queries(spark: SparkSession): DataFrame =
+  def queries(spark: SparkSession, jitter: Long = Jitter): DataFrame =
     spark.range(QueryN.toLong).select(
       col("id").as("q_id"),
       pmod(col("id"), lit(Clusters.toLong)).as("cluster"))
-      .withColumn("q_qv", plantedQv(col("cluster"), col("q_id"), 3L))
+      .withColumn("q_qv", plantedQv(col("cluster"), col("q_id"), 3L, jitter))
       .select(col("q_id"), col("q_qv"))
 
   /** Exact top-k ground truth: every query against every corpus
@@ -99,6 +109,75 @@ object AnnQuality {
     val denom = (QueryN * RecallK).toDouble
     nprobes.map { np =>
       val hits = Similarity.ivfSearchTrained(qs, corp, cents, np, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (np, hits / denom)
+    }
+  }
+
+  private def pqSliced(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol),
+      explode(sequence(lit(0L), lit(Similarity.PqSubspaces - 1L)))
+        .as("grp"),
+      col("qv"))
+    .withColumn("qv", expr(
+      s"slice(qv, grp * ${Similarity.PqSubDim} + 1, ${Similarity.PqSubDim})"))
+
+  /** recall@[[RecallK]] for the FULL d28 composition (IVF probe + PQ
+    * codes + ADC ranking) vs the same exact-brute-force truth: the
+    * curve carries BOTH quality losses a production index pays —
+    * probe misses (cells not searched) and quantization error (ADC
+    * mis-ranking within searched cells). At nprobe = K the IVF loss
+    * vanishes, so that point reads the PURE quantization cost at the
+    * given `nCodes` book size. */
+  def ivfpqRecallCurve(spark: SparkSession,
+      nprobes: Seq[Int] = NProbes,
+      nCodes: Int = Similarity.PqCodes): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(corp, init, Similarity.KmIters)
+    val assigned = corp.join(broadcast(cents))
+      .withColumn("dist", Similarity.qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"))
+    val slicedC = pqSliced(corp, "vec_id")
+    val binit = slicedC.filter(col("vec_id") < nCodes.toLong)
+      .select(col("grp"), col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val book = Similarity.kmeansGrouped(slicedC, binit, Similarity.KmIters)
+    val codes = slicedC.join(broadcast(book), Seq("grp"))
+      .withColumn("dist", Similarity.qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"), col("grp"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("grp"), col("best.cent_id").as("code"))
+    val table = pqSliced(
+      qs.select(col("q_id"), col("q_qv").as("qv")), "q_id")
+      .join(broadcast(book), Seq("grp"))
+      .select(col("q_id"), col("grp"), col("cent_id").as("code"),
+        Similarity.qDist(col("qv"), col("qc")).as("qd"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probesAll = qs.join(broadcast(cents))
+      .withColumn("dist", Similarity.qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    nprobes.map { np =>
+      val probes = probesAll.filter(col("rn") <= np)
+        .select(col("q_id"), col("cent_id").as("cell"))
+      val hits = broadcast(probes).join(assigned, Seq("cell"))
+        .select(col("q_id"), col("vec_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(table), Seq("q_id", "grp", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd")).cast("long").as("adc"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= RecallK)
         .select(col("q_id"), col("vec_id"))
         .join(truth, Seq("q_id", "vec_id"), "left_semi")
         .count()

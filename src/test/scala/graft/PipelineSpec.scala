@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
       s"full probe must equal brute force: ${byProbe(16)}")
   }
 
+  test("IVFPQ recall climbs with codebook size") {
+    // the production tuning lever the artifact records: 16
+    // codes/subspace collapse onto the 16 planted clusters (ADC
+    // can't rank within a cluster — the small-book failure mode,
+    // recall sits just above the tie-break floor), and recall rises
+    // as finer books start separating within-cluster neighbors
+    // (0.12 -> 0.28 measured at 16 -> 256 codes, full probe)
+    val a = graft.operators.AnnQuality
+    val small = a.ivfpqRecallCurve(spark, Seq(16), nCodes = 16).head._2
+    val large = a.ivfpqRecallCurve(spark, Seq(16), nCodes = 256).head._2
+    assert(small >= 0.1, s"small-book recall under the floor: $small")
+    assert(large > small + 0.1,
+      s"book-size lever broke: 16 codes $small vs 256 codes $large")
+  }
+
   test("ADC and IVFPQ search return full top-k per query, sane distances") {
     // the oracle hash-matches prove the arithmetic; this pins the
     // CONTRACT shape — TopK rows per query, ranks dense from 1,
