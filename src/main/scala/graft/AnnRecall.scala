@@ -25,14 +25,18 @@ object AnnRecall {
     val pqByCodes = a.BookSizes.map { n =>
       s""""$n":{${curveJson(a.ivfpqRecallCurve(spark, nCodes = n))}}"""
     }.mkString(",")
+    val residByCodes = a.BookSizes.map { n =>
+      s""""$n":{${curveJson(a.residualRecallCurve(spark, nCodes = n))}}"""
+    }.mkString(",")
     val json =
       s"""{"k":${a.RecallK},"corpus":${a.CorpusN},"queries":${a.QueryN
         },"clusters":${a.Clusters},"cells":${a.Clusters
         },"kmeans_iters":${operators.Similarity.KmIters
         },"recall_at_k":{${curveJson(curve)
         }},"ivfpq_recall_by_codes":{$pqByCodes
+        },"residual_ivfpq_recall_by_codes":{$residByCodes
         },"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
-          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size"}"""
+          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

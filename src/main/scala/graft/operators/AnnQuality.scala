@@ -184,4 +184,36 @@ object AnnQuality {
       (np, hits / denom)
     }
   }
+
+  /** recall@[[RecallK]] for the d29 RESIDUAL composition — the same
+    * sweep as [[ivfpqRecallCurve]] with the PQ books trained on
+    * r = v − centroid(cell(v)) and the ADC tables keyed by probed
+    * cell. The PAIR of curves is the measured case for residual
+    * encoding: raw-vector books spend their codes re-describing the
+    * coarse cell structure (small books collapse onto cells and
+    * cannot rank within one — the recorded failure mode); residual
+    * books spend the same bits on within-cell structure. Trains the
+    * coarse index and the book ONCE per call, sweeps the probe leg. */
+  def residualRecallCurve(spark: SparkSession,
+      nprobes: Seq[Int] = NProbes,
+      nCodes: Int = Similarity.PqCodes): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(corp, init, Similarity.KmIters)
+    val resid = Similarity.cellResiduals(corp, cents)
+    val book = Similarity.trainResidualBook(resid, nCodes.toLong)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    nprobes.map { np =>
+      val hits = Similarity.residualAdcScan(
+        qs.select(col("q_id"), col("q_qv")), resid, cents, book,
+        np, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (np, hits / denom)
+    }
+  }
 }

@@ -766,9 +766,20 @@ object Similarity {
     * subset and the training set. `pre` prefixes every CTE name (so
     * multiple chains — d26's four subspaces — can share one WITH),
     * `slice` optionally narrows qv to a subvector, `dim` is the
-    * working vector length. d22/d25 use the defaults. */
+    * working vector length, and `src` is the (vec_id, qv) relation the
+    * chain trains over — the quantized embeddings by default, a
+    * computed CTE for d29's residual books. d22/d25 use the
+    * defaults. */
+  private val QuantEmbSrc: String =
+    """(
+      |    SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      |      AS qv
+      |    FROM embeddings)""".stripMargin
+
   private def kmeansCtes(initPred: String, trainPred: String,
-      pre: String = "", slice: String = "qv", dim: Int = QDim): String = {
+      pre: String = "", slice: String = "qv", dim: Int = QDim,
+      src: String = QuantEmbSrc): String = {
     def update(i: Int) =
       s"""${pre}m$i AS (
          |  SELECT cent_id, pos,
@@ -788,11 +799,7 @@ object Similarity {
           + ",\n" + update(i))
       .mkString(",\n")
     s"""${pre}q AS (
-       |  SELECT vec_id, $slice AS qv FROM (
-       |    SELECT vec_id, list_transform(embedding,
-       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-       |      AS qv
-       |    FROM embeddings)),
+       |  SELECT vec_id, $slice AS qv FROM $src),
        |${pre}p AS (SELECT unnest(generate_series(1, $dim)) AS pos),
        |${pre}c0 AS (SELECT vec_id AS cent_id, qv AS qc FROM ${pre}q
        |       WHERE $initPred),
@@ -807,6 +814,21 @@ object Similarity {
        |  CAST(SUM(dist) AS BIGINT) AS total_dist
        |FROM a${KmIters + 1} WHERE rn = 1
        |GROUP BY cent_id ORDER BY cell""".stripMargin
+
+  /** Arrival micro-batch width for s10's deterministic "window" view
+    * of the vector stream (vec_id ranges stand in for event time on
+    * the timestamp-less embeddings table). */
+  val RouteBatch = 128L
+
+  /** Oracle for s10 (registered in EventStreams): d22's training +
+    * assignment chain, grouped by (arrival window, routed cell). */
+  lazy val s10Sql: String =
+    s"""WITH ${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
+       |${assignCte(s"a${KmIters + 1}", "v", s"c$KmIters")}
+       |SELECT CAST(vec_id // $RouteBatch AS BIGINT) AS wnd,
+       |  cent_id AS cell, COUNT(*) AS n_vectors
+       |FROM a${KmIters + 1} WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY wnd, cell""".stripMargin
 
   val NProbe = 4
 
@@ -965,7 +987,13 @@ object Similarity {
     * of codes per vector, not 256 bytes of floats — that's the 64×
     * compression PQ exists for. Exact integer arithmetic throughout,
     * so the oracle replays training → assignment → table → scan. */
-  def d27AdcSearch(spark: SparkSession, dir: String): DataFrame = {
+  def d27AdcSearch(spark: SparkSession, dir: String): DataFrame =
+    adcRanked(spark, dir, TopK)
+
+  /** The ADC scan with the cut width exposed: d27 takes [[TopK]],
+    * d30's shortlist stage takes [[RerankR]]. */
+  private def adcRanked(spark: SparkSession, dir: String, k: Int)
+      : DataFrame = {
     val book = trainPqCodebook(spark, dir) // (sub, code_id, qc)
     val qz = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
@@ -996,9 +1024,77 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qd")).cast("long").as("adc_dist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  val RerankR = 20
+
+  /** d30: ADC shortlist + exact re-rank — the two-stage retrieval
+    * every production PQ deployment runs (FAISS's IndexRefineFlat
+    * contract, public pattern): the compressed scan (d27's ADC
+    * table-lookup ranking) proposes [[RerankR]] candidates per query
+    * at 4 bytes/vector, then ONLY those queries×R rows re-meet their
+    * full-precision vectors for an exact re-rank to [[TopK]]. This is
+    * how PQ's mis-ranking is bought back at scale: the exact pass
+    * touches R vectors per query instead of the corpus, so its cost
+    * is bounded by the (tiny, broadcast) shortlist — at 100 TB the
+    * corpus-side vector fetch is one broadcast equi-join moving R
+    * full vectors per query, not a second scan-wide ranking. Exact
+    * integer arithmetic throughout — the oracle replays training,
+    * assignment, tables, the compressed shortlist scan, and the
+    * exact re-rank. */
+  def d30AdcRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val shortlist = adcRanked(spark, dir, RerankR)
+      .select(col("q_id"), col("vec_id"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    qz.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d30: d27's chains + shortlist cut at
+    * [[RerankR]] + the exact re-rank against full-precision
+    * quantized vectors. (lazy: [[d27Sql]] is declared later in the
+    * file — eager init would read it as null.) */
+  lazy val d30Sql: String = {
+    val inner = d27Sql
+      .replace(s"WHERE rank <= $TopK", s"WHERE rank <= $RerankR")
+    s"""WITH short AS ($inner),
+       |qq AS (
+       |  SELECT vec_id AS q_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qqv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |vv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${qDistSql("qq.qqv", "v.qv")} AS dist
+       |  FROM short s
+       |  JOIN vv v ON v.vec_id = s.vec_id
+       |  JOIN qq ON qq.q_id = s.q_id),
+       |fin AS (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr)
+       |SELECT q_id, vec_id, dist, rank FROM fin WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** DuckDB oracle for d27: d26's four training+assignment chains,
@@ -1149,6 +1245,208 @@ object Similarity {
        |pairsq AS (
        |  SELECT pr.q_id, a.vec_id FROM pr
        |  JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe),
+       |$pqChains,
+       |adc AS (
+       |  SELECT q_id, vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+       |  FROM ($terms) GROUP BY q_id, vec_id),
+       |res AS (
+       |  SELECT q_id, vec_id, adc_dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, vec_id, adc_dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** d29: residual IVF+PQ search — d28 with RESIDUAL encoding, the
+    * canonical IVFADC composition (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", public algorithm;
+    * what FAISS IndexIVFPQ encodes by default): PQ books train on
+    * r = v − centroid(cell(v)) instead of raw vectors. Subtracting
+    * the coarse quantizer removes the between-cell component every
+    * member of a cell shares, so the whole PQ bit budget spends on
+    * WITHIN-cell structure — the measured fix for the small-book
+    * recall collapse ann_recall.json records for raw-vector PQ
+    * (codes collapse onto the coarse cells and cannot rank inside
+    * one). Search-side, the query's residual DEPENDS on the probed
+    * cell, so the ADC table gains a cell key — still bounded:
+    * queries × nprobe × subspaces × codes rows. Cost shape is
+    * otherwise d28's: one extra integer subtraction per vector at
+    * assignment and per (query, cell) at probe; every auxiliary
+    * relation (centroids, books, tables, probes) rides a bounded
+    * broadcast; the scan moves 4 code bytes per candidate and the
+    * one shuffle is the cell-bounded candidate join. Exact integer
+    * arithmetic end to end — the oracle replays IVF training,
+    * assignment, residual formation, four residual-PQ training
+    * chains, code assignment, probe choice, per-cell query tables,
+    * and the ADC scan. */
+  def d29ResidualPq(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= NumQueries)
+    val init = qz.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = kmeansQuantized(
+      qz.filter(col("vec_id") >= NumQueries + IvfCells), init, KmIters)
+    residualPqSearch(queries, cands, cents, NProbe, TopK,
+      NumQueries + PqCodes)
+  }
+
+  /** The residual-encoded IVFADC leg on an already-trained centroid
+    * relation — d29's core, reused by AnnQuality's residual recall
+    * sweep. `initBelow` is the vec_id cutoff selecting the residual
+    * vectors that seed the per-subspace books (the d19/d26
+    * deterministic-init convention). */
+  def residualPqSearch(queries: DataFrame, cands: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int,
+      initBelow: Long): DataFrame = {
+    val resid = cellResiduals(cands, cents)
+    val book = trainResidualBook(resid, initBelow)
+    residualAdcScan(queries, resid, cents, book, nprobe, k)
+  }
+
+  /** (vec_id, cell, qv = v − centroid(cell)) for every candidate:
+    * coarse assignment KEEPS qv so the residual forms in-plan. */
+  def cellResiduals(cands: DataFrame, cents: DataFrame): DataFrame = {
+    val cellSide = broadcast(cents
+      .select(col("cent_id").as("cell"), col("qc").as("cell_qc")))
+    cands.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"), col("qv"))
+      .join(cellSide, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cell_qc"), (x, c) => x - c).as("qv"))
+  }
+
+  private def pqSlices(df: DataFrame, idCols: Seq[String]): DataFrame = df
+    .select(idCols.map(col) ++ Seq(
+      explode(sequence(lit(0L), lit(PqSubspaces - 1L))).as("grp"),
+      col("qv")): _*)
+    .withColumn("qv", expr(s"slice(qv, grp * $PqSubDim + 1, $PqSubDim)"))
+
+  /** Per-subspace residual books, all four subspaces in ONE grouped
+    * k-means chain; residuals with vec_id < `initBelow` seed the
+    * codes (the d19/d26 deterministic-init convention). */
+  def trainResidualBook(resid: DataFrame, initBelow: Long): DataFrame = {
+    val slicedR = pqSlices(resid.select(col("vec_id"), col("qv")),
+      Seq("vec_id"))
+    val binit = slicedR.filter(col("vec_id") < initBelow)
+      .select(col("grp"), col("vec_id").as("cent_id"), col("qv").as("qc"))
+    kmeansGrouped(slicedR.filter(col("vec_id") >= initBelow), binit,
+      KmIters)
+  }
+
+  /** The search leg under an ALREADY-TRAINED residual book: codes for
+    * every candidate residual, probe choice, per-(query, probed cell)
+    * residual tables, cell-keyed ADC scan. */
+  def residualAdcScan(queries: DataFrame, resid: DataFrame,
+      cents: DataFrame, book: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val cellSide = broadcast(cents
+      .select(col("cent_id").as("cell"), col("qc").as("cell_qc")))
+    val codes = pqSlices(resid.select(col("vec_id"), col("qv")),
+      Seq("vec_id"))
+      .join(broadcast(book), Seq("grp"))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"), col("grp"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("grp").as("sub"),
+        col("best.cent_id").as("code"))
+    // probes, then the query residual PER PROBED CELL
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_qv"), col("cent_id").as("cell"))
+    val qres = probes.join(cellSide, Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("q_qv"), col("cell_qc"), (x, c) => x - c).as("qv"))
+    // bounded (q_id, cell, sub, code) → distance table
+    val table = qres
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0L), lit(PqSubspaces - 1L))).as("grp"),
+        col("qv"))
+      .withColumn("qv", expr(s"slice(qv, grp * $PqSubDim + 1, $PqSubDim)"))
+      .join(broadcast(book), Seq("grp"))
+      .select(col("q_id"), col("cell"), col("grp").as("sub"),
+        col("cent_id").as("code"), qDist(col("qv"), col("qc")).as("qd"))
+    // scan: members of probed cells ranked by summed table lookups —
+    // the residual vectors themselves never reach the search join
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    resid.select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(table), Seq("cell", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("long").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d29: the d25 IVF chain, residual formation,
+    * four residual-PQ k-means chains trained FROM the rsd CTE (the
+    * kmeansCtes `src` hook), per-(query, probed-cell) residual
+    * tables, and the cell-keyed ADC scan. */
+  val d29Sql: String = {
+    val pqChains = (0 until PqSubspaces).map { k =>
+      kmeansCtes(s"vec_id < ${NumQueries + PqCodes}",
+        s"vec_id >= ${NumQueries + PqCodes}",
+        pre = s"r$k",
+        slice = s"list_slice(qv, ${k * PqSubDim + 1}, ${(k + 1) * PqSubDim})",
+        dim = PqSubDim, src = "(SELECT vec_id, qv FROM rsd)") + ",\n" +
+        assignCte(s"r${k}ca", s"r${k}q", s"r${k}c$KmIters", PqSubDim) +
+        ",\n" +
+        s"""r${k}t AS (
+           |  SELECT q_id, cell,
+           |    list_slice(rqv, ${k * PqSubDim + 1}, ${(k + 1) * PqSubDim})
+           |      AS rqv
+           |  FROM qrs)""".stripMargin
+    }.mkString(",\n")
+    val terms = (0 until PqSubspaces).map { k =>
+      s"""SELECT t.q_id, m.vec_id, t.qd
+         |FROM (SELECT vec_id, cell FROM rsd) m
+         |JOIN (SELECT vec_id, cent_id FROM r${k}ca WHERE rn = 1) c
+         |  ON c.vec_id = m.vec_id
+         |JOIN (
+         |  SELECT q.q_id, q.cell, b.cent_id,
+         |    ${qDistSql("q.rqv", "b.qc", PqSubDim)} AS qd
+         |  FROM r${k}t q CROSS JOIN r${k}c$KmIters b) t
+         |  ON t.cell = m.cell AND t.cent_id = c.cent_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id FROM sa WHERE rn = 1),
+       |rsd AS (
+       |  SELECT a.vec_id, a.cent_id AS cell,
+       |    list_transform(generate_series(1, $QDim),
+       |      j -> a.qv[j] - c.qc[j]) AS qv
+       |  FROM asg a JOIN c$KmIters c ON c.cent_id = a.cent_id),
+       |pr AS (
+       |  SELECT q_id, qqv, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.qqv, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |qrs AS (
+       |  SELECT pr.q_id, pr.cent_id AS cell,
+       |    list_transform(generate_series(1, $QDim),
+       |      j -> pr.qqv[j] - c.qc[j]) AS rqv
+       |  FROM pr JOIN c$KmIters c ON c.cent_id = pr.cent_id
        |  WHERE pr.rn <= $NProbe),
        |$pqChains,
        |adc AS (

@@ -551,6 +551,77 @@ object EventStreams {
       }
   }
 
+  /** s10: vector-ingest routing under a TRAINED IVF index — the
+    * composition that keeps an ANN index fresh at ingest (how a
+    * production vector store routes arriving embeddings to index
+    * shards). Batch registered form: train d22's centroids, assign
+    * every vector its argmin cell, count per (arrival window, cell) —
+    * contiguous vec_id ranges ([[graft.operators.Similarity.RouteBatch]]
+    * wide) stand in for event-time micro-batches on the
+    * timestamp-less embeddings table. The oracle replays training +
+    * assignment + the grouping; [[cellRouteStream]] is the ingest-
+    * time scale path (stateless per-row argmin against the bounded
+    * broadcast centroid array — no state, no shuffle before the
+    * windowed count), spec-pinned to agree with this form across
+    * micro-batches. */
+  def s10CellRoute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizeVec(col("embedding")).as("qv"))
+    val init = qz.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val vecs = qz.filter(col("vec_id") >= Similarity.IvfCells)
+    val cents = Similarity.kmeansQuantized(vecs, init, Similarity.KmIters)
+    vecs.join(broadcast(cents))
+      .withColumn("dist", Similarity.qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select((col("vec_id") / Similarity.RouteBatch).cast("long")
+          .as("wnd"),
+        col("best.cent_id").as("cell"))
+      .groupBy(col("wnd"), col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("wnd"), col("cell"))
+  }
+
+  case class VecArrival(vec_id: Long, qv: Array[Long], ts: Timestamp)
+
+  /** s10's ingest-time form: each arriving vector computes its argmin
+    * cell against the trained centroid array in a typed map —
+    * O(k·dim) integer work per row, NO state and NO shuffle until the
+    * windowed count (the only stateful stage, watermark-bounded).
+    * Ties break to the lowest cent_id, matching the batch form's
+    * struct-min. At 100 TB/day of arriving vectors this is
+    * embarrassingly parallel: the centroid array is a task-local
+    * constant (k×dim longs), so routing scales with input cores
+    * alone. */
+  def cellRouteStream(vecs: Dataset[VecArrival],
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val sorted = cents.sortBy(_._1).toArray
+    val routed = vecs.map { v =>
+      var bestD = Long.MaxValue
+      var bestC = -1L
+      var i = 0
+      while (i < sorted.length) {
+        val qc = sorted(i)._2
+        var d = 0L
+        var j = 0
+        while (j < qc.length) {
+          val t = v.qv(j) - qc(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = sorted(i)._1 }
+        i += 1
+      }
+      (v.vec_id, bestC, v.ts)
+    }.toDF("vec_id", "cell", "ts")
+    routed
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Streaming form with explicit state, for the spec: one state
     * object per user, emitting closed sessions. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)

@@ -68,6 +68,23 @@ class PipelineSpec extends AnyFunSuite {
       s"book-size lever broke: 16 codes $small vs 256 codes $large")
   }
 
+  test("residual encoding beats raw-vector PQ at every book size") {
+    // d29's reason to exist, measured: subtracting the coarse
+    // centroid spends the code budget on within-cell structure, so
+    // at equal book size residual ADC recalls strictly more of the
+    // true top-10 than raw-vector ADC (artifact: 0.12->0.17 at 16
+    // codes, 0.28->0.39 at 256, full probe — deterministic planted
+    // corpus, fixed numbers). Compared at full probe so the delta
+    // reads PURE quantization quality, no probe-miss noise.
+    val a = graft.operators.AnnQuality
+    for (codes <- Seq(16, 256)) {
+      val raw = a.ivfpqRecallCurve(spark, Seq(16), nCodes = codes).head._2
+      val res = a.residualRecallCurve(spark, Seq(16), nCodes = codes).head._2
+      assert(res > raw + 0.03,
+        s"residual lever broke at $codes codes: raw $raw vs residual $res")
+    }
+  }
+
   test("ADC and IVFPQ search return full top-k per query, sane distances") {
     // the oracle hash-matches prove the arithmetic; this pins the
     // CONTRACT shape — TopK rows per query, ranks dense from 1,
@@ -114,6 +131,52 @@ class PipelineSpec extends AnyFunSuite {
       assert(streamed.count() == docs.length.toLong)
       assert(streamed.exceptAll(batch).count() == 0
         && batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming cell routing equals the batch window form (s10)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train once (batch), route the same vectors as a 3-micro-batch
+    // stream with event times derived from vec_id so 1-minute windows
+    // coincide with the batch form's RouteBatch bins; chunk edges do
+    // NOT align with windows, so cross-batch window accumulation is
+    // exercised too (complete mode keeps windows revisable)
+    val qz = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizeVec(col("embedding")).as("qv"))
+    val init = qz.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val vecs = qz.filter(col("vec_id") >= Similarity.IvfCells)
+    val cents = Similarity.kmeansQuantized(vecs, init, Similarity.KmIters)
+      .select("cent_id", "qc").as[(Long, Seq[Long])].collect().toSeq
+      .map { case (id, qc) => (id, qc.toArray) }
+    // minute-aligned epoch base: window("1 minute") buckets align to
+    // epoch minutes, so a non-multiple-of-60000 base would straddle
+    // every logical bin across two windows
+    val base = 1700000040000L
+    val arrivals = vecs.select("vec_id", "qv").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+      .map { case (id, qv) => EventStreams.VecArrival(id, qv.toArray,
+        new java.sql.Timestamp(
+          base + id / Similarity.RouteBatch * 60000L)) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.VecArrival]
+    val q = EventStreams.cellRouteStream(input.toDS(), cents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cell_route").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("cell_route")
+        .select((((col("w.start").cast("long") * 1000L) - base) / 60000L)
+          .as("wnd"), col("cell"), col("n_vectors"))
+      val batch = EventStreams.s10CellRoute(spark, sf)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed cell routes differ from the batch form")
     } finally q.stop()
   }
 

@@ -194,7 +194,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "per-(source, bin) prefix offsets: |sources|x|shuffle width| rows",
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
       "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
-      "t09_common_ratio" -> "top-K head vocabulary: K rows")
+      "t09_common_ratio" -> "top-K head vocabulary: K rows",
+      "d30_adc_rerank" -> "ADC shortlist: queries x RerankR rows")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -171,10 +171,13 @@ class RelationalSpec extends AnyFunSuite {
     // collected between rounds, bounded k×dim by construction).
     // d25 rides the same literal 16-row centroid broadcast for its
     // assignment and probe stages (the search join itself is an
-    // equi-join on the cell id).
+    // equi-join on the cell id). d28/d29 compose d25's IVF leg, so
+    // the same literal centroid broadcast appears in their assignment
+    // and probe stages (the ADC scan joins are all equi-joins).
     val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
       "d11_embed_neardup", "d19_pq_codes", "d22_kmeans_ivf",
-      "d25_ivf_search")
+      "d25_ivf_search", "d28_ivfpq_search", "d29_residual_pq",
+      "s10_cell_route")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
