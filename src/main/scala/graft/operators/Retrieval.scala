@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Retrieval operators over the documents corpus (SURVEY.md §2d):
+  * inverted-index build, TF-IDF keyword extraction, BM25 ranked
+  * retrieval. The relations a search-over-training-data stack needs —
+  * postings, document frequencies, length-normalized scores — built
+  * as declarative plans whose only corpus-wide shuffles are the
+  * (term, doc) aggregate and the per-term document-frequency join.
+  *
+  * Reference scope: map2db.py has no text-retrieval surface; these
+  * operators extend the engine along the training-data-pipeline axis
+  * (BM25: Robertson/Spärck Jones probabilistic relevance framework,
+  * public algorithm).
+  */
+object Retrieval {
+
+  /** (doc_id, pos, term) token relation — the single corpus-wide
+    * explode every retrieval op starts from. pos is 1-based to match
+    * the oracle's generate_series. */
+  private def tokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(TextFunctions.words(col("text")))
+        .as(Seq("pos0", "term")))
+    .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+      col("term"))
+
+  private val tokSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""w AS (SELECT doc_id, $w AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS term,
+       |    unnest(generate_series(1, len(ws))) AS pos
+       |  FROM w)""".stripMargin
+  }
+
+  // ---- t14: inverted index build ------------------------------------
+
+  /** t14: the postings relation itself — term → (doc, tf, first
+    * position) plus per-term document frequency. One (term, doc_id)
+    * aggregate builds the postings; df is a second aggregate over the
+    * (already term-keyed) postings, re-attached by a SHUFFLED
+    * equi-join — df is aggregate-derived and vocabulary-scale, so a
+    * statless broadcast of it would OOM at corpus scale (the t11/d16
+    * bug class; hint pins the safe build). Both shuffles hash on
+    * `term`, so at 100 TB the index construction is two map-side-
+    * combined passes over the token stream and nothing else. */
+  def t14Postings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(Tables.load(spark, dir, "documents"))
+    val post = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(dfreq.hint("shuffle_hash"), Seq("term"))
+      .select(col("term"), col("df"), col("doc_id"), col("tf"),
+        col("first_pos"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val t14Sql: String =
+    s"""WITH $tokSql,
+       |p AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(min(pos) AS BIGINT) AS first_pos
+       |  FROM tok GROUP BY 1, 2),
+       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |      FROM p GROUP BY 1)
+       |SELECT p.term, d.df, p.doc_id, p.tf, p.first_pos
+       |FROM p JOIN d USING (term)
+       |ORDER BY p.term, p.doc_id""".stripMargin
+
+  // ---- t12: TF-IDF keyword extraction -------------------------------
+
+  /** Keywords kept per document. */
+  val TfidfTopK = 3
+
+  /** t12: top-[[TfidfTopK]] TF-IDF terms per document — the keyword-
+    * extraction primitive (smoothed idf = ln((N+1)/(df+1)) + 1,
+    * scikit-learn's public formulation). The corpus size N is ONE
+    * collected-free scalar riding a broadcast cross join (the same
+    * bounded-literal pattern as d23's bin count); df re-attaches by
+    * shuffled equi-join as in t14. The final ranking windows PER
+    * DOCUMENT — partition size is bounded by document length, never
+    * by corpus size, so the sort survives any scale-up. Score is
+    * rounded to 6 decimals BEFORE ranking so the rank itself is
+    * reproducible across engines. */
+  def t12Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = tokens(docs)
+    val post = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    post.join(dfreq.hint("shuffle_hash"), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+            + lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t12Sql: String =
+    s"""WITH $tokSql,
+       |p AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |      FROM p GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT p.doc_id, p.term, p.tf, d.df,
+       |    ROUND(CAST(p.tf AS DOUBLE) *
+       |      (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1.0), 6)
+       |      AS score
+       |  FROM p JOIN d USING (term) CROSS JOIN n),
+       |r AS (
+       |  SELECT doc_id, term, tf, df, score, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+       |FROM r WHERE rank <= $TfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- t13: BM25 ranked retrieval -----------------------------------
+
+  val BmK1 = 1.2
+  val BmB = 0.75
+
+  /** Query terms swept (the head of the non-stopword vocabulary). */
+  val BmQueryTerms = 16
+
+  /** Results kept per query term. */
+  val BmTopK = 5
+
+  /** t13: BM25 retrieval — for each of the [[BmQueryTerms]] most
+    * frequent non-stopword terms, the [[BmTopK]] highest-scoring
+    * documents under Okapi BM25 (k1=[[BmK1]], b=[[BmB]], idf =
+    * ln(1 + (N − df + 0.5)/(df + 0.5))). The postings build is
+    * t14's; the query-term relation is LIMIT-bounded (16 rows — the
+    * t09 head-vocabulary pattern) so it broadcasts against the
+    * postings and only the query terms' postings flow further; the
+    * corpus stats (N, Σdl) are one scalar row on a broadcast cross
+    * join. Per-term ranking runs in the bounded TopK heap — ≤5 rows
+    * per term per partition cross the shuffle, no window sorts a
+    * term's full (corpus-sized, for head terms) posting list. Scores
+    * round to 6 decimals before ranking, ties break to the lower
+    * doc_id on both engines. */
+  def t13Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = tokens(docs)
+    val post = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(TextFunctions.words(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("dl_sum"))
+    val qterms = toks
+      .filter(!col("term").isin(TextAnalysis.EnStopwords: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(BmQueryTerms)
+      .select(col("term"))
+    val scored = post.join(broadcast(qterms), Seq("term"))
+      .join(dfreq.hint("shuffle_hash"), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("dl_sum").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        (col("idf") * (col("tf") * lit(BmK1 + 1))) /
+          (col("tf") + lit(BmK1) *
+            (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))), 6))
+    val agg = new TopK.TopKAgg(BmTopK)
+    scored
+      .select(col("term"),
+        struct(col("score"), col("doc_id").as("id")).as("e"))
+      .as[(String, TopK.Entry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .toDF("term", "top")
+      .select(col("term"), posexplode(col("top.entries")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val t13Sql: String = {
+    val stop = TextAnalysis.EnStopwords
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    // interpolated constants print Scala's shortest-round-trip double
+    // form, so DuckDB parses back the bit-identical value
+    s"""WITH $tokSql,
+       |p AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |      FROM p GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS dl_sum
+       |  FROM w),
+       |qt AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS cf FROM tok
+       |    WHERE term NOT IN $stop
+       |    GROUP BY 1 ORDER BY cf DESC, term LIMIT $BmQueryTerms)),
+       |sc AS (
+       |  SELECT p.term, p.doc_id,
+       |    ROUND((ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * (p.tf * ${BmK1 + 1})) /
+       |      (p.tf + $BmK1 * (${1.0 - BmB} + $BmB * dl.dl /
+       |        (CAST(st.dl_sum AS DOUBLE) / st.n_docs))), 6) AS score
+       |  FROM p
+       |  JOIN qt USING (term)
+       |  JOIN d USING (term)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |r AS (
+       |  SELECT term, doc_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM r WHERE rank <= $BmTopK
+       |ORDER BY term, rank""".stripMargin
+  }
+}

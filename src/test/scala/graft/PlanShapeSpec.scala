@@ -195,7 +195,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
       "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
       "t09_common_ratio" -> "top-K head vocabulary: K rows",
-      "d30_adc_rerank" -> "ADC shortlist: queries x RerankR rows")
+      "d30_adc_rerank" -> "ADC shortlist: queries x RerankR rows",
+      "t12_tfidf" -> "corpus-size scalar: 1 row",
+      "t13_bm25" ->
+        "corpus-stats scalar (1 row) + LIMIT-bounded query terms")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -174,10 +174,12 @@ class RelationalSpec extends AnyFunSuite {
     // equi-join on the cell id). d28/d29 compose d25's IVF leg, so
     // the same literal centroid broadcast appears in their assignment
     // and probe stages (the ADC scan joins are all equi-joins).
+    // t12/t13 cross-join ONE corpus-stats row by broadcast (the d23
+    // scalar pattern) — a 1-row build side, nothing quadratic.
     val allowNestedLoop = Set("d05_cosine_topk", "d10_ivf_assign",
       "d11_embed_neardup", "d19_pq_codes", "d22_kmeans_ivf",
       "d25_ivf_search", "d28_ivfpq_search", "d29_residual_pq",
-      "s10_cell_route")
+      "s10_cell_route", "t12_tfidf", "t13_bm25")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, TextAnalysis}
+
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  test("t13 ranks per term in the bounded heap, queries ride a broadcast") {
+    val plan = Retrieval.t13Bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-term ranking must be the mergeable heap (≤5 rows per
+    // term per partition cross the shuffle), not a window sorting a
+    // head term's corpus-sized posting list
+    assert(plan.contains("partial_topkagg"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("t12/t13/t14 contract shapes: dense ranks, consistent df, no stopword queries") {
+    import org.apache.spark.sql.functions._
+    val tfidf = Retrieval.t12Tfidf(spark, sf).cache()
+    // per-doc ranks are dense from 1
+    val badRank = tfidf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(badRank == 0, "t12 ranks not dense from 1")
+    // df in the postings equals the count of postings rows per term
+    val post = Retrieval.t14Postings(spark, sf).cache()
+    val badDf = post.groupBy(col("term"), col("df"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("df") =!= col("n")).count()
+    assert(badDf == 0, "t14 df disagrees with the postings it indexes")
+    // BM25 query terms exclude stopwords; every term returns BmTopK
+    // docs with positive scores (head terms occur in > BmTopK docs)
+    val bm = Retrieval.t13Bm25(spark, sf).cache()
+    val stop = TextAnalysis.EnStopwords.toSet
+    assert(bm.filter(col("term").isin(stop.toSeq: _*)).count() == 0)
+    val perTerm = bm.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), min(col("score")).as("mn"))
+    assert(perTerm.filter(col("n") =!= Retrieval.BmTopK).count() == 0,
+      "a query term returned fewer than BmTopK docs")
+    assert(perTerm.filter(col("mn") <= 0.0).count() == 0,
+      "non-positive BM25 score")
+    tfidf.unpersist(); post.unpersist(); bm.unpersist()
+  }
+}
