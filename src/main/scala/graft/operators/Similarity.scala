@@ -1503,4 +1503,62 @@ object Similarity {
        |FROM best WHERE rn = 1
        |ORDER BY vec_id, subspace""".stripMargin
   }
+
+  // ---- d31: scalar quantization (SQ8) -------------------------------
+
+  /** SQ8 code range: one unsigned byte per dimension. */
+  val SqLevels = 255L
+
+  /** d31: int8 SCALAR quantization — the other production vector-
+    * compression format (FAISS ScalarQuantizer QT_8bit, public
+    * layout): each dimension maps to one byte via the per-dimension
+    * corpus [min, max] range, an 8→1 storage cut that, unlike PQ,
+    * needs no trained codebook and decodes with two integer ops.
+    * Plan shape at 100 TB: the per-dimension stats are ONE bounded
+    * aggregate (dim rows — broadcast back by construction), codes
+    * compute map-side in the same pass that reads the vectors, and
+    * the only corpus shuffle is the per-vector re-aggregation of the
+    * exploded dimensions. Exact integer arithmetic throughout
+    * (quantized grid × integer floor-division), so the oracle
+    * replays stats → codes → reconstruction error bit-for-bit.
+    * Output: per-vector code checksum and the L1 reconstruction
+    * error numerator (error × [[SqLevels]], keeping it integral). */
+  def d31Sq8(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(quantizeVec(col("embedding"))).as(Seq("pos", "x")))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("code", when(col("mx") > col("mn"),
+        expr(s"((x - mn) * $SqLevels) div (mx - mn)")).otherwise(0L))
+      .withColumn("err", abs(col("x") * SqLevels -
+        (col("mn") * SqLevels + col("code") * (col("mx") - col("mn")))))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).cast("long").as("code_sum"),
+        sum(col("err")).cast("long").as("err_num"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d31Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, unnest(qv) AS x,
+       |    unnest(generate_series(1, len(qv))) AS pos
+       |  FROM q),
+       |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+       |c AS (
+       |  SELECT e.vec_id, e.x, st.mn, st.mx,
+       |    CASE WHEN st.mx > st.mn
+       |      THEN ((e.x - st.mn) * $SqLevels) // (st.mx - st.mn)
+       |      ELSE 0 END AS code
+       |  FROM e JOIN st USING (pos))
+       |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       |  CAST(sum(abs(x * $SqLevels -
+       |    (mn * $SqLevels + code * (mx - mn)))) AS BIGINT) AS err_num
+       |FROM c GROUP BY 1 ORDER BY vec_id""".stripMargin
 }

@@ -180,6 +180,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("d31 SQ8 codes are bytes and reconstruction error is grid-bounded") {
+    import org.apache.spark.sql.functions._
+    // each dimension's floor remainder is < its [min,max] range, so a
+    // vector's L1 error numerator is < the summed per-dim ranges —
+    // the bound that makes SQ8 an 8-bit format rather than a hash
+    val dims = Tables.load(spark, sf, "embeddings")
+      .select(posexplode(Similarity.quantizeVec(col("embedding")))
+        .as(Seq("pos", "x")))
+    val rangeSum = dims.groupBy(col("pos"))
+      .agg((max(col("x")) - min(col("x"))).as("rng"))
+      .agg(sum(col("rng"))).first().getLong(0)
+    val out = Similarity.d31Sq8(spark, sf).cache()
+    assert(out.filter(col("err_num") < 0
+      || col("err_num") >= rangeSum).count() == 0,
+      "SQ8 reconstruction error exceeds the per-dimension range sum")
+    assert(out.filter(col("code_sum") < 0
+      || col("code_sum") > Similarity.SqLevels * 64).count() == 0,
+      "SQ8 code checksum outside the 64-byte range")
+    out.unpersist()
+  }
+
+  test("d32 PageRank conserves walk mass and concentrates on hubs") {
+    import org.apache.spark.sql.functions._
+    val pr = graft.operators.LinkGraph.d32Pagerank(spark, sf).cache()
+    val n = pr.count()
+    val total = pr.agg(sum(col("rank_fp"))).first().getLong(0)
+    // undirected graph, no dangling nodes: mass only leaks to floor
+    // truncation, so the total stays within a few percent of n·scale
+    val scale = graft.operators.LinkGraph.RankScale
+    assert(total <= n * scale && total > (n * scale * 9) / 10,
+      s"rank mass off: $total vs ${n * scale}")
+    // suppliers are the high-degree side of the trade graph — the
+    // walk must concentrate there (the centrality signal existing)
+    val mean = pr.groupBy(col("kind"))
+      .agg(avg(col("rank_fp")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mean("supplier") > mean("customer") * 2,
+      s"hub concentration missing: $mean")
+    pr.unpersist()
+  }
+
   test("edit-distance verify scores planted near-dups high") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.d24EditDistance(spark, sf)

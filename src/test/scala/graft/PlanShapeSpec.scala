@@ -198,7 +198,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "d30_adc_rerank" -> "ADC shortlist: queries x RerankR rows",
       "t12_tfidf" -> "corpus-size scalar: 1 row",
       "t13_bm25" ->
-        "corpus-stats scalar (1 row) + LIMIT-bounded query terms")
+        "corpus-stats scalar (1 row) + LIMIT-bounded query terms",
+      "d31_sq8" -> "per-dimension quantization stats: dim rows")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
