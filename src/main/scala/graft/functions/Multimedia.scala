@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Byte-domain media kernels (SURVEY.md §2d).
   *
@@ -27,6 +27,54 @@ object MultimediaKernel {
     }
     out
   }
+
+  /** Average-pool resample: output byte i is the integer mean of the
+    * input block [i·len/k, (i+1)·len/k) — the 1-D analogue of the
+    * box-filter downscale a real aHash runs before thresholding.
+    * Unlike the nearest-neighbor pick, a small edit shifts every
+    * block boundary by O(edit/len) and perturbs each MEAN slightly,
+    * instead of re-picking unrelated bytes — the property that makes
+    * the perceptual hash stable under near-duplicate perturbations
+    * (measured: the dropped-word plants stay within a few bits).
+    * Degenerate blocks (len < k) fall back to the boundary byte. */
+  def blockMean(payload: Array[Byte], k: Int): Array[Byte] = {
+    val len = payload.length
+    if (len == 0) return Array.emptyByteArray
+    val out = new Array[Byte](k)
+    var i = 0
+    while (i < k) {
+      val lo = (i.toLong * len / k).toInt
+      val hi = ((i + 1).toLong * len / k).toInt
+      if (hi <= lo) out(i) = payload(math.min(lo, len - 1))
+      else {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (payload(j) & 0xff); j += 1 }
+        out(i) = (s / (hi - lo)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Average-hash over an (already fixed-size) thumbnail: bit i set
+    * iff unsigned byte i strictly exceeds the mean — compared in
+    * integers (b·k > Σb), so the hash is exact and engine-portable.
+    * Caller keeps k ≤ 62 so the packed hash stays a positive long. */
+  def ahash(thumb: Array[Byte]): Long = {
+    val k = thumb.length
+    if (k == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < k) { sum += (thumb(i) & 0xff); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) {
+      if ((thumb(i) & 0xff).toLong * k > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }
 
 /** `byte_resample(payload, k)` — nearest-neighbor resample to k bytes. */
@@ -45,7 +93,43 @@ case class ByteResample(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** `block_mean(payload, k)` — average-pool resample to k bytes. */
+case class BlockMean(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"block_mean target must be positive, got $k")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    MultimediaKernel.blockMean(v.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MultimediaKernel.blockMean($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
+case class AHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    MultimediaKernel.ahash(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MultimediaKernel.ahash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object Multimedia {
   def byteResample(payload: Column, k: Int): Column =
     GraftShim.column(ByteResample(GraftShim.expression(payload), k))
+
+  def blockMean(payload: Column, k: Int): Column =
+    GraftShim.column(BlockMean(GraftShim.expression(payload), k))
+
+  def aHash(payload: Column): Column =
+    GraftShim.column(AHash(GraftShim.expression(payload)))
 }

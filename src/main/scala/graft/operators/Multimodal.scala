@@ -283,6 +283,79 @@ object Multimodal {
        |WHERE octet_length(encode(trim(text))) > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** aHash thumbnail width — 48 bits keeps the packed hash positive
+    * in a signed long on both engines. */
+  val AHashBytes = 48
+
+  /** m06: PERCEPTUAL-hash dedup groups — the image-dedup signal that
+    * survives re-encodes (average hash, the public aHash family):
+    * resample to a fixed [[AHashBytes]]-byte thumbnail, set bit i iff
+    * byte i exceeds the thumbnail mean (compared in integers — no
+    * float mean), group by the packed hash. Both steps are codegen'd
+    * unary kernels, so the 100 TB pass is scan → two expressions →
+    * one hash aggregate; payload bytes never shuffle (only the 8-byte
+    * hash does). Runs over the planted-duplicate corpus (m03/m05's
+    * convention). On the 1-D byte-stream stub the dropped-word plants
+    * land statistically closer to their originals than unrelated
+    * pairs (≈18 vs ≈24 of 48 bits, spec-pinned) without being
+    * bit-stable — the tail edit rescales every 1-D block boundary; a
+    * real 2-D box-filtered image gives the strong stability the
+    * algorithm is known for.
+    * The real pixel decode is the same honest stub as m01/m04 — the
+    * hash contract (fixed-size resample → mean-bit pack) is identical
+    * either way. */
+  def m06PerceptualHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        encode(trim(col("text")), "UTF-8").as("payload"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        graft.functions.Multimedia.aHash(
+          graft.functions.Multimedia.blockMean(col("payload"),
+            AHashBytes)).as("ahash"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("ahash"))
+
+  /** Oracle: block-mean thumbnail (integer average per block, the
+    * boundary-byte fallback for degenerate blocks), mean-bit pack in
+    * exact integers (bit i ⇔ b·k > Σb). */
+  val m06Sql: String =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |c AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    octet_length(encode(trim(text))) AS len
+       |  FROM corpus
+       |  WHERE octet_length(encode(trim(text))) > 0),
+       |th AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(0, ${AHashBytes - 1}),
+       |    i -> CASE
+       |      WHEN (i + 1) * len // $AHashBytes
+       |          <= i * len // $AHashBytes
+       |        THEN ascii(substring(t, CAST(LEAST(
+       |          i * len // $AHashBytes, len - 1) AS INT) + 1, 1))
+       |      ELSE list_sum(list_transform(generate_series(
+       |          CAST(i * len // $AHashBytes AS INT) + 1,
+       |          CAST((i + 1) * len // $AHashBytes AS INT)),
+       |          j -> ascii(substring(t, j, 1))))
+       |        // ((i + 1) * len // $AHashBytes
+       |          - i * len // $AHashBytes)
+       |    END) AS bytes
+       |  FROM c),
+       |h AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(
+       |      generate_series(1, $AHashBytes),
+       |      i -> CASE WHEN bytes[i] * $AHashBytes > ls
+       |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+       |    AS BIGINT) AS ahash
+       |  FROM (SELECT doc_id, bytes, list_sum(bytes) AS ls FROM th))
+       |SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS first_doc
+       |FROM h GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY ahash""".stripMargin
+
   /** Oracle mirrors the byte statistics via ascii() (ASCII corpus). */
   val mediaFeaturesSql: String =
     """SELECT doc_id,

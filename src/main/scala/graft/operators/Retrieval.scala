@@ -240,4 +240,59 @@ object Retrieval {
        |FROM r WHERE rank <= $BmTopK
        |ORDER BY term, rank""".stripMargin
   }
+
+  // ---- t15: unigram log-probability scoring -------------------------
+
+  /** Fixed-point scale for per-term log-probabilities. */
+  val LpScale = 1000000L
+
+  /** t15: perplexity-proxy quality scoring — the CCNet-style "how
+    * language-model-likely is this document" filter, with the LM
+    * stubbed by the corpus's own unigram model: score(doc) = mean
+    * over tokens of ln p(term). The one transcendental evaluates on
+    * the VOCABULARY relation and is immediately quantized to the
+    * [[LpScale]] grid (floor — one bounded ln per distinct term, the
+    * k-means trick applied to text), so every corpus-sized sum is
+    * exact integer arithmetic: partitioning-invariant and
+    * oracle-replayable. Plan shape: one token aggregate for counts,
+    * the 1-row total on a broadcast cross join, the per-term table
+    * re-attached by SHUFFLED equi-join (vocabulary-scale aggregate
+    * output), one per-doc sum. */
+  def t15UnigramLp(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(Tables.load(spark, dir, "documents"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val lpq = cf.crossJoin(broadcast(tot))
+      .select(col("term"),
+        floor(lit(LpScale.toDouble) *
+          log(col("cf").cast("double") / col("total")))
+          .cast("long").as("lp_q"))
+    toks.join(lpq.hint("shuffle_hash"), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp_q")).cast("long").as("lp_sum"))
+      .withColumn("mean_lp", round(
+        col("lp_sum").cast("double") / col("n_tokens")
+          / lit(LpScale.toDouble), 6))
+      .select(col("doc_id"), col("n_tokens"), col("lp_sum"),
+        col("mean_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t15Sql: String =
+    s"""WITH $tokSql,
+       |cf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cf
+       |  FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM cf),
+       |lp AS (
+       |  SELECT term, CAST(FLOOR(${LpScale}.0 *
+       |    ln(CAST(cf AS DOUBLE) / total)) AS BIGINT) AS lp_q
+       |  FROM cf CROSS JOIN tt)
+       |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(lp.lp_q) AS BIGINT) AS lp_sum,
+       |  ROUND(CAST(sum(lp.lp_q) AS DOUBLE) / count(*)
+       |    / ${LpScale}.0, 6) AS mean_lp
+       |FROM tok JOIN lp USING (term)
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 }

@@ -1561,4 +1561,74 @@ object Similarity {
        |  CAST(sum(abs(x * $SqLevels -
        |    (mn * $SqLevels + code * (mx - mn)))) AS BIGINT) AS err_num
        |FROM c GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  // ---- d33: semantic dedup (SemDeDup) -------------------------------
+
+  /** Within-cluster near-dup distance cutoff on the quantized grid
+    * (≈ the 0.1% tail of the corpus pairwise-distance distribution —
+    * the "semantically redundant" band). */
+  val SemThreshold = 1300000000000L
+
+  /** d33: SemDeDup — semantic deduplication by clustering (Abbas et
+    * al. 2023, public algorithm): k-means partitions the embedding
+    * space, and near-duplicate candidates are compared ONLY within
+    * their cluster — the published trick that makes embedding-level
+    * dedup tractable at corpus scale (the all-pairs comparison is
+    * bounded per cell, never corpus-wide). Each duplicate names the
+    * lowest-id neighbor it collapses into (pair→min-keeper form; full
+    * transitive collapse is d07's connected-components job, which
+    * composes on these pairs exactly as it does on d02's). Exact
+    * integer arithmetic end to end — the oracle replays training,
+    * assignment, the within-cell pair scan, and keeper election.
+    * Plan shape: training on the bounded sample, assignment via the
+    * broadcast centroid relation, then ONE shuffle keyed on the cell
+    * id for the self-join; the pair relation is cell-bounded. */
+  def d33Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val init = qz.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = kmeansQuantized(qz.filter(col("vec_id") >= IvfCells),
+      init, KmIters)
+    val asg = qz.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"), col("qv"))
+    val a = asg.select(col("cell"), col("vec_id").as("keep_id"),
+      col("qv").as("qa"))
+    val b = asg.select(col("cell"), col("vec_id").as("dup_id"),
+      col("qv").as("qb"))
+    // both sides are aggregate outputs (no stats) — pin the shuffled
+    // build so neither corpus-scale side ever broadcasts
+    a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("keep_id") < col("dup_id"))
+      .withColumn("d", qDist(col("qa"), col("qb")))
+      .filter(col("d") <= SemThreshold)
+      .groupBy(col("dup_id"))
+      .agg(min(struct(col("keep_id"), col("d"), col("cell"))).as("k"))
+      .select(col("dup_id"), col("k.keep_id").as("keep_id"),
+        col("k.d").as("d"), col("k.cell").as("cell"))
+      .orderBy(col("dup_id"))
+  }
+
+  /** DuckDB oracle for d33: the d22 training chain, assignment over
+    * the FULL corpus (init vectors are corpus members too), the
+    * within-cell pair scan, and min-keeper election per duplicate. */
+  lazy val d33Sql: String =
+    s"""WITH ${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
+       |${assignCte("aa", "q", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id AS cell FROM aa WHERE rn = 1),
+       |pr AS (
+       |  SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    ${qDistSql("a.qv", "b.qv")} AS d
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |f AS (
+       |  SELECT dup_id, keep_id, d, cell, ROW_NUMBER() OVER (
+       |    PARTITION BY dup_id ORDER BY keep_id) AS rn
+       |  FROM pr WHERE d <= $SemThreshold)
+       |SELECT dup_id, keep_id, d, cell FROM f WHERE rn = 1
+       |ORDER BY dup_id""".stripMargin
 }

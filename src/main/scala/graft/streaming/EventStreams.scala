@@ -622,6 +622,99 @@ object EventStreams {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Arrival micro-batch width for s11's deterministic window view
+    * (doc_id ranges stand in for event time on the timestamp-less
+    * documents table, the s10 convention). */
+  val DecontamBatch = 100L
+
+  /** s11: decontamination AT INGEST — the d13 train/eval screen run
+    * as arriving documents land, counted per (arrival window):
+    * benchmark text is cheapest to keep out of a corpus at the door,
+    * before it's committed to storage. Batch registered form: the
+    * d13 gram chain (per-doc distinct word 4-grams vs the eval set)
+    * grouped by arrival window. The oracle replays grams → eval set →
+    * flags → window counts. [[decontamStream]] is the ingest-time
+    * scale path: the eval-gram SET is a task-local constant (bounded
+    * by construction — eval suites are small; the same contract as
+    * d13's broadcast), each arriving doc flags in one stateless typed
+    * map, and the ONLY stateful stage is the watermark-bounded
+    * windowed count. Spec-pinned equal to this form across
+    * micro-batches. */
+  def s11StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    val evalG = docs.filter(col("doc_id") < TextAnalysis.EvalDocs)
+      .select(explode(array_distinct(TextFunctions.wordNgrams(
+        col("text"), TextAnalysis.ContamN))).as("gram"))
+      .distinct()
+    val train = docs.filter(col("doc_id") >= TextAnalysis.EvalDocs)
+    val flagged = train.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordNgrams(
+          col("text"), TextAnalysis.ContamN))).as("gram"))
+      .join(broadcast(evalG), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("fl", lit(1L))
+    // flagged is a corpus-scale aggregate output — shuffled build
+    train.select(col("doc_id"),
+        (col("doc_id") / DecontamBatch).cast("long").as("wnd"))
+      .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .groupBy(col("wnd"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("fl"), lit(0L))).cast("long").as("n_flagged"))
+      .orderBy(col("wnd"))
+  }
+
+  case class DocArrival(doc_id: Long, text: String, ts: Timestamp)
+
+  /** s11's ingest-time form: each arriving document checks its word
+    * n-grams against the (bounded, task-local) eval-gram set in a
+    * stateless typed map — NO state and NO shuffle until the
+    * watermark-bounded windowed count. Gram semantics match the
+    * WordNgrams kernel: single-space word split of the trimmed text,
+    * no n-grams for docs shorter than n words. */
+  def decontamStream(docs: Dataset[DocArrival], evalGrams: Set[String],
+      n: Int = graft.operators.TextAnalysis.ContamN): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val ws = d.text.trim.split(" ")
+      val hit = ws.length >= n &&
+        ws.sliding(n).exists(g => evalGrams.contains(g.mkString(" ")))
+      (d.doc_id, if (hit) 1L else 0L, d.ts)
+    }.toDF("doc_id", "fl", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("fl")).as("n_flagged"))
+  }
+
+  /** DuckDB oracle for s11: the d13 gram chain grouped by arrival
+    * window. */
+  val s11Sql: String = {
+    import graft.operators.TextAnalysis.{ContamN, EvalDocs}
+    val parts = (0 until ContamN)
+      .map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $ContamN THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1, len(ws) - ${ContamN - 1}),
+       |      i -> $parts)) ELSE [] END) AS gram
+       |  FROM w),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
+       |fl AS (
+       |  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+       |  WHERE g.doc_id >= $EvalDocs)
+       |SELECT CAST(d.doc_id // $DecontamBatch AS BIGINT) AS wnd,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $EvalDocs) d
+       |LEFT JOIN fl ON fl.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY wnd""".stripMargin
+  }
+
   /** Streaming form with explicit state, for the spec: one state
     * object per user, emitting closed sessions. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)

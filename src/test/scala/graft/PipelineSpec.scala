@@ -180,6 +180,82 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch window form (s11)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+    val evalGrams = docs.filter(col("doc_id") < TextAnalysis.EvalDocs)
+      .select(explode(graft.functions.TextFunctions.wordNgrams(
+        col("text"), TextAnalysis.ContamN)).as("g"))
+      .distinct().as[String].collect().toSet
+    // minute-aligned base (the s10 lesson): window buckets align to
+    // epoch minutes
+    val base = 1700000040000L
+    val arrivals = docs.filter(col("doc_id") >= TextAnalysis.EvalDocs)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) => EventStreams.DocArrival(id, text,
+        new java.sql.Timestamp(
+          base + id / EventStreams.DecontamBatch * 60000L)) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.DocArrival]
+    val q = EventStreams.decontamStream(input.toDS(), evalGrams)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decontam").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("decontam")
+        .select((((col("w.start").cast("long") * 1000L) - base) / 60000L)
+          .as("wnd"), col("n_docs"), col("n_flagged"))
+      val batch = EventStreams.s11StreamDecontam(spark, sf)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed decontamination windows differ from the batch form")
+    } finally q.stop()
+  }
+
+  test("m06 aHash separates perturbed plants from unrelated pairs") {
+    import org.apache.spark.sql.functions._
+    // the perceptual property as it actually measures on the 1-D
+    // byte-stream stub: a plant (original minus its tail word) sits
+    // MEASURABLY closer to its original (mean Hamming ≈ 18/48 bits)
+    // than unrelated docs do to each other (≈ 24/48, the random
+    // expectation) — the tail-word drop rescales every 1-D block
+    // boundary, so bit-level stability is weaker than a real 2-D
+    // box-filtered image hash would give; the hash remains an exact
+    // dedup key (m06's groups) plus this statistical ranking signal.
+    // All arithmetic is exact on a fixed corpus — the means are
+    // deterministic constants, not distributions.
+    val hashes = Dedup.corpusWithPlants(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Multimedia.aHash(
+          graft.functions.Multimedia.blockMean(
+            encode(trim(col("text")), "UTF-8"),
+            Multimodal.AHashBytes)).as("ahash"))
+      .cache()
+    val orig = hashes.filter(col("doc_id") < 1000000L)
+    val plant = hashes.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"),
+        col("ahash").as("p_ahash"))
+    val plantMean = orig.join(plant, Seq("doc_id"))
+      .select(bit_count(col("ahash").bitwiseXOR(col("p_ahash")))
+        .cast("double").as("hd"))
+      .agg(avg(col("hd"))).first().getDouble(0)
+    // unrelated baseline: each doc vs the doc 7 ids away
+    val shifted = orig.select((col("doc_id") + 7L).as("doc_id"),
+      col("ahash").as("b_ahash"))
+    val randMean = orig.join(shifted, Seq("doc_id"))
+      .select(bit_count(col("ahash").bitwiseXOR(col("b_ahash")))
+        .cast("double").as("hd"))
+      .agg(avg(col("hd"))).first().getDouble(0)
+    hashes.unpersist()
+    assert(plantMean < 20.0 && randMean > plantMean + 4.0,
+      s"aHash separation missing: plants $plantMean vs unrelated $randMean")
+  }
+
   test("d31 SQ8 codes are bytes and reconstruction error is grid-bounded") {
     import org.apache.spark.sql.functions._
     // each dimension's floor remainder is < its [min,max] range, so a

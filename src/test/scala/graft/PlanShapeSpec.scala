@@ -199,7 +199,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "t12_tfidf" -> "corpus-size scalar: 1 row",
       "t13_bm25" ->
         "corpus-stats scalar (1 row) + LIMIT-bounded query terms",
-      "d31_sq8" -> "per-dimension quantization stats: dim rows")
+      "d31_sq8" -> "per-dimension quantization stats: dim rows",
+      "t15_unigram_lp" -> "corpus token-total scalar: 1 row",
+      "s11_stream_decontam" ->
+        "eval-suite grams: bounded by construction (d13's contract)")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
