@@ -58,6 +58,7 @@ object Bench {
         graft.operators.Dedup.releaseLshCache()
         graft.operators.Similarity.releaseSimCache()
         graft.operators.MapBench.releaseFleetCache()
+        graft.operators.LinkGraph.releaseGraphCache()
         val t0 = System.nanoTime()
         // noop sink executes the COMPLETE plan (count() would let
         // Catalyst drop sorts/projections from row-level queries and

@@ -26,6 +26,8 @@ object ScaleCurve {
     "2d_pipeline_cluster" -> "d14_clusters_scale",
     "2d_pipeline_text" -> "t07_normalize",
     "2d_pipeline_shard" -> "d23_token_shards",
+    "2d_pipeline_retrieval" -> "t14_postings",
+    "2d_pipeline_graph" -> "d32_pagerank",
     "2e_streaming" -> "s01_window_agg")
 
   private def fmt(v: Double): String = {
@@ -64,6 +66,7 @@ object ScaleCurve {
       graft.operators.Dedup.releaseLshCache()
       graft.operators.Similarity.releaseSimCache()
       graft.operators.MapBench.releaseFleetCache()
+      graft.operators.LinkGraph.releaseGraphCache()
       val fn = SparkEntry.queries(key)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()

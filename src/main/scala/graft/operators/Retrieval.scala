@@ -295,4 +295,109 @@ object Retrieval {
        |    / ${LpScale}.0, 6) AS mean_lp
        |FROM tok JOIN lp USING (term)
        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
+  // ---- t16: bigram interpolated LM scoring --------------------------
+
+  /** Interpolation weights: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T. */
+  val BgLambda = 0.75
+
+  /** t16: bigram-LM quality scoring — t15's perplexity proxy upgraded
+    * to the interpolated bigram model (Jelinek–Mercer smoothing,
+    * public formulation): fluent word ORDER now scores above bag-of-
+    * words likelihood, which is what separates real prose from
+    * shuffled tokens. Same exactness discipline as t15: the ln
+    * evaluates once per BIGRAM-VOCABULARY row and quantizes to the
+    * [[LpScale]] grid immediately — the two interior divisions are
+    * exact-int-operand IEEE ops, identical on both engines — so every
+    * corpus-sized sum is integer. Plan shape: two token aggregates
+    * (unigram, bigram), the 1-row total on a broadcast cross join,
+    * the per-bigram table re-attached by shuffled equi-join, one
+    * per-doc sum. Docs with no bigram (single-word) drop out with
+    * the inner join. */
+  def t16BigramLp(spark: SparkSession, dir: String): DataFrame =
+    bigramLp(Tables.load(spark, dir, "documents"))
+
+  /** Core of t16 on any (doc_id, text) relation — the model trains on
+    * the relation it scores (the corpus-self-scoring convention t15
+    * set). The spec scores a word-REVERSED copy of the corpus under
+    * the NATURAL model ([[scoreBigrams]] with [[bigramModel]]) to pin
+    * that word order is what's measured. */
+  def bigramLp(docs: DataFrame): DataFrame =
+    scoreBigrams(docs, bigramModel(docs))
+
+  /** The quantized per-bigram log-prob table (bg, lp_q): seen-bigram
+    * vocabulary with Jelinek–Mercer interpolation against the unigram
+    * floor. Unseen transitions score as pure-unigram backoff in
+    * [[scoreBigrams]]. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val bgs = docs.select(col("doc_id"),
+      explode(TextFunctions.bigrams(col("text"))).as("bg"))
+    val cbg = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    cbg
+      .join(cf.select(col("term"), col("cf").as("c1")).hint("shuffle_hash"),
+        substring_index(col("bg"), " ", 1) === col("term"))
+      .drop("term")
+      .join(cf.select(col("term"), col("cf").as("c2")).hint("shuffle_hash"),
+        substring_index(col("bg"), " ", -1) === col("term"))
+      .drop("term")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        floor(lit(LpScale.toDouble) * log(
+          lit(BgLambda) * (col("cbg").cast("double") / col("c1")) +
+            lit(1.0 - BgLambda) *
+              (col("c2").cast("double") / col("total"))))
+          .cast("long").as("lp_q"))
+  }
+
+  /** Score each doc's transitions under an existing (bg, lp_q) model
+    * table. Transitions absent from the model drop out (the
+    * registered self-scored form has none; the spec's reversed-corpus
+    * probe reports its OOV count separately). */
+  def scoreBigrams(docs: DataFrame, lp: DataFrame): DataFrame = {
+    val bgs = docs.select(col("doc_id"),
+      explode(TextFunctions.bigrams(col("text"))).as("bg"))
+    bgs.join(lp.hint("shuffle_hash"), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("lp_q")).cast("long").as("lp_sum"))
+      .withColumn("mean_lp", round(
+        col("lp_sum").cast("double") / col("n_trans")
+          / lit(LpScale.toDouble), 6))
+      .select(col("doc_id"), col("n_trans"), col("lp_sum"),
+        col("mean_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t16Sql: String =
+    s"""WITH $tokSql,
+       |cf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cf
+       |  FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM cf),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+       |    list_transform(generate_series(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE [] END) AS bg
+       |  FROM w),
+       |cbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+       |        FROM bg GROUP BY 1),
+       |lp AS (
+       |  SELECT cbg.bg, CAST(FLOOR(${LpScale}.0 * ln(
+       |      $BgLambda * (CAST(cbg.cbg AS DOUBLE) / c1.cf) +
+       |      ${1.0 - BgLambda} * (CAST(c2.cf AS DOUBLE) / tt.total)))
+       |    AS BIGINT) AS lp_q
+       |  FROM cbg
+       |  JOIN cf c1 ON c1.term = split_part(cbg.bg, ' ', 1)
+       |  JOIN cf c2 ON c2.term = split_part(cbg.bg, ' ', 2)
+       |  CROSS JOIN tt)
+       |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       |  CAST(sum(lp.lp_q) AS BIGINT) AS lp_sum,
+       |  ROUND(CAST(sum(lp.lp_q) AS DOUBLE) / count(*)
+       |    / ${LpScale}.0, 6) AS mean_lp
+       |FROM bg JOIN lp USING (bg)
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 }

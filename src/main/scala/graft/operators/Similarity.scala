@@ -1613,6 +1613,101 @@ object Similarity {
       .orderBy(col("dup_id"))
   }
 
+  // ---- d34: hard-negative mining ------------------------------------
+
+  /** Hard negatives kept per anchor. */
+  val HnK = 5
+
+  /** d34: HARD-NEGATIVE mining — the contrastive-training data-prep
+    * step (ANCE/DPR-style, public pattern): for each anchor, the
+    * nearest candidates whose label DIFFERS from the anchor's — the
+    * examples a contrastive loss learns most from. Composition is
+    * d25's trained-IVF search leg with the label threaded through
+    * assignment and a label-mismatch filter before ranking, so the
+    * cost shape is identical: O(N·nprobe/K) candidates per anchor,
+    * bounded centroid/probe broadcasts, one cell-keyed shuffle — the
+    * first operator to exercise the embeddings table's label column.
+    * Caveat inherited from IVF: a negative hiding in an unprobed
+    * cell is missed (the recall-vs-nprobe tradeoff ann_recall.json
+    * quantifies). Exact integer arithmetic; the oracle replays
+    * training, labeled assignment, probes, and the filtered scan. */
+  def d34HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= NumQueries)
+    val init = qz.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+      .select(col("vec_id"), col("qv"))
+    val cents = kmeansQuantized(train, init, KmIters)
+    val assigned = cands.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("qv")).as("qv"), first(col("label")).as("label"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+        col("qv"), col("label"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_label"), col("q_qv"),
+        col("cent_id").as("cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= HnK)
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d34: d25's chain with labels joined back from
+    * the embeddings table and the mismatch filter before ranking. */
+  val d34Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |qs AS (
+       |  SELECT q.vec_id AS q_id, CAST(e.label AS BIGINT) AS q_label,
+       |    q.qv AS qqv
+       |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (
+       |  SELECT s.vec_id, s.qv, s.cent_id, CAST(e.label AS BIGINT)
+       |    AS label
+       |  FROM sa s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  WHERE s.rn = 1),
+       |pr AS (
+       |  SELECT q_id, q_label, qqv, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.q_label, qs.qqv, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |res AS (
+       |  SELECT q_id, q_label, vec_id, neg_label, dist,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM (SELECT pr.q_id, pr.q_label, a.vec_id,
+       |    a.label AS neg_label, ${qDistSql("pr.qqv", "a.qv")} AS dist
+       |  FROM pr JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe AND a.label <> pr.q_label))
+       |SELECT q_id, q_label, vec_id, neg_label, dist, rank
+       |FROM res WHERE rank <= $HnK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** DuckDB oracle for d33: the d22 training chain, assignment over
     * the FULL corpus (init vectors are corpus members too), the
     * within-cell pair scan, and min-keeper election per duplicate. */

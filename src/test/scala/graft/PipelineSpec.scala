@@ -256,6 +256,21 @@ class PipelineSpec extends AnyFunSuite {
       s"aHash separation missing: plants $plantMean vs unrelated $randMean")
   }
 
+  test("d34 hard negatives: labels differ, full dense ranks per anchor") {
+    import org.apache.spark.sql.functions._
+    val hn = Similarity.d34HardNegatives(spark, sf).cache()
+    assert(hn.filter(col("neg_label") === col("q_label")).count() == 0,
+      "a hard negative shares its anchor's label")
+    val perQ = hn.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(perQ.filter(col("n") =!= Similarity.HnK
+      || col("mx") =!= Similarity.HnK).count() == 0,
+      "an anchor returned fewer than HnK dense-ranked negatives")
+    assert(hn.select(col("q_id")).distinct().count()
+      == Similarity.NumQueries, "an anchor is missing entirely")
+    hn.unpersist()
+  }
+
   test("d31 SQ8 codes are bytes and reconstruction error is grid-bounded") {
     import org.apache.spark.sql.functions._
     // each dimension's floor remainder is < its [min,max] range, so a

@@ -181,8 +181,10 @@ class RelationalSpec extends AnyFunSuite {
       "d25_ivf_search", "d28_ivfpq_search", "d29_residual_pq",
       "s10_cell_route", "t12_tfidf", "t13_bm25",
       // d33 composes the d22 literal centroid broadcast for its
-      // assignment stage; t15 cross-joins the 1-row token total
-      "d33_semdedup", "t15_unigram_lp")
+      // assignment stage; d34 is d25's search leg (same centroid
+      // broadcast); t15/t16 cross-join the 1-row token total
+      "d33_semdedup", "t15_unigram_lp", "d34_hard_negatives",
+      "t16_bigram_lp")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

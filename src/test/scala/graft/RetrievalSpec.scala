@@ -17,6 +17,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("t16 bigram model: natural word order beats reversed") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val model = Retrieval.bigramModel(docs).cache()
+    val nat = Retrieval.scoreBigrams(docs, model)
+      .agg(avg(col("mean_lp")), sum(col("n_trans"))).first()
+    val rev = docs.select(col("doc_id"),
+      array_join(reverse(split(trim(col("text")), " ")), " ")
+        .as("text"))
+    val revScored = Retrieval.scoreBigrams(rev, model)
+      .agg(avg(col("mean_lp")), sum(col("n_trans"))).first()
+    model.unpersist()
+    val (natLp, natN) = (nat.getDouble(0), nat.getLong(1))
+    val (revLp, revN) = (revScored.getDouble(0), revScored.getLong(1))
+    info(s"natural mean_lp $natLp over $natN; reversed $revLp over $revN")
+    // word order is the signal: reversing destroys it two ways —
+    // transitions fall out of the model entirely (coverage drops)
+    // and the surviving ones are rarer (mean log-prob drops)
+    assert(revN < natN, "reversed corpus lost no transitions")
+    assert(natLp > revLp, "natural order not favored")
+  }
+
   test("t12/t13/t14 contract shapes: dense ranks, consistent df, no stopword queries") {
     import org.apache.spark.sql.functions._
     val tfidf = Retrieval.t12Tfidf(spark, sf).cache()
