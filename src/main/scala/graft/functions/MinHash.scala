@@ -206,6 +206,39 @@ object JaccardKernel {
   }
 }
 
+object IntersectKernel {
+  /** |a ∩ b| for two SORTED distinct long arrays — the same
+    * merge-walk as [[JaccardKernel]] but returning the raw count, so
+    * asymmetric measures (containment) can divide by either side. */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** `sorted_intersect(a, b)` as a codegen'd expression. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectKernel.intersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectKernel.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** `sorted_jaccard(a, b)` as a codegen'd expression. */
 case class SortedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -287,5 +320,9 @@ object MinHash {
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftShim.column(SortedJaccard(GraftShim.expression(a),
+      GraftShim.expression(b)))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersect(GraftShim.expression(a),
       GraftShim.expression(b)))
 }

@@ -712,4 +712,74 @@ object Dedup {
        |JOIN cnt cb ON cb.doc_id = a_id + 1000000
        |ORDER BY a_id""".stripMargin
   }
+
+  /** d37: directional containment verify on the LSH candidates —
+    * the ASYMMETRIC counterpart of d04's Jaccard: contain_ab =
+    * |S(A)∩S(B)| / |S(A)|, contain_ba = |S(A)∩S(B)| / |S(B)|. A
+    * near-1 containment with a visibly lower Jaccard is the
+    * quote-inclusion / truncation signature (one document subsumed
+    * in another) that symmetric resemblance blurs — the Broder
+    * containment measure, and the reason production dedup keeps the
+    * LONGER member of truncation pairs. On this corpus the planted
+    * mutations (original minus last word) show exactly that
+    * asymmetry: contain_ba = 1.0 while contain_ab < 1.
+    *
+    * Same plan contract as d24: the candidate relation comes from
+    * d02's banded LSH (never all-pairs), stays narrow, and is
+    * aggregate-derived/statless so its joins pin SHUFFLED builds;
+    * shingle sets re-attach by id after the pair set exists. Hashed
+    * sets stand in for string sets exactly as in d04 (equal counts
+    * absent an XXH64 collision inside one pair — the oracle stays on
+    * strings, so a collision would surface as a hash mismatch). The
+    * lit(1) floor defines containment of an EMPTY shingle set as 0
+    * on both engines instead of 0/0 (the d24 blank-doc guard). */
+  def d37Containment(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithPlants(spark, dir).select(col("doc_id"),
+      graft.functions.MinHash.shingleHashes(trim(col("text")), 3).as("sh"))
+    val sets = corpus.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("n"))
+    val inter = graft.functions.MinHash
+      .sortedIntersect(col("sa"), col("sb"))
+    minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .hint("shuffle_hash")
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+        col("n").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter.cast("double") /
+          greatest(col("na"), lit(1L)).cast("double"), 6).as("contain_ab"),
+        round(inter.cast("double") /
+          greatest(col("nb"), lit(1L)).cast("double"), 6).as("contain_ba"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  lazy val d37Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH pairs AS ($minhashLshSql),
+       |corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(${TextFunctions.shinglesSql(w)}) AS s
+       |  FROM corpus),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT pairs.a_id, pairs.b_id, COUNT(*) AS i
+       |  FROM pairs
+       |  JOIN sh x ON x.doc_id = pairs.a_id
+       |  JOIN sh y ON y.doc_id = pairs.b_id AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |-- LEFT joins + COALESCE keep pairs whose intersection is empty
+       |-- and docs with ZERO shingles (blank text unnests to no rows —
+       |-- the d03 blank-doc class), matching the kernel's 0-count rows
+       |SELECT p.a_id, p.b_id,
+       |  ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+       |    / GREATEST(COALESCE(ca.n, 0), 1), 6) AS contain_ab,
+       |  ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+       |    / GREATEST(COALESCE(cb.n, 0), 1), 6) AS contain_ba
+       |FROM pairs p
+       |LEFT JOIN inter ON inter.a_id = p.a_id AND inter.b_id = p.b_id
+       |LEFT JOIN cnt ca ON ca.doc_id = p.a_id
+       |LEFT JOIN cnt cb ON cb.doc_id = p.b_id
+       |ORDER BY p.a_id, p.b_id""".stripMargin
+  }
 }

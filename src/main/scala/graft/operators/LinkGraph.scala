@@ -44,10 +44,48 @@ object LinkGraph {
   private val graphCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Directed (c, s) trade-pair relation, pinned like [[graphCache]]
+    * and shared by d32 (which folds it undirected) and d36 (which
+    * walks it as-is) — one edge extraction serves both. */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** d36's per-half-step score relations: each is collected-from
+    * (the scalar max) AND re-walked by the next half-step and the
+    * final assembly, so without a pin every action replays the whole
+    * iteration chain from the edges — the cost is O(iters²) instead
+    * of O(iters). Node-scale, bounded. */
+  private val hitsCache = scala.collection.mutable.ArrayBuffer
+    .empty[DataFrame]
+
   def releaseGraphCache(): Unit = {
     graphCache.values.foreach(_.unpersist())
     graphCache.clear()
+    pairCache.values.foreach(_.unpersist())
+    pairCache.clear()
+    hitsCache.synchronized {
+      hitsCache.foreach(_.unpersist())
+      hitsCache.clear()
+    }
   }
+
+  /** The pinned distinct customer→supplier pair relation.
+    * Duplicate-tolerant: distinct BELOW the join bounds the orderkey
+    * join by true key cardinality (measured 130 s → 13 s on the 100×
+    * replica — re-ingested/replicated rows would otherwise multiply
+    * on both sides). */
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir), {
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).distinct()
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      ord.join(li.hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** d32: PageRank over the customer↔supplier graph. Iteration k:
     * r'(v) = (1−d)·scale + floor(d · Σ_{u∼v} floor(r(u)/deg(u))).
@@ -64,23 +102,7 @@ object LinkGraph {
     * outside every edge have no walk semantics and are excluded by
     * construction. */
   def d32Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // duplicate-tolerant edge extraction: distinct BELOW the join.
-    // Edge extraction only needs distinct pairs, so deduplicating
-    // each side first bounds the orderkey join by the true key
-    // cardinality — duplicated rows (re-ingested files, replicated
-    // test data) would otherwise multiply on BOTH sides of the join
-    // and make it quadratic in the duplication factor (measured:
-    // 130 s → 13 s at the 100× replica). At clean scale the extra
-    // aggregate is map-side combined and nearly free.
-    val ord = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey")).distinct()
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val edges = ord
-      .join(li.hint("shuffle_hash"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val edges = tradePairs(spark, dir)
     val und = edges.select(col("c").as("src"),
         (col("s") + SuppBase).as("dst"))
       .unionAll(edges.select((col("s") + SuppBase).as("src"),
@@ -109,6 +131,100 @@ object LinkGraph {
           .otherwise(col("node")).as("key"),
         col("r").as("rank_fp"))
       .orderBy(col("kind"), col("key"))
+  }
+
+  /** HITS iterations for d36. */
+  val HitsIters = 2
+
+  /** d36: HITS hubs & authorities (Kleinberg, public algorithm) over
+    * the directed customer→supplier trade graph — the OTHER classic
+    * link-quality signal: a good hub (customer) buys from good
+    * authorities (suppliers), a good authority sells to good hubs.
+    * Web-corpus curation uses exactly this mutual-reinforcement score
+    * to pick seed/source quality where PageRank's random walk
+    * over-rewards raw degree.
+    *
+    * Exactness contract (the d32/k-means discipline): scores live on
+    * the [[RankScale]] grid; each half-step is an integer edge sum
+    * followed by max-normalization `(raw · scale) div max(raw)` —
+    * Kleinberg's L₂ norm would need sqrt, max-norm is the standard
+    * integer-friendly variant with the same fixed point — so a
+    * fixed-iteration run is bit-identical on any partitioning and
+    * the oracle replays it with scalar subqueries. Sums stay in
+    * BIGINT while max-degree · scale² < 2⁶³, i.e. degrees to ~9·10⁶
+    * — document-scale graphs far past this corpus.
+    *
+    * Plan shape at scale: the directed pair relation materializes
+    * ONCE ([[pairCache]]); each half-step is one shuffled equi-join
+    * of a node-scale score relation against it plus one key-keyed sum
+    * (score relations are statless aggregate outputs — broadcast
+    * would OOM at scale, so builds pin shuffled), and ONE collected
+    * scalar (the max — the d23 bounded-driver-scalar pattern) turns
+    * normalization into a literal. 2·[[HitsIters]] bounded driver
+    * round-trips total, nothing corpus-sized ever on the driver. */
+  def d36Hits(spark: SparkSession, dir: String): DataFrame = {
+    val ed = tradePairs(spark, dir)
+    // each half-step relation is BOTH collected-from (its max) and
+    // re-walked downstream — persist it (node-scale) so every
+    // half-step computes exactly once (see [[hitsCache]])
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hitsCache.synchronized { hitsCache += p }
+      p
+    }
+    var hubs = ed.select(col("c")).distinct()
+      .select(col("c"), lit(RankScale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aRaw = pin(ed.join(hubs.hint("shuffle_hash"), Seq("c"))
+        .groupBy(col("s")).agg(sum(col("h")).as("ar")))
+      val amax = aRaw.agg(max(col("ar"))).collect()(0).getLong(0)
+      auths = aRaw.select(col("s"),
+        expr(s"(ar * $RankScale) div $amax").as("a"))
+      val hRaw = pin(ed.join(auths.hint("shuffle_hash"), Seq("s"))
+        .groupBy(col("c")).agg(sum(col("a")).as("hr")))
+      val hmax = hRaw.agg(max(col("hr"))).collect()(0).getLong(0)
+      hubs = hRaw.select(col("c"),
+        expr(s"(hr * $RankScale) div $hmax").as("h"))
+    }
+    hubs.select(lit("hub").as("kind"), col("c").as("key"),
+        col("h").as("score_fp"))
+      .unionByName(auths.select(lit("authority").as("kind"),
+        col("s").as("key"), col("a").as("score_fp")))
+      .orderBy(col("kind"), col("key"))
+  }
+
+  val d36Sql: String = {
+    def halfA(i: Int) =
+      s"""ar$i AS (
+         |  SELECT s, CAST(sum(h) AS BIGINT) AS ar
+         |  FROM ed JOIN h${i - 1} USING (c) GROUP BY 1),
+         |a$i AS (
+         |  SELECT s, (ar * $RankScale) // (SELECT max(ar) FROM ar$i)
+         |    AS a
+         |  FROM ar$i)""".stripMargin
+    def halfH(i: Int) =
+      s"""hr$i AS (
+         |  SELECT c, CAST(sum(a) AS BIGINT) AS hr
+         |  FROM ed JOIN a$i USING (s) GROUP BY 1),
+         |h$i AS (
+         |  SELECT c, (hr * $RankScale) // (SELECT max(hr) FROM hr$i)
+         |    AS h
+         |  FROM hr$i)""".stripMargin
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS (
+       |  SELECT DISTINCT c, CAST($RankScale AS BIGINT) AS h FROM ed),
+       |${(1 to HitsIters).map(i => halfA(i) + ",\n" + halfH(i))
+          .mkString(",\n")}
+       |SELECT 'hub' AS kind, CAST(c AS BIGINT) AS key,
+       |  h AS score_fp FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'authority' AS kind, CAST(s AS BIGINT) AS key,
+       |  a AS score_fp FROM a$HitsIters
+       |ORDER BY kind, key""".stripMargin
   }
 
   val d32Sql: String = {

@@ -745,6 +745,43 @@ object Relational2 {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** q53: correlated LATERAL subquery — "for each row, run this
+    * parameterized subquery" (top-2 most recent orders per customer
+    * of nation 7). The SQL-surface row the q21 scalar subquery
+    * doesn't cover: the inner query returns a RELATION per outer row,
+    * with its own ORDER BY + LIMIT referencing the outer customer.
+    * Catalyst decorrelates it (DecorrelateInnerQuery rewrites the
+    * per-row limit into a partitioned rank filter), so the executed
+    * plan is one equi-join plus a per-customer window — bounded
+    * partitions, never a nested loop, the plan you'd hand-write at
+    * 100 TB. The outer filter keeps the result review-sized; the
+    * decorrelation shape is independent of it. */
+  def q53Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q53_c")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q53_o")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |FROM q53_c c JOIN LATERAL (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice
+        |  FROM q53_o
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_nationkey = 7
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  val q53Sql: String =
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice
+      |FROM customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o ON true
+      |WHERE c.c_nationkey = 7
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_scalar_subquery" -> (q21ScalarSubquery _),
     "q22_cube" -> (q22Cube _),
@@ -771,7 +808,8 @@ object Relational2 {
     "q46_offset" -> (q46Offset _),
     "q49_ignore_nulls" -> (q49IgnoreNulls _),
     "q50_histogram" -> (q50Histogram _),
-    "q51_funnel" -> (q51Funnel _))
+    "q51_funnel" -> (q51Funnel _),
+    "q53_lateral" -> (q53Lateral _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -799,5 +837,6 @@ object Relational2 {
     "q46_offset" -> q46Sql,
     "q49_ignore_nulls" -> q49Sql,
     "q50_histogram" -> q50Sql,
-    "q51_funnel" -> q51Sql)
+    "q51_funnel" -> q51Sql,
+    "q53_lateral" -> q53Sql)
 }

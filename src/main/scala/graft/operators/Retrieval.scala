@@ -400,4 +400,89 @@ object Retrieval {
        |    / ${LpScale}.0, 6) AS mean_lp
        |FROM bg JOIN lp USING (bg)
        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
+  // ---- t17: Zipf rank-frequency diagnostics -------------------------
+
+  /** t17: per-source Zipf slope — the corpus-health diagnostic: fit
+    * ln(freq) against ln(rank) over each source's term-frequency
+    * table and report the least-squares slope. Natural language sits
+    * near −1 (Zipf's law); machine-generated or template-spam
+    * sources flatten (slope → 0) or collapse to a few heads — a
+    * cheap, model-free "does this source look like language" signal
+    * corpus curation pipelines gate ingest with.
+    *
+    * Exactness: both lns evaluate on the per-source VOCABULARY
+    * relation (bounded — the t15 discipline) and quantize to the
+    * [[LpScale]] grid immediately, so the regression moments are
+    * exact integer sums and the final slope is one BIGINT÷BIGINT
+    * IEEE division, identical on any engine or partitioning. Moment
+    * products stay under 2⁶³ for vocabularies to ~10⁵ terms per
+    * source (x,y ≤ ln(10⁸)·10⁶ < 2·10⁷; n·Σxy < 10⁵·10⁵·4·10¹⁴ is
+    * out of range only past that — the per-source vocab here is
+    * double-digit). Rank ties break by term so the rank assignment
+    * is total.
+    *
+    * Plan shape: one (source, term) aggregate (map-side combined),
+    * a per-source rank window over the vocabulary relation (bounded
+    * partitions — the t12 class, never corpus-sized), one per-source
+    * moment aggregate. Single-term sources have zero rank variance
+    * (slope undefined) and are dropped by the n ≥ 2 filter. */
+  def t17ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(TextFunctions.words(col("text"))).as("term"))
+    val tf = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val rnk = tf.withColumn("rank", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("tf").desc, col("term"))))
+    val q = rnk.select(col("source"),
+      floor(lit(LpScale.toDouble) * log(col("rank").cast("double")))
+        .cast("long").as("x"),
+      floor(lit(LpScale.toDouble) * log(col("tf").cast("double")))
+        .cast("long").as("y"))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  val t17Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH tok AS (
+       |  SELECT source, unnest($w) AS term FROM documents),
+       |tf AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |rnk AS (
+       |  SELECT source, tf, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY tf DESC, term) AS rank
+       |  FROM tf),
+       |q AS (
+       |  SELECT source,
+       |    CAST(FLOOR(${LpScale}.0 * ln(CAST(rank AS DOUBLE)))
+       |      AS BIGINT) AS x,
+       |    CAST(FLOOR(${LpScale}.0 * ln(CAST(tf AS DOUBLE)))
+       |      AS BIGINT) AS y
+       |  FROM rnk),
+       |m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM q GROUP BY 1)
+       |SELECT source, n_terms,
+       |  ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+       |FROM m WHERE n_terms >= 2
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -178,4 +178,126 @@ object Sampling {
        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- d35: weighted sampling without replacement -------------------
+
+  /** Sample size for d35. */
+  val WsrK = 100
+
+  /** Priority resolution: u is a 10⁶-grid uniform, priority =
+    * u·10⁶ ÷ weight in pure integer arithmetic. */
+  val WsrScale = 1000000L
+
+  /** d35: deterministic weighted sampling without replacement —
+    * sequential Poisson sampling (Ohlsson 1998, the public πps
+    * survey-sampling scheme): each row draws a uniform u and the k
+    * rows with the SMALLEST priority u/w are the sample, so
+    * inclusion probability is approximately proportional to the
+    * weight w (here n_chars — "sample long documents more").
+    *
+    * Training-data use: char-weighted corpus subsampling picks the
+    * documents carrying the most text mass without a global sort by
+    * size (which would take the same docs every run) and without
+    * `sample()`'s partition-order RNG (not reproducible across
+    * cluster shapes).
+    *
+    * Everything is exact integer arithmetic — u is the same Knuth
+    * multiplicative hash as d09 (a pure function of doc_id), and the
+    * priority is one integer multiply + floor division, so the
+    * sample is bit-identical on any engine, partitioning, or cluster
+    * size, with NO transcendentals to disagree on (the
+    * Efraimidis–Spirakis u^(1/w) key needs pow; u/w ranks
+    * identically for one-draw-per-row πps and stays in ℤ).
+    *
+    * Plan shape at scale: one narrow projection, then
+    * TakeOrderedAndProject with k=[[WsrK]] — per-partition bounded
+    * heaps, no global sort, no shuffle of the corpus. Ties break by
+    * doc_id (exact duplicates of (u, w) are possible across the id
+    * space). */
+  def d35WeightedSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"((pmod(doc_id * 2654435761, $WsrScale) + 1) * $WsrScale)" +
+          " div n_chars").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WsrK)
+  }
+
+  val d35Sql: String =
+    s"""SELECT doc_id, source, n_chars,
+       |  (((doc_id * 2654435761) % $WsrScale + 1) * $WsrScale)
+       |    // n_chars AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id
+       |LIMIT $WsrK""".stripMargin
+
+  // ---- d38: quality-weighted source mixture -------------------------
+
+  /** Weight grid for d38 (parts-per-million). */
+  val MixScale = 1000000L
+
+  /** d38: quality-driven source reweighting — the data-mixture lever
+    * tuned from the corpus's own quality signal (the DoReMi-family
+    * idea reduced to its measurable core): each source's sampling
+    * weight is its share of total quality mass, so a source whose
+    * documents score well under t02's rubric is upsampled relative
+    * to its raw size. Downstream, d09/d18-style hash membership
+    * consumes weight_fp directly as a per-source keep rate.
+    *
+    * Exactness: the per-doc quality (already engine-exact — t02
+    * hash-matches) quantizes to integer micros per DOCUMENT, so the
+    * per-source and corpus totals are exact integer sums and
+    * weight_fp = one integer multiply + floor division. The 1-row
+    * corpus total rides a broadcast cross join (the t15
+    * bounded-literal pattern). One doc-level aggregate, one
+    * |sources|-row pass — nothing else moves. */
+  def d38SourceWeights(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .withColumn("st", graft.functions.TextFunctions.wordStats(col("text")))
+      .withColumn("n_chars", length(trim(col("text"))).cast("long"))
+      .withColumn("alpha_ratio", round(
+        length(regexp_replace(trim(col("text")), "[^a-z]", ""))
+          .cast("double") / col("n_chars"), 6))
+      .withColumn("avg_word_len", round(
+        col("st.len_sum").cast("double") / col("st.n_words"), 6))
+      .withColumn("q_fp", round(lit(MixScale.toDouble) * (
+        least(col("st.n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          col("alpha_ratio") * 0.3 +
+          when(col("avg_word_len").between(3.0, 8.0), 0.2)
+            .otherwise(0.0)), 0).cast("long"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_fp")).as("q_sum"))
+    val total = perSource.agg(sum(col("q_sum")).as("q_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("q_sum"),
+        expr(s"(q_sum * $MixScale) div q_total").as("weight_fp"))
+      .orderBy(col("source"))
+  }
+
+  val d38Sql: String = {
+    val w = graft.functions.TextFunctions.wordsSql
+    s"""WITH q AS (
+       |  SELECT source,
+       |    CAST(ROUND($MixScale.0 * (
+       |      LEAST(CAST(len($w) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |      ROUND(CAST(length(regexp_replace(trim(text), '[^a-z]', '',
+       |        'g')) AS DOUBLE) / length(trim(text)), 6) * 0.3 +
+       |      CASE WHEN ROUND(CAST(list_sum(list_transform($w,
+       |          x -> length(x))) AS DOUBLE) / len($w), 6)
+       |        BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 0)
+       |      AS BIGINT) AS q_fp
+       |  FROM documents),
+       |ps AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(q_fp) AS BIGINT) AS q_sum
+       |  FROM q GROUP BY 1),
+       |tt AS (SELECT CAST(sum(q_sum) AS BIGINT) AS q_total FROM ps)
+       |SELECT source, n_docs, q_sum,
+       |  (q_sum * $MixScale) // q_total AS weight_fp
+       |FROM ps CROSS JOIN tt
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -643,4 +643,58 @@ object TextAnalysis {
        |FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
        |ORDER BY w.doc_id""".stripMargin
   }
+
+  /** t18: language-ID confusion matrix — t01's predictor audited
+    * against the corpus's own language LABELS: per (label, predicted)
+    * cell, the document count and its share of the label's total.
+    * The classifier-QA report every labeled-corpus pipeline runs
+    * before trusting a filter model in production (is "en"-recall
+    * high enough to gate ingest on?).
+    *
+    * Plan shape: the per-doc prediction rides the one-pass WordStats
+    * kernel (no second scan), one (label, pred) count aggregate
+    * (map-side combined), and per-label totals re-attach on the
+    * |labels|·|preds|-row aggregate output — a tiny
+    * aggregate-derived relation, joined SHUFFLED by the t11/d16
+    * statless rule even though it would "fit" broadcast at any
+    * scale. The share is one BIGINT÷BIGINT IEEE division. */
+  def t18LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.load(spark, dir, "documents")
+      .withColumn("st", TextFunctions.wordStats(col("text")))
+      .withColumn("en_ratio",
+        col("st.stop_hits").cast("double") / col("st.n_words"))
+      .select(col("lang"),
+        when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("other"))
+          .as("pred_lang"))
+    val cells = pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("lang_total"))
+    cells.join(totals.hint("shuffle_hash"), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double")
+          / col("lang_total").cast("double"), 6).as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langConfusionSql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH pred AS (
+       |  SELECT lang,
+       |    CASE WHEN CAST(list_sum(list_transform($w,
+       |      w -> CASE WHEN w IN $stopListSql THEN 1 ELSE 0 END))
+       |      AS DOUBLE) / len($w) >= 0.05
+       |      THEN 'en' ELSE 'other' END AS pred_lang
+       |  FROM documents),
+       |cells AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM pred GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+       |  FROM cells GROUP BY 1)
+       |SELECT cells.lang, pred_lang, n_docs,
+       |  ROUND(CAST(n_docs AS DOUBLE) / lang_total, 6) AS share
+       |FROM cells JOIN tot ON cells.lang = tot.lang
+       |ORDER BY cells.lang, pred_lang""".stripMargin
+  }
 }

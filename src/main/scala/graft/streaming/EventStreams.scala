@@ -715,6 +715,81 @@ object EventStreams {
        |GROUP BY 1 ORDER BY wnd""".stripMargin
   }
 
+  /** Per-source acceptance quota for s12. */
+  val QuotaK = 50
+
+  /** s12: per-source ingest quota — accept only the FIRST
+    * [[QuotaK]] documents from each source (arrival order = doc_id,
+    * the s10/s11 convention): the rate-cap every multi-source crawl
+    * ingest runs so one runaway source can't flood the corpus.
+    *
+    * Registered batch form: grouped bounded-heap min-k (the q15
+    * TopKAgg) — NOT a per-source window sort: partial heaps combine
+    * map-side, so the plan is one aggregate whose state is
+    * k·|sources| entries regardless of corpus size (the s09 lesson
+    * applied at design time: no corpus-sized sort partition even as
+    * source cardinality stays low). The oracle states the same
+    * contract as the naive rank window. [[quotaStream]] is the
+    * ingest-time form: one counter per source in keyed state, O(1)
+    * per document, spec-pinned equal across micro-batches. */
+  def s12SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TopK
+    val agg = new TopK.TopKAgg(QuotaK)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        struct((-col("doc_id")).cast("double").as("score"),
+          col("doc_id").as("id")).as("entry"))
+      .as[(String, TopK.Entry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top.entries")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("seq"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("source"), col("seq"))
+  }
+
+  val s12Sql: String =
+    s"""SELECT source, CAST(rn AS BIGINT) AS seq, doc_id
+       |FROM (
+       |  SELECT source, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $QuotaK
+       |ORDER BY source, seq""".stripMargin
+
+  case class SourcedDoc(doc_id: Long, source: String, ts: Timestamp)
+
+  /** Accepted-so-far counter state for [[quotaStream]]. */
+  case class QuotaState(n: Long)
+
+  /** s12's ingest-time form: one counter per source in keyed state —
+    * O(1) state and O(1) work per arriving document, no shuffle of
+    * accepted rows. Arrival order within a micro-batch is doc_id
+    * (and across batches the feed is batch-monotonic — the
+    * shardStream contract, spec-pinned), so acceptance is
+    * deterministic: a document is admitted iff fewer than k from its
+    * source arrived before it. */
+  def quotaStream(docs: Dataset[SourcedDoc], k: Int = QuotaK)
+      : Dataset[(String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[SourcedDoc],
+            state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = Seq.newBuilder[(String, Long, Long)]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (n < k) { n += 1; out += ((src, n, d.doc_id)) }
+          }
+          state.update(QuotaState(n))
+          out.result().iterator
+      }
+  }
+
   /** Streaming form with explicit state, for the spec: one state
     * object per user, emitting closed sessions. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)

@@ -1286,6 +1286,98 @@ class PipelineSpec extends AnyFunSuite {
       assert((d, code) == best, s"vec $v subspace $s")
     }
   }
+
+  test("d35 weighted sample matches independent priority math, favors long docs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    // the d18 discipline: recompute the sequential-Poisson priorities
+    // in plain Scala from the raw table and demand the exact same
+    // k-set — the sample must be a pure function of the data
+    val raw = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = raw.map { case (id, w) =>
+      val u = Math.floorMod(id * 2654435761L, Sampling.WsrScale) + 1
+      (u * Sampling.WsrScale / w, id)
+    }.sorted.take(Sampling.WsrK).map(_._2).toSet
+    val got = Sampling.d35WeightedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.length == Sampling.WsrK)
+    assert(got.toSet == expect)
+    // πps weighting: char-weighted inclusion must pull the sample's
+    // mean doc length above the corpus mean
+    val corpusMean = raw.map(_._2).sum.toDouble / raw.length
+    val sampleMean = raw.filter(r => expect(r._1))
+      .map(_._2).sum.toDouble / Sampling.WsrK
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("d36 HITS: max-normalized fixed point, scores bounded, both sides present") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LinkGraph
+    val hits = LinkGraph.d36Hits(spark, sf).cache()
+    val byKind = hits.groupBy("kind")
+      .agg(count(lit(1)).as("n"), max(col("score_fp")).as("mx"),
+        min(col("score_fp")).as("mn"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byKind.keySet == Set("hub", "authority"))
+    byKind.foreach { case (kind, (n, mx, mn)) =>
+      assert(n > 0)
+      // max-normalization makes the best score exactly RankScale and
+      // every participant strictly positive (everyone in the edge
+      // relation has at least one neighbor contributing)
+      assert(mx == LinkGraph.RankScale, s"$kind max $mx")
+      assert(mn > 0L && mn <= LinkGraph.RankScale, s"$kind min $mn")
+    }
+  }
+
+  test("d37 containment: planted truncations are fully contained in originals") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.d37Containment(spark, sf).cache()
+    // b = a minus its last word, so S(b) is a subset of S(a):
+    // containment of b in a must be exactly 1, while a in b stays <= 1
+    // -- the asymmetry symmetric Jaccard can't express
+    val planted = pairs.filter(col("b_id") === col("a_id") + 1000000L)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("contain_ba") < 1.0).count() == 0)
+    assert(planted.filter(col("contain_ab") > col("contain_ba"))
+      .count() == 0)
+    // all containments are valid ratios
+    assert(pairs.filter(col("contain_ab") < 0 || col("contain_ab") > 1
+      || col("contain_ba") < 0 || col("contain_ba") > 1).count() == 0)
+  }
+
+  test("s12 quota stream equals the bounded-heap batch form across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real corpus fed in three doc_id-monotone micro-batches (the
+    // shardStream ingest contract): the per-source counter state must
+    // admit exactly the docs the batch bounded-heap form keeps
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => EventStreams.SourcedDoc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(1700000040000L + r.getLong(0))))
+      .sortBy(_.doc_id)
+    val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.SourcedDoc]
+    val q = EventStreams.quotaStream(input.toDS())
+      .toDF("source", "seq", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_stream").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("quota_stream")
+        .select("source", "seq", "doc_id")
+      val batch = EventStreams.s12SourceQuota(spark, sf)
+        .select("source", "seq", "doc_id")
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
 }
 
 /** Counting KeyedStore for the checkpoint-restart spec: reuses

@@ -202,6 +202,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "d31_sq8" -> "per-dimension quantization stats: dim rows",
       "t15_unigram_lp" -> "corpus token-total scalar: 1 row",
       "t16_bigram_lp" -> "corpus token-total scalar: 1 row",
+      "d38_source_weights" -> "corpus quality-total scalar: 1 row",
       "s11_stream_decontam" ->
         "eval-suite grams: bounded by construction (d13's contract)")
     val flagged = SparkEntry.queries.keys.toSeq.sorted

@@ -78,4 +78,26 @@ class Relational2Spec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q53 lateral decorrelates to the window formulation, no nested loop") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Relational2.q53Lateral(spark, sf)
+    // the correlated ORDER BY ... LIMIT must execute as a partitioned
+    // rank, not a per-row re-scan of orders
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // semantics: identical to the hand-decorrelated window form
+    val c = Tables.load(spark, sf, "customer").filter(col("c_nationkey") === 7)
+      .select(col("c_custkey"), col("c_name"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val expect = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    assert(got.exceptAll(expect).count() == 0
+      && expect.exceptAll(got).count() == 0)
+  }
 }

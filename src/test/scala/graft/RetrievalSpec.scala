@@ -69,4 +69,23 @@ class RetrievalSpec extends AnyFunSuite {
       "non-positive BM25 score")
     tfidf.unpersist(); post.unpersist(); bm.unpersist()
   }
+
+  test("t17 zipf slopes are negative and the fit is scale-free in rank") {
+    import org.apache.spark.sql.functions._
+    val slopes = Retrieval.t17ZipfSlope(spark, sf).collect()
+    // every source has a multi-term vocabulary here
+    val srcs = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(slopes.length == srcs)
+    slopes.foreach { r =>
+      val (src, n, sl) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n >= 2, src)
+      // frequency must FALL with rank on any real token distribution;
+      // the synthetic near-uniform draw keeps it shallow (> -1), true
+      // Zipfian text sits near -1 — the diagnostic's whole point is
+      // that this number separates the two regimes
+      assert(sl < 0.0, s"$src slope $sl not negative")
+      assert(sl > -5.0, s"$src slope $sl implausibly steep")
+    }
+  }
 }
