@@ -122,6 +122,22 @@ object GeomOps {
 
   def normalized(g: Geometry): Geometry = { val c = g.copy(); c.normalize(); c }
 
+  /** Douglas–Peucker simplification (JTS) — the zoom-dependent
+    * geometry thinning a tile renderer applies before encoding lower
+    * zoom levels (fewer vertices per on-screen pixel; shapely's
+    * `simplify(preserve_topology=False)` is this class). Vertices of
+    * the result are a subset of the input's; endpoints are kept;
+    * max deviation ≤ tol. */
+  def simplify(g: Geometry, tol: Double): Geometry =
+    org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(g, tol)
+
+  /** Topology-preserving variant (shapely `preserve_topology=True`,
+    * the default map2db-style choice for polygons — rings can't
+    * collapse or self-cross under it). */
+  def simplifyPreserving(g: Geometry, tol: Double): Geometry =
+    org.locationtech.jts.simplify.TopologyPreservingSimplifier
+      .simplify(g, tol)
+
   def union(a: Geometry, b: Geometry): Geometry = a.union(b)
 
   /** N-way union via JTS UnaryUnionOp (cascaded) — O(n log n)-ish vs

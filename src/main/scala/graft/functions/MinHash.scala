@@ -26,6 +26,13 @@ object MinHashKernel {
     z ^ (z >>> 31)
   }
 
+  /** The permutation words, exposed so an oracle can replay the
+    * signature: slot k of [[signature]] is min over shingle hashes h
+    * of `h XOR mixWords(n)(k)` — one XOR and a signed-BIGINT min,
+    * replayable in any SQL engine given these constants. */
+  def mixWords(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(k => mix(k + 1L))
+
   /** Fold all minima over pre-hashed shingles (array<long>). */
   def signature(hashes: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)

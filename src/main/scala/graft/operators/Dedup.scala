@@ -782,4 +782,148 @@ object Dedup {
        |LEFT JOIN cnt cb ON cb.doc_id = p.b_id
        |ORDER BY p.a_id, p.b_id""".stripMargin
   }
+
+  /** d40: dedup-impact report — the cluster-size histogram: how many
+    * duplicate clusters exist at each size and how much document mass
+    * they hold. THE summary a dedup operator reads before committing
+    * a multi-PB delete ("are we removing 3% or 30%, and is it one
+    * giant boilerplate cluster or many small mutation pairs?").
+    * Composes d07's connected components; the histogram itself is a
+    * |cluster-sizes|-row aggregate over the |clusters|-row output —
+    * free at any scale. */
+  def d40ClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  lazy val d40Sql: String =
+    s"""SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |FROM ($dedupClustersSql)
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** Signature width for d39's calibration — deliberately NARROWER
+    * than the production [[NumHashes]] so the estimator error being
+    * measured is visible (at 16 slots the standard error
+    * √(J(1−J)/16) ≈ 0.1 near J = 0.8). */
+  val CalibK = 16
+
+  /** d39: MinHash estimator calibration — measured estimator-vs-truth
+    * error on the planted pairs: est = (matching signature slots)/k
+    * against d04's exact shingle-set Jaccard. The report that tells a
+    * 100 TB dedup operator whether their signature width and LSH
+    * threshold are actually delivering the resemblance cutoff they
+    * think they configured (E[est] = J is the Broder guarantee; the
+    * VARIANCE is what bites at k = 32 and J near the 0.5 threshold).
+    *
+    * Replayability: the signature kernel is min(h XOR mixWord(k))
+    * over the shingle-hash set — with md5-derived base hashes (the
+    * d03 portable-family trick) every slot is one XOR + one signed-
+    * BIGINT min, so the DuckDB oracle replays the SIGNATURES
+    * themselves bit-for-bit, not just the estimate. Production keeps
+    * XXH64 ([[withSignature]]); the kernel is the same either way.
+    * Pair relation is the planted set (bounded, id-derived); the
+    * per-pair slot compare is a 16-element zip on that narrow
+    * relation. */
+  def d39MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithPlants(spark, dir)
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("hs", array_sort(array_distinct(
+        transform(shingleStrings(col("t"), col("w"), 3), s => md5Long(s)))))
+      .withColumn("sig", graft.functions.MinHash.minhash(col("hs"), CalibK))
+      .select(col("doc_id"), col("hs"), col("sig"))
+    val a = corpus.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("sig").as("sa"))
+    val b = corpus.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("a_id"), col("hs").as("hb"),
+        col("sig").as("sb"))
+    a.join(b, "a_id")
+      .select(col("a_id"),
+        round(aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / CalibK, 6)
+          .as("est_jaccard"),
+        round(graft.functions.MinHash.sortedJaccard(col("ha"), col("hb")),
+          6).as("jaccard"))
+      .withColumn("abs_err", round(abs(
+        col("est_jaccard") - col("jaccard")), 6))
+      .orderBy(col("a_id"))
+  }
+
+  /** 8-hex-char BIGINT parse at offset `from` (the d03 digit walk —
+    * DuckDB has no hex strtol). */
+  private def d39Half(from: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+       |  p -> (CAST(strpos('0123456789abcdef',
+       |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
+       |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
+      .stripMargin
+
+  lazy val d39Sql: String = {
+    val w = TextFunctions.wordsSql
+    val mixes = graft.functions.MinHashKernel.mixWords(CalibK)
+    val mixVals = mixes.zipWithIndex
+      .map { case (m, k) => s"($k, CAST($m AS BIGINT))" }.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM ($corpusSql)
+       |  WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s
+       |  FROM (SELECT doc_id, unnest(
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |    WHEN len(${TextFunctions.wordsSql}) >= 3 THEN
+       |      list_transform(generate_series(1,
+       |          len(${TextFunctions.wordsSql}) - 2),
+       |        i -> ${TextFunctions.wordsSql}[i] || ' ' ||
+       |          ${TextFunctions.wordsSql}[i+1] || ' ' ||
+       |          ${TextFunctions.wordsSql}[i+2])
+       |    ELSE [trim(text)] END) AS s FROM corpus)),
+       |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |h2 AS (SELECT doc_id, ${d39Half(1)} AS hi, ${d39Half(9)} AS lo
+       |       FROM hx),
+       |-- signed 64-bit reassembly of the two md5 halves: hi shifts
+       |-- into the sign bit exactly as Spark's shiftleft wraps
+       |hl AS (
+       |  SELECT doc_id,
+       |    (hi - CASE WHEN hi >= 2147483648
+       |       THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS hv
+       |  FROM h2),
+       |mx(k, c) AS (VALUES $mixVals),
+       |sig AS (
+       |  SELECT doc_id, mx.k, MIN(xor(hv, mx.c)) AS m
+       |  FROM hl CROSS JOIN mx GROUP BY 1, 2),
+       |est AS (
+       |  SELECT a.doc_id AS a_id,
+       |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS hits
+       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+       |    AND b.k = a.k
+       |  WHERE a.doc_id < 1000000
+       |  GROUP BY 1),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a_id, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s
+       |    AND y.doc_id = x.doc_id + 1000000
+       |  WHERE x.doc_id < 1000000
+       |  GROUP BY 1),
+       |tru AS (
+       |  SELECT a_id,
+       |    ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = a_id
+       |  JOIN cnt cb ON cb.doc_id = a_id + 1000000)
+       |SELECT est.a_id,
+       |  ROUND(CAST(hits AS DOUBLE) / $CalibK, 6) AS est_jaccard,
+       |  tru.jaccard,
+       |  ROUND(ABS(ROUND(CAST(hits AS DOUBLE) / $CalibK, 6)
+       |    - tru.jaccard), 6) AS abs_err
+       |FROM est JOIN tru ON tru.a_id = est.a_id
+       |ORDER BY est.a_id""".stripMargin
+  }
 }

@@ -697,4 +697,63 @@ object TextAnalysis {
        |FROM cells JOIN tot ON cells.lang = tot.lang
        |ORDER BY cells.lang, pred_lang""".stripMargin
   }
+
+  /** N-gram order for t19 novelty. */
+  val NoveltyN = 3
+
+  /** t19: n-gram novelty scoring — per document, the fraction of its
+    * distinct word trigrams that FIRST appear in it (no earlier
+    * doc_id contains them): the memorization/data-value signal
+    * curriculum and dedup-aggressiveness decisions read (a corpus
+    * whose late documents contribute no new n-grams is saturated —
+    * more of the same source adds nothing a model hasn't seen).
+    *
+    * Plan shape at scale: one distinct-gram explode, a gram-keyed
+    * min aggregate (map-side combined), and the first-occurrence
+    * table re-attached to the gram stream by a SHUFFLED equi-join —
+    * it is gram-vocabulary-scale (corpus-sized, statless: the
+    * canonical t11/d16 OOM-broadcast candidate), then one per-doc
+    * count. Both corpus-wide shuffles hash on `gram`. Docs shorter
+    * than [[NoveltyN]] words have no grams and drop out (stated, as
+    * in t16's single-word drop). */
+  def t19Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordNgrams(
+          col("text"), NoveltyN))).as("gram"))
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(
+        col("n_novel").cast("double") / col("n_grams"), 6))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String = {
+    val parts = (0 until NoveltyN)
+      .map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $NoveltyN THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1, len(ws) - ${NoveltyN - 1}),
+       |      i -> $parts)) ELSE [] END) AS gram
+       |  FROM w),
+       |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  ROUND(CAST(sum(CASE WHEN f.first_doc = g.doc_id
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+       |FROM g JOIN f USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
 }

@@ -187,17 +187,43 @@ object Interchange {
   def smallDir(dir: String): String = roundTripDir("small", dir)
   def compactedDir(dir: String): String = roundTripDir("compacted", dir)
 
+  /** f06: documents → TAB-separated plain-text lines
+    * (`write.text`/`read.text` + an explicit split — the landing
+    * format log shippers and `hadoop fs -text` pipelines emit) →
+    * parse → digest. The free-text column rides LAST with a
+    * bounded split (limit = field count) so embedded tabs in text
+    * can't shift earlier fields; `text` sources are line-splittable,
+    * so at 100 TB every file still parallelizes by block the way
+    * JSONL does (the f02 multiLine caveat doesn't apply). */
+  def f06TsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("tsv", dir)
+    docs.select(concat_ws("\t", col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    digest(spark.read.text(out)
+      .select(split(col("value"), "\t", 5).as("f"))
+      .select(col("f")(0).cast("long").as("doc_id"),
+        col("f")(1).as("lang"), col("f")(2).as("source"),
+        col("f")(3).cast("long").as("n_chars"),
+        col("f")(4).as("text")))
+  }
+
+  val f06Sql: String = digestSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
     "f03_orc_roundtrip" -> (f03OrcRoundTrip _),
     "f04_partition_prune" -> (f04PartitionedPrune _),
-    "f05_compaction" -> (f05Compact _))
+    "f05_compaction" -> (f05Compact _),
+    "f06_tsv_roundtrip" -> (f06TsvRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
     "f02_csv_roundtrip" -> f02Sql,
     "f03_orc_roundtrip" -> f03Sql,
     "f04_partition_prune" -> f04Sql,
-    "f05_compaction" -> f05Sql)
+    "f05_compaction" -> f05Sql,
+    "f06_tsv_roundtrip" -> f06Sql)
 }

@@ -119,4 +119,33 @@ class GeometrySpec extends AnyFunSuite {
     assert(GeomOps.toWkb(GeomOps.normalized(a)).toSeq ==
       GeomOps.toWkb(GeomOps.normalized(b)).toSeq)
   }
+
+  test("Douglas-Peucker simplify: vertex subset, endpoints kept, tol bound") {
+    // a jittered line: y-noise of ±2e-5 around y=0 over 100 points;
+    // tol 1e-4 must collapse it to (nearly) the endpoints, tol 1e-6
+    // must keep every jitter vertex
+    val pts = (0 until 100).map(i =>
+      (i * 1e-3, if (i % 2 == 0) 2e-5 else -2e-5))
+    val line = GeomOps.lineString(pts)
+    val simple = GeomOps.simplify(line, 1e-4)
+    val kept = simple.getCoordinates.toSeq
+    val orig = line.getCoordinates.toSeq
+    assert(kept.size < orig.size / 10, s"kept ${kept.size}")
+    assert(kept.toSet.subsetOf(orig.toSet), "DP must keep a vertex SUBSET")
+    assert(kept.head == orig.head && kept.last == orig.last)
+    // deviation bound: every original vertex within tol of the result
+    assert(orig.forall(c =>
+      simple.distance(GeomOps.point(c.x, c.y)) <= 1e-4 + 1e-12))
+    // below-noise tolerance keeps everything
+    assert(GeomOps.simplify(line, 1e-6).getCoordinates.length ==
+      orig.size)
+    // topology-preserving variant never empties a polygon
+    val ring = (0 until 36).map { i =>
+      val a = i * math.Pi / 18
+      (math.cos(a), math.sin(a))
+    }
+    val poly = GeomOps.polygon(ring :+ ring.head)
+    val sp = GeomOps.simplifyPreserving(poly, 10.0)
+    assert(!sp.isEmpty && sp.getArea > 0, "preserving variant collapsed")
+  }
 }

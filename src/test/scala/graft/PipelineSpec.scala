@@ -1349,6 +1349,20 @@ class PipelineSpec extends AnyFunSuite {
       || col("contain_ba") < 0 || col("contain_ba") > 1).count() == 0)
   }
 
+  test("t19 novelty: the earliest document is all-novel, ratios bounded") {
+    import org.apache.spark.sql.functions._
+    val nov = TextAnalysis.t19Novelty(spark, sf).cache()
+    val firstDoc = nov.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    // no earlier doc exists, so every gram of the first doc is novel
+    val f = nov.filter(col("doc_id") === firstDoc).collect()(0)
+    assert(f.getAs[Long]("n_novel") == f.getAs[Long]("n_grams"))
+    assert(f.getAs[Double]("novelty") == 1.0)
+    assert(nov.filter(col("novelty") < 0 || col("novelty") > 1)
+      .count() == 0)
+    assert(nov.filter(col("n_novel") > col("n_grams")).count() == 0)
+    nov.unpersist()
+  }
+
   test("s12 quota stream equals the bounded-heap batch form across micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
