@@ -782,6 +782,46 @@ object Relational2 {
       |WHERE c.c_nationkey = 7
       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
+  /** q54: cohort retention — the canonical product-analytics rollup:
+    * users grouped by first-activity week, counted in each subsequent
+    * week they return. Plan shape: one user-keyed min aggregate for
+    * the cohort table, re-attached to the event stream by a SHUFFLED
+    * user-keyed equi-join (the cohort relation is user-scale,
+    * aggregate-derived, statless — broadcast would OOM at real user
+    * counts), then a distinct + count keyed on the (cohort, offset)
+    * pair. Three hash shuffles, all on natural keys, no window. */
+  def q54CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(col("ts").cast("date"),
+          to_date(lit("2024-01-01"))) / 7).cast("long").as("wk"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    ev.join(cohorts.hint("shuffle_hash"), Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q54Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
+      |      AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+      |d AS (
+      |  SELECT DISTINCT ev.user_id, cohort_week,
+      |    wk - cohort_week AS week_offset
+      |  FROM ev JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM d GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_scalar_subquery" -> (q21ScalarSubquery _),
     "q22_cube" -> (q22Cube _),
@@ -809,7 +849,8 @@ object Relational2 {
     "q49_ignore_nulls" -> (q49IgnoreNulls _),
     "q50_histogram" -> (q50Histogram _),
     "q51_funnel" -> (q51Funnel _),
-    "q53_lateral" -> (q53Lateral _))
+    "q53_lateral" -> (q53Lateral _),
+    "q54_cohort_retention" -> (q54CohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q21_scalar_subquery" -> q21Sql,
@@ -838,5 +879,6 @@ object Relational2 {
     "q49_ignore_nulls" -> q49Sql,
     "q50_histogram" -> q50Sql,
     "q51_funnel" -> q51Sql,
-    "q53_lateral" -> q53Sql)
+    "q53_lateral" -> q53Sql,
+    "q54_cohort_retention" -> q54Sql)
 }

@@ -1726,4 +1726,103 @@ object Similarity {
        |  FROM pr WHERE d <= $SemThreshold)
        |SELECT dup_id, keep_id, d, cell FROM f WHERE rn = 1
        |ORDER BY dup_id""".stripMargin
+
+  // ---- d41: label-cluster cohesion/separation report ----------------
+
+  /** d41: embedding-space health report per label — within-class
+    * cohesion (mean squared distance to the label centroid) and
+    * between-class separation (squared distance of the label
+    * centroid to the global centroid): the Fisher-style ratio behind
+    * "are these labels actually separable in embedding space",
+    * checked BEFORE anyone trains a probe on them (d34's hard
+    * negatives are only meaningful if separation is real).
+    *
+    * Exactness: the d22 discipline — vectors quantize to the 10⁶
+    * grid, centroids are floor-of-mean (component sums < 2⁵³ so the
+    * double division floors identically on both engines), and every
+    * dispersion/separation sum is exact integer arithmetic
+    * (diff² ≤ 1.6·10¹³ per dim; Σ over dims×members stays in BIGINT
+    * through ~10⁵ members per label at this dim count — past that,
+    * mean-of-per-member means, same contract family as d32's bound).
+    *
+    * Plan shape: one dim-explode aggregate per statistic (map-side
+    * combined, keyed on (label, dim) / dim), the centroid tables
+    * re-attach to the exploded stream by SHUFFLED equi-join
+    * (aggregate-derived, statless — the t11 rule), and the final
+    * assembly joins three |labels|-row relations. The corpus-side
+    * explode streams; nothing corpus-sized is ever broadcast or
+    * sorted. */
+  def d41LabelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quantizeVec(col("embedding")).as("qv"))
+    val ex = vecs.select(col("label"),
+      posexplode(col("qv")).as(Seq("dim", "q")))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+    val glob = ex.groupBy(col("dim"))
+      .agg(sum(col("q")).as("gs"), count(lit(1)).as("gn"))
+      .select(col("dim"),
+        floor(col("gs").cast("double") / col("gn")).cast("long").as("gc"))
+    val disp = ex.join(cent.hint("shuffle_hash"), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+        .as("disp_sum"))
+    val sep = cent.join(glob.hint("shuffle_hash"), Seq("dim"))
+      .groupBy(col("label"))
+      .agg(sum((col("c") - col("gc")) * (col("c") - col("gc")))
+        .as("sep_sq"))
+    val nv = vecs.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    nv.join(disp.hint("shuffle_hash"), Seq("label"))
+      .join(sep.hint("shuffle_hash"), Seq("label"))
+      .select(col("label"), col("n_vectors"), col("disp_sum"),
+        // NO round: at ~1e12 magnitude a 6-decimal ROUND exceeds
+        // double's significand and the engines' decimal round-trips
+        // differ by 1 ulp; the bare integer-over-integer division is
+        // correctly rounded and bit-identical everywhere
+        (col("disp_sum").cast("double")
+          / col("n_vectors").cast("double")).as("mean_disp"),
+        col("sep_sq"))
+      .orderBy(col("label"))
+  }
+
+  val d41Sql: String =
+    s"""WITH ex AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    unnest(list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+       |      AS q,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM ex GROUP BY 1, 2),
+       |gcent AS (
+       |  SELECT dim,
+       |    CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS gc
+       |  FROM ex GROUP BY 1),
+       |disp AS (
+       |  SELECT ex.label, CAST(SUM((q - c) * (q - c)) AS BIGINT)
+       |    AS disp_sum
+       |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+       |  GROUP BY 1),
+       |sep AS (
+       |  SELECT cent.label, CAST(SUM((c - gc) * (c - gc)) AS BIGINT)
+       |    AS sep_sq
+       |  FROM cent JOIN gcent ON gcent.dim = cent.dim
+       |  GROUP BY 1),
+       |nv AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM embeddings GROUP BY 1)
+       |SELECT nv.label, n_vectors, disp_sum,
+       |  CAST(disp_sum AS DOUBLE) / n_vectors AS mean_disp,
+       |  sep_sq
+       |FROM nv
+       |JOIN disp ON disp.label = nv.label
+       |JOIN sep ON sep.label = nv.label
+       |ORDER BY nv.label""".stripMargin
 }

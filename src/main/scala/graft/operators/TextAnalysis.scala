@@ -756,4 +756,42 @@ object TextAnalysis {
        |FROM g JOIN f USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
+
+  /** t20: lexical diversity — per-document type–token ratio and
+    * hapax-legomena share: the vocabulary-richness quality features
+    * (template spam and keyword stuffing collapse TTR; natural prose
+    * holds a characteristic band per length). One (doc_id, word)
+    * aggregate (map-side combined) carries both statistics; ratios
+    * are single integer÷integer IEEE divisions. */
+  def t20LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        round(col("n_types").cast("double")
+          / col("n_words").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double")
+          / col("n_types").cast("double"), 6).as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+
+  val lexicalDiversitySql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($w) AS word FROM documents),
+       |wc AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  ROUND(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+       |  ROUND(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS hapax_ratio
+       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }
