@@ -828,7 +828,10 @@ object Dedup {
     * Pair relation is the planted set (bounded, id-derived); the
     * per-pair slot compare is a 16-element zip on that narrow
     * relation. */
-  def d39MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The portable-signature planted-pair relation d39/d42 audit:
+    * (a_id, ha, sa, hb, sb) — md5-hash shingle sets and replayable
+    * 16-slot signatures for both members of each planted pair. */
+  private def calibPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithPlants(spark, dir)
       .filter(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
       .withColumn("t", trim(col("text")))
@@ -844,6 +847,10 @@ object Dedup {
       .select((col("doc_id") - 1000000L).as("a_id"), col("hs").as("hb"),
         col("sig").as("sb"))
     a.join(b, "a_id")
+  }
+
+  def d39MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    calibPairs(spark, dir)
       .select(col("a_id"),
         round(aggregate(zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -865,12 +872,13 @@ object Dedup {
        |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
       .stripMargin
 
-  lazy val d39Sql: String = {
-    val w = TextFunctions.wordsSql
+  /** Shared CTE prefix for d39/d42: portable signatures (`sig`) and
+    * exact planted-pair Jaccard (`tru`). */
+  private lazy val calibCtes: String = {
     val mixes = graft.functions.MinHashKernel.mixWords(CalibK)
     val mixVals = mixes.zipWithIndex
       .map { case (m, k) => s"($k, CAST($m AS BIGINT))" }.mkString(", ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT doc_id, text FROM ($corpusSql)
        |  WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
        |sh AS (
@@ -898,13 +906,6 @@ object Dedup {
        |sig AS (
        |  SELECT doc_id, mx.k, MIN(xor(hv, mx.c)) AS m
        |  FROM hl CROSS JOIN mx GROUP BY 1, 2),
-       |est AS (
-       |  SELECT a.doc_id AS a_id,
-       |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS hits
-       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
-       |    AND b.k = a.k
-       |  WHERE a.doc_id < 1000000
-       |  GROUP BY 1),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT x.doc_id AS a_id, COUNT(*) AS i
@@ -917,7 +918,18 @@ object Dedup {
        |    ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
        |  FROM inter
        |  JOIN cnt ca ON ca.doc_id = a_id
-       |  JOIN cnt cb ON cb.doc_id = a_id + 1000000)
+       |  JOIN cnt cb ON cb.doc_id = a_id + 1000000)""".stripMargin
+  }
+
+  lazy val d39Sql: String =
+    s"""WITH $calibCtes,
+       |est AS (
+       |  SELECT a.doc_id AS a_id,
+       |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS hits
+       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+       |    AND b.k = a.k
+       |  WHERE a.doc_id < 1000000
+       |  GROUP BY 1)
        |SELECT est.a_id,
        |  ROUND(CAST(hits AS DOUBLE) / $CalibK, 6) AS est_jaccard,
        |  tru.jaccard,
@@ -925,5 +937,58 @@ object Dedup {
        |    - tru.jaccard), 6) AS abs_err
        |FROM est JOIN tru ON tru.a_id = est.a_id
        |ORDER BY est.a_id""".stripMargin
+
+  /** LSH banding for the d42 audit: [[CalibK]] slots split into
+    * bands of [[AuditRows]]. */
+  val AuditBands = 4
+  val AuditRows = CalibK / AuditBands
+
+  /** d42: LSH recall audit — for every planted near-dup pair, does
+    * banded LSH actually PROPOSE it? Reports shared-band count,
+    * candidacy, and the pair's exact Jaccard, so the S-curve the
+    * banding math promises (P[candidate] = 1−(1−J^r)^b) is checked
+    * against ground truth on this corpus — the "is my dedup silently
+    * missing near-dups" question answered with data instead of the
+    * formula. Runs on the portable signatures ([[calibPairs]]) so the
+    * oracle replays banding end to end; the pair relation is the
+    * bounded planted set, and band comparison is slice equality on
+    * 16-slot arrays — no bucket join needed when auditing KNOWN
+    * pairs (production candidacy is d02's bucket join; same bands,
+    * same math). */
+  def d42LshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bandEq = (b: Int) =>
+      when(slice(col("sa"), b * AuditRows + 1, AuditRows) ===
+        slice(col("sb"), b * AuditRows + 1, AuditRows), 1L).otherwise(0L)
+    calibPairs(spark, dir)
+      .select(col("a_id"),
+        (0 until AuditBands).map(bandEq).reduce(_ + _)
+          .as("n_shared_bands"),
+        round(graft.functions.MinHash.sortedJaccard(col("ha"), col("hb")),
+          6).as("jaccard"))
+      .select(col("a_id"), col("n_shared_bands"),
+        when(col("n_shared_bands") >= 1, 1L).otherwise(0L)
+          .as("is_candidate"),
+        col("jaccard"))
+      .orderBy(col("a_id"))
   }
+
+  lazy val d42Sql: String =
+    s"""WITH $calibCtes,
+       |bandcmp AS (
+       |  SELECT a.doc_id AS a_id, a.k // $AuditRows AS band,
+       |    CASE WHEN SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+       |      = $AuditRows THEN 1 ELSE 0 END AS sh
+       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+       |    AND b.k = a.k
+       |  WHERE a.doc_id < 1000000
+       |  GROUP BY 1, 2),
+       |sb AS (
+       |  SELECT a_id, CAST(SUM(sh) AS BIGINT) AS n_shared_bands
+       |  FROM bandcmp GROUP BY 1)
+       |SELECT sb.a_id, n_shared_bands,
+       |  CAST(CASE WHEN n_shared_bands >= 1 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_candidate,
+       |  tru.jaccard
+       |FROM sb JOIN tru ON tru.a_id = sb.a_id
+       |ORDER BY sb.a_id""".stripMargin
 }

@@ -367,4 +367,62 @@ object Multimodal {
       |    / length(trim(text)) AS mean_byte,
       |  ascii(substr(trim(text), 1, 1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Bytes per packed shard for m07. */
+  val ShardBytes = 4096L
+
+  /** m07: blob shard packing — assign every blob its training-shard
+    * file and byte offset (the webdataset/tar-shard layout multimodal
+    * training jobs stream: thousands of blobs concatenated into
+    * fixed-size shard files, readers seek by offset). shard =
+    * floor(exclusive-byte-prefix-sum / [[ShardBytes]]), offset =
+    * position within that shard; a writer consuming this relation
+    * lays the bytes down without any further coordination.
+    *
+    * Same distributed prefix sum as d23 (the naive global byte
+    * cumsum is a single-partition sort — the t05 scale-killer):
+    * contiguous doc_id bins from one collected scalar, per-bin
+    * totals windowed over |bins| rows, parallel within-bin running
+    * sums. The oracle is the naive global-window form — semantics
+    * are partitioning-invisible. */
+  def m07BlobShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val blobs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(encode(trim(col("text")), "UTF-8")).cast("long")
+          .as("n_bytes"))
+    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxId = blobs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val binOf = least(lit(bins - 1),
+      (col("doc_id") * bins / (maxId + 1)).cast("int"))
+    val binned = blobs.withColumn("bin", binOf)
+    val w = W.orderBy(col("bin")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("bin"))
+      .agg(sum(col("n_bytes")).as("bin_bytes"))
+      .withColumn("offset",
+        coalesce(sum(col("bin_bytes")).over(w), lit(0L)))
+      .select(col("bin"), col("offset"))
+    val wRow = W.partitionBy(col("bin")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    binned.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_bytes")).over(wRow), lit(0L)))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("cum_before") / ShardBytes).cast("long").as("shard"),
+        (col("cum_before") % ShardBytes).as("shard_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val blobShardsSql: String =
+    s"""SELECT doc_id, n_bytes,
+       |  CAST(FLOOR(CAST(cum - n_bytes AS DOUBLE) / $ShardBytes)
+       |    AS BIGINT) AS shard,
+       |  CAST((cum - n_bytes) % $ShardBytes AS BIGINT) AS shard_offset
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(trim(text))) AS BIGINT) AS n_bytes,
+       |    SUM(CAST(octet_length(encode(trim(text))) AS BIGINT))
+       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }

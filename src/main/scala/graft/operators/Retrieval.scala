@@ -401,6 +401,101 @@ object Retrieval {
        |FROM bg JOIN lp USING (bg)
        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // ---- t21: PMI collocation extraction ------------------------------
+
+  /** Collocations kept / minimum bigram support for t21. */
+  val PmiTopK = 20
+  val PmiMinCount = 5
+
+  /** t21: pointwise-mutual-information collocations — the corpus's
+    * top bound phrases: PMI = ln(c(ab)·T / (c(a)·c(b))), the
+    * association measure (Church & Hanks) that separates "strong
+    * glue" pairs from merely-frequent ones; phrase mining feeds
+    * tokenizer-merge candidates and boilerplate phrase lists from
+    * exactly this relation. Min support [[PmiMinCount]] drops the
+    * hapax pairs whose PMI is pure noise.
+    *
+    * Exactness: both products stay exact (c(ab)·T and c(a)·c(b)
+    * under 2⁵³ through corpus scales where per-term counts are
+    * ≤ ~10⁷ — stated bound), so the ln argument is ONE division of
+    * two exact doubles and the quantized pmi_q is integer-
+    * comparable. Ranking is the bounded heap (one t05-style global
+    * top-k, never a full sort); rank ties break by bigram. */
+  def t21PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = tokens(docs)
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val cbg = docs.select(explode(TextFunctions.bigrams(col("text")))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= PmiMinCount)
+    val scored = cbg
+      .join(cf.select(col("term"), col("cf").as("c1")).hint("shuffle_hash"),
+        substring_index(col("bg"), " ", 1) === col("term"))
+      .drop("term")
+      .join(cf.select(col("term"), col("cf").as("c2")).hint("shuffle_hash"),
+        substring_index(col("bg"), " ", -1) === col("term"))
+      .drop("term")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("cbg"),
+        floor(lit(LpScale.toDouble) * log(
+          (col("cbg") * col("total")).cast("double") /
+            (col("c1") * col("c2")).cast("double")))
+          .cast("long").as("pmi_q"))
+    val agg = new TopK.TopKStrAgg(PmiTopK)
+    scored
+      .select(col("pmi_q").as("score"), col("bg").as("tag"))
+      .as[TopK.SEntry]
+      .groupByKey(_ => 0)
+      .agg(agg.toColumn.name("top"))
+      .toDF("g", "top")
+      .select(posexplode(col("top.entries")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.tag").as("bigram"), col("col.score").as("pmi_q"))
+      .join(cbg.withColumnRenamed("bg", "bigram").hint("shuffle_hash"),
+        Seq("bigram"))
+      .select(col("rank"), col("bigram"), col("cbg").as("n_ab"),
+        col("pmi_q"),
+        (col("pmi_q").cast("double") / LpScale).as("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  val t21Sql: String =
+    s"""WITH $tokSql,
+       |cf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cf
+       |  FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM cf),
+       |bg AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+       |    list_transform(generate_series(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE [] END) AS bg
+       |  FROM w),
+       |cbg AS (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+       |  FROM bg GROUP BY 1 HAVING count(*) >= $PmiMinCount),
+       |sc AS (
+       |  SELECT cbg.bg, cbg.cbg,
+       |    CAST(FLOOR(${LpScale}.0 * ln(
+       |      CAST(cbg.cbg * tt.total AS DOUBLE) /
+       |      CAST(c1.cf * c2.cf AS DOUBLE))) AS BIGINT) AS pmi_q
+       |  FROM cbg
+       |  JOIN cf c1 ON c1.term = split_part(cbg.bg, ' ', 1)
+       |  JOIN cf c2 ON c2.term = split_part(cbg.bg, ' ', 2)
+       |  CROSS JOIN tt),
+       |r AS (
+       |  SELECT bg, cbg, pmi_q, ROW_NUMBER() OVER (
+       |    ORDER BY pmi_q DESC, bg) AS rank
+       |  FROM sc)
+       |SELECT CAST(rank AS BIGINT) AS rank, bg AS bigram,
+       |  cbg AS n_ab, pmi_q,
+       |  CAST(pmi_q AS DOUBLE) / $LpScale AS pmi
+       |FROM r WHERE rank <= $PmiTopK
+       |ORDER BY rank""".stripMargin
+
   // ---- t17: Zipf rank-frequency diagnostics -------------------------
 
   /** t17: per-source Zipf slope — the corpus-health diagnostic: fit

@@ -190,6 +190,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "d21_pipeline_e2e" -> "composes d13 eval grams + d18 cuts",
       "g14_fleet_scan" -> "per-file fleet summary: |files| rows",
       "d23_token_shards" -> "per-bin prefix offsets: |shuffle width| rows",
+      "m07_blob_shards" -> "per-bin prefix offsets: |shuffle width| rows",
       "s09_shards_binned" ->
         "per-(source, bin) prefix offsets: |sources|x|shuffle width| rows",
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
@@ -202,6 +203,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "d31_sq8" -> "per-dimension quantization stats: dim rows",
       "t15_unigram_lp" -> "corpus token-total scalar: 1 row",
       "t16_bigram_lp" -> "corpus token-total scalar: 1 row",
+      "t21_pmi_collocations" -> "corpus token-total scalar: 1 row",
       "d38_source_weights" -> "corpus quality-total scalar: 1 row",
       "s11_stream_decontam" ->
         "eval-suite grams: bounded by construction (d13's contract)")
