@@ -86,21 +86,36 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
 
-    // Scale drills: if a replica exists (tools/gen_sf.py →
-    // localdata/sf1 at 10x, localdata/sf10 at 100x), also run a
-    // bounded headline subset there, so every bench report carries a
-    // scale CURVE (sf0.1 → sf1 → sf10) without unbounded wall-clock
-    // cost. The sf10 list holds only plant-semantics-safe queries
-    // (doc_id offsets stay below the 1e6 plant boundary, but the
-    // minhash corpus at 100x would dominate the run). Min-of-2 like
-    // the suite (round-5 verdict: single-rep drills produced phantom
-    // 3× swings — rep 1 absorbs cold page-cache reads of the 2.3 GB
-    // sf10 replica, rep 2 measures the plan).
-    def drill(dir: String, keys: Seq[String])
+    // Scale drills: run a bounded headline subset on the 10×/100×
+    // replicas (localdata/sf1, localdata/sf10) so every bench report
+    // carries a scale CURVE (sf0.1 → sf1 → sf10) without unbounded
+    // wall-clock cost. The replicas are SELF-HEALING: localdata is
+    // scratch and was wiped before round 6 (that round's report lost
+    // its scale sections) — when the marker is absent and the bench
+    // runs on the canonical sf0.1 source, ScaleGen rebuilds them
+    // in-engine before drilling. The sf10 list holds only
+    // plant-semantics-safe queries (doc_id offsets stay below the 1e6
+    // plant boundary, but the minhash corpus at 100x would dominate
+    // the run). Min-of-2 like the suite (round-5 verdict: single-rep
+    // drills produced phantom 3× swings — rep 1 absorbs cold
+    // page-cache reads of the 2.3 GB sf10 replica, rep 2 measures the
+    // plan).
+    def drill(dir: String, factor: Int, keys: Seq[String])
         : Seq[(String, Double, Option[String])] =
-      if (!new java.io.File(dir).isDirectory || only.isDefined) Nil
+      if (only.isDefined || !ensureReplica(dir, factor)) Nil
       else keys.flatMap(k => SparkEntry.queries.get(k).map(fn => (k, fn)))
         .map { case (name, fn) => timeOne(name, fn, dir, reps = 2) }
+
+    // replica factors are relative to sf0.1 — only auto-build when the
+    // bench points at it; any other source falls back to "use the
+    // replica if a complete one is already there"
+    def ensureReplica(dir: String, factor: Int): Boolean =
+      ScaleGen.ready(dir) || (sfDir.stripSuffix("/").endsWith("sf0.1") &&
+        (try ScaleGen.ensure(spark, sfDir, dir, factor)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] replica $dir: ${e.getMessage}")
+          false
+        }))
 
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/localdata/sf1")
@@ -109,19 +124,19 @@ object Bench {
     // kept to the queries whose scale behavior is informative
     // (LSH pipelines, the fixed t11, the near-linear g11, one agg
     // + one stream baseline)
-    val sf1 = drill(sf1Dir, Seq("q01_pricing_summary", "d02_minhash_lsh",
-      "t11_boiler_strip", "d21_pipeline_e2e",
+    val sf1 = drill(sf1Dir, 10, Seq("q01_pricing_summary",
+      "d02_minhash_lsh", "t11_boiler_strip", "d21_pipeline_e2e",
       "g13_map_pipeline", "g11_polyline_length", "d23_token_shards"))
     // g11 (23 s at sf10, near-linear window sort — measured once,
     // recorded in SURVEY §4) stays out so the whole bench keeps
     // fitting the driver's per-round budget
-    val sf10 = drill(sf10Dir,
+    val sf10 = drill(sf10Dir, 100,
       Seq("q01_pricing_summary", "d14_clusters_scale", "d23_token_shards"))
     // Pathological-skew drill (SURVEY §4): one zipf-hot key holding
     // ~30% of an sf1-sized fact vs a non-broadcastable dim — plain
     // shuffle join vs salted (key,salt) scatter vs AQE runtime split.
     val skew: Seq[(String, Double)] =
-      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) Nil
+      if (!ScaleGen.ready(sf1Dir) || only.isDefined) Nil
       else try graft.operators.SkewBench.drill(spark, sf1Dir)
       catch { case _: Throwable => Nil }
 
