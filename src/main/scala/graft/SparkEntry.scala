@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MapOps, PipelineOps, Relational, Relational2, TopK}
+import graft.operators.{MapOps, PipelineOps, Relational, Relational2,
+  Relational3, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,14 +13,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ MapOps.queries ++
-      PipelineOps.queries ++ graft.sources.Interchange.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      MapOps.queries ++ PipelineOps.queries ++
+      graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ MapOps.oracles ++
-      PipelineOps.oracles ++ graft.sources.Interchange.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      MapOps.oracles ++ PipelineOps.oracles ++
+      graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)
 }

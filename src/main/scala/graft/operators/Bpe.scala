@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed byte-pair-encoding merge training + application
+  * (SURVEY.md §2d) — the tokenizer-construction step of a training
+  *-data pipeline, Spark-first.
+  *
+  * Training (d43) runs on the WORD-FREQUENCY relation, not the
+  * corpus: one corpus aggregate builds (word, freq) — map-side
+  * combine absorbs the Zipf head — and every merge round is an
+  * aggregate over that bounded vocabulary. Per round exactly ONE
+  * (pair, count) row is collected (the d36/d22 bounded-scalar
+  * pattern), so 100 TB of text costs one scan plus R vocabulary
+  * rounds. Encoding (t23) is the inverse shape: the R learned rules
+  * become string-replace literals in a stateless per-word map — no
+  * state, no extra shuffle beyond the per-doc re-aggregation.
+  *
+  * Token sequences are strings of `|`-wrapped symbols ("low" →
+  * `"|l| |o| |w|"`). Symbols are [a-z]+ so `|` delimits exactly, and
+  * a merge is a plain left-to-right non-overlapping string replace —
+  * identical semantics in Spark and DuckDB, which lets the oracle
+  * replay training bit-for-bit. Pair COUNTS are non-overlapping
+  * occurrence counts (= the number of merges a replace would actually
+  * perform), a documented divergence from classic BPE's overlapping
+  * adjacency counts ("aaa" counts (a,a) once here, twice in Sennrich
+  * et al.); ties break on the lexicographically smallest pair.
+  */
+object Bpe {
+
+  /** Merge rounds. Vocabulary words outside [MinLen, MaxLen] are
+    * excluded from TRAINING (bounds per-word pair work); encoding
+    * applies to every [a-z]+ word. */
+  val Rounds = 8
+  val MinLen = 2
+  val MaxLen = 12
+
+  private val Seq0 =
+    "array_join(transform(sequence(1, length(word)), " +
+      "i -> concat('|', substring(word, i, 1), '|')), ' ')"
+
+  /** (word, freq, seq) with seq the initial char sequence. */
+  private def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")).between(MinLen, MaxLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr(Seq0))
+
+  /** One learned rule: the merged pair, its replacement symbol, and
+    * the frequency-weighted merge yield that won it the round. */
+  final case class Rule(rnd: Int, pair: String, merged: String,
+      freq: Long)
+
+  /** Train [[Rounds]] merge rules. Each round: distinct adjacent
+    * pairs per vocabulary word, non-overlap counts via the
+    * replace-length identity, one frequency-weighted aggregate, one
+    * collected (pair, total) scalar; then the merge applies as a
+    * string replace and the updated vocabulary is re-persisted
+    * (bounded — |vocab| rows) so lineage never chains across rounds.
+    */
+  def trainMerges(spark: SparkSession, dir: String): Seq[Rule] = {
+    var seqs = vocab(spark, dir).persist()
+    seqs.count()
+    val rules = Seq.newBuilder[Rule]
+    try {
+      for (r <- 1 to Rounds) {
+        val top = seqs
+          .withColumn("toks", split(col("seq"), " "))
+          .select(col("freq"), col("seq"), explode(expr(
+            "array_distinct(zip_with(" +
+              "slice(toks, 1, size(toks) - 1), " +
+              "slice(toks, 2, size(toks) - 1), " +
+              "(a, b) -> concat(a, ' ', b)))")).as("pair"))
+          .withColumn("cnt",
+            ((length(col("seq")) -
+              length(expr("replace(seq, pair, '')"))) /
+              length(col("pair"))).cast("long"))
+          .groupBy(col("pair"))
+          .agg(sum(col("freq") * col("cnt")).as("total"))
+          .orderBy(col("total").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) return rules.result()
+        val pair = top(0).getString(0)
+        val merged = pair.replace("| |", "")
+        rules += Rule(r, pair, merged, top(0).getLong(1))
+        val next = seqs.withColumn("seq",
+          expr(s"replace(seq, '$pair', '$merged')")).persist()
+        next.count()
+        seqs.unpersist()
+        seqs = next
+      }
+      rules.result()
+    } finally seqs.unpersist()
+  }
+
+  /** d43: the learned merge table itself — one row per round. */
+  def d43BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainMerges(spark, dir).toDF()
+      .select(col("rnd"), col("pair"), col("merged"), col("freq"))
+      .orderBy(col("rnd"))
+  }
+
+  /** t23: encode the corpus under the trained rules — per doc, word
+    * count and BPE token count. The rules are plan literals; the only
+    * shuffle is the per-doc re-aggregation of the word explode. */
+  def t23BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainMerges(spark, dir)
+    val applied = rules.foldLeft(Seq0) { (e, ru) =>
+      s"replace($e, '${ru.pair}', '${ru.merged}')"
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .withColumn("enc", expr(applied))
+      .withColumn("n_tok",
+        length(col("enc")) - length(expr("replace(enc, ' ', '')")) + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle CTE chain: w0 (vocab) then per round r the pair totals
+    * (p_r), the winning rule (t_r), and the merged vocabulary (w_r).
+    * Runs under Verify's MATERIALIZED rewrite, so each CTE evaluates
+    * once. */
+  private def chain: String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(
+         |      generate_series(1, length(word)),
+         |      i -> '|' || substring(word, i, 1) || '|'), ' ') AS seq
+         |  FROM (SELECT unnest(string_split_regex(lower(text),
+         |          '[^a-z]+')) AS word FROM documents)
+         |  WHERE length(word) BETWEEN $MinLen AND $MaxLen
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to Rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(SUM(freq * cnt) AS BIGINT) AS total
+         |  FROM (
+         |    SELECT freq, pair,
+         |      (length(seq) - length(replace(seq, pair, '')))
+         |        // length(pair) AS cnt
+         |    FROM (
+         |      SELECT freq, seq, unnest(list_distinct(list_transform(
+         |        generate_series(1, len(string_split(seq, ' ')) - 1),
+         |        i -> string_split(seq, ' ')[i] || ' ' ||
+         |             string_split(seq, ' ')[i + 1]))) AS pair
+         |      FROM w${r - 1}))
+         |  GROUP BY pair),
+         |t$r AS (
+         |  SELECT pair, replace(pair, '| |', '') AS merged, total
+         |  FROM p$r ORDER BY total DESC, pair LIMIT 1),
+         |w$r AS (
+         |  SELECT word, freq,
+         |    replace(seq, (SELECT pair FROM t$r),
+         |      (SELECT merged FROM t$r)) AS seq
+         |  FROM w${r - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  val d43Sql: String = {
+    val union = (1 to Rounds)
+      .map(r => s"SELECT $r AS rnd, pair, merged, total AS freq FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $chain\nSELECT * FROM ($union) ORDER BY rnd"
+  }
+
+  val t23Sql: String = {
+    val seq0 =
+      """array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> '|' || substring(word, i, 1) || '|'), ' ')"""
+        .stripMargin
+    val applied = (1 to Rounds).foldLeft(seq0) { (e, r) =>
+      s"replace($e, (SELECT pair FROM t$r), (SELECT merged FROM t$r))"
+    }
+    s"""WITH $chain,
+       |words AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text),
+       |          '[^a-z]+')) AS word FROM documents)
+       |  WHERE length(word) >= 1),
+       |enc AS (
+       |  SELECT doc_id, $applied AS enc FROM words)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(enc) - length(replace(enc, ' ', '')) + 1)
+       |    AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}

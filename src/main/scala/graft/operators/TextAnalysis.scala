@@ -794,4 +794,53 @@ object TextAnalysis {
        |    / count(*), 6) AS hapax_ratio
        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** t22: per-source corpus health report — the dashboard a data
+    * curator reads before admitting a source into the mixture: volume
+    * (docs/chars), language spread, and the intra-source exact-dup
+    * share. Two aggregates (one on (source, text) for the dup mass,
+    * one on source) joined shuffled on the tiny aggregate outputs
+    * (statless rule); the only corpus-scale shuffles hash on their
+    * aggregation keys. Every statistic is an exact integer or a
+    * single BIGINT÷BIGINT IEEE division. */
+  def t22SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dups = docs.groupBy(col("source"), col("text"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+        .cast("long").as("dup_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .join(dups.hint("shuffle_hash"), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_chars"),
+        round(col("total_chars").cast("double")
+          / col("n_docs").cast("double"), 6).as("avg_chars"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val t22Sql: String =
+    """WITH dup AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |      AS dup_docs
+      |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM documents GROUP BY source, text)
+      |  GROUP BY source),
+      |base AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY source)
+      |SELECT b.source, n_docs, n_langs, total_chars,
+      |  ROUND(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+      |  dup_docs,
+      |  ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_ratio
+      |FROM base b JOIN dup USING (source) ORDER BY source""".stripMargin
 }
