@@ -120,11 +120,90 @@ object Relational3 {
       |    AS max_double_price
       |FROM it ORDER BY l_orderkey""".stripMargin
 
+  /** q57: SCD Type-2 dimension merge — the set-scale form of the
+    * reference's per-row SELECT-by-key → UPDATE/INSERT merge loop
+    * (map2db.py 747-812): ONE full-outer key shuffle classifies every
+    * key as kept / changed / deleted / new, and the versioned rows
+    * (valid_from/valid_to/is_current) come out of three filters over
+    * that one join. The incoming snapshot is synthesized
+    * deterministically from the dimension itself (keys %100==13
+    * deleted, %10==3 re-priced, %100==7 re-keyed as inserts) so the
+    * oracle replays it exactly; balances ride as exact cents.
+    * valid_to uses a 9999 epoch sentinel instead of NULL so every
+    * output cell hashes identically on both engines. */
+  def q57Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("old_bal"))
+    val snap = cur
+      .filter(col("c_custkey") % 100 =!= 13)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 3, col("old_bal") + 10000L)
+          .otherwise(col("old_bal")).as("new_bal"))
+      .unionAll(cur.filter(col("c_custkey") % 100 === 7)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("old_bal").as("new_bal")))
+    val j = cur.join(snap, Seq("c_custkey"), "full_outer")
+    val closed = j
+      .filter(col("old_bal").isNotNull &&
+        (col("new_bal").isNull || col("new_bal") =!= col("old_bal")))
+      .select(col("c_custkey"), col("old_bal").as("bal_c"),
+        lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+        lit(0L).as("is_current"))
+    val kept = j
+      .filter(col("new_bal") === col("old_bal"))
+      .select(col("c_custkey"), col("old_bal").as("bal_c"),
+        lit(0L).as("valid_from"), lit(9999L).as("valid_to"),
+        lit(1L).as("is_current"))
+    val opened = j
+      .filter(col("new_bal").isNotNull &&
+        (col("old_bal").isNull || col("new_bal") =!= col("old_bal")))
+      .select(col("c_custkey"), col("new_bal").as("bal_c"),
+        lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
+        lit(1L).as("is_current"))
+    closed.unionAll(kept).unionAll(opened)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val q57Sql: String =
+    """WITH cur AS (
+      |  SELECT c_custkey,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS old_bal
+      |  FROM customer),
+      |snap AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN old_bal + 10000
+      |         ELSE old_bal END AS new_bal
+      |  FROM cur WHERE c_custkey % 100 <> 13
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, old_bal
+      |  FROM cur WHERE c_custkey % 100 = 7),
+      |j AS (
+      |  SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+      |    c.old_bal, s.new_bal
+      |  FROM cur c FULL OUTER JOIN snap s ON c.c_custkey = s.c_custkey)
+      |SELECT * FROM (
+      |  SELECT c_custkey, old_bal AS bal_c,
+      |    CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to,
+      |    CAST(0 AS BIGINT) AS is_current
+      |  FROM j WHERE old_bal IS NOT NULL
+      |    AND (new_bal IS NULL OR new_bal <> old_bal)
+      |  UNION ALL
+      |  SELECT c_custkey, old_bal, 0, 9999, 1
+      |  FROM j WHERE new_bal = old_bal
+      |  UNION ALL
+      |  SELECT c_custkey, new_bal, 1, 9999, 1
+      |  FROM j WHERE new_bal IS NOT NULL
+      |    AND (old_bal IS NULL OR new_bal <> old_bal))
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_regression" -> (q55Regression _),
-    "q56_higher_order" -> (q56HigherOrder _))
+    "q56_higher_order" -> (q56HigherOrder _),
+    "q57_scd2_merge" -> (q57Scd2 _))
 
   val oracles: Map[String, String] = Map(
     "q55_regression" -> q55Sql,
-    "q56_higher_order" -> q56Sql)
+    "q56_higher_order" -> q56Sql,
+    "q57_scd2_merge" -> q57Sql)
 }

@@ -1825,4 +1825,64 @@ object Similarity {
        |JOIN disp ON disp.label = nv.label
        |JOIN sep ON sep.label = nv.label
        |ORDER BY nv.label""".stripMargin
+
+  /** d44 target dimensionality: 64 → 16 signed projections. */
+  val RpDims = 16
+
+  /** d44: signed random projection (Achlioptas ±1 / JL lemma) — the
+    * standard dimensionality-reduction front-end before LSH/IVF
+    * indexing: distances are approximately preserved at a quarter of
+    * the storage and distance-compute cost. The projection matrix is
+    * the d06 portable md5 plane family (hash-derived ±1 entries, zero
+    * coordination — every task derives it locally), inputs are the
+    * 1e6-quantized integer embeddings, so each projection is an exact
+    * BIGINT dot product: bit-identical on any engine or partitioning,
+    * and the oracle replays matrix derivation + projection end to
+    * end. Corpus cost at 100 TB: map-only — a bounded plane relation
+    * on a broadcast, no shuffle at all (the ORDER BY is the output
+    * contract). Long-form output (vec_id, plane, proj) keeps columns
+    * scalar. */
+  def d44RandomProjection(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val planes = portablePlanes.take(RpDims).zipWithIndex
+      .map { case (signs, i) => (i.toLong, signs.map(_.toLong)) }
+      .toDF("plane", "signs")
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    qz.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("plane"),
+        aggregate(zip_with(col("qv"), col("signs"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("proj"))
+      .orderBy(col("vec_id"), col("plane"))
+  }
+
+  /** Oracle: md5 plane words (the portableSigCtes derivation,
+    * truncated to [[RpDims]] planes), quantized embeddings, exact
+    * integer dot per (vector, plane). */
+  val d44Sql: String = {
+    def half(from: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(1, 8),
+         |  p -> (CAST(strpos('0123456789abcdef',
+         |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
+         |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
+        .stripMargin
+    s"""WITH planes AS (
+       |  SELECT i, md5(CAST(i AS VARCHAR)) AS h
+       |  FROM (SELECT unnest(generate_series(0, ${RpDims - 1})) AS i)),
+       |pw AS (SELECT i, ${half(1)} AS hi, ${half(9)} AS lo FROM planes),
+       |q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings)
+       |SELECT q.vec_id, p.i AS plane,
+       |  CAST(list_sum(list_transform(generate_series(1, 64),
+       |    d -> qv[d] *
+       |      (CASE WHEN (CASE WHEN d <= 32 THEN (p.lo >> (d - 1)) & 1
+       |         ELSE (p.hi >> (d - 33)) & 1 END) = 1
+       |       THEN 1 ELSE -1 END))) AS BIGINT) AS proj
+       |FROM q CROSS JOIN pw p
+       |ORDER BY vec_id, plane""".stripMargin
+  }
 }

@@ -843,4 +843,55 @@ object TextAnalysis {
       |  dup_docs,
       |  ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_ratio
       |FROM base b JOIN dup USING (source) ORDER BY source""".stripMargin
+
+  /** t24: Flesch reading-ease scoring — the classic readability
+    * quality gate. Every input to the formula is an exact integer
+    * count (non-empty words, sentence-terminator runs, vowel-group
+    * syllable estimates), so the score is three literal-coefficient
+    * double ops per doc, identical on any engine — no transcendental,
+    * no cross-row float sum. One scan, no shuffle (ORDER BY is the
+    * output contract). */
+  def t24Readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("words", split(trim(col("text")), " "))
+      .withColumn("n_words",
+        expr("size(filter(words, x -> length(x) > 0))").cast("long"))
+      .withColumn("n_sents", greatest(
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"),
+        lit(1L)))
+      .withColumn("n_syll", expr(
+        """aggregate(words, 0L, (a, w) -> a + CASE
+          |  WHEN length(w) = 0 THEN 0L
+          |  ELSE greatest(CAST(size(regexp_extract_all(w,
+          |    '[aeiouyAEIOUY]+', 0)) AS BIGINT), 1L) END)"""
+          .stripMargin))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"),
+        col("n_syll"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double")
+            / col("n_words").cast("double")), 6).as("flesch"))
+      .orderBy(col("doc_id"))
+
+  val t24Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($w, x -> length(x) > 0)) AS BIGINT)
+       |      AS n_words,
+       |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |      AS BIGINT), 1) AS n_sents,
+       |    CAST(list_sum(list_transform($w, x -> CASE
+       |      WHEN length(x) = 0 THEN 0
+       |      ELSE GREATEST(len(regexp_extract_all(x,
+       |        '[aeiouyAEIOUY]+')), 1) END)) AS BIGINT) AS n_syll
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sents, n_syll,
+       |  ROUND(206.835
+       |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+       |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+       |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -55,6 +55,93 @@ class Relational3Spec extends AnyFunSuite {
     assert(hof.count() == flat.count())
   }
 
+  test("q57 SCD2 versions: every key 1-2 rows, currency matches fate") {
+    val out = Relational3.q57Scd2(spark, sf).persist()
+    try {
+      val cust = Tables.load(spark, sf, "customer")
+      val n = cust.count()
+      val perKey = out.groupBy("c_custkey").count()
+      assert(perKey.filter(col("count") > 2).count() == 0)
+      // deleted keys (%100==13): exactly one CLOSED row, no current
+      val deleted = out.filter(col("c_custkey") % 100 === 13 &&
+        col("c_custkey") < 10000000L)
+      assert(deleted.filter(col("is_current") === 1).count() == 0)
+      assert(deleted.count() ==
+        cust.filter(col("c_custkey") % 100 === 13).count())
+      // changed keys (%10==3, not deleted): closed v0 + open v1
+      val changed = out.filter(col("c_custkey") % 10 === 3 &&
+        col("c_custkey") % 100 =!= 13 && col("c_custkey") < 10000000L)
+      assert(changed.filter(col("is_current") === 1).count() ==
+        changed.filter(col("is_current") === 0).count())
+      // inserts carry the re-keyed offset and are all current
+      val inserted = out.filter(col("c_custkey") >= 10000000L)
+      assert(inserted.filter(col("is_current") =!= 1).count() == 0)
+      assert(inserted.count() ==
+        cust.filter(col("c_custkey") % 100 === 7).count())
+      // row conservation: n - deleted + changed_pairs + inserts
+      val nDel = cust.filter(col("c_custkey") % 100 === 13).count()
+      val nChg = changed.filter(col("is_current") === 0).count()
+      assert(out.count() == n + nChg + inserted.count())
+    } finally out.unpersist()
+  }
+
+  test("t24 readability: hand-scored doc and bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("t24").toString
+    Seq((1L, "The cat sat. The dog ran!", "en", "s", 25L),
+        (2L, "incomprehensibilities notwithstanding", "en", "s", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t24Readability(spark, dir)
+      .select("doc_id", "n_words", "n_sents", "n_syll", "flesch")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 6 words, 2 sentences, syllables: the=1 cat=1 sat.=1
+    // the=1 dog=1 ran!=1 → 6
+    assert(got(1L)._2 == 6 && got(1L)._3 == 2 && got(1L)._4 == 6)
+    val f1 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(math.abs(got(1L)._5 - math.rint(f1 * 1e6) / 1e6) < 1e-9)
+    // doc 2: in-com-pre-hen-si-bi-li-ties = vowel groups i,o,e,e,i,i,
+    // i,ie = 8; notwithstanding: o,i,a,i = 4
+    assert(got(2L)._2 == 2 && got(2L)._3 == 1 && got(2L)._4 == 12)
+    // corpus-wide: counts positive, syllables >= words
+    val bad = TextAnalysis.t24Readability(spark, sf)
+      .filter(col("n_syll") < col("n_words") || col("n_sents") < 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("d44 projections preserve relative distances approximately") {
+    import graft.operators.Similarity
+    val proj = Similarity.d44RandomProjection(spark, sf)
+    // 16 projections per vector, exactly
+    val counts = proj.groupBy("vec_id").count()
+      .select("count").distinct().as[Long].collect()
+    assert(counts.toSeq == Seq(16L))
+    // JL contrast on a PLANTED corpus (arbitrary near-equidistant
+    // corpus vectors can legitimately reorder under 16 projections):
+    // v1 = v0 + tiny perturbation, v2 = sign-flipped v0. The
+    // projected near-pair distance must stay far below the far-pair.
+    val dir = java.nio.file.Files.createTempDirectory("d44").toString
+    val base = (0 until 64).map(d =>
+      math.sin(d * 2.147).toFloat)
+    val near = base.zipWithIndex.map { case (x, d) =>
+      if (d % 7 == 0) x + 1e-3f else x }
+    val far = base.map(x => -x)
+    Seq((0L, base, 0L), (1L, near, 0L), (2L, far, 1L))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val planted = Similarity.d44RandomProjection(spark, dir)
+      .orderBy("vec_id", "plane").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+    val dNear = d2(planted(0L), planted(1L))
+    val dFar = d2(planted(0L), planted(2L))
+    assert(dNear * 100 < dFar,
+      s"near pair $dNear not << far pair $dFar")
+  }
+
   test("t22 totals reconcile with the corpus") {
     val rep = TextAnalysis.t22SourceReport(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
