@@ -220,6 +220,72 @@ class PlanShapeSpec extends AnyFunSuite {
       s"allowlist entry $q is no longer a registered query"))
   }
 
+  test("singlePartitionWindows heuristic: global flags, partitioned " +
+    "and scalar-branch plans don't") {
+    // positive control, same rationale as the broadcast gate's: a
+    // plan-format change must break THIS, not silently vacate the
+    // global sweep below
+    val global =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number() windowspecdefinition(id#0L ASC)], [id#0L ASC]
+        |   +- Sort [id#0L ASC NULLS FIRST], false, 0
+        |      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+        |         +- FileScan parquet [id#0L]""".stripMargin
+    assert(AuditBroadcast.singlePartitionWindows(global) == 1)
+    val partitioned =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number() windowspecdefinition(k#1L, id#0L ASC)], [k#1L], [id#0L ASC]
+        |   +- Sort [k#1L ASC, id#0L ASC], false, 0
+        |      +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=2]
+        |         +- FileScan parquet [id#0L,k#1L]""".stripMargin
+    assert(AuditBroadcast.singlePartitionWindows(partitioned) == 0)
+    // a 1-row global-agg scalar in a JOIN BRANCH sits behind that
+    // branch's own exchange — the t12 false-positive shape
+    val scalarBranch =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number() windowspecdefinition(k#1L, s#5 DESC)], [k#1L], [s#5 DESC]
+        |   +- Sort [k#1L ASC, s#5 DESC], false, 0
+        |      +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+        |         +- Project [k#1L, s#5]
+        |            +- BroadcastNestedLoopJoin BuildRight, Cross
+        |               :- FileScan parquet [k#1L,s#5]
+        |               +- BroadcastExchange IdentityBroadcastMode, [plan_id=4]
+        |                  +- HashAggregate(keys=[], functions=[count(1)])
+        |                     +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+        |                        +- HashAggregate(keys=[], functions=[partial_count(1)])
+        |                           +- FileScan parquet []""".stripMargin
+    assert(AuditBroadcast.singlePartitionWindows(scalarBranch) == 0)
+  }
+
+  test("NO registered query runs a single-partition window outside " +
+    "the allowlist") {
+    // the WindowExec "No Partition Defined" warnings in every bench
+    // tail, adjudicated once and gated globally (ADVICE r6): a global
+    // window funnels its whole input to one task, which is fine only
+    // when that input is bounded by construction. A NEW query that
+    // flags must partition its window or justify an entry here.
+    val allow = Map(
+      "d23_token_shards" ->
+        "per-bin offset window: |shuffle width| rows",
+      "m07_blob_shards" ->
+        "per-bin offset window: |shuffle width| rows")
+    val flagged = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains)
+      .flatMap { q =>
+        val n = AuditBroadcast.singlePartitionWindows(plan(q))
+        if (n > 0) Some(s"$q ($n)") else None
+      }
+    assert(flagged.isEmpty,
+      s"unadjudicated single-partition window(s): ${flagged.mkString(", ")}")
+    allow.keys.foreach(q => assert(SparkEntry.queries.contains(q),
+      s"allowlist entry $q is no longer a registered query"))
+    // and the allowlisted plans still HAVE their bounded global
+    // window (the entry documents a live shape, not history)
+    allow.keys.foreach(q => assert(
+      AuditBroadcast.singlePartitionWindows(plan(q)) >= 1,
+      s"$q no longer has a single-partition window — drop its entry"))
+  }
+
   test("skew drill: salted join shuffles on (key, salt)") {
     // the zipf-drill contract (round-4 verdict #6): Skew.saltedJoin
     // must scatter the hot key across salt sub-partitions — i.e. the
