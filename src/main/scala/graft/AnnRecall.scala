@@ -28,6 +28,8 @@ object AnnRecall {
     val residByCodes = a.BookSizes.map { n =>
       s""""$n":{${curveJson(a.residualRecallCurve(spark, nCodes = n))}}"""
     }.mkString(",")
+    val projByR = curveJson(a.projectedRecallCurve(spark))
+    val projByDims = curveJson(a.projectedDimsCurve(spark))
     val json =
       s"""{"k":${a.RecallK},"corpus":${a.CorpusN},"queries":${a.QueryN
         },"clusters":${a.Clusters},"cells":${a.Clusters
@@ -35,8 +37,10 @@ object AnnRecall {
         },"recall_at_k":{${curveJson(curve)
         }},"ivfpq_recall_by_codes":{$pqByCodes
         },"residual_ivfpq_recall_by_codes":{$residByCodes
+        },"projected_rerank_by_R":{$projByR
+        },"projected_rerank_by_dims_at_R50":{$projByDims
         },"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
-          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix"}"""
+          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

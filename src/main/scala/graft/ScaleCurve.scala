@@ -73,41 +73,53 @@ object ScaleCurve {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // At sf10 the replica is ~2.3 GB and the first execution pays the
+    // At sf10 the replica is GBs and the first execution pays the
     // page-cache miss: round 5 recorded 72 s for g11 where an earlier
     // warm measurement read 23 s — same plan, different cache state.
     // Recording BOTH runs as separate columns (cold = first touch,
     // warm = back-to-back repeat) makes the artifact adjudicate that
     // ambiguity itself: plan-scaling claims read the warm column, I/O
-    // claims read the cold one.
-    def sweep(dir: String, twice: Boolean)
+    // claims read the cold one. The sf0.1/sf1 points are MIN-of-2:
+    // round 7's first pass recorded q01 at 13.1 s (sf1) vs 9.0 s
+    // (sf10) — host contention on single executions, not scaling.
+    def sweep(dir: String, coldWarm: Boolean)
         : Seq[(String, String, Double, Option[Double])] =
       if (!new java.io.File(dir).isDirectory) Nil
       else families.map { case (fam, key) =>
-        val cold = try time(key, dir) catch { case _: Throwable => -1.0 }
-        val warm =
-          if (!twice || cold < 0) None
+        val first = try time(key, dir) catch { case _: Throwable => -1.0 }
+        val second =
+          if (first < 0) None
           else Some(try time(key, dir) catch { case _: Throwable => -1.0 })
-        println(s"  $fam/$key @ ${dir.split('/').last}: ${fmt(cold)} s" +
-          warm.map(w => s" cold, ${fmt(w)} s warm").getOrElse(""))
-        (fam, key, cold, warm)
+        val (rec, warm) =
+          if (coldWarm) (first, second)
+          else ((first +: second.filter(_ >= 0).toSeq).min, None)
+        println(s"  $fam/$key @ ${dir.split('/').last}: ${fmt(rec)} s" +
+          warm.map(w => s" cold, ${fmt(w)} s warm")
+            .getOrElse(if (coldWarm) "" else " (min of 2)"))
+        (fam, key, rec, warm)
       }
 
     val curve: Seq[(String, Seq[(String, String, Double, Option[Double])])] =
       if (skewOnly) Nil
       else {
         println("sf0.1 sweep:")
-        val c01 = sweep(sf01, twice = false)
+        val c01 = sweep(sf01, coldWarm = false)
         println("sf1 sweep:")
-        val c1 = sweep(sf1, twice = false)
+        val c1 = sweep(sf1, coldWarm = false)
         println("sf10 sweep (cold + warm):")
-        val c10 = sweep(sf10, twice = true)
+        val c10 = sweep(sf10, coldWarm = true)
         Seq("sf0.1" -> c01, "sf1" -> c1, "sf10" -> c10)
       }
 
-    println("skew drill (sf1):")
+    // the committed artifact drills skew at sf10 when the replica is
+    // there: the hot key then holds ~18M rows and the straggler
+    // dwarfs job overhead (at sf1 the two are comparable and the
+    // strategy ordering drowns in noise — Bench keeps sf1 for budget)
+    val skewDir =
+      if (new java.io.File(sf10).isDirectory) sf10 else sf1
+    println(s"skew drill (${skewDir.split('/').last}):")
     val skew =
-      try graft.operators.SkewBench.drill(spark, sf1)
+      try graft.operators.SkewBench.drill(spark, skewDir)
       catch { case e: Throwable =>
         println("  skew drill failed: " + e.getMessage); Nil }
     skew.foreach { case (k, v) => println(s"  $k: ${fmt(v)} s") }
@@ -124,7 +136,8 @@ object ScaleCurve {
     val skewJson = skew.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val curvePart = if (curveJson.isEmpty) "" else curveJson + ","
-    val json = s"""{"families":$famJson,$curvePart"skew_sf1":$skewJson,"execution":"full-plan noop, local[${
+    val skewTag = "skew_" + skewDir.split('/').last
+    val json = s"""{"families":$famJson,$curvePart"$skewTag":$skewJson,"execution":"full-plan noop, local[${
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"}"""
     if (!skewOnly)
       java.nio.file.Files.write(

@@ -216,4 +216,52 @@ object AnnQuality {
       (np, hits / denom)
     }
   }
+
+  /** Shortlist widths / projection widths for the projected-rerank
+    * quality sweeps. */
+  val RerankRs = Seq(10, 20, 50, 100)
+  val ProjDims = Seq(8, 16, 32)
+
+  /** recall@[[RecallK]] of d45's projected-shortlist re-rank per
+    * shortlist width R on the planted clustered corpus. A 16-of-64
+    * ±1 projection cannot RANK within-cluster fine structure (JL
+    * distortion √(ln N / dims) ≈ 0.7 — the honest math of 4×
+    * compression), so recall at R = k is low and CLIMBS with R
+    * (measured 0.09 → 0.45 over 10 → 100): the projection buys a
+    * cheap shortlist, the exact re-rank buys the ranking back, and
+    * the curve is the R-tuning tradeoff a user reads. On UNIFORM
+    * vectors it's worse still (≈0.18 at R=20 on the sf corpus —
+    * distance concentration, nothing for the projection to keep). */
+  def projectedRecallCurve(spark: SparkSession,
+      rs: Seq[Int] = RerankRs): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    rs.map { r =>
+      val hits = Similarity.projectedRerank(qs, corp, r, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (r, hits / denom)
+    }
+  }
+
+  /** The other lever: recall vs PROJECTION width at fixed shortlist
+    * R — more projected dims, less JL distortion, better shortlist
+    * (the dims↔storage tradeoff knob). */
+  def projectedDimsCurve(spark: SparkSession,
+      dims: Seq[Int] = ProjDims, r: Int = 50): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    dims.map { d =>
+      val hits = Similarity.projectedRerank(qs, corp, r, RecallK, d)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (d, hits / denom)
+    }
+  }
 }

@@ -197,13 +197,59 @@ object Relational3 {
       |    AND (old_bal IS NULL OR new_bal <> old_bal))
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Longest chain the recursion walks; bounds state and output. */
+  val ChainCap = 5
+
+  /** The shared recursive-CTE body for q58 — `src` is the engine's
+    * orders relation. Successor edges come from a lead() window
+    * FIRST (aggregation/windows are illegal inside a recursive term
+    * on both engines), then the recursion is a pure frontier join:
+    * Spark executes it as an iterative UnionLoop, shuffling only the
+    * frontier per step, with the cap as the recursion predicate. The
+    * (date, key) window tiebreak is the testdata's (l_orderkey-style)
+    * non-unique-key discipline. */
+  private def q58Body(src: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT o_orderkey AS cur, LEAD(o_orderkey) OVER (
+       |      PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS nxt
+       |  FROM $src),
+       |firsts AS (
+       |  SELECT o_custkey, o_orderkey FROM (
+       |    SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+       |        PARTITION BY o_custkey
+       |        ORDER BY o_orderdate, o_orderkey) AS rn
+       |    FROM $src) ranked
+       |  WHERE rn = 1),
+       |chain(o_custkey, o_orderkey, step) AS (
+       |  SELECT o_custkey, o_orderkey, 1 FROM firsts
+       |  UNION ALL
+       |  SELECT c.o_custkey, e.nxt, c.step + 1
+       |  FROM chain c JOIN edges e ON e.cur = c.o_orderkey
+       |  WHERE e.nxt IS NOT NULL AND c.step < $ChainCap)
+       |SELECT o_custkey, step, o_orderkey
+       |FROM chain ORDER BY o_custkey, step""".stripMargin
+
+  /** q58: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — each customer's
+    * first [[ChainCap]] orders materialize by walking a successor
+    * relation iteratively, the canonical graph-walk SQL surface
+    * (hierarchies, chains, transitive closure). The identical text
+    * runs on DuckDB as the oracle; a window formulation cross-checks
+    * it in ScalaTest. */
+  def q58Recursive(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(q58Body(s"parquet.`$dir/orders.parquet`"))
+
+  val q58Sql: String = q58Body("orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_regression" -> (q55Regression _),
     "q56_higher_order" -> (q56HigherOrder _),
-    "q57_scd2_merge" -> (q57Scd2 _))
+    "q57_scd2_merge" -> (q57Scd2 _),
+    "q58_recursive_chain" -> (q58Recursive _))
 
   val oracles: Map[String, String] = Map(
     "q55_regression" -> q55Sql,
     "q56_higher_order" -> q56Sql,
-    "q57_scd2_merge" -> q57Sql)
+    "q57_scd2_merge" -> q57Sql,
+    "q58_recursive_chain" -> q58Sql)
 }

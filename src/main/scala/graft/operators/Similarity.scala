@@ -1857,17 +1857,114 @@ object Similarity {
       .orderBy(col("vec_id"), col("plane"))
   }
 
-  /** Oracle: md5 plane words (the portableSigCtes derivation,
-    * truncated to [[RpDims]] planes), quantized embeddings, exact
-    * integer dot per (vector, plane). */
-  val d44Sql: String = {
+  /** The `dims`-element projected vector, computed in one expression
+    * pass (no shuffle): element i = exact BIGINT dot of the quantized
+    * embedding with portable plane i. `dims` ≤ [[NumPlanes]]. */
+  private def projVec(qv: Column, dims: Int = RpDims): Column = array(
+    portablePlanes.take(dims).map { signs =>
+      aggregate(
+        zip_with(qv, typedLit(signs.map(_.toLong)), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+    }.toIndexedSeq: _*)
+
+  /** d45: projected-space two-stage search — d44's JL projection as
+    * the ANN front-end: the shortlist scan ranks candidates by
+    * 16-dim exact-integer L2 (a quarter of the full-dimension
+    * distance cost, the reason to project at all), then ONLY
+    * queries×[[RerankR]] rows re-meet the full 64-dim quantized
+    * vectors for the exact final ranking — d30's rerank shape with
+    * projection instead of ADC. Every arithmetic step is BIGINT, so
+    * the oracle replays plane derivation → projection → shortlist →
+    * re-rank end to end. At scale: projection is map-only, the
+    * shortlist is the only corpus-wide ranking and it runs at 1/4
+    * width, the re-rank join is queries×R bounded. */
+  def d45ProjectedRerank(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    projectedRerank(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+      qz.filter(col("vec_id") >= NumQueries),
+      RerankR, TopK)
+  }
+
+  /** d45's core on already-quantized relations — reused by
+    * AnnQuality's projected-recall sweep on the planted clustered
+    * corpus. `queries` = (q_id, q_qv), `cands` = (vec_id, qv). */
+  def projectedRerank(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int, dims: Int = RpDims): DataFrame = {
+    val qs = queries.withColumn("q_pv", projVec(col("q_qv"), dims))
+    val cs = cands.withColumn("pv", projVec(col("qv"), dims))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdist"), col("vec_id"))
+    val shortlist = cs.crossJoin(broadcast(qs))
+      .withColumn("pdist", qDist(col("q_pv"), col("pv")))
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= r)
+      .select(col("q_id"), col("vec_id"), col("q_qv"), col("qv"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    shortlist
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle for d45: the d44 long-form projection CTE, pairwise
+    * projected L2 by plane-join + GROUP BY, windowed shortlist cut,
+    * exact 64-dim re-rank. */
+  lazy val d45Sql: String = {
+    s"""WITH $rpCtes,
+       |proj AS (
+       |  SELECT q.vec_id, p.i,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      d -> qv[d] *
+       |        (CASE WHEN (CASE WHEN d <= 32 THEN (p.lo >> (d - 1)) & 1
+       |           ELSE (p.hi >> (d - 33)) & 1 END) = 1
+       |         THEN 1 ELSE -1 END))) AS BIGINT) AS dot
+       |  FROM q CROSS JOIN pw p),
+       |pd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |    CAST(SUM((a.dot - b.dot) * (a.dot - b.dot)) AS BIGINT)
+       |      AS pdist
+       |  FROM proj a JOIN proj b ON a.i = b.i
+       |  WHERE a.vec_id < $NumQueries AND b.vec_id >= $NumQueries
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |        PARTITION BY q_id ORDER BY pdist, vec_id) AS prank
+       |    FROM pd) s
+       |  WHERE prank <= $RerankR),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      d -> (qq.qv[d] - vv.qv[d]) * (qq.qv[d] - vv.qv[d])))
+       |      AS BIGINT) AS dist
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.q_id
+       |  JOIN q vv ON vv.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, dist, rank FROM (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr) f
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Shared d44/d45 oracle prefix: md5 plane words (the
+    * portableSigCtes derivation, truncated to [[RpDims]] planes) and
+    * the quantized embeddings. */
+  private lazy val rpCtes: String = {
     def half(from: Int) =
       s"""CAST(list_sum(list_transform(generate_series(1, 8),
          |  p -> (CAST(strpos('0123456789abcdef',
          |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
          |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
         .stripMargin
-    s"""WITH planes AS (
+    s"""planes AS (
        |  SELECT i, md5(CAST(i AS VARCHAR)) AS h
        |  FROM (SELECT unnest(generate_series(0, ${RpDims - 1})) AS i)),
        |pw AS (SELECT i, ${half(1)} AS hi, ${half(9)} AS lo FROM planes),
@@ -1875,7 +1972,13 @@ object Similarity {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
        |    AS qv
-       |  FROM embeddings)
+       |  FROM embeddings)""".stripMargin
+  }
+
+  /** Oracle: exact integer dot per (vector, plane) under [[rpCtes]]'
+    * derivation. */
+  lazy val d44Sql: String = {
+    s"""WITH $rpCtes
        |SELECT q.vec_id, p.i AS plane,
        |  CAST(list_sum(list_transform(generate_series(1, 64),
        |    d -> qv[d] *

@@ -52,10 +52,18 @@ object SkewBench {
       col("id").as("k"),
       pmod(col("id"), lit(7L)).as("bucket"))
 
+  /** Min of 2 back-to-back runs, the suite's methodology: the sf1
+    * straggler costs ~1 s against ~3 s of job overhead, so a single
+    * execution is noise-dominated — round 7's first single-rep pass
+    * recorded plain FASTER than aqe, inverted by the very contention
+    * it was measuring. */
   private def timed(body: => Unit): Double = {
-    val t0 = System.nanoTime()
-    body
-    (System.nanoTime() - t0) / 1e9
+    def once: Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
   }
 
   /** Returns (strategy → seconds) for plain/salted/aqe on the same

@@ -53,6 +53,26 @@ class PipelineSpec extends AnyFunSuite {
       s"full probe must equal brute force: ${byProbe(16)}")
   }
 
+  test("projected rerank recall climbs with BOTH levers (R and dims)") {
+    // d45's quality contract: a 16-of-64 ±1 projection buys a CHEAP
+    // shortlist, not a ranking — JL distortion at 4× compression
+    // can't order within-cluster neighbors, so recall at R=k is low
+    // by math, and climbs monotonically with the shortlist width
+    // (0.09 → 0.45 over R 10 → 100, fixed planted numbers) and with
+    // the projection width (0.13 → 0.44 over dims 8 → 32 at R=50).
+    // Candidate sets NEST as R grows, so the R-curve is provably
+    // monotone; a drop means the shortlist leg broke.
+    val a = graft.operators.AnnQuality
+    val byR = a.projectedRecallCurve(spark)
+    byR.zip(byR.tail).foreach { case ((r0, v0), (r1, v1)) =>
+      assert(v1 >= v0 - 1e-9, s"recall fell R$r0:$v0 -> R$r1:$v1") }
+    assert(byR.toMap.apply(100) >= 0.4,
+      s"recall at R=100 under floor: ${byR.toMap.apply(100)}")
+    val byDims = a.projectedDimsCurve(spark)
+    assert(byDims.last._2 > byDims.head._2 + 0.1,
+      s"dims lever broke: $byDims")
+  }
+
   test("IVFPQ recall climbs with codebook size") {
     // the production tuning lever the artifact records: 16
     // codes/subspace collapse onto the 16 planted clusters (ADC

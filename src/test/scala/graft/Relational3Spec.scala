@@ -142,6 +142,21 @@ class Relational3Spec extends AnyFunSuite {
       s"near pair $dNear not << far pair $dFar")
   }
 
+  test("q58 recursive chain equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational3.q58Recursive(spark, sf)
+      .select("o_custkey", "step", "o_orderkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val exp = Tables.load(spark, sf, "orders")
+      .withColumn("step", row_number().over(w))
+      .filter(col("step") <= Relational3.ChainCap)
+      .select(col("o_custkey"), col("step"), col("o_orderkey"))
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got == exp)
+  }
+
   test("t22 totals reconcile with the corpus") {
     val rep = TextAnalysis.t22SourceReport(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
