@@ -211,13 +211,59 @@ object Interchange {
 
   val f06Sql: String = digestSql
 
+  /** f07: FIXED-WIDTH round trip — the mainframe/EDI landing format:
+    * no delimiters at all, each field owns a byte range, records are
+    * lines. Only fixed-size fields ride it (ids, codes, counts —
+    * free text defeats the format's premise; that's f01/f06's job),
+    * so the digest covers the metadata columns. Writer pads into the
+    * declared widths after a LOUD width guard (a silently truncated
+    * id is corruption, not formatting); reader is pure
+    * substring+trim+cast — line-splittable at any scale, zero parse
+    * state. */
+  private val FwWidths = Seq(
+    ("doc_id", 12), ("lang", 8), ("source", 16), ("n_chars", 10))
+
+  def f07FixedWidthRoundTrip(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("fw", dir)
+    val over = docs.filter(FwWidths.map { case (c, w) =>
+      length(col(c).cast("string")) > w }.reduce(_ || _)).count()
+    require(over == 0, s"$over rows exceed fixed-field widths")
+    docs.select(concat(FwWidths.map { case (c, w) =>
+        rpad(col(c).cast("string"), w, " ") }: _*).as("value"))
+      .write.mode("overwrite").text(out)
+    val offsets = FwWidths.scanLeft(1) { case (p, (_, w)) => p + w }
+    val parsed = spark.read.text(out).select(
+      FwWidths.zip(offsets).map { case ((c, w), off) =>
+        trim(substring(col("value"), off, w)).as(c)
+      }: _*)
+    parsed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).cast("long").as("sum_chars"),
+        sum(col("doc_id").cast("long")).cast("long").as("sum_ids"),
+        min(col("doc_id").cast("long")).as("min_doc"),
+        max(col("doc_id").cast("long")).as("max_doc"),
+        max(col("source")).as("max_source"))
+      .orderBy(col("lang"))
+  }
+
+  val f07Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  max(source) AS max_source
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
     "f03_orc_roundtrip" -> (f03OrcRoundTrip _),
     "f04_partition_prune" -> (f04PartitionedPrune _),
     "f05_compaction" -> (f05Compact _),
-    "f06_tsv_roundtrip" -> (f06TsvRoundTrip _))
+    "f06_tsv_roundtrip" -> (f06TsvRoundTrip _),
+    "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -225,5 +271,6 @@ object Interchange {
     "f03_orc_roundtrip" -> f03Sql,
     "f04_partition_prune" -> f04Sql,
     "f05_compaction" -> f05Sql,
-    "f06_tsv_roundtrip" -> f06Sql)
+    "f06_tsv_roundtrip" -> f06Sql,
+    "f07_fixed_width_roundtrip" -> f07Sql)
 }

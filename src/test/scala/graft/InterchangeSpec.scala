@@ -164,4 +164,19 @@ class InterchangeSpec extends AnyFunSuite {
     assert(digest == Interchange.f01JsonlRoundTrip(spark, sf)
       .collect().toSeq)
   }
+
+  test("fixed-width round trip errs LOUDLY on an over-width field") {
+    // the format's failure mode is SILENT truncation; the width
+    // guard must turn it into an error before any byte is written
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_over").toString
+    Seq((1L, "t", "en", "this-source-name-is-way-over-sixteen", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Interchange.f07FixedWidthRoundTrip(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("exceed fixed-field widths"))
+  }
 }
