@@ -41,9 +41,20 @@ object Tables {
     * so downstream plans see one type. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize whatever ts representation arrived — INT64 nanos (the
+    * historical driver encoding, read long under nanosAsLong), NTZ
+    * wall-clock, or a plain adjusted timestamp (the round-7 driver
+    * data is TIMESTAMP(MICROS)) — to one session-TZ timestamp type.
+    * Shared by the batch loader and the streaming source, which MUST
+    * dispatch on the arriving type the same way: round 7's testdata
+    * flipped nanos→micros and the stream's hard-coded `div 1000`
+    * silently shifted every event to 1970. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -51,6 +51,40 @@ object AsOf {
     }.drop("__k", "__ts", "__rval", "__side", "__m")
   }
 
+  /** FORWARD as-of join — each left row takes the EARLIEST right row
+    * at-or-after its timestamp (delivery-promise / next-event
+    * semantics; [[asofJoin]] is the backward mirror). Same
+    * single-key-shuffle union plan, with the window frame flipped to
+    * `[current, following]` and the running `first(right_value)`;
+    * left rows sort BEFORE right rows at equal timestamps so an
+    * exactly-simultaneous right row matches (forward-inclusive). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, prefix: String = "r_")
+      : DataFrame = {
+    val rightVal = struct(
+      right.columns.filterNot(_ == key).map(col).toIndexedSeq: _*)
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      rightVal.as("__rval"), lit(1).as("__side"))
+    val l = left
+      .withColumn("__k", col(key))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__rval",
+        lit(null).cast(r.schema("__rval").dataType))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__m", first(col("__rval"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val rFields = r.schema("__rval").dataType
+      .asInstanceOf[StructType].fieldNames
+    rFields.foldLeft(matched) { (df, f) =>
+      df.withColumn(prefix + f, col(s"__m.$f"))
+    }.drop("__k", "__ts", "__rval", "__side", "__m")
+  }
+
   /** q48: time-series gap fill (resample + forward fill) — the
     * feature-pipeline staple: per-supplier daily shipped quantity
     * over a dense day spine, missing days carrying the last observed

@@ -405,6 +405,42 @@ object Relational {
        |    AS gap_us
        |FROM m ORDER BY purchase_id""".stripMargin
 
+  /** q59: FORWARD as-of join — each view takes its user's next
+    * purchase at-or-after it (conversion lead time), the
+    * delivery-promise mirror of q13's backward fill. Same
+    * single-key-shuffle plan ([[AsOf.asofJoinForward]]); purchases
+    * pre-dedup per (user, ts) on max event_id so equal-timestamp
+    * winners match DuckDB's ASOF tie contract. */
+  def q59AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOf.asofJoinForward(views, purchases, "user_id", "ts", "ts")
+      .filter(col("r_purchase_id").isNotNull)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("r_purchase_id").as("purchase_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts")))
+          .as("lead_us"))
+      .orderBy(col("view_id"))
+  }
+
+  val q59Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, MAX(event_id) AS purchase_id FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |v AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'view')
+      |SELECT v.event_id AS view_id, v.user_id,
+      |  p.purchase_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS lead_us
+      |FROM v ASOF JOIN p
+      |  ON v.user_id = p.user_id AND p.ts >= v.ts
+      |ORDER BY view_id""".stripMargin
+
   /** q14: point-in-interval range join — events binned into
     * variable-width (quadratic) value bands. Bucketed equi-join under
     * the hood (RangeJoin), so no nested-loop join appears even though
@@ -584,6 +620,7 @@ object Relational {
     "q14_range_join" -> (q14RangeJoin _),
     "q48_gap_fill" -> (AsOf.q48GapFill _),
     "q52_asof_tolerance" -> (q52AsofTolerance _),
+    "q59_asof_forward" -> (q59AsofForward _),
     "q16_percentiles" -> (q16Percentiles _),
     "q47_approx_percentile" -> (q47ApproxPercentile _),
     "q17_rollup" -> (q17Rollup _),
@@ -607,6 +644,7 @@ object Relational {
     "q14_range_join" -> q14Sql,
     "q48_gap_fill" -> AsOf.q48Sql,
     "q52_asof_tolerance" -> q52Sql,
+    "q59_asof_forward" -> q59Sql,
     "q16_percentiles" -> q16Sql,
     "q17_rollup" -> q17Sql,
     "q18_pivot" -> q18Sql,

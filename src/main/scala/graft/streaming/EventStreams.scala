@@ -48,17 +48,19 @@ object EventStreams {
     * every streaming query so a ts fix can't silently diverge them. */
   private def streamingEvents(spark: SparkSession, dir: String)
       : DataFrame = {
-    val batchSchema = Tables.load(spark, dir, "events").schema
+    // the RAW schema (pre-normalization: nanos arrive as LongType
+    // under nanosAsLong, micros as TimestampType, …) — then the same
+    // type dispatch the batch loader uses. Hard-coding one encoding
+    // here is the bug class round 7 hit: the driver's testdata
+    // flipped nanos→micros and a `div 1000` shifted every streamed
+    // event to 1970 while batch stayed correct.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(batchSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType()) { (st, f) =>
-        if (f.name == "ts")
-          st.add("ts", org.apache.spark.sql.types.LongType)
-        else st.add(f)
-      })
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source requires a DIRECTORY; sibling tables in
+    // it project to all-null rows under the events schema and fall
+    // out of every event-time window (same contract since round 1)
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir))
   }
 
   /** The same aggregation as a real streaming query over a file

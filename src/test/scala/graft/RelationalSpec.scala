@@ -182,9 +182,15 @@ class RelationalSpec extends AnyFunSuite {
       "s10_cell_route", "t12_tfidf", "t13_bm25",
       // d33 composes the d22 literal centroid broadcast for its
       // assignment stage; d34 is d25's search leg (same centroid
-      // broadcast); t15/t16 cross-join the 1-row token total
+      // broadcast); t15/t16/t21/d38 cross-join a 1-row corpus-total
+      // scalar (the d23 pattern)
       "d33_semdedup", "t15_unigram_lp", "d34_hard_negatives",
-      "t16_bigram_lp")
+      "t16_bigram_lp", "t21_pmi_collocations", "d38_source_weights",
+      // d44 cross-joins the 16-row ±1 plane relation by broadcast
+      // (the projection matrix — bounded literal); d45 broadcasts
+      // the 8-row query set against the candidates for its
+      // shortlist scan, the d05 shape
+      "d44_random_projection", "d45_projected_rerank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
