@@ -991,4 +991,81 @@ object Dedup {
        |  tru.jaccard
        |FROM sb JOIN tru ON tru.a_id = sb.a_id
        |ORDER BY sb.a_id""".stripMargin
+
+  /** d46: QUALITY-AWARE survivor election — d20 keeps the min-id
+    * member of each near-dup cluster; a real curation pipeline keeps
+    * the BEST one (the full doc over its truncation, the clean copy
+    * over the mojibake one). Per cluster: argmax on t02's quality
+    * score (micros-quantized so the comparison is integer-exact),
+    * min doc_id tiebreak — ONE partial-aggregable struct-max over
+    * the cluster-member relation, no window, nothing corpus-sized
+    * beyond the d14 label backbone it composes. */
+  def d46QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val labels = d14Labels(spark, dir)
+      .withColumnRenamed("node", "doc_id")
+    val quality = corpusWithPlants(spark, dir)
+      .withColumn("st", TextFunctions.wordStats(col("text")))
+      .withColumn("n_chars", length(trim(col("text"))).cast("long"))
+      .withColumn("alpha_ratio", round(
+        length(regexp_replace(trim(col("text")), "[^a-z]", ""))
+          .cast("double") / col("n_chars"), 6))
+      .withColumn("avg_word_len", round(
+        col("st.len_sum").cast("double") / col("st.n_words"), 6))
+      .withColumn("qmic", round(
+        (least(col("st.n_words").cast("double") / 100.0, lit(1.0)) * 0.5
+          + col("alpha_ratio") * 0.3
+          + when(col("avg_word_len").between(3.0, 8.0), 0.2)
+            .otherwise(0.0)) * 1e6, 0).cast("long"))
+      .select(col("doc_id"), col("qmic"))
+    labels.join(quality, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("qmic"), (-col("doc_id")).as("negdoc")))
+        .as("best"), count(lit(1)).as("n_members"))
+      .select(col("label").as("cluster"),
+        (-col("best.negdoc")).as("kept_doc"),
+        col("best.qmic").as("kept_quality_micros"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  lazy val d46Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH pairs AS ($minhashLshSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |comp AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT node, node FROM nodes
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e
+       |      JOIN reach r ON e.dst = r.node)
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+       |corpus AS ($corpusSql),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(ROUND((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + alpha_ratio * 0.3
+       |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0
+       |          THEN 0.2 ELSE 0.0 END) * 1000000) AS BIGINT) AS qmic
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len($w) AS BIGINT) AS n_words,
+       |      ROUND(CAST(length(regexp_replace(trim(text), '[^a-z]',
+       |        '', 'g')) AS DOUBLE) / length(trim(text)), 6)
+       |        AS alpha_ratio,
+       |      ROUND(CAST(list_sum(list_transform($w, x -> length(x)))
+       |        AS DOUBLE) / len($w), 6) AS avg_word_len
+       |    FROM corpus)),
+       |r AS (
+       |  SELECT comp.label, q.doc_id, q.qmic,
+       |    ROW_NUMBER() OVER (PARTITION BY comp.label
+       |      ORDER BY q.qmic DESC, q.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY comp.label) AS n_members
+       |  FROM comp JOIN q ON q.doc_id = comp.node)
+       |SELECT label AS cluster, doc_id AS kept_doc,
+       |  qmic AS kept_quality_micros,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+  }
 }

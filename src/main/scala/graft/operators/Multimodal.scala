@@ -425,4 +425,35 @@ object Multimodal {
        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  /** m08: shard FIXITY manifest — the integrity sidecar a webdataset
+    * writer ships with m07's shards: per shard, the blob count, byte
+    * total, id range, and an order-sensitive md5 over the members (a
+    * reader can verify a downloaded shard without the source; any
+    * lost/reordered/resized blob moves the digest). One |shards|-row
+    * aggregate over m07's output; the ordered member concat is
+    * sorted per shard (bounded by blobs-per-shard), never
+    * corpus-wide. */
+  def m08ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    m07BlobShards(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(to_binary(concat_ws(",",
+          expr("transform(sort_array(collect_list(struct(" +
+            "shard_offset, doc_id, n_bytes))), " +
+            "x -> concat(x.doc_id, ':', x.n_bytes))")), lit("utf-8")))
+          .as("fixity"))
+      .orderBy(col("shard"))
+
+  val m08Sql: String =
+    s"""WITH blobs AS ($blobShardsSql)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  md5(string_agg(doc_id || ':' || n_bytes, ','
+       |    ORDER BY shard_offset, doc_id, n_bytes)) AS fixity
+       |FROM blobs GROUP BY shard ORDER BY shard""".stripMargin
 }

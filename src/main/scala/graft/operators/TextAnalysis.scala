@@ -875,6 +875,65 @@ object TextAnalysis {
             / col("n_words").cast("double")), 6).as("flesch"))
       .orderBy(col("doc_id"))
 
+  /** t25: source-pair vocabulary overlap — the "are these two crawls
+    * the same corpus wearing different names" curation view: distinct
+    * (source, word) relation, self-joined on WORD (the only
+    * corpus-scale shuffle hashes on the word), per-pair shared-type
+    * counts, Jaccard against the per-source vocabulary sizes. Output
+    * is |sources|²/2 rows; per-word pair fan-out is bounded by the
+    * source count (≤ C(|sources|,2) pairs per word), so the join
+    * never goes quadratic in the data. All counts exact integers;
+    * Jaccard is one BIGINT÷BIGINT division. */
+  def t25SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    val sizes = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("v"))
+    val a = vocab.select(col("source").as("s1"), col("word"))
+    val b = vocab.select(col("source").as("s2"), col("word"))
+    // both sides are the vocabulary-scale distinct output (statless —
+    // Catalyst would guess small and broadcast); force the shuffled
+    // build, hashing on word
+    a.join(b.hint("shuffle_hash"), Seq("word"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.hint("shuffle_hash")
+        .select(col("source").as("s1"), col("v").as("v1")), Seq("s1"))
+      .join(sizes.hint("shuffle_hash")
+        .select(col("source").as("s2"), col("v").as("v2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("shared"), col("v1"), col("v2"),
+        round(col("shared").cast("double")
+          / (col("v1") + col("v2") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val t25Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT source, word FROM (
+       |    SELECT source, unnest($w) AS word FROM documents)
+       |  WHERE length(word) > 0),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM vocab GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM vocab a JOIN vocab b ON a.word = b.word
+       |  WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT s1, s2, shared, x.v AS v1, y.v AS v2,
+       |  ROUND(CAST(shared AS DOUBLE) / (x.v + y.v - shared), 6)
+       |    AS jaccard
+       |FROM pairs JOIN sizes x ON x.source = s1
+       |JOIN sizes y ON y.source = s2
+       |ORDER BY s1, s2""".stripMargin
+  }
+
   val t24Sql: String = {
     val w = TextFunctions.wordsSql
     s"""WITH c AS (

