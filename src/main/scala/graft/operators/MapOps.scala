@@ -356,6 +356,58 @@ object MapOps {
       |  CAST(SUM(CAST(seg AS DECIMAL(18,6))) AS DOUBLE) AS length
       |FROM s GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** g15: polygon AREA via the shoelace formula — g11's sibling for
+    * the closed-ring features map2db classifies (ring-closure → area
+    * vs line, map2db.py 815-1077). The synthetic ring is g11's
+    * vertex relation closed cyclically: the wraparound successor is
+    * `coalesce(lead, first_value)` in the same window, and every
+    * cross term stays BIGINT (coords < 1000 ⇒ |term| ≤ 2e6), so the
+    * doubled signed area is integer-exact on any engine; one key
+    * shuffle, window partitions bounded by vertices-per-ring. */
+  def g15PolygonArea(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("x"), col("y"))
+    val wAll = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cross = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1000).as("x"), (col("l_suppkey") % 1000).as("y"))
+      .withColumn("nx",
+        coalesce(lead(col("x"), 1).over(w), first(col("x")).over(wAll)))
+      .withColumn("ny",
+        coalesce(lead(col("y"), 1).over(w), first(col("y")).over(wAll)))
+      .withColumn("cross", col("x") * col("ny") - col("nx") * col("y"))
+    cross.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_vertices"),
+        abs(sum(col("cross"))).as("area2"))
+      .select(col("l_orderkey"), col("n_vertices"), col("area2"),
+        (col("area2").cast("double") / 2.0).as("area"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val g15Sql: String =
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_partkey % 1000 AS x, l_suppkey % 1000 AS y
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_orderkey,
+      |    x * COALESCE(lead(y) OVER w, first_value(y) OVER
+      |        (PARTITION BY l_orderkey ORDER BY l_linenumber, x, y
+      |         ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND UNBOUNDED FOLLOWING))
+      |      - COALESCE(lead(x) OVER w, first_value(x) OVER
+      |        (PARTITION BY l_orderkey ORDER BY l_linenumber, x, y
+      |         ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND UNBOUNDED FOLLOWING)) * y
+      |      AS cr
+      |  FROM v WINDOW w AS (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, x, y))
+      |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      |  CAST(ABS(SUM(cr)) AS BIGINT) AS area2,
+      |  CAST(ABS(SUM(cr)) AS DOUBLE) / 2.0 AS area
+      |FROM c GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** g12: tile adjacency degree — cross-tile feature stitching
     * (map2db.py:1080-1182 merges line fragments across tile borders)
     * starts from "which neighbor tiles exist"; an 8-offset explode +
@@ -414,6 +466,7 @@ object MapOps {
     "g14_fleet_scan" -> (MapBench.g14FleetScan _),
     "g10_bbox_agg" -> (g10BboxAgg _),
     "g11_polyline_length" -> (g11PolylineLength _),
+    "g15_polygon_area" -> (g15PolygonArea _),
     "g12_tile_neighbors" -> (g12TileNeighbors _),
     "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
     "g02_tile_transforms" -> (g02TileTransforms _),
@@ -428,6 +481,7 @@ object MapOps {
   val oracles: Map[String, String] = Map(
     "g10_bbox_agg" -> g10Sql,
     "g11_polyline_length" -> g11Sql,
+    "g15_polygon_area" -> g15Sql,
     "g12_tile_neighbors" -> g12Sql,
     "g01_varint_roundtrip" -> g01Sql,
     "g02_tile_transforms" -> g02Sql,

@@ -934,6 +934,67 @@ object TextAnalysis {
        |ORDER BY s1, s2""".stripMargin
   }
 
+  /** t26: character-bigram entropy — the information-theoretic
+    * gibberish/spam gate (keyboard mash reads low, natural prose
+    * sits in a band, random bytes read high). The t15 transcendental
+    * discipline: ln evaluates once per DISTINCT (doc, bigram) pair
+    * and quantizes to the 10⁶ grid immediately, so the per-doc sum
+    * Σ nᵢ·lnq(n/nᵢ) is exact integer arithmetic; the normalized
+    * entropy is one BIGINT÷BIGINT IEEE division. One explode + two
+    * doc-keyed aggregates — nothing corpus-global at all. */
+  def t26CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), " +
+          "i -> substring(t, i, 2))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ni")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("ni") *
+          round(log(col("ni").cast("double")) * lit(-1e6), 0)
+            .cast("long")).as("neg_ln_ni_sum"))
+      .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        // Σ nᵢ·(lnq n − lnq nᵢ) regrouped so BOTH ln args are plain
+        // integers (one lnq per doc for n, one per distinct bigram
+        // for nᵢ — never a ratio, so the grid quantization is shared
+        // exactly by the oracle)
+        (col("n").cast("long") *
+          round(log(col("n").cast("double")) * lit(1e6), 0).cast("long")
+          + col("neg_ln_ni_sum")).as("ent_num_micro"),
+        round((col("n").cast("long") *
+          round(log(col("n").cast("double")) * lit(1e6), 0).cast("long")
+          + col("neg_ln_ni_sum")).cast("double")
+          / col("n").cast("double") / 1e6, 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  val t26Sql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(trim(text)) - 1),
+      |    i -> substring(trim(text), i, 2))) AS bg
+      |  FROM documents WHERE length(trim(text)) >= 2),
+      |cnt AS (
+      |  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS ni
+      |  FROM bg GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(ni) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(ni * CAST(ROUND(ln(CAST(ni AS DOUBLE)) * -1000000)
+      |      AS BIGINT)) AS BIGINT) AS neg_ln_ni_sum
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n AS n_bigrams, n_distinct,
+      |  n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+      |    + neg_ln_ni_sum AS ent_num_micro,
+      |  ROUND(CAST(n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000)
+      |      AS BIGINT) + neg_ln_ni_sum AS DOUBLE)
+      |    / n / 1000000.0, 6) AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val t24Sql: String = {
     val w = TextFunctions.wordsSql
     s"""WITH c AS (

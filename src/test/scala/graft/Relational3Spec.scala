@@ -157,6 +157,39 @@ class Relational3Spec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("g15 shoelace area: hand-computed square") {
+    import graft.operators.MapOps
+    val dir = java.nio.file.Files.createTempDirectory("g15").toString
+    // one ring, vertices in linenumber order: a 10×10 axis-aligned
+    // square → area 100, doubled signed area 200
+    Seq((1L, 1, 0L, 0L), (1L, 2, 0L, 10L), (1L, 3, 10L, 10L),
+        (1L, 4, 10L, 0L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = MapOps.g15PolygonArea(spark, dir)
+      .select("l_orderkey", "n_vertices", "area2", "area")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 4L, 200L, 100.0)))
+  }
+
+  test("t26 entropy: zero for degenerate, ln2 for uniform alternation") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("t26").toString
+    Seq((1L, "aaaaaaaa", "en", "s", 8L),
+        (2L, "abababab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t26CharEntropy(spark, dir)
+      .select("doc_id", "n_distinct", "entropy")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // "aaaaaaaa": one bigram type, entropy exactly 0
+    assert(r(1L)._2 == 1 && r(1L)._3 == 0.0)
+    // "abababab": 7 bigrams, ab×4 + ba×3 — entropy near the 2-symbol
+    // bound ln 2 ≈ 0.6931, strictly below it (counts not equal)
+    assert(r(2L)._2 == 2)
+    assert(r(2L)._3 > 0.6 && r(2L)._3 < 0.6932, r(2L)._3.toString)
+  }
+
   test("t22 totals reconcile with the corpus") {
     val rep = TextAnalysis.t22SourceReport(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
