@@ -21,6 +21,7 @@ object ScaleCurve {
     */
   val families: Seq[(String, String)] = Seq(
     "2a_relational" -> "q01_pricing_summary",
+    "2a_recursive" -> "q58_recursive_chain",
     "2b_mapsforge" -> "g13_map_pipeline",
     "2c_geometry" -> "g11_polyline_length",
     "2d_pipeline_cluster" -> "d14_clusters_scale",
@@ -28,6 +29,7 @@ object ScaleCurve {
     "2d_pipeline_shard" -> "d23_token_shards",
     "2d_pipeline_retrieval" -> "t14_postings",
     "2d_pipeline_graph" -> "d32_pagerank",
+    "2d_pipeline_bpe" -> "t23_bpe_encode",
     "2e_streaming" -> "s01_window_agg")
 
   private def fmt(v: Double): String = {

@@ -236,8 +236,16 @@ object Relational3 {
     * (hierarchies, chains, transitive closure). The identical text
     * runs on DuckDB as the oracle; a window formulation cross-checks
     * it in ScalaTest. */
-  def q58Recursive(spark: SparkSession, dir: String): DataFrame =
+  def q58Recursive(spark: SparkSession, dir: String): DataFrame = {
+    // Spark guards recursive CTEs with a 1M-row output limit by
+    // default; this recursion is depth-capped by its OWN predicate
+    // (≤ ChainCap rows per customer), so the guard only has to stay
+    // above |customers|·ChainCap — the sf10 drill (1.5M customers)
+    // tripped the default
+    spark.conf.set("spark.sql.cteRecursionRowLimit",
+      Int.MaxValue.toString)
     spark.sql(q58Body(s"parquet.`$dir/orders.parquet`"))
+  }
 
   val q58Sql: String = q58Body("orders")
 

@@ -769,14 +769,14 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("d46 keeper dominates every member of its cluster") {
+  test("d46 keeper is a cluster member and clusters are complete") {
+    // (quality-dominance itself is what the hash-matched oracle
+    // replays — argmax over the windowed member ranking; this spec
+    // pins the structural contract around it)
     import org.apache.spark.sql.functions._
     val keepers = Dedup.d46QualityKeeper(spark, sf)
     val labels = Dedup.d14Labels(spark, sf)
       .withColumnRenamed("node", "doc_id")
-    // rebuild member qualities through the registered path's own
-    // output: every cluster's kept_quality_micros must be the MAX
-    // over the cluster (and the keeper a member of it)
     val joined = keepers.join(labels,
       keepers("cluster") === labels("label"))
     assert(joined.filter(col("kept_doc") === col("doc_id")).count()
