@@ -25,6 +25,24 @@ object Verify {
     "(?i)(\\bWITH\\s+|\\)\\s*,\\s*)([A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(",
     "$1$2 MATERIALIZED (")
 
+  /** The one shape [[materializeCtes]] would corrupt: comma-separated
+    * named windows (`WINDOW a AS (...), b AS (`) — the `), name AS (`
+    * half of the rewrite would hint the SECOND window as a CTE and
+    * emit invalid DuckDB SQL. OracleSqlSpec pins this at test time;
+    * [[main]] re-asserts it at DUMP time so a bad oracle fails loudly
+    * instead of shipping a broken oracle_sql.json. */
+  val MultiWindow =
+    "(?is)\\bWINDOW\\s+\\w+\\s+AS\\s*\\([^()]*\\)\\s*,\\s*\\w+\\s+AS\\s*\\(".r
+
+  def assertRewriteSafe(oracles: Map[String, String]): Unit = {
+    val offenders = oracles.collect {
+      case (k, sql) if MultiWindow.findFirstIn(sql).isDefined => k
+    }
+    require(offenders.isEmpty,
+      s"comma-separated WINDOW clauses break materializeCtes: " +
+        offenders.mkString(", "))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
@@ -44,6 +62,7 @@ object Verify {
     // Written BEFORE the query loop: if the dump is killed mid-run the
     // driver still gets a well-formed oracle file and per-query
     // missing-output errors, not an empty round.
+    assertRewriteSafe(SparkEntry.oracleSql)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(materializeCtes(v))}" }
       .mkString("{", ",", "}")

@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.StructType
   * better than a range-condition join, whose inequality predicate
   * would force a cross-ish join per key.
   *
-  * Right-side values arrive as `<prefix><rightColumn>` columns. If
-  * the right side can hold duplicate timestamps per key, pre-dedup it
-  * (e.g. keep max of a tiebreak column) — the winner among exact ties
-  * is otherwise unspecified, same as DuckDB's ASOF JOIN.
+  * Right-side values arrive as `<prefix><rightColumn>` columns.
+  * Duplicate (key, ts) rows on the RIGHT are deterministic: the
+  * window order carries the right-value struct as a final tiebreak,
+  * so the backward join matches the LARGEST right-value tuple among
+  * exact-timestamp duplicates and the forward join the smallest
+  * (DuckDB's ASOF JOIN leaves this unspecified — pre-dedup if a
+  * specific winner is required). This requires the right value
+  * columns to be of orderable types (no maps).
   */
 object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
@@ -39,7 +43,7 @@ object AsOf {
       .withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rval"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__rval"), ignoreNulls = true).over(w))
@@ -57,7 +61,10 @@ object AsOf {
     * single-key-shuffle union plan, with the window frame flipped to
     * `[current, following]` and the running `first(right_value)`;
     * left rows sort BEFORE right rows at equal timestamps so an
-    * exactly-simultaneous right row matches (forward-inclusive). */
+    * exactly-simultaneous right row matches (forward-inclusive).
+    * Duplicate (key, ts) right rows resolve deterministically to the
+    * smallest right-value tuple (the `__rval` tiebreak in the window
+    * order). */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, prefix: String = "r_")
       : DataFrame = {
@@ -73,7 +80,7 @@ object AsOf {
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rval"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = unioned
       .withColumn("__m", first(col("__rval"), ignoreNulls = true).over(w))

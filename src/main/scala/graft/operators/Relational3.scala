@@ -35,11 +35,15 @@ object Relational3 {
     val covn = col("sxy") * n - sx * sy   // n²·cov
     val varx = col("sxx") * n - sx * sx   // n²·var(x)
     val vary = col("syy") * n - sy * sy
-    val slope = covn / varx
+    // zero-variance guard: a constant-x group makes slope 0/0 — Spark
+    // would emit NaN where DuckDB NULLs; NULL the denominators on both
+    // engines so degenerate groups agree (NULLIF mirrors in the oracle)
+    val slope = covn / when(varx =!= 0d, varx)
     agg.select(col("l_returnflag"), n.cast("long").as("n_rows"),
         round(slope, 8).as("slope"),
         round((sy - slope * sx) / n, 8).as("intercept"),
-        round((covn * covn) / (varx * vary), 8).as("r2"))
+        round((covn * covn) / when(varx * vary =!= 0d, varx * vary), 8)
+          .as("r2"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -60,11 +64,12 @@ object Relational3 {
       |      AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  ROUND((sxy * n - sx * sy) / (sxx * n - sx * sx), 8) AS slope,
-      |  ROUND((sy - ((sxy * n - sx * sy) / (sxx * n - sx * sx)) * sx)
-      |    / n, 8) AS intercept,
+      |  ROUND((sxy * n - sx * sy) / NULLIF(sxx * n - sx * sx, 0),
+      |    8) AS slope,
+      |  ROUND((sy - ((sxy * n - sx * sy) /
+      |    NULLIF(sxx * n - sx * sx, 0)) * sx) / n, 8) AS intercept,
       |  ROUND(((sxy * n - sx * sy) * (sxy * n - sx * sy)) /
-      |    ((sxx * n - sx * sx) * (syy * n - sy * sy)), 8) AS r2
+      |    NULLIF((sxx * n - sx * sx) * (syy * n - sy * sy), 0), 8) AS r2
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** q56: higher-order functions over array columns — `transform`,
@@ -130,18 +135,25 @@ object Relational3 {
     * deleted, %10==3 re-priced, %100==7 re-keyed as inserts) so the
     * oracle replays it exactly; balances ride as exact cents.
     * valid_to uses a 9999 epoch sentinel instead of NULL so every
-    * output cell hashes identically on both engines. */
+    * output cell hashes identically on both engines. Re-keyed
+    * inserts land at c_custkey + max(c_custkey) + 1 — derived from
+    * the dimension (one 1-row broadcast scalar), so the insert slot
+    * is PROVABLY disjoint from genuine keys at any scale factor (a
+    * fixed literal offset would collide once keys reach it, e.g.
+    * ScaleGen's 1e7-key sf10 replica). */
   def q57Scd2(spark: SparkSession, dir: String): DataFrame = {
     val cur = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"),
         round(col("c_acctbal") * 100, 0).cast("long").as("old_bal"))
+    val mx = cur.agg(max(col("c_custkey")).as("mx"))
     val snap = cur
       .filter(col("c_custkey") % 100 =!= 13)
       .select(col("c_custkey"),
         when(col("c_custkey") % 10 === 3, col("old_bal") + 10000L)
           .otherwise(col("old_bal")).as("new_bal"))
       .unionAll(cur.filter(col("c_custkey") % 100 === 7)
-        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        .crossJoin(broadcast(mx))
+        .select((col("c_custkey") + col("mx") + 1L).as("c_custkey"),
           col("old_bal").as("new_bal")))
     val j = cur.join(snap, Seq("c_custkey"), "full_outer")
     val closed = j
@@ -176,7 +188,7 @@ object Relational3 {
       |         ELSE old_bal END AS new_bal
       |  FROM cur WHERE c_custkey % 100 <> 13
       |  UNION ALL
-      |  SELECT c_custkey + 10000000, old_bal
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) FROM cur) + 1, old_bal
       |  FROM cur WHERE c_custkey % 100 = 7),
       |j AS (
       |  SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
@@ -239,12 +251,21 @@ object Relational3 {
   def q58Recursive(spark: SparkSession, dir: String): DataFrame = {
     // Spark guards recursive CTEs with a 1M-row output limit by
     // default; this recursion is depth-capped by its OWN predicate
-    // (≤ ChainCap rows per customer), so the guard only has to stay
-    // above |customers|·ChainCap — the sf10 drill (1.5M customers)
-    // tripped the default
-    spark.conf.set("spark.sql.cteRecursionRowLimit",
-      Int.MaxValue.toString)
-    spark.sql(q58Body(s"parquet.`$dir/orders.parquet`"))
+    // (≤ ChainCap rows per customer ≤ |orders|·ChainCap total), so
+    // the guard only has to clear that computed bound — the sf10
+    // drill (1.5M customers) tripped the default. The raised bound
+    // lives on an ISOLATED child session (shared SparkContext,
+    // separate SQLConf): the caller's runaway-recursion guard is
+    // never mutated, and later queries on the shared session keep
+    // the stock limit. The |orders| count is parquet metadata, not
+    // a scan.
+    val bound = math.min(
+      spark.read.parquet(s"$dir/orders.parquet").count()
+        * ChainCap + 1000L,
+      Int.MaxValue.toLong)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
+    scoped.sql(q58Body(s"parquet.`$dir/orders.parquet`"))
   }
 
   val q58Sql: String = q58Body("orders")

@@ -37,13 +37,15 @@ class OracleSqlSpec extends AnyFunSuite {
     // another definition. A window INSIDE a CTE followed by the next
     // CTE (`...WINDOW w AS (...))\n, next AS (`) is fine: that comma
     // is a real CTE boundary and SHOULD be hinted (s02/s07's shape).
-    val multiWindow =
-      "(?is)\\bWINDOW\\s+\\w+\\s+AS\\s*\\([^()]*\\)\\s*,\\s*\\w+\\s+AS\\s*\\(".r
-    val offenders = SparkEntry.oracleSql.collect {
-      case (k, sql) if multiWindow.findFirstIn(sql).isDefined => k
+    // the SAME guard Verify.main runs at dump time (shared regex —
+    // a drifting copy here would let a bad oracle through emission)
+    Verify.assertRewriteSafe(SparkEntry.oracleSql)
+    // and the dump-time guard actually rejects the bad shape
+    val bad = Map("x" ->
+      "SELECT sum(a) OVER w1, sum(b) OVER w2 FROM t WINDOW w1 AS (PARTITION BY k), w2 AS (ORDER BY t)")
+    assertThrows[IllegalArgumentException] {
+      Verify.assertRewriteSafe(bad)
     }
-    assert(offenders.isEmpty,
-      s"comma-separated WINDOW clauses break materializeCtes: $offenders")
   }
 
   test("every WITH-bearing oracle gains at least one hint") {

@@ -60,21 +60,24 @@ class Relational3Spec extends AnyFunSuite {
     try {
       val cust = Tables.load(spark, sf, "customer")
       val n = cust.count()
+      // the insert slot starts past max(c_custkey) — derived, so the
+      // classification below holds at any scale factor
+      val mx = cust.agg(max("c_custkey")).head.getLong(0)
       val perKey = out.groupBy("c_custkey").count()
       assert(perKey.filter(col("count") > 2).count() == 0)
       // deleted keys (%100==13): exactly one CLOSED row, no current
       val deleted = out.filter(col("c_custkey") % 100 === 13 &&
-        col("c_custkey") < 10000000L)
+        col("c_custkey") <= mx)
       assert(deleted.filter(col("is_current") === 1).count() == 0)
       assert(deleted.count() ==
         cust.filter(col("c_custkey") % 100 === 13).count())
       // changed keys (%10==3, not deleted): closed v0 + open v1
       val changed = out.filter(col("c_custkey") % 10 === 3 &&
-        col("c_custkey") % 100 =!= 13 && col("c_custkey") < 10000000L)
+        col("c_custkey") % 100 =!= 13 && col("c_custkey") <= mx)
       assert(changed.filter(col("is_current") === 1).count() ==
         changed.filter(col("is_current") === 0).count())
       // inserts carry the re-keyed offset and are all current
-      val inserted = out.filter(col("c_custkey") >= 10000000L)
+      val inserted = out.filter(col("c_custkey") > mx)
       assert(inserted.filter(col("is_current") =!= 1).count() == 0)
       assert(inserted.count() ==
         cust.filter(col("c_custkey") % 100 === 7).count())
@@ -157,6 +160,29 @@ class Relational3Spec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("q58 leaves the shared session's recursion guard untouched") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(key)
+    // force full execution, not just planning
+    assert(Relational3.q58Recursive(spark, sf).count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "q58 must scope its raised recursion bound to a child session")
+  }
+
+  test("q55 zero-variance group yields NULL slope/r2, not NaN") {
+    val dir = java.nio.file.Files.createTempDirectory("q55z").toString
+    // constant quantity → var(x)=0 → slope/intercept/r2 all NULL
+    Seq(("A", 5.0, 100.0), ("A", 5.0, 200.0), ("B", 1.0, 10.0),
+        ("B", 2.0, 20.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val rows = Relational3.q55Regression(spark, dir)
+      .orderBy("l_returnflag").collect()
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3) &&
+      rows(0).isNullAt(4), s"degenerate group must be NULL: ${rows(0)}")
+    assert(math.abs(rows(1).getDouble(2) - 10.0) < 1e-9)
+  }
+
   test("g15 shoelace area: hand-computed square") {
     import graft.operators.MapOps
     val dir = java.nio.file.Files.createTempDirectory("g15").toString
@@ -188,6 +214,21 @@ class Relational3Spec extends AnyFunSuite {
     // bound ln 2 ≈ 0.6931, strictly below it (counts not equal)
     assert(r(2L)._2 == 2)
     assert(r(2L)._3 > 0.6 && r(2L)._3 < 0.6932, r(2L)._3.toString)
+  }
+
+  test("as-of joins resolve duplicate (key, ts) right rows " +
+      "deterministically") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    // two right rows at the exact left timestamp
+    val right = Seq((1L, 10L, "b"), (1L, 10L, "a"), (1L, 10L, "c"))
+      .toDF("k", "ts", "v")
+    val fwd = AsOf.asofJoinForward(left, right, "k", "ts", "ts")
+      .select("r_v").as[String].collect()
+    assert(fwd.toSeq == Seq("a"), "forward picks the smallest tuple")
+    val bwd = AsOf.asofJoin(left, right, "k", "ts", "ts")
+      .select("r_v").as[String].collect()
+    assert(bwd.toSeq == Seq("c"), "backward picks the largest tuple")
   }
 
   test("t22 totals reconcile with the corpus") {
