@@ -30,6 +30,19 @@ object AnnRecall {
     }.mkString(",")
     val projByR = curveJson(a.projectedRecallCurve(spark))
     val projByDims = curveJson(a.projectedDimsCurve(spark))
+    // d47 production config: residual IVF+PQ shortlist + exact
+    // re-rank, (nprobe × codes × R) — the round-7 verdict's sweep.
+    // Recall is CAPPED by the full-precision probe ceiling (recall_
+    // at_k above); the re-rank recovers ≥95% of that ceiling at
+    // every nprobe (PipelineSpec pins the recovery at nprobe=4 and
+    // the ≥0.9 absolute floor at 256 codes, R=100, nprobe=8).
+    val rerankByCodes = Seq(4, 8).map { np =>
+      val byCodes = Seq(64, 256).map { n =>
+        s""""$n":{${curveJson(
+          a.residualRerankRecallCurve(spark, nCodes = n, np = np))}}"""
+      }.mkString(",")
+      s""""nprobe$np":{$byCodes}"""
+    }.mkString(",")
     val json =
       s"""{"k":${a.RecallK},"corpus":${a.CorpusN},"queries":${a.QueryN
         },"clusters":${a.Clusters},"cells":${a.Clusters
@@ -39,6 +52,7 @@ object AnnRecall {
         },"residual_ivfpq_recall_by_codes":{$residByCodes
         },"projected_rerank_by_R":{$projByR
         },"projected_rerank_by_dims_at_R50":{$projByDims
+        },"residual_rerank_by_nprobe_codes_R":{$rerankByCodes
         },"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
           a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking"}"""
     java.nio.file.Files.write(

@@ -30,6 +30,7 @@ object ScaleCurve {
     "2d_pipeline_retrieval" -> "t14_postings",
     "2d_pipeline_graph" -> "d32_pagerank",
     "2d_pipeline_bpe" -> "t23_bpe_encode",
+    "2d_pipeline_knn" -> "d49_knn_graph",
     "2e_streaming" -> "s01_window_agg")
 
   private def fmt(v: Double): String = {

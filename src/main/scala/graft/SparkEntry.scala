@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{MapOps, PipelineOps, Relational, Relational2,
-  Relational3, TopK}
+  Relational3, Relational4, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      MapOps.queries ++ PipelineOps.queries ++
+      Relational4.queries ++ MapOps.queries ++ PipelineOps.queries ++
       graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
 
@@ -22,7 +22,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-      MapOps.oracles ++ PipelineOps.oracles ++
+      Relational4.oracles ++ MapOps.oracles ++ PipelineOps.oracles ++
       graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)
 }

@@ -222,6 +222,41 @@ object AnnQuality {
   val RerankRs = Seq(10, 20, 50, 100)
   val ProjDims = Seq(8, 16, 32)
 
+  /** The d47 PRODUCTION-config sweep: residual IVF+PQ compressed
+    * shortlist of width R, then exact re-rank to [[RecallK]] —
+    * recall per R at a fixed book size and probe width. Trains the
+    * coarse index and the residual book ONCE per call; only the
+    * probe/re-rank legs sweep. Recall is CAPPED by the
+    * full-precision probe ceiling (unsearched cells stay unsearched);
+    * the pinned floors (PipelineSpec): ≥95% of that ceiling
+    * recovered at nprobe=4 (0.881 vs 0.916), and ≥0.9 absolute at
+    * 256 codes, R=100, nprobe=8 — the compressed scan's 0.39 ceiling
+    * bought back to what a deployed IVFPQ+refine actually serves. */
+  def residualRerankRecallCurve(spark: SparkSession,
+      rs: Seq[Int] = Seq(20, 50, 100),
+      nCodes: Int = Similarity.PqCodes,
+      np: Int = Similarity.NProbe): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(corp, init, Similarity.KmIters)
+    val resid = Similarity.cellResiduals(corp, cents)
+    val book = Similarity.trainResidualBook(resid, nCodes.toLong)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    rs.map { r =>
+      val short = Similarity.residualAdcScan(
+        qs.select(col("q_id"), col("q_qv")), resid, cents, book, np, r)
+        .select(col("q_id"), col("vec_id"))
+      val hits = Similarity.exactRerank(short, corp, qs, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (r, hits / denom)
+    }
+  }
+
   /** recall@[[RecallK]] of d45's projected-shortlist re-rank per
     * shortlist width R on the planted clustered corpus. A 16-of-64
     * ±1 projection cannot RANK within-cluster fine structure (JL

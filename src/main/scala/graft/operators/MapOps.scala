@@ -467,6 +467,7 @@ object MapOps {
     "g10_bbox_agg" -> (g10BboxAgg _),
     "g11_polyline_length" -> (g11PolylineLength _),
     "g15_polygon_area" -> (g15PolygonArea _),
+    "g16_morton_layout" -> (ZOrder.g16MortonLayout _),
     "g12_tile_neighbors" -> (g12TileNeighbors _),
     "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
     "g02_tile_transforms" -> (g02TileTransforms _),
@@ -482,6 +483,7 @@ object MapOps {
     "g10_bbox_agg" -> g10Sql,
     "g11_polyline_length" -> g11Sql,
     "g15_polygon_area" -> g15Sql,
+    "g16_morton_layout" -> ZOrder.g16Sql,
     "g12_tile_neighbors" -> g12Sql,
     "g01_varint_roundtrip" -> g01Sql,
     "g02_tile_transforms" -> g02Sql,

@@ -145,15 +145,18 @@ object Relational3 {
     val cur = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"),
         round(col("c_acctbal") * 100, 0).cast("long").as("old_bal"))
-    val mx = cur.agg(max(col("c_custkey")).as("mx"))
+    // one bounded 1-row collect (the Sampling/LinkGraph scalar
+    // pattern — a crossJoin'd max relation would plan a nested-loop
+    // join and an aggregate-fed broadcast, both gated)
+    val mxKey = Tables.load(spark, dir, "customer")
+      .agg(max(col("c_custkey"))).head.getLong(0)
     val snap = cur
       .filter(col("c_custkey") % 100 =!= 13)
       .select(col("c_custkey"),
         when(col("c_custkey") % 10 === 3, col("old_bal") + 10000L)
           .otherwise(col("old_bal")).as("new_bal"))
       .unionAll(cur.filter(col("c_custkey") % 100 === 7)
-        .crossJoin(broadcast(mx))
-        .select((col("c_custkey") + col("mx") + 1L).as("c_custkey"),
+        .select((col("c_custkey") + lit(mxKey + 1L)).as("c_custkey"),
           col("old_bal").as("new_bal")))
     val j = cur.join(snap, Seq("c_custkey"), "full_outer")
     val closed = j

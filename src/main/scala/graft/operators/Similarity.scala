@@ -568,6 +568,94 @@ object Similarity {
        |WHERE cos >= $NearDupThreshold
        |ORDER BY keep_id, dup_id""".stripMargin
 
+  /** Out-degree of the d49 kNN graph. */
+  val KnnK = 3
+
+  /** d49: bounded kNN-GRAPH construction — the neighborhood backbone
+    * graph algorithms are built on (HNSW layers, SemDeDup-style
+    * cluster seeds, label propagation over embedding space all start
+    * from "each vector's k nearest"). All-pairs kNN is quadratic; the
+    * scale path is d12's: candidates meet ONLY inside capped LSH
+    * (table, bucket) cells, the candidate relation stays narrow
+    * (ids only) through the self-join and dedup, vectors re-attach
+    * by id to the surviving candidates, and a per-vector bounded
+    * top-[[KnnK]] cut emits the edges. Out-degree ≤ k by
+    * construction, so the output is O(N·k) — graph-sized, not
+    * pair-sized — and recall follows the banding collision curve
+    * d42 audits. Portable md5 plane family, so the oracle replays
+    * signature → banding → capped cells → candidates → exact cosine
+    * → rank. */
+  def d49KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.load(spark, dir, "embeddings")
+      .withColumn("sig", portableLshSignature(col("embedding")))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(Tables8 - 1))).as("t"), col("sig"))
+      .withColumn("bucket", expr(
+        s"(sig >> (t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}"))
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val cells = banded.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupMaxBucket)
+      .select(col("t"), col("bucket"))
+    // every relation below is aggregate-derived (statless) and
+    // corpus-scaling — unhinted, Catalyst broadcasts them at test
+    // scale and OOMs at 100 TB (d12's lesson, enforced by the global
+    // broadcast gate): cell list, bucket self-join and the vector
+    // re-attach all ride forced shuffles
+    val bounded = banded.join(cells.hint("shuffle_hash"),
+      Seq("t", "bucket"))
+    val cand = bounded.as("a")
+      .join(bounded.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cand.hint("shuffle_hash")
+      .join(vecs.select(col("vec_id"), col("embedding").as("e1")),
+        Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("e2")), Seq("nbr_id"))
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d49: the portable LSH chain + capped cells +
+    * directed candidates + exact-cosine rank cut. */
+  val d49Sql: String =
+    s"""WITH ${portableSigCtes()},
+       |cells AS (
+       |  SELECT t, bucket FROM banded GROUP BY t, bucket
+       |  HAVING COUNT(*) <= $NearDupMaxBucket),
+       |bounded AS (
+       |  SELECT ba.vec_id, ba.t, ba.bucket
+       |  FROM banded ba JOIN cells ce
+       |    ON ba.t = ce.t AND ba.bucket = ce.bucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM bounded a JOIN bounded b
+       |    ON a.t = b.t AND a.bucket = b.bucket
+       |   AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT cand.vec_id, cand.nbr_id, ROUND($cosSql, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.vec_id
+       |  JOIN embeddings c ON c.vec_id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT vec_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT vec_id, nbr_id, cos, rank FROM ranked
+       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
   val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
   val PqSubDim = 16
   val PqCodes = 16 // codebook entries per subspace
@@ -1457,6 +1545,89 @@ object Similarity {
        |    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
        |  FROM adc)
        |SELECT q_id, vec_id, adc_dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Exact re-rank of a (q_id, vec_id) shortlist against the
+    * full-precision quantized vectors — d30's tail as a reusable
+    * leg (d47 and AnnQuality's production-config sweep run it).
+    * The shortlist is queries×R rows (bounded, broadcast), so the
+    * exact pass touches R vectors per query, never the corpus. */
+  def exactRerank(shortlist: DataFrame, vecs: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    vecs.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** d47: residual IVF+PQ + exact re-rank — the PRODUCTION ANN
+    * configuration (FAISS IndexIVFPQ + IndexRefineFlat, public
+    * composition; the round-7 verdict's #1 ask): d29's residual-
+    * encoded compressed scan proposes [[RerankR]] candidates per
+    * query at 4 code bytes/vector over nprobe cells, then ONLY those
+    * queries×R rows re-meet their full-precision vectors for the
+    * exact cut to [[TopK]]. This converts the honest compressed-scan
+    * recall ceiling (ann_recall.json: 0.39 at 256 codes) into the
+    * deployable number (≥0.9 — the AnnQuality sweep and PipelineSpec
+    * floor): the compressed index pays for the scan, the re-rank
+    * buys the ranking back at bounded cost. At 100 TB: everything
+    * d29 bounds stays bounded, and the re-rank adds one broadcast
+    * equi-join moving R full vectors per query — never a second
+    * corpus pass. Exact integer arithmetic end to end; the oracle
+    * replays d29's whole chain cut at R plus the exact re-rank. */
+  def d47ResidualRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val cands = qz.filter(col("vec_id") >= NumQueries)
+    val init = qz.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = kmeansQuantized(
+      qz.filter(col("vec_id") >= NumQueries + IvfCells), init, KmIters)
+    val shortlist = residualPqSearch(queries, cands, cents, NProbe,
+      RerankR, NumQueries + PqCodes)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, qz, queries, TopK)
+  }
+
+  /** DuckDB oracle for d47: d29's chain with the rank cut widened to
+    * [[RerankR]], then d30's exact re-rank tail. (lazy — d29Sql is
+    * initialized above but keep the d30Sql convention.) */
+  lazy val d47Sql: String = {
+    val inner = d29Sql
+      .replace(s"WHERE rank <= $TopK", s"WHERE rank <= $RerankR")
+    s"""WITH short AS ($inner),
+       |qq AS (
+       |  SELECT vec_id AS q_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qqv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |vv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${qDistSql("qq.qqv", "v.qv")} AS dist
+       |  FROM short s
+       |  JOIN vv v ON v.vec_id = s.vec_id
+       |  JOIN qq ON qq.q_id = s.q_id),
+       |fin AS (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr)
+       |SELECT q_id, vec_id, dist, rank FROM fin WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
 

@@ -343,22 +343,69 @@ object TextAnalysis {
   val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val PhoneRe = "\\+[0-9]{7,15}"
 
-  /** Redaction composes email -> ip -> phone; an IP inside an email
-    * is consumed by the email token before the IP pass sees it.
-    * Each pattern hides behind a literal-scan guard (the RE2
-    * prefilter idea): an email needs '@', a phone needs '+', an IP
-    * needs a digit — `contains`/a one-char-class rlike are single
-    * codegen'd byte scans, orders of magnitude cheaper than the full
-    * pattern, so clean documents (the overwhelming majority of any
-    * corpus) never enter the regex engines at all. Semantics are
-    * unchanged: a guarded-out document cannot contain a match. */
+  /** Credit-card candidate: a word-bounded 13-16 digit run (PAN
+    * lengths). A run is only REDACTED/counted when its Luhn checksum
+    * holds ([[luhnValid]]) — the check every real PII pass runs,
+    * because 13-digit runs that aren't card numbers (ids, hashes)
+    * are common and over-redaction destroys training data. */
+  val CcRe = "\\b[0-9]{13,16}\\b"
+
+  /** National-ID pattern (SSN shape: AAA-GG-SSSS, word-bounded). */
+  val NatIdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Luhn checksum validity of a digit-string column — a pure
+    * codegen'd higher-order expression (no UDF): double every second
+    * digit from the right, fold >9 to digit-sum, total ≡ 0 (mod 10).
+    * Identical CASE arithmetic replays in the DuckDB oracle. */
+  def luhnValid(s: Column): Column = {
+    val n = length(s)
+    val total = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = ascii(s.substr(i, lit(1))) - lit(48)
+        when((n - i) % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+          .otherwise(d)
+      }), lit(0), (a, x) => a + x)
+    total % 10 === 0
+  }
+
+  /** Luhn-valid card candidates in `text`, in match order. */
+  private def ccValid(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CcRe), lit(0)), luhnValid(_))
+
+  /** Redact every Luhn-valid card run: fold the (word-bounded,
+    * digits-only — no metachar escaping needed) matches through
+    * regexp_replace. Matches can't nest (a 13-16 digit run inside a
+    * longer run has no word boundary), so the fold order can't
+    * change the result. */
+  private def ccScrub(text: Column): Column =
+    aggregate(ccValid(text), text, (acc, cc) =>
+      regexp_replace(acc, concat(lit("\\b"), cc, lit("\\b")),
+        lit("<CC>")))
+
+  /** Redaction composes email -> ip -> phone -> card -> national-id;
+    * an IP inside an email is consumed by the email token before the
+    * IP pass sees it, and a card-length digit run inside a redacted
+    * phone is already gone when the card pass runs. Each pattern
+    * hides behind a literal-scan guard (the RE2 prefilter idea): an
+    * email needs '@', a phone needs '+', an IP needs a digit, a card
+    * needs 13 consecutive digits, an SSN needs a '-' —
+    * `contains`/a one-char-class rlike are single codegen'd byte
+    * scans, orders of magnitude cheaper than the full pattern, so
+    * clean documents (the overwhelming majority of any corpus) never
+    * enter the regex engines at all. Semantics are unchanged: a
+    * guarded-out document cannot contain a match. */
   def piiScrub(text: Column): Column = {
     val afterEmail = when(text.contains("@"),
       regexp_replace(text, EmailRe, "<EMAIL>")).otherwise(text)
     val afterIp = when(afterEmail.rlike("[0-9]"),
       regexp_replace(afterEmail, IpRe, "<IP>")).otherwise(afterEmail)
-    when(afterIp.contains("+"),
+    val afterPhone = when(afterIp.contains("+"),
       regexp_replace(afterIp, PhoneRe, "<PHONE>")).otherwise(afterIp)
+    val afterCc = when(afterPhone.rlike("[0-9]{13}"),
+      ccScrub(afterPhone)).otherwise(afterPhone)
+    when(afterCc.contains("-"),
+      regexp_replace(afterCc, NatIdRe, "<ID>")).otherwise(afterCc)
   }
 
   /** Guarded match count (same prefilter as [[piiScrub]]). */
@@ -382,22 +429,54 @@ object TextAnalysis {
         guardedCount(col("text"), _.rlike("[0-9]"), IpRe).as("n_ips"),
         guardedCount(col("text"), _.contains("+"), PhoneRe)
           .as("n_phones"),
+        when(col("text").rlike("[0-9]{13}"),
+          size(ccValid(col("text")))).otherwise(lit(0)).cast("long")
+          .as("n_cards"),
+        guardedCount(col("text"), _.contains("-"), NatIdRe)
+          .as("n_natids"),
         piiScrub(col("text")).as("clean"))
       .orderBy(col("doc_id"))
 
+  /** The Luhn CASE arithmetic, DuckDB list form (shared shape with
+    * [[luhnValid]] — same digits, same fold, same modulus). */
+  private def luhnSql(v: String): String = {
+    val d = s"ascii(substring($v, i, 1)) - 48"
+    s"""list_sum(list_transform(generate_series(1, length($v)),
+       |    i -> CASE WHEN (length($v) - i) % 2 = 1
+       |      THEN CASE WHEN 2 * ($d) > 9
+       |        THEN 2 * ($d) - 9 ELSE 2 * ($d) END
+       |      ELSE $d END)) % 10 = 0""".stripMargin
+  }
+
   val piiScrubSql: String =
-    s"""SELECT doc_id,
+    s"""WITH s1 AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$IpRe', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS c3
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, text,
+       |    list_reduce(list_prepend(c3,
+       |      list_filter(regexp_extract_all(c3, '$CcRe'),
+       |        x -> ${luhnSql("x")})),
+       |      (t, cc) -> regexp_replace(t, '\\b' || cc || '\\b',
+       |        '<CC>', 'g')) AS c4
+       |  FROM s1)
+       |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
        |    AS n_emails,
        |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT)
        |    AS n_ips,
        |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
        |    AS n_phones,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$IpRe', '<IP>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g') AS clean
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  CAST(len(list_filter(regexp_extract_all(text, '$CcRe'),
+       |    x -> ${luhnSql("x")})) AS BIGINT) AS n_cards,
+       |  CAST(len(regexp_extract_all(text, '$NatIdRe')) AS BIGINT)
+       |    AS n_natids,
+       |  regexp_replace(c4, '$NatIdRe', '<ID>', 'g') AS clean
+       |FROM s2 ORDER BY doc_id""".stripMargin
 
   // ---- t09: corpus-statistics quality (common-word ratio) -----------
 
@@ -1014,4 +1093,157 @@ object TextAnalysis {
        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t27: encoding-artifact (mojibake) gate -----------------------
+
+  /** C0 control characters except tab/newline/CR, plus DEL — the
+    * bytes a clean text corpus never contains; their presence means
+    * binary contamination or a charset accident upstream. */
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** t27: encoding-artifact detection — the data-quality gate that
+    * catches double-decoded UTF-8 (the "Ã©"/"â€™" mojibake families:
+    * UTF-8 bytes re-read as Latin-1), U+FFFD replacement characters
+    * (a decoder already gave up), and stray control bytes. All four
+    * signals are single-pass scans (two regexp counts behind
+    * literal-style guards, two replace-length identities) —
+    * embarrassingly parallel, no shuffle at any scale, and exact
+    * integer counts so the oracle replays them. A corpus admission
+    * pipeline drops or re-decodes flagged docs; the synthetic corpus
+    * is clean (all zeros — the frame still verifies), planted
+    * artifacts are pinned in ScalaTest. */
+  def t27Mojibake(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def occurrences(marker: String): Column =
+      ((length(t) - length(expr(
+        s"replace(text, '$marker', '')"))) / marker.length).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(t.rlike(CtrlRe), regexp_count(t, lit(CtrlRe)))
+          .otherwise(lit(0)).cast("long").as("n_ctrl"),
+        occurrences("�").as("n_replacement"),
+        (occurrences("Ã") + occurrences("â€"))
+          .as("n_mojibake"))
+      .withColumn("is_suspect",
+        (col("n_ctrl") + col("n_replacement") + col("n_mojibake") > 0)
+          .cast("int").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t27Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$CtrlRe')) AS BIGINT)
+       |    AS n_ctrl,
+       |  CAST(length(text) - length(replace(text, '�', ''))
+       |    AS BIGINT) AS n_replacement,
+       |  CAST((length(text) - length(replace(text, 'Ã', '')))
+       |    + (length(text) - length(replace(text, 'â€', ''))) // 2
+       |    AS BIGINT) AS n_mojibake,
+       |  CAST(CASE WHEN len(regexp_extract_all(text, '$CtrlRe'))
+       |      + (length(text) - length(replace(text, '�', '')))
+       |      + (length(text) - length(replace(text, 'Ã', '')))
+       |      + (length(text) - length(replace(text, 'â€', ''))) // 2
+       |      > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_suspect
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t28: tokenizer vocabulary coverage (OOV audit) ---------------
+
+  /** Vocabulary size for the t28 coverage audit. */
+  val VocabK = 1000
+
+  /** t28: out-of-vocabulary audit — "how well does a top-[[VocabK]]
+    * vocabulary cover each document": the coverage report a tokenizer
+    * or embedding-table decision reads before freezing a vocab.
+    * Pass 1 is one corpus aggregate (map-side combine absorbs the
+    * Zipf head) cut to the top-K by (freq, word) — deterministic
+    * ties; pass 2 broadcasts the bounded vocab back and counts OOV
+    * tokens per doc (the t09 two-pass shape — the corpus never
+    * shuffles on the word key twice). */
+  def t28OovAudit(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(VocabK)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          + lit(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val t28Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text),
+       |      '[^a-z]+')) AS word FROM documents)
+       |  WHERE length(word) >= 1),
+       |vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, COUNT(*) AS freq FROM w GROUP BY 1
+       |    ORDER BY freq DESC, word LIMIT $VocabK)),
+       |j AS (
+       |  SELECT w.doc_id,
+       |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM w LEFT JOIN vocab v ON v.word = w.word)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) + 0.0
+       |    AS oov_ratio
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- d48: cross-source content contamination matrix ---------------
+
+  /** Fingerprint prefix width for d48: head-of-document identity —
+    * the same article re-scraped by two crawls differs in tail
+    * boilerplate long before it differs in its opening. */
+  val ContamPrefix = 64
+
+  /** d48: cross-source contamination — which source pairs share
+    * content (the provenance audit run before mixing corpora:
+    * mirrored crawls, re-scraped dumps and vendor overlap all show
+    * up here, and double-counted mass skews any mixture weight
+    * computed per source). Content identity is the md5 of the first
+    * [[ContamPrefix]] chars (head identity survives tail-boilerplate
+    * drift, the common cross-crawl shape; exact whole-text identity
+    * is d01's job); the relation that shuffles is the NARROW
+    * distinct (source, fingerprint) — the self-join meets only
+    * within one fingerprint's bucket, bounded by the source count,
+    * so there is nothing quadratic in the corpus. */
+  def d48SourceContamination(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val fp = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        md5(substring(col("text"), 1, ContamPrefix).cast("binary"))
+          .as("fp"))
+      .distinct()
+    // both sides are aggregate-derived (statless) AND corpus-scaling:
+    // unhinted, Catalyst would broadcast one — fine at sf0.01, OOM at
+    // 100 TB (the d12 lesson; the global gate catches it)
+    fp.as("a").join(fp.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d48Sql: String =
+    s"""WITH fp AS (
+       |  SELECT DISTINCT source,
+       |    md5(substring(text, 1, $ContamPrefix)) AS fp
+       |  FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 }

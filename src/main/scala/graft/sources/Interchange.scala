@@ -164,16 +164,20 @@ object Interchange {
     * shuffle semantics to preserve). At real scale the same job runs
     * per partition directory with `maxRecordsPerFile` as the bound;
     * the digest proves compaction moved every row, the spec pins the
-    * file counts. */
+    * file counts. Both hops are MANIFEST-COMMITTED ([[AtomicCommit]])
+    * and both reads go through the committed reader — a compaction
+    * that died mid-write re-runs idempotently, and orphan parts from
+    * a failed attempt never pollute the compacted output. */
   def f05Compact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val small = roundTripDir("small", dir)
     val compacted = roundTripDir("compacted", dir)
-    docs.repartition(SmallFiles).write.mode("overwrite").parquet(small)
-    spark.read.parquet(small)
-      .repartition(CompactTargets)
-      .write.mode("overwrite").parquet(compacted)
-    digest(spark.read.parquet(compacted))
+    AtomicCommit.writeParquetCommitted(
+      docs.repartition(SmallFiles), small)
+    AtomicCommit.writeParquetCommitted(
+      AtomicCommit.readParquetCommitted(spark, small)
+        .repartition(CompactTargets), compacted)
+    digest(AtomicCommit.readParquetCommitted(spark, compacted))
   }
 
   val f05Sql: String = digestSql

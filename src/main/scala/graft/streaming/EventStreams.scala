@@ -249,6 +249,46 @@ object EventStreams {
        |WHERE rank <= $TopPerWindow ORDER BY w_start, rank""".stripMargin
   }
 
+  /** s14: window-over-window rate deltas — the finalize-stage trend
+    * report a monitoring pipeline derives from completed windows:
+    * each 5-minute window's event count per type against the SAME
+    * type's previous non-empty window (lag + delta; empty windows
+    * are absent, not zero-filled — the report reads observed
+    * activity). The windowed aggregate is s01's streaming state
+    * machine verbatim; the lag runs on FINALIZED windows — in
+    * production, a batch pass over the sink table (windows are
+    * immutable once the watermark passes), which is exactly how the
+    * stream==batch spec computes it. One window partitioned by type
+    * over the already-bounded window relation — negligible at any
+    * scale. */
+  def s14WindowDelta(spark: SparkSession, dir: String): DataFrame =
+    windowDeltas(s01WindowAgg(spark, dir))
+
+  /** The delta leg over any (w_start, event_type, n) relation —
+    * applied to the streamed s01 sink by the spec. */
+  def windowDeltas(windows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("event_type")).orderBy(col("w_start"))
+    windows.select(col("w_start"), col("event_type"), col("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta",
+        col("n") - coalesce(col("prev_n"), col("n")))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  val s14Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR)
+      |      AS w_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT w_start, event_type, n,
+      |  LAG(n) OVER (PARTITION BY event_type ORDER BY w_start)
+      |    AS prev_n,
+      |  n - COALESCE(LAG(n) OVER (PARTITION BY event_type
+      |    ORDER BY w_start), n) AS delta
+      |FROM b ORDER BY w_start, event_type""".stripMargin
+
   /** s06 as a real streaming query (file source); used by the spec. */
   def streamingWindowHitters(spark: SparkSession, dir: String)
       : DataFrame =

@@ -68,6 +68,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("training is memoized: t23 never re-trains in-process") {
+    val a = Bpe.trainMerges(spark, sf)
+    val b = Bpe.trainMerges(spark, sf)
+    assert(a eq b, "second call must hand back the cached rules")
+  }
+
+  test("a deeper run extends the default run — same rule prefix") {
+    // 12-round training's first 8 rules == the 8-round rules: the
+    // configurable depth changes vocabulary size, never the sequence
+    val r8 = Bpe.trainMerges(spark, planted)
+    val r12 = Bpe.trainMerges(spark, planted, Bpe.Rounds + 4)
+    assert(r12.take(r8.size) == r8)
+  }
+
   test("testdata encode: BPE tokens never exceed chars, never " +
     "undercut words") {
     val enc = Bpe.t23BpeEncode(spark, sf)

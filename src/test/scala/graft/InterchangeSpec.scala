@@ -165,6 +165,66 @@ class InterchangeSpec extends AnyFunSuite {
       .collect().toSeq)
   }
 
+  test("atomic batch commit: orphans invisible, partial writes " +
+      "refused, size drift refused") {
+    import graft.sources.AtomicCommit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_atomic").toString + "/out"
+    val docs = Tables.load(spark, sf, "documents")
+    AtomicCommit.writeParquetCommitted(docs, dir)
+    val n = docs.count()
+    assert(AtomicCommit.readParquetCommitted(spark, dir).count() == n)
+    // a failed later attempt leaves an ORPHAN part file: a listing
+    // reader would double-count; the manifest reader must not see it
+    val orphanSrc = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(dir,
+      "part-99999-orphan-attempt.snappy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+    assert(spark.read.parquet(dir).count() > n,
+      "control: a listing read DOES see the orphan")
+    assert(AtomicCommit.readParquetCommitted(spark, dir).count() == n,
+      "manifest reader must ignore orphan parts")
+    // re-commit adopts the orphan (idempotent re-run semantics:
+    // whatever is on disk at commit time IS the table)
+    AtomicCommit.commit(spark, dir)
+    assert(AtomicCommit.readParquetCommitted(spark, dir).count() > n)
+    // size drift on a committed file fails loudly BEFORE any scan
+    // (truncated/padded upload) — grow the adopted orphan
+    val grown = new java.io.FileOutputStream(orphan, true)
+    try grown.write(0) finally grown.close()
+    assertThrows[IllegalArgumentException] {
+      AtomicCommit.readParquetCommitted(spark, dir)
+    }
+    // a manifest-named file that vanished is refused
+    orphan.delete()
+    assertThrows[IllegalArgumentException] {
+      AtomicCommit.readParquetCommitted(spark, dir)
+    }
+    // re-commit heals back to the original table
+    AtomicCommit.commit(spark, dir)
+    assert(AtomicCommit.readParquetCommitted(spark, dir).count() == n)
+    // a write that died before its publish point — no marker — is
+    // refused outright
+    new java.io.File(dir, AtomicCommit.MarkerName).delete()
+    assertThrows[IllegalArgumentException] {
+      AtomicCommit.readParquetCommitted(spark, dir)
+    }
+    assert(orphanSrc.exists())
+  }
+
+  test("atomic commit keeps hive-partition columns through basePath") {
+    import graft.sources.AtomicCommit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_atomic_part").toString + "/out"
+    val docs = Tables.load(spark, sf, "documents")
+    AtomicCommit.writeParquetCommitted(docs, dir, Seq("lang"))
+    val back = AtomicCommit.readParquetCommitted(spark, dir)
+    assert(back.columns.contains("lang"))
+    assert(back.count() == docs.count())
+  }
+
   test("fixed-width round trip errs LOUDLY on an over-width field") {
     // the format's failure mode is SILENT truncation; the width
     // guard must turn it into an error before any byte is written

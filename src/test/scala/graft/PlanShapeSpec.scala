@@ -197,7 +197,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q21_scalar_subquery" -> "per-nation averages: |nation| rows",
       "q38_nullsafe_join" -> "per-nationkey counts: |nation|+1 rows",
       "t09_common_ratio" -> "top-K head vocabulary: K rows",
+      "t28_oov_audit" -> "top-K vocabulary: LIMIT VocabK rows",
       "d30_adc_rerank" -> "ADC shortlist: queries x RerankR rows",
+      "d47_residual_rerank" ->
+        "residual ADC shortlist: queries x RerankR rows (d30's contract)",
+      "q63_robust_stats" -> "per-group medians: |l_returnflag| rows",
       "t12_tfidf" -> "corpus-size scalar: 1 row",
       "t13_bm25" ->
         "corpus-stats scalar (1 row) + LIMIT-bounded query terms",

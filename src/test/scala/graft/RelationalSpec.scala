@@ -190,7 +190,10 @@ class RelationalSpec extends AnyFunSuite {
       // (the projection matrix — bounded literal); d45 broadcasts
       // the 8-row query set against the candidates for its
       // shortlist scan, the d05 shape
-      "d44_random_projection", "d45_projected_rerank")
+      "d44_random_projection", "d45_projected_rerank",
+      // d47 composes d29's literal centroid broadcast (IVF leg) +
+      // d30's bounded shortlist re-rank — same adjudication as both
+      "d47_residual_rerank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
