@@ -154,6 +154,78 @@ class Relational4Spec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("q64 TWAP: hand-planted holding periods") {
+    import graft.operators.Relational5
+    val dir = java.nio.file.Files.createTempDirectory("q64").toString
+    // supplier 1: level 10 held 2 days, level 40 held 1 day, then a
+    // final observation (drops out) → TWAP = (10*2 + 40*1) / 3 = 20
+    Seq((1L, "1995-01-01", 10.0), (1L, "1995-01-03", 40.0),
+        (1L, "1995-01-04", 99.0))
+      .toDF("l_suppkey", "ship", "l_quantity")
+      .select(col("l_suppkey"),
+        col("ship").cast("timestamp").as("l_shipdate"),
+        col("l_quantity"))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = Relational5.q64Twap(spark, dir)
+      .select("l_suppkey", "n_intervals", "held_days", "twap_qty")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((1L, 2L, 3L, 20.0)))
+  }
+
+  test("q65 snapshot diff: statuses partition the key space") {
+    import graft.operators.Relational5
+    val out = Relational5.q65SnapshotDiff(spark, sf).persist()
+    try {
+      val cust = Tables.load(spark, sf, "customer")
+      val n = cust.count()
+      // one row per key, keys = old keys + inserted keys
+      assert(out.count() == out.select("c_custkey").distinct().count())
+      val byStatus = out.groupBy("status").count()
+        .as[(String, Long)].collect().toMap
+      assert(byStatus("deleted") ==
+        cust.filter(col("c_custkey") % 100 === 13).count())
+      assert(byStatus("inserted") ==
+        cust.filter(col("c_custkey") % 100 === 7).count())
+      assert(byStatus.values.sum == n + byStatus("inserted"))
+      // changed rows carry both values, and they differ
+      assert(out.filter(col("status") === "changed" &&
+        (col("old_bal").isNull || col("new_bal").isNull ||
+          col("old_bal") === col("new_bal"))).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("d50 split: deterministic, complete, and ratio-plausible") {
+    import graft.operators.PipelineExtras
+    val a = PipelineExtras.d50SplitAssign(spark, sf).collect()
+    val b = PipelineExtras.d50SplitAssign(spark, sf).collect()
+    assert(a.sameElements(b), "split assignment must be deterministic")
+    val bySplit = PipelineExtras.d50SplitAssign(spark, sf)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.load(spark, sf, "documents").count())
+    // 80/10/10 within generous tolerance at 500 docs
+    assert(bySplit("train") > total * 6 / 10, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L)
+      > total / 20, bySplit.toString)
+  }
+
+  test("t29 blocklist: planted banned words count, clean docs pass") {
+    import graft.operators.PipelineExtras
+    val dir = java.nio.file.Files.createTempDirectory("t29").toString
+    Seq((1L, "totally CLEAN prose", "en", "s", 19L),
+        (2L, "buy SPAM and more Spam now", "en", "s", 26L),
+        (3L, "spammy is not the word spam is", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = PipelineExtras.t29Blocklist(spark, dir)
+      .select("doc_id", "n_blocked", "is_clean")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 1L)))
+    assert(got(2L) == ((2L, 2L, 0L)), "case-insensitive, both hits")
+    assert(got(3L) == ((3L, 1L, 0L)), "word-bounded: spammy is not spam")
+  }
+
   test("s14 deltas over the STREAMED s01 sink equal the batch query") {
     import graft.streaming.EventStreams
     val batch = EventStreams.s14WindowDelta(spark, sf).collect()
