@@ -31,6 +31,8 @@ object ScaleCurve {
     "2d_pipeline_graph" -> "d32_pagerank",
     "2d_pipeline_bpe" -> "t23_bpe_encode",
     "2d_pipeline_knn" -> "d49_knn_graph",
+    "2c_spatial" -> "g18_point_in_polygon",
+    "2d_pipeline_incremental" -> "d54_incremental_dedup",
     "2e_streaming" -> "s01_window_agg")
 
   private def fmt(v: Double): String = {

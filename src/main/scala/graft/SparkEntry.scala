@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MapOps, PipelineExtras, PipelineOps,
-  Relational, Relational2, Relational3, Relational4, Relational5, TopK}
+import graft.operators.{MapOps, PipelineExtras, PipelineOps, Relational,
+  Relational2, Relational3, Relational4, Relational5, Relational6, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++ Relational5.queries ++
+      Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
       PipelineExtras.queries ++ MapOps.queries ++ PipelineOps.queries ++
       graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
@@ -23,7 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-      Relational4.oracles ++ Relational5.oracles ++
+      Relational4.oracles ++ Relational5.oracles ++ Relational6.oracles ++
       PipelineExtras.oracles ++ MapOps.oracles ++ PipelineOps.oracles ++
       graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)

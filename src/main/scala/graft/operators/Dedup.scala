@@ -1068,4 +1068,51 @@ object Dedup {
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
   }
+
+  /** d54: INCREMENTAL dedup — the shape every recurring ingest needs
+    * at 100 TB: never re-dedup the corpus; hash-join only the new
+    * batch (every 10th doc here, a deterministic stand-in for "this
+    * week's crawl") against the base corpus's fingerprint relation.
+    * Each delta doc is classified `dup_of_base` (carrying the keeper
+    * it collides with), `dup_in_delta` (a smaller id in the same
+    * batch owns the hash), or `new`. Base work is one narrow
+    * (hash → min-id) aggregate — the relation a production run keeps
+    * materialized between loads; delta work is one key-partitioned
+    * window + one left hash join, both O(batch), not O(corpus). */
+  def d54IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+    val baseH = docs.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("base_doc"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("rn", row_number().over(w))
+      .join(baseH.hint("shuffle_hash"), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("base_doc").isNotNull, "dup_of_base")
+          .when(col("rn") > 1, "dup_in_delta")
+          .otherwise("new").as("status"),
+        col("base_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d54Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents),
+      |base AS (
+      |  SELECT h, MIN(doc_id) AS base_doc FROM d
+      |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |delta AS (
+      |  SELECT doc_id, h,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |  FROM d WHERE doc_id % 10 = 0)
+      |SELECT delta.doc_id,
+      |  CASE WHEN b.base_doc IS NOT NULL THEN 'dup_of_base'
+      |       WHEN rn > 1 THEN 'dup_in_delta'
+      |       ELSE 'new' END AS status,
+      |  b.base_doc
+      |FROM delta LEFT JOIN base b ON b.h = delta.h
+      |ORDER BY delta.doc_id""".stripMargin
 }

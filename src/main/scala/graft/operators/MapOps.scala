@@ -468,6 +468,8 @@ object MapOps {
     "g11_polyline_length" -> (g11PolylineLength _),
     "g15_polygon_area" -> (g15PolygonArea _),
     "g16_morton_layout" -> (ZOrder.g16MortonLayout _),
+    "g17_radius_join" -> (Spatial.g17RadiusJoin _),
+    "g18_point_in_polygon" -> (Spatial.g18PointInPolygon _),
     "g12_tile_neighbors" -> (g12TileNeighbors _),
     "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
     "g02_tile_transforms" -> (g02TileTransforms _),
@@ -484,6 +486,8 @@ object MapOps {
     "g11_polyline_length" -> g11Sql,
     "g15_polygon_area" -> g15Sql,
     "g16_morton_layout" -> ZOrder.g16Sql,
+    "g17_radius_join" -> Spatial.g17Sql,
+    "g18_point_in_polygon" -> Spatial.g18Sql,
     "g12_tile_neighbors" -> g12Sql,
     "g01_varint_roundtrip" -> g01Sql,
     "g02_tile_transforms" -> g02Sql,

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sixth relational tranche (SURVEY.md §2a): the reporting-layer
+  * analytics a warehouse user runs daily over the reference's data
+  * model — concentration (Pareto/ABC), trend (YoY), acquisition
+  * (cumulative-distinct curve) and affinity (market basket). */
+object Relational6 {
+
+  /** q66: Pareto / ABC concentration — rank brands by revenue, take
+    * the running share of total, classify A (first 80% of revenue),
+    * B (to 95%), C (tail). The cumulative window is GLOBAL but runs
+    * over the brand-level aggregate — |brand| rows by construction
+    * (the d23 bounded-global-window discipline, allowlisted in the
+    * PlanShapeSpec gate); the corpus-scale work is the partial-agg
+    * groupBy underneath. Revenue is exact integer cents; the only
+    * double op is the final share division, identical IEEE both
+    * engines. */
+  def q66Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val pt = Tables.load(spark, dir, "part")
+    val rev = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("revenue_cents"))
+    val wCum = Window
+      .orderBy(col("revenue_cents").desc, col("p_brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("share", sum(col("revenue_cents")).over(wCum)
+        .cast("double") / sum(col("revenue_cents")).over(wAll))
+      .select(col("p_brand"), col("revenue_cents"),
+        (round(col("share"), 6) + lit(0.0)).as("cum_share"),
+        when(col("share") <= 0.80, "A")
+          .when(col("share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("revenue_cents").desc, col("p_brand"))
+  }
+
+  val q66Sql: String =
+    """WITH rev AS (
+      |  SELECT p_brand,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS revenue_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand),
+      |c AS (
+      |  SELECT p_brand, revenue_cents,
+      |    CAST(SUM(revenue_cents) OVER (
+      |      ORDER BY revenue_cents DESC, p_brand
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE)
+      |    / CAST(SUM(revenue_cents) OVER () AS DOUBLE) AS share
+      |  FROM rev)
+      |SELECT p_brand, revenue_cents,
+      |  ROUND(share, 6) + 0.0 AS cum_share,
+      |  CASE WHEN share <= 0.80 THEN 'A'
+      |       WHEN share <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c ORDER BY revenue_cents DESC, p_brand""".stripMargin
+
+  /** q67: year-over-year growth — revenue per (nation, year) with the
+    * previous year's figure and the percent delta alongside. The agg
+    * shuffles once on (nation, year); the lag window repartitions the
+    * BOUNDED aggregate on nation only. First year per nation has no
+    * prior → NULLs, carried honestly. Integer cents in; the growth
+    * division is the one double op. */
+  def q67Yoy(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("revenue_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    rev.withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+      .withColumn("yoy_pct",
+        round((col("revenue_cents") - col("prev_cents")).cast("double")
+          * 100 / col("prev_cents"), 6) + lit(0.0))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  val q67Sql: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS revenue_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, yr, revenue_cents,
+      |  LAG(revenue_cents) OVER (PARTITION BY n_name ORDER BY yr)
+      |    AS prev_cents,
+      |  ROUND(CAST(revenue_cents - LAG(revenue_cents) OVER (
+      |      PARTITION BY n_name ORDER BY yr) AS DOUBLE) * 100
+      |    / LAG(revenue_cents) OVER (PARTITION BY n_name ORDER BY yr),
+      |    6) + 0.0 AS yoy_pct
+      |FROM rev ORDER BY n_name, yr""".stripMargin
+
+  /** q68: customer-acquisition curve — per nation and month: how many
+    * customers placed their FIRST order that month, and the running
+    * distinct-customer total. The naive form (running COUNT(DISTINCT)
+    * window) rescans every prefix; this one is two partial-aggregable
+    * shuffles — min-date per customer, count per (nation, month) —
+    * plus a cumulative sum over the bounded month relation,
+    * partitioned by nation (no global window). */
+  def q68CumDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val firstMo = o.groupBy(col("o_custkey"))
+      .agg(min(date_trunc("MONTH", col("o_orderdate")).cast("date"))
+        .as("mo"))
+    val monthly = firstMo
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("mo"))
+      .agg(count(lit(1)).as("new_customers"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_customers", sum(col("new_customers")).over(w))
+      .orderBy(col("n_name"), col("mo"))
+  }
+
+  val q68Sql: String =
+    """WITH first_mo AS (
+      |  SELECT o_custkey,
+      |    CAST(MIN(DATE_TRUNC('month', o_orderdate)) AS DATE) AS mo
+      |  FROM orders GROUP BY o_custkey),
+      |monthly AS (
+      |  SELECT n_name, mo, COUNT(*) AS new_customers
+      |  FROM first_mo
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, mo, new_customers,
+      |  CAST(SUM(new_customers) OVER (PARTITION BY n_name ORDER BY mo
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_customers
+      |FROM monthly ORDER BY n_name, mo""".stripMargin
+
+  /** q69: market-basket brand affinity — which brand pairs co-occur
+    * in the same order, with Jaccard affinity. All-pairs on the
+    * CORPUS would be quadratic; this is the bounded-fanout form: the
+    * distinct (order, brand) relation self-joins on the order key
+    * (per-order fanout ≤ basket size, so output is O(orders · k²)
+    * with small k), shuffle-hash hinted on both sides because the
+    * distinct relation is aggregate-derived and statless (d49's
+    * lesson — Catalyst would broadcast it and OOM at 100 TB). The
+    * per-brand totals ARE bounded (|brand| rows) and ride the
+    * adjudicated broadcast. Jaccard = both / (a + b − both), exact
+    * integers into one double division. */
+  def q69BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val pt = Tables.load(spark, dir, "part")
+    val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val cnt = ob.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = ob.as("a")
+      .join(ob.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"),
+        col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(cnt.select(col("p_brand").as("brand_a"),
+        col("n_orders").as("n_a")), Seq("brand_a"))
+      .join(cnt.select(col("p_brand").as("brand_b"),
+        col("n_orders").as("n_b")), Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6) + lit(0.0))
+          .as("jaccard"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  val q69Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |cnt AS (
+      |  SELECT p_brand, COUNT(*) AS n_orders FROM ob GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |    COUNT(*) AS n_both
+      |  FROM ob a JOIN ob b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_both,
+      |  ca.n_orders AS n_a, cb.n_orders AS n_b,
+      |  ROUND(CAST(n_both AS DOUBLE)
+      |    / (ca.n_orders + cb.n_orders - n_both), 6) + 0.0 AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.p_brand = brand_a
+      |JOIN cnt cb ON cb.p_brand = brand_b
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** q70: maximum drawdown — the peak-to-trough deficit of a running
+    * net flow (shipped minus returned quantity per supplier-day), the
+    * inventory-health metric a monitoring layer derives from any
+    * signed series. Cumulative sum and running peak share ONE
+    * window partitioning (one exchange on the supplier key); the
+    * final per-supplier max is a partial-aggregable groupBy. Exact
+    * integer quantities end-to-end — no doubles at all. */
+  def q70Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val qty = col("l_quantity").cast("long")
+    val daily = li
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(when(col("l_returnflag") === "R", -qty).otherwise(qty))
+        .as("delta"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("delta")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("peak") - col("cum")).as("max_drawdown"),
+        max(col("peak")).as("peak_level"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q70Sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN -CAST(l_quantity AS BIGINT)
+      |      ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_suppkey, d,
+      |    SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM daily),
+      |p AS (
+      |  SELECT l_suppkey, cum,
+      |    MAX(cum) OVER (PARTITION BY l_suppkey ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM c)
+      |SELECT l_suppkey, COUNT(*) AS n_days,
+      |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown,
+      |  CAST(MAX(peak) AS BIGINT) AS peak_level
+      |FROM p GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_pareto" -> (q66Pareto _),
+    "q67_yoy" -> (q67Yoy _),
+    "q68_cum_distinct" -> (q68CumDistinct _),
+    "q69_basket_pairs" -> (q69BasketPairs _),
+    "q70_drawdown" -> (q70Drawdown _))
+
+  val oracles: Map[String, String] = Map(
+    "q66_pareto" -> q66Sql,
+    "q67_yoy" -> q67Sql,
+    "q68_cum_distinct" -> q68Sql,
+    "q69_basket_pairs" -> q69Sql,
+    "q70_drawdown" -> q70Sql)
+}

@@ -580,4 +580,56 @@ object Retrieval {
        |FROM m WHERE n_terms >= 2
        |ORDER BY source""".stripMargin
   }
+
+  /** d52 chunk geometry: window of [[ChunkW]] tokens advancing by
+    * [[ChunkS]] — the 8-token overlap keeps answers that straddle a
+    * boundary retrievable from at least one chunk. */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** d52: document chunking for retrieval — the prep step every
+    * RAG / embedding pipeline runs before vectorizing: split each
+    * document into overlapping fixed-size token windows, carrying
+    * (doc, chunk ordinal, token offset, length, content hash) so the
+    * chunk store can be joined back to documents and deduplicated.
+    * Stateless per-row explode — no shuffle at all until a consumer
+    * aggregates; output is corpus-linear with a small overlap factor
+    * (W/S = 4/3). The md5 content hash is the chunk-level dedup key
+    * (d01's discipline at sub-document granularity). */
+  def d52DocChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", explode(expr(
+        s"sequence(0, ((n - 1) div $ChunkS) * $ChunkS, $ChunkS)")))
+      .withColumn("chunk", slice(col("toks"), col("start") + 1,
+        lit(ChunkW)))
+      .select(col("doc_id"),
+        (col("start") / ChunkS).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(array_join(col("chunk"), " ").cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val d52Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE len(text) > 0),
+       |c AS (
+       |  SELECT doc_id, n, toks,
+       |    unnest(generate_series(0, ((n - 1) // $ChunkS) * $ChunkS,
+       |      $ChunkS)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkS AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(toks, start + 1, start + $ChunkW))
+       |    AS BIGINT) AS n_toks,
+       |  md5(array_to_string(
+       |    list_slice(toks, start + 1, start + $ChunkW), ' '))
+       |    AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -300,4 +300,64 @@ object Sampling {
        |FROM ps CROSS JOIN tt
        |ORDER BY source""".stripMargin
   }
+
+  /** Slots d53 apportions. */
+  val QuotaSlots = 1000000L
+
+  /** d53: largest-remainder (Hamilton) quota apportionment — "give
+    * each source EXACTLY its proportional share of N sample slots,
+    * and make the shares sum to N": floor shares from exact integer
+    * division, then the leftover slots go to the largest fractional
+    * remainders (source-name tiebreak). The rounding step d18's
+    * per-source rates and d38's weights both stop short of — a
+    * sampler that draws `alloc` per source hits the budget exactly,
+    * no stochastic drift. Everything after the one corpus aggregate
+    * runs on the |sources|-row relation (bounded global windows,
+    * gate-allowlisted); arithmetic is pure int64, oracle-identical. */
+  def d53QuotaAlloc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = QuotaSlots
+    val n = graft.Tables.load(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    n.withColumn("total", sum(col("n_docs")).over(wAll))
+      .withColumn("floor_share",
+        expr(s"($T * n_docs) div total"))
+      .withColumn("rem", expr(s"($T * n_docs) % total"))
+      .withColumn("deficit",
+        lit(T) - sum(col("floor_share")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("source"), col("n_docs"), col("floor_share"),
+        (col("floor_share") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val d53Sql: String =
+    s"""WITH n AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (
+       |  SELECT source, n_docs,
+       |    CAST(SUM(n_docs) OVER () AS BIGINT) AS total
+       |  FROM n),
+       |f AS (
+       |  SELECT source, n_docs,
+       |    ($QuotaSlots * n_docs) // total AS floor_share,
+       |    ($QuotaSlots * n_docs) % total AS rem
+       |  FROM t),
+       |r AS (
+       |  SELECT source, n_docs, floor_share,
+       |    $QuotaSlots - CAST(SUM(floor_share) OVER () AS BIGINT)
+       |      AS deficit,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM f)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(floor_share AS BIGINT) AS floor_share,
+       |  CAST(floor_share + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
 }

@@ -585,7 +585,13 @@ object Similarity {
     * d42 audits. Portable md5 plane family, so the oracle replays
     * signature → banding → capped cells → candidates → exact cosine
     * → rank. */
-  def d49KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def d49KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir).orderBy(col("vec_id"), col("rank"))
+
+  /** The d49 edge relation without the presentation sort — shared
+    * with d51's label-propagation vote so the graph build is defined
+    * once (the d22→d25 train→apply discipline, applied to graphs). */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val banded = Tables.load(spark, dir, "embeddings")
       .withColumn("sig", portableLshSignature(col("embedding")))
       .select(col("vec_id"),
@@ -625,13 +631,44 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank"))
-      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** d51: kNN label propagation / weak-label inference — the standard
+    * embedding-space auto-labeler (and the evaluation every labeled
+    * embedding table gets): each vector takes the majority label of
+    * its [[KnnK]] nearest neighbors from the d49 graph, ties broken
+    * deterministically (vote count desc, label asc), and is scored
+    * against its own label. The graph build is d49's capped-LSH
+    * bounded path — nothing quadratic; the vote is one (vec, label)
+    * aggregate plus a per-vector argmax window on the graph-sized
+    * relation. Vectors whose capped cells yield no neighbors drop
+    * out (same contract as d49). */
+  def d51KnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val votes = knnEdges(spark, dir)
+      .select(col("vec_id"), col("nbr_id"))
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), Seq("nbr_id"))
+      .groupBy(col("vec_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("nbr_label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("nbr_label").as("pred_label"), col("n_votes"),
+        (col("nbr_label") === col("label")).cast("long").as("correct"))
+      .orderBy(col("vec_id"))
   }
 
   /** DuckDB oracle for d49: the portable LSH chain + capped cells +
     * directed candidates + exact-cosine rank cut. */
-  val d49Sql: String =
-    s"""WITH ${portableSigCtes()},
+  /** The shared oracle chain for the d49 graph: signature → banding →
+    * capped cells → candidates → exact cosine → rank. */
+  private def knnCtes: String =
+    s"""${portableSigCtes()},
        |cells AS (
        |  SELECT t, bucket FROM banded GROUP BY t, bucket
        |  HAVING COUNT(*) <= $NearDupMaxBucket),
@@ -652,9 +689,30 @@ object Similarity {
        |ranked AS (
        |  SELECT vec_id, nbr_id, cos, ROW_NUMBER() OVER (
        |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val d49Sql: String =
+    s"""WITH $knnCtes
        |SELECT vec_id, nbr_id, cos, rank FROM ranked
        |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
+  val d51Sql: String =
+    s"""WITH $knnCtes,
+       |votes AS (
+       |  SELECT r.vec_id, e.label AS nbr_label, COUNT(*) AS n_votes
+       |  FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
+       |  WHERE r.rank <= $KnnK
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT vec_id, nbr_label, n_votes, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY n_votes DESC, nbr_label) AS rn
+       |  FROM votes)
+       |SELECT b.vec_id, t.label AS true_label, b.nbr_label AS pred_label,
+       |  CAST(b.n_votes AS BIGINT) AS n_votes,
+       |  CAST(CASE WHEN b.nbr_label = t.label THEN 1 ELSE 0 END
+       |    AS BIGINT) AS correct
+       |FROM best b JOIN embeddings t ON t.vec_id = b.vec_id
+       |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin
 
   val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
   val PqSubDim = 16

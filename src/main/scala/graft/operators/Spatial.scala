@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Grid-bucketed spatial radius join (SURVEY.md §2c) — "every POI
+  * within radius R of each query point", the proximity query a map
+  * engine answers constantly (nearest charger / store / tile
+  * neighbor). The reference holds all features of a tile in memory
+  * and scans (map2db.py:815-1077); at 100 TB the only viable shape is
+  * the grid-cell equi-join: bucket POIs once into R-sized cells, fan
+  * each query out to its 3×3 cell neighborhood (a radius-R disc can
+  * only intersect those), equi-join on the cell key, then apply the
+  * exact distance predicate to the few candidates. All-pairs work
+  * never happens; the shuffle is a plain hash join on a composite
+  * integer key. Coordinates are integer micro-degree-ish units so
+  * the distance math is exact int64 — oracle-identical. */
+object Spatial {
+
+  /** Cell size = radius: a disc of radius R centered anywhere in a
+    * cell is covered by the 3×3 neighborhood. */
+  val RadiusUnits = 50000L
+
+  /** Derived point cloud (the g02 coordinate discipline): x∈[0,3.5M),
+    * y∈[0,1.6M) integer units from event_id — portable arithmetic
+    * both engines replay. Every 97th event is a query point; the rest
+    * are POIs. */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 3500000).as("x"),
+        (col("event_id") * 104729 % 1600000).as("y"))
+
+  private val pointsSql =
+    """SELECT event_id,
+      |  event_id * 7919 % 3500000 AS x,
+      |  event_id * 104729 % 1600000 AS y
+      |FROM events""".stripMargin
+
+  /** g17: per query point — how many POIs fall inside the R-disc and
+    * the squared distance of the nearest one (NULL when the disc is
+    * empty; left join keeps those queries honest instead of dropping
+    * them). The oracle replays the SAME semantics as a direct
+    * distance join — the 3×3 cell prefilter is provably lossless at
+    * cell=R, so the quadratic DuckDB form and the bucketed Spark form
+    * agree row-for-row. */
+  def g17RadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val R = RadiusUnits
+    val pts = points(spark, dir)
+    val qs = pts.filter(col("event_id") % 97 === 0)
+    val pois = pts.filter(col("event_id") % 97 =!= 0)
+      .select(col("x").as("px"), col("y").as("py"),
+        (col("x") / R).cast("long").as("cx"),
+        (col("y") / R).cast("long").as("cy"))
+    val qcells = qs
+      .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("event_id"), col("x"), col("y"),
+        ((col("x") / R).cast("long") + col("dcx")).as("cx"),
+        ((col("y") / R).cast("long") + col("dcy")).as("cy"))
+    val hits = qcells
+      .join(pois.hint("shuffle_hash"), Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("x") - col("px")) * (col("x") - col("px")) +
+          (col("y") - col("py")) * (col("y") - col("py")))
+      .filter(col("d2") <= R * R)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_within"), min(col("d2")).as("min_d2"))
+    // hits is aggregate-derived (statless) and scales with the query
+    // count — force the shuffle join so Catalyst can't broadcast it
+    // (the d49 lesson, enforced by the global broadcast gate)
+    qs.select(col("event_id"))
+      .join(hits.hint("shuffle_hash"), Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"),
+        col("min_d2"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Grid cell size for the g18 bbox prefilter (coordinate domain is
+    * [0,1000)² → at most a 4×4 cell fan-out per polygon bbox). */
+  val PipCell = 250L
+
+  /** g18: point-in-polygon containment (even-odd ray cast) — the
+    * query side of the reference's ring handling (map2db.py 815-1077
+    * classifies and clips rings; a consumer then asks "which features
+    * fall INSIDE this area"). The scale shape: per-polygon bboxes
+    * fan out to the grid cells they span (bounded ≤16), points carry
+    * exactly one cell key, the candidate set forms on a plain cell
+    * equi-join + exact bbox filter (lossless: outside-bbox ⇒ outside
+    * polygon), and only candidates join the edge relation (fanout ≤
+    * ring length) for the crossing count. Nothing all-pairs. The
+    * half-open edge rule ((y1≤p<y2) xor swap) makes shared vertices
+    * count once; the intersection-x comparison is one double
+    * division on identical integers — IEEE-identical in the oracle,
+    * which replays the SAME math as a direct bbox join. */
+  def g18PointInPolygon(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val C = PipCell
+    val ring = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1000).as("x"),
+        (col("l_suppkey") % 1000).as("y"))
+    val w = W.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("x"), col("y"))
+    val wAll = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val edges = ring
+      .withColumn("x2",
+        coalesce(lead(col("x"), 1).over(w), first(col("x")).over(wAll)))
+      .withColumn("y2",
+        coalesce(lead(col("y"), 1).over(w), first(col("y")).over(wAll)))
+      .select(col("l_orderkey"), col("x").as("x1"), col("y").as("y1"),
+        col("x2"), col("y2"))
+    val poly = ring.groupBy(col("l_orderkey"))
+      .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+        min(col("y")).as("miny"), max(col("y")).as("maxy"),
+        count(lit(1)).as("n_vertices"))
+      .filter(col("n_vertices") >= 3)
+    val pts = Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 1000).as("px"),
+        (col("event_id") * 104729 % 1000).as("py"))
+      .withColumn("cx", (col("px") / C).cast("long"))
+      .withColumn("cy", (col("py") / C).cast("long"))
+    val polyCells = poly
+      .withColumn("cx", explode(expr(s"sequence(minx div $C, maxx div $C)")))
+      .withColumn("cy", explode(expr(s"sequence(miny div $C, maxy div $C)")))
+      .select(col("l_orderkey"), col("cx"), col("cy"),
+        col("minx"), col("maxx"), col("miny"), col("maxy"))
+    // polyCells/edges/the final inside relation are aggregate- or
+    // window-derived (statless) — force shuffles, never broadcast a
+    // corpus-scaling build (the global-gate discipline)
+    val cand = pts.join(polyCells.hint("shuffle_hash"), Seq("cx", "cy"))
+      .filter(col("px") >= col("minx") && col("px") <= col("maxx") &&
+        col("py") >= col("miny") && col("py") <= col("maxy"))
+      .select(col("event_id"), col("px"), col("py"), col("l_orderkey"))
+    val straddles =
+      (col("y1") <= col("py") && col("y2") > col("py")) ||
+        (col("y2") <= col("py") && col("y1") > col("py"))
+    val xCross = col("x1") +
+      (col("py") - col("y1")).cast("double") / (col("y2") - col("y1")) *
+        (col("x2") - col("x1"))
+    val crossed = cand.join(edges.hint("shuffle_hash"), Seq("l_orderkey"))
+      .withColumn("c",
+        when(straddles && col("px") < xCross, 1L).otherwise(0L))
+      .groupBy(col("l_orderkey"), col("event_id"))
+      .agg(sum(col("c")).as("nc"))
+    val inside = crossed.groupBy(col("l_orderkey"))
+      .agg(sum(when(col("nc") % 2 === 1, 1L).otherwise(0L))
+        .as("n_inside"))
+    poly.select(col("l_orderkey"), col("n_vertices"))
+      .join(inside.hint("shuffle_hash"), Seq("l_orderkey"), "left")
+      .select(col("l_orderkey"), col("n_vertices"),
+        coalesce(col("n_inside"), lit(0L)).as("n_inside"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val g18Sql: String =
+    """WITH ring AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_partkey % 1000 AS x, l_suppkey % 1000 AS y
+      |  FROM lineitem WHERE l_orderkey % 500 = 0),
+      |e AS (
+      |  SELECT l_orderkey, x AS x1, y AS y1,
+      |    COALESCE(lead(x) OVER w, first_value(x) OVER
+      |      (PARTITION BY l_orderkey ORDER BY l_linenumber, x, y
+      |       ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND UNBOUNDED FOLLOWING)) AS x2,
+      |    COALESCE(lead(y) OVER w, first_value(y) OVER
+      |      (PARTITION BY l_orderkey ORDER BY l_linenumber, x, y
+      |       ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND UNBOUNDED FOLLOWING)) AS y2
+      |  FROM ring WINDOW w AS (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, x, y)),
+      |poly AS (
+      |  SELECT l_orderkey, MIN(x) AS minx, MAX(x) AS maxx,
+      |    MIN(y) AS miny, MAX(y) AS maxy, COUNT(*) AS nv
+      |  FROM ring GROUP BY 1 HAVING COUNT(*) >= 3),
+      |pts AS (
+      |  SELECT event_id, event_id * 7919 % 1000 AS px,
+      |    event_id * 104729 % 1000 AS py
+      |  FROM events),
+      |crossed AS (
+      |  SELECT p.l_orderkey, t.event_id,
+      |    SUM(CASE WHEN ((e.y1 <= t.py AND e.y2 > t.py)
+      |            OR (e.y2 <= t.py AND e.y1 > t.py))
+      |          AND t.px < e.x1 + (t.py - e.y1) / (e.y2 - e.y1)
+      |            * (e.x2 - e.x1)
+      |        THEN 1 ELSE 0 END) AS nc
+      |  FROM poly p
+      |  JOIN pts t ON t.px BETWEEN p.minx AND p.maxx
+      |            AND t.py BETWEEN p.miny AND p.maxy
+      |  JOIN e ON e.l_orderkey = p.l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p.l_orderkey, CAST(p.nv AS BIGINT) AS n_vertices,
+      |  CAST(COALESCE(SUM(CASE WHEN c.nc % 2 = 1 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_inside
+      |FROM poly p LEFT JOIN crossed c ON c.l_orderkey = p.l_orderkey
+      |GROUP BY 1, p.nv ORDER BY 1""".stripMargin
+
+  val g17Sql: String =
+    s"""WITH pts AS ($pointsSql),
+       |q AS (SELECT * FROM pts WHERE event_id % 97 = 0),
+       |p AS (SELECT * FROM pts WHERE event_id % 97 <> 0),
+       |hits AS (
+       |  SELECT q.event_id, COUNT(*) AS n_within,
+       |    MIN((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y))
+       |      AS min_d2
+       |  FROM q JOIN p
+       |    ON (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)
+       |       <= ${RadiusUnits * RadiusUnits}
+       |  GROUP BY q.event_id)
+       |SELECT q.event_id,
+       |  CAST(COALESCE(h.n_within, 0) AS BIGINT) AS n_within,
+       |  h.min_d2
+       |FROM q LEFT JOIN hits h ON h.event_id = q.event_id
+       |ORDER BY q.event_id""".stripMargin
+}

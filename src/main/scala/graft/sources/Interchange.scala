@@ -260,6 +260,45 @@ object Interchange {
       |  max(source) AS max_source
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** f08: SCHEMA EVOLUTION across file generations — the 100 TB
+    * landing-zone reality: yesterday's writer shipped 4 columns,
+    * today's ships 5, and one read must span both without a rewrite.
+    * Generation 1 (even ids) lands WITHOUT `n_chars`; generation 2
+    * (odd ids) lands with it; a `mergeSchema` read unions the
+    * footers, old files surface honest NULLs for the new column, and
+    * the digest separates evolved from legacy rows. Merge cost is
+    * footer-only (no data rewrite) — the property that makes additive
+    * evolution free at scale. */
+  def f08SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("evo", dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=1", s"$out/gen=2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").isNotNull.cast("long")).as("n_evolved"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long")
+          .as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
+  val f08Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_evolved,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
@@ -267,7 +306,8 @@ object Interchange {
     "f04_partition_prune" -> (f04PartitionedPrune _),
     "f05_compaction" -> (f05Compact _),
     "f06_tsv_roundtrip" -> (f06TsvRoundTrip _),
-    "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _))
+    "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _),
+    "f08_schema_evolution" -> (f08SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -276,5 +316,6 @@ object Interchange {
     "f04_partition_prune" -> f04Sql,
     "f05_compaction" -> f05Sql,
     "f06_tsv_roundtrip" -> f06Sql,
-    "f07_fixed_width_roundtrip" -> f07Sql)
+    "f07_fixed_width_roundtrip" -> f07Sql,
+    "f08_schema_evolution" -> f08Sql)
 }

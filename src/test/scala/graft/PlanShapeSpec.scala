@@ -202,6 +202,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "d47_residual_rerank" ->
         "residual ADC shortlist: queries x RerankR rows (d30's contract)",
       "q63_robust_stats" -> "per-group medians: |l_returnflag| rows",
+      "q69_basket_pairs" -> "per-brand order counts: |brand| rows",
       "t12_tfidf" -> "corpus-size scalar: 1 row",
       "t13_bm25" ->
         "corpus-stats scalar (1 row) + LIMIT-bounded query terms",
@@ -275,7 +276,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "m07_blob_shards" ->
         "per-bin offset window: |shuffle width| rows",
       "m08_shard_manifest" ->
-        "composes m07's per-bin offset window")
+        "composes m07's per-bin offset window",
+      "q66_pareto" ->
+        "cumulative-share window over the brand aggregate: |brand| rows",
+      "d53_quota_alloc" ->
+        "apportionment windows over the source aggregate: |sources| rows")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Relational6, Retrieval, Sampling,
+  Similarity, Spatial}
+import graft.sources.Interchange
+
+/** Cross-checks for the sixth relational tranche (q66-q69) and the
+  * r8 spatial/pipeline additions (g17, d51, d52) — each validated
+  * against an independent formulation or hand-computed values. */
+class Relational6Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q66 pareto: shares are monotone, end at 1.0, classes ordered") {
+    val rows = Relational6.q66Pareto(spark, sf)
+      .select("cum_share", "abc_class").as[(Double, String)].collect()
+    assert(rows.nonEmpty)
+    // cumulative share is nondecreasing and ends at exactly 1.0
+    assert(rows.map(_._1).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    assert(math.abs(rows.last._1 - 1.0) < 1e-9)
+    // class sequence never goes backwards (A* B* C*)
+    val cls = rows.map(_._2).mkString
+    assert("^A*B*C*$".r.findFirstIn(cls).isDefined, s"bad order: $cls")
+    // revenue total matches a direct aggregate
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")))
+      .head.getLong(0)
+    val total = Relational6.q66Pareto(spark, sf)
+      .agg(sum(col("revenue_cents"))).head.getLong(0)
+    assert(total == direct)
+  }
+
+  test("q67 yoy: lag row equals previous year's revenue") {
+    val out = Relational6.q67Yoy(spark, sf)
+      .select("n_name", "yr", "revenue_cents", "prev_cents")
+      .as[(String, Int, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    out.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // first year of every nation has no prior
+      assert(sorted.head._4.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._2 == a._2 + 1) assert(b._4.contains(a._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("q68 cumulative distinct equals running total of new customers") {
+    val out = Relational6.q68CumDistinct(spark, sf)
+      .select("n_name", "new_customers", "cum_customers")
+      .as[(String, Long, Long)].collect().groupBy(_._1).values
+    out.foreach { rows =>
+      var run = 0L
+      rows.foreach { case (_, nc, cum) =>
+        run += nc
+        assert(cum == run)
+      }
+    }
+    // total new customers across all nations = customers with orders
+    val totNew = Relational6.q68CumDistinct(spark, sf)
+      .agg(sum("new_customers")).head.getLong(0)
+    val withOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(totNew == withOrders)
+  }
+
+  test("q69 basket pairs: symmetric support, jaccard bounds, " +
+    "hand-planted basket") {
+    val out = Relational6.q69BasketPairs(spark, sf)
+      .select("n_both", "n_a", "n_b", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (both, a, b, j) =>
+      assert(both <= a && both <= b)
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - both.toDouble / (a + b - both)) < 1e-6)
+    }
+    // planted: two orders sharing {X, Y} → pair support 2, jaccard 1
+    val dir = java.nio.file.Files.createTempDirectory("q69").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_extendedprice", lit(1.0))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "BrandX"), (20L, "BrandY")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    val r = Relational6.q69BasketPairs(spark, dir)
+      .select("brand_a", "brand_b", "n_both", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.toSeq == Seq(("BrandX", "BrandY", 2L, 1.0)))
+  }
+
+  test("g17 radius join equals the brute-force distance join") {
+    val R = Spatial.RadiusUnits
+    val pts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 3500000).as("x"),
+        (col("event_id") * 104729 % 1600000).as("y"))
+    val qs = pts.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"))
+    val pois = pts.filter(col("event_id") % 97 =!= 0)
+    val brute = qs.crossJoin(pois)
+      .withColumn("d2", (col("qx") - col("x")) * (col("qx") - col("x"))
+        + (col("qy") - col("y")) * (col("qy") - col("y")))
+      .filter(col("d2") <= R * R)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), min("d2").as("m"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = Spatial.g17RadiusJoin(spark, sf)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, n, m) =>
+      brute.get(qid) match {
+        case Some((bn, bm)) => assert(n == bn && m.contains(bm))
+        case None => assert(n == 0L && m.isEmpty)
+      }
+    }
+    assert(got.map(_._1).toSet ==
+      qs.select("qid").as[Long].collect().toSet)
+  }
+
+  test("d51 knn label: prediction is the majority of d49 neighbors") {
+    val knn = Similarity.d49KnnGraph(spark, sf)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val expected = knn.groupBy(_._1).map { case (v, nbrs) =>
+      val votes = nbrs.map(n => labels(n._2))
+        .groupBy(identity).map { case (l, o) => (l, o.size) }
+      v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+    }
+    val got = Similarity.d51KnnLabel(spark, sf)
+      .select("vec_id", "pred_label", "n_votes", "true_label",
+        "correct")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (v, pred, nv, tl, c) =>
+      val (el, ec) = expected(v)
+      assert(pred == el && nv == ec.toLong)
+      assert(tl == labels(v))
+      assert(c == (if (pred == tl) 1L else 0L))
+    }
+  }
+
+  test("d52 chunks: geometry covers every token exactly w/ overlap") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = Retrieval.d52DocChunks(spark, sf)
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (d, cs) =>
+      val n = docs(d)
+      val sorted = cs.sortBy(_._2)
+      // ordinals are 0..m-1, starts advance by the stride
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == i.toLong * Retrieval.ChunkS)
+        assert(len == math.min(Retrieval.ChunkW, n - start))
+        assert(len >= 1)
+      }
+      // last chunk reaches the end of the document
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n.toLong)
+    }
+  }
+
+  test("g18 point-in-polygon matches a driver-side ray cast") {
+    val dir = java.nio.file.Files.createTempDirectory("g18").toString
+    // polygon 500 (500 % 500 == 0): square (100,100)..(860,860)
+    // (bounds chosen so no derived point lands ON an edge);
+    // polygon 1000: degenerate 2-vertex ring → filtered out (<3)
+    Seq((500L, 1, 100L, 100L), (500L, 2, 860L, 100L),
+        (500L, 3, 860L, 860L), (500L, 4, 100L, 860L),
+        (1000L, 1, 0L, 0L), (1000L, 2, 50L, 50L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val ids = (1L to 300L)
+    ids.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    // driver-side oracle: same derivation, simple containment test
+    // (strict interior vs the square; the operator's half-open rule
+    // agrees with it for points not ON an edge)
+    val expectedInside = ids.count { i =>
+      val px = i * 7919 % 1000
+      val py = i * 104729 % 1000
+      px > 100 && px < 860 && py > 100 && py < 860
+    }
+    val onEdge = ids.count { i =>
+      val px = i * 7919 % 1000
+      val py = i * 104729 % 1000
+      (px == 100 || px == 860) && py >= 100 && py <= 860 ||
+        (py == 100 || py == 860) && px >= 100 && px <= 860
+    }
+    assert(onEdge == 0, "planted ids must avoid edge ambiguity")
+    val got = graft.operators.Spatial.g18PointInPolygon(spark, dir)
+      .select("l_orderkey", "n_vertices", "n_inside")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((500L, 4L, expectedInside.toLong)))
+  }
+
+  test("d54 incremental dedup classifies planted base/delta dups") {
+    val dir = java.nio.file.Files.createTempDirectory("d54").toString
+    // base: 1,2,3 (text a,b,c). delta: 10 (=a → dup_of_base 1),
+    // 20 (d → new), 30 (d → dup_in_delta of 20), 40 (e → new)
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "a"), (20L, "d"),
+        (30L, "d"), (40L, "e"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d54IncrementalDedup(spark, dir)
+      .select("doc_id", "status", "base_doc")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq((10L, "dup_of_base", Some(1L)),
+      (20L, "new", None), (30L, "dup_in_delta", None),
+      (40L, "new", None)))
+    // real data: every delta doc is classified, statuses exhaustive
+    val real = Dedup.d54IncrementalDedup(spark, sf)
+    val nDelta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(real.count() == nDelta)
+    assert(real.filter(!col("status").isin(
+      "new", "dup_of_base", "dup_in_delta")).count() == 0)
+  }
+
+  test("q70 drawdown: hand-planted peak-to-trough") {
+    val dir = java.nio.file.Files.createTempDirectory("q70").toString
+    // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
+    // peak stays 15, dd 8) → max drawdown 12, peak 15
+    Seq((1L, "1995-01-01", 10L, "N"), (1L, "1995-01-02", 5L, "N"),
+        (1L, "1995-01-03", 12L, "R"), (1L, "1995-01-04", 4L, "N"))
+      .toDF("l_suppkey", "ship", "q", "l_returnflag")
+      .select(col("l_suppkey"),
+        col("ship").cast("timestamp").as("l_shipdate"),
+        col("q").cast("double").as("l_quantity"), col("l_returnflag"))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = Relational6.q70Drawdown(spark, dir)
+      .select("l_suppkey", "n_days", "max_drawdown", "peak_level")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 4L, 12L, 15L)))
+    // invariant on real data: drawdown is never negative
+    val bad = Relational6.q70Drawdown(spark, sf)
+      .filter(col("max_drawdown") < 0).count()
+    assert(bad == 0)
+  }
+
+  test("d53 quota: allocations sum exactly to the budget and " +
+    "differ from floors by at most one") {
+    val out = Sampling.d53QuotaAlloc(spark, sf)
+      .select("n_docs", "floor_share", "alloc")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum == Sampling.QuotaSlots)
+    out.foreach { case (_, fs, al) => assert(al == fs || al == fs + 1) }
+    // proportionality: alloc within 1 slot of the exact share
+    val total = out.map(_._1).sum.toDouble
+    out.foreach { case (n, _, al) =>
+      assert(math.abs(al - Sampling.QuotaSlots * n / total) <= 1.0)
+    }
+  }
+
+  test("f08 schema evolution: legacy rows carry NULLs, evolved rows " +
+    "keep their values") {
+    val got = Interchange.f08SchemaEvolution(spark, sf)
+      .select("n_docs", "n_evolved", "sum_chars")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val (nd, ne, sc) = got.reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(nd == docs.count())
+    assert(ne == docs.filter(col("doc_id") % 2 === 1).count())
+    val expChars = docs.filter(col("doc_id") % 2 === 1)
+      .agg(sum("n_chars")).head.getLong(0)
+    assert(sc == expChars)
+  }
+}
