@@ -258,17 +258,101 @@ object Relational6 {
       |  CAST(MAX(peak) AS BIGINT) AS peak_level
       |FROM p GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** q71: EXACT median + MAD at scale, via value histograms — the
+    * distributed answer to q16/q63's exact `percentile`, whose
+    * aggregation buffer holds every value of a group in ONE task (3
+    * return flags ⇒ 3 tasks swallow the corpus; the reason q47's
+    * sketch exists). Integer cent values have a bounded DISTINCT
+    * domain, so the histogram form is exact AND partial-aggregable:
+    * one (group, value) count shuffle, a cumulative window over the
+    * distinct-value relation (domain-bounded, key-partitioned), and
+    * the two middle ranks read off the prefix sums. The MAD pass
+    * repeats the trick on |2·value − 2·median| — still pure int64;
+    * the only doubles are the final /2.0 and /4.0 (exact halves and
+    * quarters). Medians relation is |group| rows — adjudicated
+    * broadcast. */
+  def q71MedianHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+    def medianRanks(values: DataFrame, valueCol: String): DataFrame = {
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      values.groupBy(col("l_returnflag"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          (expr(s"min(CASE WHEN cum >= (n + 1) div 2 THEN $valueCol END)")
+            + expr(s"min(CASE WHEN cum >= (n + 2) div 2 THEN $valueCol END)"))
+            .as("sum2"))
+    }
+    val med = medianRanks(li, "pc")
+      .select(col("l_returnflag"), col("n"), col("sum2").as("med2"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        abs(lit(2L) * col("pc") - col("med2")).as("dev2"))
+    val mad = medianRanks(dev, "dev2")
+      .select(col("l_returnflag"), col("sum2").as("mad4"))
+    med.join(mad, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        (col("med2") / lit(2.0)).as("median_c"),
+        (col("mad4") / lit(4.0)).as("mad_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q71Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      |  FROM lineitem),
+      |c1 AS (SELECT f, pc, COUNT(*) AS c FROM li GROUP BY 1, 2),
+      |cum1 AS (
+      |  SELECT f, pc,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS n
+      |  FROM c1),
+      |m AS (
+      |  SELECT f, CAST(MAX(n) AS BIGINT) AS n,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN pc END)
+      |      + MIN(CASE WHEN cum >= (n + 2) // 2 THEN pc END) AS med2
+      |  FROM cum1 GROUP BY 1),
+      |d AS (
+      |  SELECT li.f, ABS(2 * li.pc - m.med2) AS dev2
+      |  FROM li JOIN m ON li.f = m.f),
+      |c2 AS (SELECT f, dev2, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |cum2 AS (
+      |  SELECT f, dev2,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY dev2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS n
+      |  FROM c2),
+      |md AS (
+      |  SELECT f,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END)
+      |      + MIN(CASE WHEN cum >= (n + 2) // 2 THEN dev2 END) AS mad4
+      |  FROM cum2 GROUP BY 1)
+      |SELECT m.f AS l_returnflag, m.n, m.med2 / 2.0 AS median_c,
+      |  md.mad4 / 4.0 AS mad_c
+      |FROM m JOIN md ON md.f = m.f ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_pareto" -> (q66Pareto _),
     "q67_yoy" -> (q67Yoy _),
     "q68_cum_distinct" -> (q68CumDistinct _),
     "q69_basket_pairs" -> (q69BasketPairs _),
-    "q70_drawdown" -> (q70Drawdown _))
+    "q70_drawdown" -> (q70Drawdown _),
+    "q71_median_histogram" -> (q71MedianHistogram _))
 
   val oracles: Map[String, String] = Map(
     "q66_pareto" -> q66Sql,
     "q67_yoy" -> q67Sql,
     "q68_cum_distinct" -> q68Sql,
     "q69_basket_pairs" -> q69Sql,
-    "q70_drawdown" -> q70Sql)
+    "q70_drawdown" -> q70Sql,
+    "q71_median_histogram" -> q71Sql)
 }

@@ -203,6 +203,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "residual ADC shortlist: queries x RerankR rows (d30's contract)",
       "q63_robust_stats" -> "per-group medians: |l_returnflag| rows",
       "q69_basket_pairs" -> "per-brand order counts: |brand| rows",
+      "q71_median_histogram" -> "per-group medians: |l_returnflag| rows",
       "t12_tfidf" -> "corpus-size scalar: 1 row",
       "t13_bm25" ->
         "corpus-stats scalar (1 row) + LIMIT-bounded query terms",

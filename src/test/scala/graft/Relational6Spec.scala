@@ -256,6 +256,20 @@ class Relational6Spec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("q71 histogram median/MAD equals q63's percentile-buffer form " +
+    "exactly") {
+    // both interpolate the two middle ranks of integer cents; every
+    // intermediate is exactly representable, so equality is bitwise
+    val a = graft.operators.Relational4.q63RobustStats(spark, sf)
+      .select("l_returnflag", "n", "median_c", "mad_c")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    val b = Relational6.q71MedianHistogram(spark, sf)
+      .select("l_returnflag", "n", "median_c", "mad_c")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("d53 quota: allocations sum exactly to the budget and " +
     "differ from floors by at most one") {
     val out = Sampling.d53QuotaAlloc(spark, sf)
