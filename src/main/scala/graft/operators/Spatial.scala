@@ -79,31 +79,44 @@ object Spatial {
       .orderBy(col("event_id"))
   }
 
-  /** Grid cell size for the g18 bbox prefilter (coordinate domain is
-    * [0,1000)² → at most a 4×4 cell fan-out per polygon bbox). */
-  val PipCell = 250L
+  /** Grid cell size for the g18 bbox prefilter: polygons are ≤50-unit
+    * patches, so a bbox spans at most a 2×2 cell block at 100. */
+  val PipCell = 100L
+
+  /** Orderkey cap for the g18 area list — containment queries run
+    * against a BOUNDED set of areas of interest (≤ cap/500 polygons
+    * at any scale factor), never N areas × N points. */
+  val PipMaxOrder = 100000L
 
   /** g18: point-in-polygon containment (even-odd ray cast) — the
     * query side of the reference's ring handling (map2db.py 815-1077
     * classifies and clips rings; a consumer then asks "which features
-    * fall INSIDE this area"). The scale shape: per-polygon bboxes
-    * fan out to the grid cells they span (bounded ≤16), points carry
-    * exactly one cell key, the candidate set forms on a plain cell
-    * equi-join + exact bbox filter (lossless: outside-bbox ⇒ outside
-    * polygon), and only candidates join the edge relation (fanout ≤
-    * ring length) for the crossing count. Nothing all-pairs. The
-    * half-open edge rule ((y1≤p<y2) xor swap) makes shared vertices
-    * count once; the intersection-x comparison is one double
-    * division on identical integers — IEEE-identical in the oracle,
-    * which replays the SAME math as a direct bbox join. */
+    * fall INSIDE these areas"). The area list is bounded by contract
+    * ([[PipMaxOrder]]) and each ring is a compact ≤50-unit patch, so
+    * the scale shape holds: per-polygon bboxes fan out to the ≤4 grid
+    * cells they span, points carry exactly one cell key, the
+    * candidate set forms on a plain cell equi-join + exact bbox
+    * filter (lossless: outside-bbox ⇒ outside polygon), and only
+    * candidates join the edge relation (fanout ≤ ring length) for the
+    * crossing count. Nothing all-pairs — candidates are O(points ×
+    * areas-per-cell), and areas-per-cell is bounded by the area-list
+    * contract. Point/ring coordinates use distinct prime moduli so
+    * the derived cloud fills the 2-D domain instead of collapsing
+    * onto a 1-D lattice. The half-open edge rule ((y1≤p<y2) xor swap)
+    * makes shared vertices count once; the intersection-x comparison
+    * is one double division on identical integers — IEEE-identical in
+    * the oracle, which replays the SAME math as a direct bbox join. */
   def g18PointInPolygon(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val C = PipCell
     val ring = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 500 === 0)
+      .filter(col("l_orderkey") % 500 === 0 &&
+        col("l_orderkey") <= PipMaxOrder)
       .select(col("l_orderkey"), col("l_linenumber"),
-        (col("l_partkey") % 1000).as("x"),
-        (col("l_suppkey") % 1000).as("y"))
+        (col("l_orderkey") * 7919 % 947 + col("l_partkey") % 50)
+          .as("x"),
+        (col("l_orderkey") * 104729 % 941 + col("l_suppkey") % 50)
+          .as("y"))
     val w = W.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("x"), col("y"))
     val wAll = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -121,8 +134,8 @@ object Spatial {
       .filter(col("n_vertices") >= 3)
     val pts = Tables.load(spark, dir, "events")
       .select(col("event_id"),
-        (col("event_id") * 7919 % 1000).as("px"),
-        (col("event_id") * 104729 % 1000).as("py"))
+        (col("event_id") * 7919 % 997).as("px"),
+        (col("event_id") * 104729 % 991).as("py"))
       .withColumn("cx", (col("px") / C).cast("long"))
       .withColumn("cy", (col("py") / C).cast("long"))
     val polyCells = poly
@@ -159,10 +172,12 @@ object Spatial {
   }
 
   val g18Sql: String =
-    """WITH ring AS (
+    s"""WITH ring AS (
       |  SELECT l_orderkey, l_linenumber,
-      |    l_partkey % 1000 AS x, l_suppkey % 1000 AS y
-      |  FROM lineitem WHERE l_orderkey % 500 = 0),
+      |    l_orderkey * 7919 % 947 + l_partkey % 50 AS x,
+      |    l_orderkey * 104729 % 941 + l_suppkey % 50 AS y
+      |  FROM lineitem
+      |  WHERE l_orderkey % 500 = 0 AND l_orderkey <= $PipMaxOrder),
       |e AS (
       |  SELECT l_orderkey, x AS x1, y AS y1,
       |    COALESCE(lead(x) OVER w, first_value(x) OVER
@@ -180,8 +195,8 @@ object Spatial {
       |    MIN(y) AS miny, MAX(y) AS maxy, COUNT(*) AS nv
       |  FROM ring GROUP BY 1 HAVING COUNT(*) >= 3),
       |pts AS (
-      |  SELECT event_id, event_id * 7919 % 1000 AS px,
-      |    event_id * 104729 % 1000 AS py
+      |  SELECT event_id, event_id * 7919 % 997 AS px,
+      |    event_id * 104729 % 991 AS py
       |  FROM events),
       |crossed AS (
       |  SELECT p.l_orderkey, t.event_id,

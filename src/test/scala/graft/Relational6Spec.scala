@@ -179,33 +179,36 @@ class Relational6Spec extends AnyFunSuite {
 
   test("g18 point-in-polygon matches a driver-side ray cast") {
     val dir = java.nio.file.Files.createTempDirectory("g18").toString
-    // polygon 500 (500 % 500 == 0): square (100,100)..(860,860)
-    // (bounds chosen so no derived point lands ON an edge);
-    // polygon 1000: degenerate 2-vertex ring → filtered out (<3)
-    Seq((500L, 1, 100L, 100L), (500L, 2, 860L, 100L),
-        (500L, 3, 860L, 860L), (500L, 4, 100L, 860L),
-        (1000L, 1, 0L, 0L), (1000L, 2, 50L, 50L))
+    // polygon 500 (500 % 500 == 0, ≤ cap): square at patch offsets
+    // (1,1)..(38,38) — offsets chosen so no derived point lands ON
+    // an edge; polygon 1000: degenerate 2-vertex ring → filtered (<3)
+    Seq((500L, 1, 1L, 1L), (500L, 2, 38L, 1L),
+        (500L, 3, 38L, 38L), (500L, 4, 1L, 38L),
+        (1000L, 1, 0L, 0L), (1000L, 2, 25L, 25L))
       .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
-    val ids = (1L to 300L)
+    val ids = (1L to 5000L)
     ids.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("event_id", "ts")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
     // driver-side oracle: same derivation, simple containment test
     // (strict interior vs the square; the operator's half-open rule
     // agrees with it for points not ON an edge)
+    val (loX, hiX) = (500L * 7919 % 947 + 1, 500L * 7919 % 947 + 38)
+    val (loY, hiY) =
+      (500L * 104729 % 941 + 1, 500L * 104729 % 941 + 38)
+    def pt(i: Long) = (i * 7919 % 997, i * 104729 % 991)
     val expectedInside = ids.count { i =>
-      val px = i * 7919 % 1000
-      val py = i * 104729 % 1000
-      px > 100 && px < 860 && py > 100 && py < 860
+      val (px, py) = pt(i)
+      px > loX && px < hiX && py > loY && py < hiY
     }
     val onEdge = ids.count { i =>
-      val px = i * 7919 % 1000
-      val py = i * 104729 % 1000
-      (px == 100 || px == 860) && py >= 100 && py <= 860 ||
-        (py == 100 || py == 860) && px >= 100 && px <= 860
+      val (px, py) = pt(i)
+      (px == loX || px == hiX) && py >= loY && py <= hiY ||
+        (py == loY || py == hiY) && px >= loX && px <= hiX
     }
     assert(onEdge == 0, "planted ids must avoid edge ambiguity")
+    assert(expectedInside > 0, "the square must contain some points")
     val got = graft.operators.Spatial.g18PointInPolygon(spark, dir)
       .select("l_orderkey", "n_vertices", "n_inside")
       .as[(Long, Long, Long)].collect()
@@ -233,6 +236,19 @@ class Relational6Spec extends AnyFunSuite {
     assert(real.count() == nDelta)
     assert(real.filter(!col("status").isin(
       "new", "dup_of_base", "dup_in_delta")).count() == 0)
+  }
+
+  test("t30 observed metrics equal a dedicated audit pass") {
+    val got = graft.operators.Observability.t30ObservedAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = (
+      docs.count(),
+      docs.filter(length(col("text")) === 0).count(),
+      docs.filter(col("n_chars") < 100).count(),
+      docs.agg(sum("n_chars")).head.getLong(0),
+      docs.select(md5(col("text").cast("binary"))).distinct().count())
+    assert(got == direct)
   }
 
   test("q70 drawdown: hand-planted peak-to-trough") {
