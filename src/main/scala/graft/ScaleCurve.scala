@@ -30,7 +30,10 @@ object ScaleCurve {
     "2d_pipeline_retrieval" -> "t14_postings",
     "2d_pipeline_graph" -> "d32_pagerank",
     "2d_pipeline_bpe" -> "t23_bpe_encode",
-    "2d_pipeline_knn" -> "d49_knn_graph",
+    // the kNN family's curve entry is the occupancy-scaled banding
+    // (the big-N production knob): d49's fixed 8-bit banding is
+    // honest-quadratic in candidates (~685 s at sf10, scaladoc'd)
+    "2d_pipeline_knn" -> "d55_knn_graph_wide",
     "2c_spatial" -> "g18_point_in_polygon",
     "2d_pipeline_incremental" -> "d54_incremental_dedup",
     "2e_streaming" -> "s01_window_agg")

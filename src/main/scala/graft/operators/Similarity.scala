@@ -489,7 +489,8 @@ object Similarity {
     * per-plane ORDERED dot folds, sign bits, 4×8-bit banding. Bit d
     * of plane i comes from the lo half for d < 32 and the hi half
     * above — exactly [[portablePlanes]]' derivation. */
-  private def portableSigCtes(src: String = "embeddings"): String = {
+  private def portableSigCtes(src: String = "embeddings",
+      tables: Int = Tables8, bits: Int = BitsPerTable): String = {
     def half(from: Int) =
       s"""CAST(list_sum(list_transform(generate_series(1, 8),
          |  p -> (CAST(strpos('0123456789abcdef',
@@ -515,10 +516,10 @@ object Similarity {
        |  GROUP BY vec_id),
        |banded AS (
        |  SELECT s.vec_id, t.t AS t,
-       |    (s.sig >> (t.t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}
+       |    (s.sig >> (t.t * $bits)) & ${(1L << bits) - 1}
        |      AS bucket
        |  FROM sig s CROSS JOIN
-       |    (SELECT unnest(generate_series(0, ${Tables8 - 1})) AS t) t)"""
+       |    (SELECT unnest(generate_series(0, ${tables - 1})) AS t) t)"""
       .stripMargin
   }
 
@@ -584,20 +585,51 @@ object Similarity {
     * pair-sized — and recall follows the banding collision curve
     * d42 audits. Portable md5 plane family, so the oracle replays
     * signature → banding → capped cells → candidates → exact cosine
-    * → rank. */
+    * → rank.
+    *
+    * Scale contract: the OUTPUT is O(N·k), but the intermediate
+    * candidate volume is Σ n_cell² ≈ N²/buckets at FIXED banding —
+    * the sf10 drill measures that honestly (~685 s at 200k vectors,
+    * local[32]). LSH theory's answer is occupancy control: bits per
+    * table must grow with log N. [[d55KnnGraphWide]] is that knob
+    * (2×16-bit tables from the same signature family); the IVF path
+    * (d25) is the other corpus-scale choice. */
   def d49KnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnEdges(spark, dir).orderBy(col("vec_id"), col("rank"))
+
+  /** d55: the kNN graph under OCCUPANCY-SCALED banding — same
+    * signature family, rebanded as 2 tables × 16 bits: 65536 buckets
+    * per table holds expected cell occupancy (and so the N²/buckets
+    * candidate volume) ~256× lower than d49's 8-bit banding at the
+    * same N. The recall trade is explicit and measured by the d42
+    * audit shape: a 16-bit collision requires BOTH constituent 8-bit
+    * tables to agree, so candidates are a strict SUBSET of d49's —
+    * only strongly-colliding (high-similarity) pairs surface, which
+    * is the right default when N is large enough that d49's banding
+    * saturates. Plan shape is identical (sort-merge everywhere,
+    * nothing broadcast, nothing all-pairs). */
+  def d55KnnGraphWide(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir, WideTables, WideBits)
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** d55 banding: 2 tables × 16 bits of the 32-plane signature. */
+  val WideTables = 2
+  val WideBits = 16
 
   /** The d49 edge relation without the presentation sort — shared
     * with d51's label-propagation vote so the graph build is defined
     * once (the d22→d25 train→apply discipline, applied to graphs). */
-  private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir, Tables8, BitsPerTable)
+
+  private def knnEdges(spark: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
     val banded = Tables.load(spark, dir, "embeddings")
       .withColumn("sig", portableLshSignature(col("embedding")))
       .select(col("vec_id"),
-        explode(sequence(lit(0), lit(Tables8 - 1))).as("t"), col("sig"))
+        explode(sequence(lit(0), lit(tables - 1))).as("t"), col("sig"))
       .withColumn("bucket", expr(
-        s"(sig >> (t * $BitsPerTable)) & ${(1L << BitsPerTable) - 1}"))
+        s"(sig >> (t * $bits)) & ${(1L << bits) - 1}"))
       .select(col("vec_id"), col("t"), col("bucket"))
     val cells = banded.groupBy(col("t"), col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -610,8 +642,14 @@ object Similarity {
     // re-attach all ride forced shuffles
     val bounded = banded.join(cells.hint("shuffle_hash"),
       Seq("t", "bucket"))
+    // the self-join and vector re-attach sides all scale with the
+    // corpus: sort-merge (spillable) rather than shuffle-hash, whose
+    // per-partition hash build must FIT in execution memory — the
+    // sf10 drill killed exactly that build ("can't acquire 128 MB to
+    // build hash relation"); SMJ spills and survives, and still
+    // satisfies the no-statless-broadcast gate
     val cand = bounded.as("a")
-      .join(bounded.as("b").hint("shuffle_hash"),
+      .join(bounded.as("b").hint("merge"),
         col("a.t") === col("b.t") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -622,12 +660,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    cand.hint("shuffle_hash")
+    cand.hint("merge")
       .join(vecs.select(col("vec_id"), col("embedding").as("e1")),
         Seq("vec_id"))
       .join(vecs.select(col("vec_id").as("nbr_id"),
         col("embedding").as("e2")), Seq("nbr_id"))
       .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      // drop the two embedding payloads BEFORE the rank window: the
+      // candidate relation is pair-scale, and sorting it with ~1 KB
+      // of vector payload per row is what blew the sf10 drill's heap
+      // — scored triples are ~24 bytes and spill cheaply
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank"))
@@ -667,8 +710,10 @@ object Similarity {
     * directed candidates + exact-cosine rank cut. */
   /** The shared oracle chain for the d49 graph: signature → banding →
     * capped cells → candidates → exact cosine → rank. */
-  private def knnCtes: String =
-    s"""${portableSigCtes()},
+  private def knnCtes: String = knnCtes(Tables8, BitsPerTable)
+
+  private def knnCtes(tables: Int, bits: Int): String =
+    s"""${portableSigCtes("embeddings", tables, bits)},
        |cells AS (
        |  SELECT t, bucket FROM banded GROUP BY t, bucket
        |  HAVING COUNT(*) <= $NearDupMaxBucket),
@@ -693,6 +738,11 @@ object Similarity {
 
   val d49Sql: String =
     s"""WITH $knnCtes
+       |SELECT vec_id, nbr_id, cos, rank FROM ranked
+       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
+  val d55Sql: String =
+    s"""WITH ${knnCtes(WideTables, WideBits)}
        |SELECT vec_id, nbr_id, cos, rank FROM ranked
        |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 

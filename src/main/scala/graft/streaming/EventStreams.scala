@@ -904,4 +904,23 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Observe-metric name for [[observedIngestGate]] — read back from
+    * each micro-batch's `StreamingQueryProgress.observedMetrics`. */
+  val IngestAuditMetric = "s15_ingest_audit"
+
+  /** s15 (spec-verified): in-flight audit counters on a STREAM — the
+    * streaming twin of t30's batch `observe`: an ingest gate cannot
+    * afford a parallel metrics query, so exact row/reject counters
+    * accumulate on the executors inside the SAME micro-batch pass
+    * that applies the gate, and surface per batch in
+    * `StreamingQueryProgress.observedMetrics` — the feed a monitoring
+    * pipeline alerts on. Returns the gated stream; the counters count
+    * what the gate SAW (attached before the filter), so
+    * rows = kept + rejected is checkable downstream. */
+  def observedIngestGate(events: DataFrame): DataFrame =
+    events.observe(IngestAuditMetric,
+      count(lit(1)).as("n_rows"),
+      sum((col("value") < 0).cast("long")).as("n_rejected"))
+      .filter(col("value") >= 0)
 }

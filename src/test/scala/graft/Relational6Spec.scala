@@ -153,6 +153,30 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("d55 wide banding: candidates are a subset of d49's, degree " +
+    "bounded, signatures agree on a 16-bit half") {
+    val sigs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.portableLshSignature(col("embedding")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val wide = Similarity.d55KnnGraphWide(spark, sf)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect()
+    val densePairs = Similarity.d49KnnGraph(spark, sf)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect().toSet
+    wide.foreach { case (v, n) =>
+      val (a, b) = (sigs(v), sigs(n))
+      val agrees = (0 until 2).exists(h =>
+        ((a >> (h * 16)) & 0xffffL) == ((b >> (h * 16)) & 0xffffL))
+      assert(agrees, s"edge ($v,$n) without a 16-bit collision")
+    }
+    // degree bound
+    wide.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.length <= Similarity.KnnK)
+    }
+    // wide finds strictly fewer (or equal) edges than dense banding
+    assert(wide.length <= densePairs.size)
+  }
+
   test("d52 chunks: geometry covers every token exactly w/ overlap") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(length(col("text")) > 0)
@@ -249,6 +273,32 @@ class Relational6Spec extends AnyFunSuite {
       docs.agg(sum("n_chars")).head.getLong(0),
       docs.select(md5(col("text").cast("binary"))).distinct().count())
     assert(got == direct)
+  }
+
+  test("s15 streaming observe: per-batch counters equal what the " +
+    "gate saw") {
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    val gated = EventStreams.observedIngestGate(
+      input.toDS().toDF("event_id", "value"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("s15_sink").start()
+    try {
+      // batch 1: 4 rows, 1 negative; batch 2: 3 rows, 2 negative
+      input.addData(Seq((1L, 1.0), (2L, -1.0), (3L, 2.0), (4L, 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq((5L, -5.0), (6L, 4.0), (7L, -0.5)))
+      q.processAllAvailable()
+      val audits = q.recentProgress.toSeq
+        .flatMap(p => Option(
+          p.observedMetrics.get(EventStreams.IngestAuditMetric)))
+      val rows = audits.map(_.getAs[Long]("n_rows")).sum
+      val rejected = audits.map(_.getAs[Long]("n_rejected")).sum
+      assert(rows == 7L && rejected == 3L)
+      assert(spark.table("s15_sink").count() == 4L)
+    } finally q.stop()
   }
 
   test("q70 drawdown: hand-planted peak-to-trough") {
