@@ -340,13 +340,56 @@ object Relational6 {
       |  md.mad4 / 4.0 AS mad_c
       |FROM m JOIN md ON md.f = m.f ORDER BY 1""".stripMargin
 
+  /** q72: event-transition matrix — which event type follows which,
+    * per user session stream (the Markov-chain input behind "users
+    * who do X next do Y", distinct from q51's fixed-stage funnel):
+    * one lead() window per user (total order via the event-id
+    * tiebreak — ts alone repeats), then a partial-aggregable count
+    * per (from, to) pair and the within-from share over the bounded
+    * type-pair relation (|types|² rows, partitioned window). */
+  def q72Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wFrom), 6)
+          + lit(0.0))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q72Sql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  ROUND(CAST(n AS DOUBLE)
+      |    / SUM(n) OVER (PARTITION BY from_type), 6) + 0.0 AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_pareto" -> (q66Pareto _),
     "q67_yoy" -> (q67Yoy _),
     "q68_cum_distinct" -> (q68CumDistinct _),
     "q69_basket_pairs" -> (q69BasketPairs _),
     "q70_drawdown" -> (q70Drawdown _),
-    "q71_median_histogram" -> (q71MedianHistogram _))
+    "q71_median_histogram" -> (q71MedianHistogram _),
+    "q72_transitions" -> (q72Transitions _))
 
   val oracles: Map[String, String] = Map(
     "q66_pareto" -> q66Sql,
@@ -354,5 +397,6 @@ object Relational6 {
     "q68_cum_distinct" -> q68Sql,
     "q69_basket_pairs" -> q69Sql,
     "q70_drawdown" -> q70Sql,
-    "q71_median_histogram" -> q71Sql)
+    "q71_median_histogram" -> q71Sql,
+    "q72_transitions" -> q72Sql)
 }

@@ -301,6 +301,41 @@ class Relational6Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q72 transitions: hand-planted chain counts and shares") {
+    val dir = java.nio.file.Files.createTempDirectory("q72").toString
+    // user 1: a→b→a→c ; user 2: b→a  ⇒ a→b:1 a→c:1 b→a:2
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), (4L, 1L, "c"),
+        (5L, 2L, "b"), (6L, 2L, "a"))
+      .map { case (e, u, t) =>
+        (e, u, t, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$e"))
+      }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = Relational6.q72Transitions(spark, dir)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "a", 2L, 1.0)))
+    // real data: shares sum to 1 within every from_type
+    val sums = Relational6.q72Transitions(spark, sf)
+      .groupBy("from_type").agg(sum("p").as("s"))
+      .as[(String, Double)].collect()
+    sums.foreach { case (_, s1) => assert(math.abs(s1 - 1.0) < 1e-4) }
+  }
+
+  test("d56 persisted index: equals d54 and lands manifest-committed") {
+    val a = Dedup.d54IncrementalDedup(spark, sf)
+      .collect().map(_.toString).sorted
+    val b = Dedup.d56PersistedIndex(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // the index went through the atomic commit (whose orphan/marker/
+    // size contracts InterchangeSpec pins for every committed write)
+    val idx = Dedup.fingerprintIndexDir(sf)
+    assert(new java.io.File(idx, "_GRAFT_COMMIT").exists())
+    assert(new java.io.File(idx, "_graft_manifest").exists())
+  }
+
   test("q70 drawdown: hand-planted peak-to-trough") {
     val dir = java.nio.file.Files.createTempDirectory("q70").toString
     // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
