@@ -290,6 +290,52 @@ object Interchange {
       .orderBy(col("lang"))
   }
 
+  /** The f09 codec sweep: storage-efficiency knobs a 100 TB table
+    * chooses between (uncompressed for CPU-bound scans, snappy as the
+    * default, zstd for the cold tier — at fleet scale the zstd/snappy
+    * gap is petabytes of I/O). */
+  val Codecs: Seq[String] = Seq("none", "snappy", "zstd")
+
+  /** f09: compression-codec matrix — the SAME documents table round
+    * trips through each parquet codec and must digest identically:
+    * compression is a storage knob, never a semantics knob. The spec
+    * additionally pins the on-disk size ordering (zstd < snappy <
+    * uncompressed on this corpus); the oracle pins losslessness —
+    * one digest per codec, all equal to the source digest. */
+  def f09CodecMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Codecs.map { c =>
+      val out = roundTripDir(s"codec_$c", dir)
+      docs.write.mode("overwrite").option("compression",
+        if (c == "none") "uncompressed" else c).parquet(out)
+      digest(spark.read.parquet(out)).withColumn("codec", lit(c))
+        .select(col("codec"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"), col("min_doc"),
+          col("max_doc"), col("min_text"), col("max_source"))
+    }.reduce(_ unionAll _).orderBy(col("codec"), col("lang"))
+  }
+
+  /** On-disk bytes of the f09 round-trip dir for `codec` (spec). */
+  def codecDirBytes(dir: String, codec: String): Long = {
+    val d = new java.io.File(roundTripDir(s"codec_$codec", dir))
+    Option(d.listFiles()).map(_.filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum).getOrElse(0L)
+  }
+
+  val f09Sql: String =
+    """SELECT c.codec, d.lang, d.n_docs, d.sum_chars, d.sum_ids,
+      |  d.min_doc, d.max_doc, d.min_text, d.max_source
+      |FROM (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |    min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |    min(text) AS min_text, max(source) AS max_source
+      |  FROM documents GROUP BY lang) d
+      |CROSS JOIN (SELECT unnest(['none', 'snappy', 'zstd']) AS codec) c
+      |ORDER BY c.codec, d.lang""".stripMargin
+
   val f08Sql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
@@ -307,7 +353,8 @@ object Interchange {
     "f05_compaction" -> (f05Compact _),
     "f06_tsv_roundtrip" -> (f06TsvRoundTrip _),
     "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _),
-    "f08_schema_evolution" -> (f08SchemaEvolution _))
+    "f08_schema_evolution" -> (f08SchemaEvolution _),
+    "f09_codec_matrix" -> (f09CodecMatrix _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -317,5 +364,6 @@ object Interchange {
     "f05_compaction" -> f05Sql,
     "f06_tsv_roundtrip" -> f06Sql,
     "f07_fixed_width_roundtrip" -> f07Sql,
-    "f08_schema_evolution" -> f08Sql)
+    "f08_schema_evolution" -> f08Sql,
+    "f09_codec_matrix" -> f09Sql)
 }

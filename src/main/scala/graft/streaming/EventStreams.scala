@@ -905,6 +905,41 @@ object EventStreams {
       }
   }
 
+  case class TypedEvent(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String)
+  case class Transition(user_id: Long, from_type: String,
+    to_type: String)
+  case class LastEvent(us: Long, event_id: Long, event_type: String)
+
+  /** s16 (spec-verified): streaming event-transition extraction —
+    * q72's Markov-pair relation built AT INGEST with O(1) per-user
+    * state (just the last event seen): each arriving event emits one
+    * (from → to) pair against the stored predecessor and replaces it.
+    * The batch job re-sorts history every run; the stream pays each
+    * event once, which is the only shape that holds when the history
+    * is 100 TB and today's slice is gigabytes. In-batch ordering is
+    * (ts, event_id) — q72's exact tiebreak — under the id-monotone
+    * ingest contract the shard/sessionize streams already assume. */
+  def transitionStream(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+            state: GroupState[LastEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(uid, l.event_type, e.event_type))
+            last = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Observe-metric name for [[observedIngestGate]] — read back from
     * each micro-batch's `StreamingQueryProgress.observedMetrics`. */
   val IngestAuditMetric = "s15_ingest_audit"

@@ -336,6 +336,36 @@ class Relational6Spec extends AnyFunSuite {
     assert(new java.io.File(idx, "_graft_manifest").exists())
   }
 
+  test("s16 streamed transitions equal the batch q72 pair counts") {
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .as[EventStreams.TypedEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s16_sink").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("s16_sink")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val batch = Relational6.q72Transitions(spark, sf)
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("q70 drawdown: hand-planted peak-to-trough") {
     val dir = java.nio.file.Files.createTempDirectory("q70").toString
     // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
@@ -384,6 +414,22 @@ class Relational6Spec extends AnyFunSuite {
     out.foreach { case (n, _, al) =>
       assert(math.abs(al - Sampling.QuotaSlots * n / total) <= 1.0)
     }
+  }
+
+  test("f09 codec matrix: digests identical per codec, zstd smallest") {
+    val rows = Interchange.f09CodecMatrix(spark, sf)
+      .collect().map(r => (r.getString(0),
+        r.toSeq.drop(1).map(String.valueOf).mkString("|")))
+    val byCodec = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byCodec.keySet == Interchange.Codecs.toSet)
+    assert(byCodec("none") == byCodec("snappy"))
+    assert(byCodec("snappy") == byCodec("zstd"))
+    val Seq(n, sn, z) = Interchange.Codecs
+      .map(c => Interchange.codecDirBytes(sf, c))
+    assert(z > 0 && sn > 0 && n > 0)
+    assert(z < sn && sn < n,
+      s"size ordering violated: zstd=$z snappy=$sn none=$n")
   }
 
   test("f08 schema evolution: legacy rows carry NULLs, evolved rows " +
