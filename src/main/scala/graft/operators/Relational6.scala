@@ -382,6 +382,58 @@ object Relational6 {
       |    / SUM(n) OVER (PARTITION BY from_type), 6) + 0.0 AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** q73 band half-width: |Δbalance| ≤ $25.00, in exact cents. */
+  val BandEps = 2500L
+
+  /** q73: epsilon band join (fuzzy reconciliation) — match every
+    * customer to suppliers whose balance lies within ±ε, the
+    * "find the counterpart entry that's a rounding error away" join
+    * every reconciliation system runs. A theta join |a−b| ≤ ε is a
+    * cross product to a naive planner; the scale shape buckets both
+    * sides into ε-width cells (shifted so negative balances can't
+    * straddle the truncation boundary) and fans each probe to 3
+    * neighbor cells — candidates are an equi-join, the exact band
+    * predicate prunes the few stragglers. The oracle states the
+    * predicate directly (DuckDB's IEJoin handles it); bucketing is
+    * provably lossless at cell = ε. */
+  def q73BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eps = BandEps
+    val shift = 10000000L
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        (round(col("c_acctbal") * 100, 0).cast("long") + shift)
+          .as("cb"))
+    val s = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        (round(col("s_acctbal") * 100, 0).cast("long") + shift)
+          .as("sb"))
+      .withColumn("bkt", expr(s"sb div $eps"))
+    c.withColumn("bkt",
+        explode(array(expr(s"cb div $eps - 1"), expr(s"cb div $eps"),
+          expr(s"cb div $eps + 1"))))
+      .join(s.hint("shuffle_hash"), Seq("bkt"))
+      .filter(abs(col("cb") - col("sb")) <= eps)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(abs(col("cb") - col("sb"))).as("min_diff_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q73Sql: String =
+    s"""WITH cb AS (
+       |  SELECT c_custkey,
+       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS b
+       |  FROM customer),
+       |sb AS (
+       |  SELECT s_suppkey,
+       |    CAST(ROUND(s_acctbal * 100) AS BIGINT) AS b
+       |  FROM supplier)
+       |SELECT c_custkey, COUNT(*) AS n_matches,
+       |  CAST(MIN(ABS(cb.b - sb.b)) AS BIGINT) AS min_diff_cents
+       |FROM cb JOIN sb
+       |  ON cb.b BETWEEN sb.b - $BandEps AND sb.b + $BandEps
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_pareto" -> (q66Pareto _),
     "q67_yoy" -> (q67Yoy _),
@@ -389,7 +441,8 @@ object Relational6 {
     "q69_basket_pairs" -> (q69BasketPairs _),
     "q70_drawdown" -> (q70Drawdown _),
     "q71_median_histogram" -> (q71MedianHistogram _),
-    "q72_transitions" -> (q72Transitions _))
+    "q72_transitions" -> (q72Transitions _),
+    "q73_band_join" -> (q73BandJoin _))
 
   val oracles: Map[String, String] = Map(
     "q66_pareto" -> q66Sql,
@@ -398,5 +451,6 @@ object Relational6 {
     "q69_basket_pairs" -> q69Sql,
     "q70_drawdown" -> q70Sql,
     "q71_median_histogram" -> q71Sql,
-    "q72_transitions" -> q72Sql)
+    "q72_transitions" -> q72Sql,
+    "q73_band_join" -> q73Sql)
 }

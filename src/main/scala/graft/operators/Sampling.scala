@@ -301,6 +301,71 @@ object Sampling {
        |ORDER BY source""".stripMargin
   }
 
+  /** d57: distribution-drift gate (two-sample Kolmogorov–Smirnov) —
+    * the admission check a recurring corpus load runs before mixing a
+    * new batch in: "does this delta's length profile still look like
+    * the base corpus, per source?" The statistic is computed EXACTLY
+    * on the integer grid: KS = max|F_base − F_delta| =
+    * max|cumA·nB − cumB·nA| / (nA·nB), whose numerator is pure int64
+    * (value-histogram counts + prefix sums over the bounded distinct
+    * domain, per source — the q71 discipline), the division the one
+    * double op. Both engines replay digit-for-digit. int64 bound:
+    * cum·n < 2^63 holds through ~3·10⁹ rows/side/source; beyond
+    * that, widen to decimal or gate on a stratified sample. */
+  def d57DriftKs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the delta split uses mod 7: doc_ids stripe by source mod 20
+    // in this data, so a mod-10 split would give most sources an
+    // empty half; 7 is coprime to the stripe and cuts every source
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        (col("doc_id") % 7 === 0).cast("int").as("is_delta"))
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(sum(lit(1) - col("is_delta")).cast("long").as("ca"),
+        sum(col("is_delta")).cast("long").as("cb"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("na")).as("n_base"), max(col("nb")).as("n_delta"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("ks_numer"))
+      .filter(col("n_base") > 0 && col("n_delta") > 0)
+      .select(col("source"), col("n_base"), col("n_delta"),
+        (round(col("ks_numer").cast("double")
+          / (col("n_base") * col("n_delta")), 6) + lit(0.0)).as("ks"))
+      .orderBy(col("source"))
+  }
+
+  val d57Sql: String =
+    """WITH h AS (
+      |  SELECT source, n_chars,
+      |    SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS cb
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source,
+      |    SUM(ca) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY source) AS na,
+      |    SUM(cb) OVER (PARTITION BY source) AS nb
+      |  FROM h)
+      |SELECT source, CAST(MAX(na) AS BIGINT) AS n_base,
+      |  CAST(MAX(nb) AS BIGINT) AS n_delta,
+      |  ROUND(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+      |    / (MAX(na) * MAX(nb)), 6) + 0.0 AS ks
+      |FROM c GROUP BY source
+      |HAVING MAX(na) > 0 AND MAX(nb) > 0
+      |ORDER BY source""".stripMargin
+
   /** Slots d53 apportions. */
   val QuotaSlots = 1000000L
 

@@ -366,6 +366,47 @@ class Relational6Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q73 band join equals the direct theta join") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cb"))
+    val s = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("sb"))
+    val direct = c.crossJoin(s)
+      .filter(abs(col("cb") - col("sb")) <= Relational6.BandEps)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n"), min(abs(col("cb") - col("sb"))).as("m"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = Relational6.q73BandJoin(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == direct.size)
+    got.foreach { case (k, n, m) => assert(direct(k) == ((n, m))) }
+  }
+
+  test("d57 KS: identical halves give 0, disjoint halves give 1, " +
+    "real data in [0,1]") {
+    val dir = java.nio.file.Files.createTempDirectory("d57").toString
+    // source A: base and delta share the SAME length profile → ks 0
+    // source B: base all length 10, delta all length 99 → ks 1
+    // delta membership is doc_id % 7 == 0
+    val rows = Seq(
+      (1L, "A", 5L), (2L, "A", 6L), (3L, "A", 7L), (4L, "A", 8L),
+      (7L, "A", 5L), (14L, "A", 6L), (21L, "A", 7L), (28L, "A", 8L),
+      (101L, "B", 10L), (102L, "B", 10L),
+      (105L, "B", 99L), (112L, "B", 99L))
+    rows.toDF("doc_id", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Sampling.d57DriftKs(spark, dir)
+      .select("source", "ks").as[(String, Double)].collect().toMap
+    assert(got("A") == 0.0)
+    assert(got("B") == 1.0)
+    val real = Sampling.d57DriftKs(spark, sf)
+      .select("ks").as[Double].collect()
+    assert(real.nonEmpty && real.forall(k => k >= 0.0 && k <= 1.0))
+  }
+
   test("q70 drawdown: hand-planted peak-to-trough") {
     val dir = java.nio.file.Files.createTempDirectory("q70").toString
     // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
