@@ -434,6 +434,83 @@ object Relational6 {
        |  ON cb.b BETWEEN sb.b - $BandEps AND sb.b + $BandEps
        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** q74: exact percentile BANDS at scale — q71's value-histogram
+    * method generalized to the (p25, p50, p90) report q16 computes
+    * with per-group buffers. Each percentile is a RATIONAL rank
+    * r = 1 + (n−1)·k/m read off the prefix sums: lo rank by integer
+    * division, the interpolation fraction (rem/m) exact by
+    * construction — where Spark's own `percentile` computes
+    * 0.9·(n−1) in binary floating point (0.9 has no exact double),
+    * this form never rounds until the final interpolation. One
+    * corpus shuffle, cum windows over the bounded distinct-value
+    * domain, all ranks from the same pass. */
+  def q74PercentileScale(spark: SparkSession, dir: String): DataFrame = {
+    val cum = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      .groupBy(col("l_returnflag"), col("pc"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag"))))
+    def pct(name: String, k: Int, m: Int) = Seq(
+      expr(s"""min(CASE WHEN cum >= 1 + ((n - 1) * $k) div $m
+           THEN pc END)""").as(s"${name}_lo"),
+      expr(s"""min(CASE WHEN cum >= 1 + ((n - 1) * $k) div $m
+           + (CASE WHEN ((n - 1) * $k) % $m > 0 THEN 1 ELSE 0 END)
+           THEN pc END)""").as(s"${name}_hi"),
+      expr(s"max(((n - 1) * $k) % $m)").as(s"${name}_rem"))
+    val aggs = Seq(max(col("n")).as("n")) ++
+      pct("p25", 1, 4) ++ pct("p50", 1, 2) ++ pct("p90", 9, 10)
+    def interp(name: String, m: Int) =
+      (col(s"${name}_lo") +
+        (col(s"${name}_rem").cast("double") / m) *
+          (col(s"${name}_hi") - col(s"${name}_lo")) + lit(0.0))
+        .as(s"${name}_cents")
+    cum.groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("n"),
+        interp("p25", 4), interp("p50", 2), interp("p90", 10))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q74Sql: String = {
+    def pctSql(name: String, k: Int, m: Int) =
+      s"""MIN(CASE WHEN cum >= 1 + ((n - 1) * $k) // $m
+         |    THEN pc END) AS ${name}_lo,
+         |  MIN(CASE WHEN cum >= 1 + ((n - 1) * $k) // $m
+         |    + (CASE WHEN ((n - 1) * $k) % $m > 0 THEN 1 ELSE 0 END)
+         |    THEN pc END) AS ${name}_hi,
+         |  MAX(((n - 1) * $k) % $m) AS ${name}_rem""".stripMargin
+    def interpSql(name: String, m: Int) =
+      s"${name}_lo + (CAST(${name}_rem AS DOUBLE) / $m) " +
+        s"* (${name}_hi - ${name}_lo) + 0.0 AS ${name}_cents"
+    s"""WITH h AS (
+       |  SELECT l_returnflag AS f,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+       |    COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT f, pc,
+       |    SUM(c) OVER (PARTITION BY f ORDER BY pc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY f) AS n
+       |  FROM h),
+       |r AS (
+       |  SELECT f, CAST(MAX(n) AS BIGINT) AS n,
+       |  ${pctSql("p25", 1, 4)},
+       |  ${pctSql("p50", 1, 2)},
+       |  ${pctSql("p90", 9, 10)}
+       |  FROM cum GROUP BY f)
+       |SELECT f AS l_returnflag, n,
+       |  ${interpSql("p25", 4)},
+       |  ${interpSql("p50", 2)},
+       |  ${interpSql("p90", 10)}
+       |FROM r ORDER BY f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_pareto" -> (q66Pareto _),
     "q67_yoy" -> (q67Yoy _),
@@ -442,7 +519,8 @@ object Relational6 {
     "q70_drawdown" -> (q70Drawdown _),
     "q71_median_histogram" -> (q71MedianHistogram _),
     "q72_transitions" -> (q72Transitions _),
-    "q73_band_join" -> (q73BandJoin _))
+    "q73_band_join" -> (q73BandJoin _),
+    "q74_percentiles_scale" -> (q74PercentileScale _))
 
   val oracles: Map[String, String] = Map(
     "q66_pareto" -> q66Sql,
@@ -452,5 +530,6 @@ object Relational6 {
     "q70_drawdown" -> q70Sql,
     "q71_median_histogram" -> q71Sql,
     "q72_transitions" -> q72Sql,
-    "q73_band_join" -> q73Sql)
+    "q73_band_join" -> q73Sql,
+    "q74_percentiles_scale" -> q74Sql)
 }

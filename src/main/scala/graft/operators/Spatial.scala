@@ -216,6 +216,62 @@ object Spatial {
       |FROM poly p LEFT JOIN crossed c ON c.l_orderkey = p.l_orderkey
       |GROUP BY 1, p.nv ORDER BY 1""".stripMargin
 
+  /** Base zoom for the g19 pyramid (1024×1024 tile grid). */
+  val PyramidBaseZoom = 10
+  /** Coarsest level the rollup emits. */
+  val PyramidMinZoom = 8
+
+  /** g19: tile-pyramid rollup — building the OVERVIEW levels every
+    * tile server pre-computes (the reference's zoom-interval
+    * architecture stores features per level; serving zoomed-out views
+    * needs per-tile aggregates at every coarser level). The scale
+    * shape is the halving chain: features aggregate ONCE into base
+    * tiles (the only corpus-scale shuffle), then each coarser level
+    * derives from the level below it — a shuffle over a relation that
+    * QUARTERS at every step, never re-touching the corpus. Parent =
+    * child div 2 per axis; pure integer arithmetic. */
+  def g19TilePyramid(spark: SparkSession, dir: String): DataFrame = {
+    val grid = 1L << PyramidBaseZoom
+    val base = Tables.load(spark, dir, "events")
+      .groupBy((col("event_id") * 7919 % grid).as("tile_x"),
+        (col("event_id") * 104729 % grid).as("tile_y"))
+      .agg(count(lit(1)).as("n_features"))
+      .withColumn("level", lit(PyramidBaseZoom))
+    val levels = (PyramidBaseZoom - 1 to PyramidMinZoom by -1)
+      .scanLeft(base) { (finer, lvl) =>
+        finer.groupBy(expr("tile_x div 2").as("tile_x"),
+            expr("tile_y div 2").as("tile_y"))
+          .agg(sum(col("n_features")).as("n_features"))
+          .withColumn("level", lit(lvl))
+      }
+    levels.reduce(_ unionByName _)
+      .select(col("level"), col("tile_x"), col("tile_y"),
+        col("n_features"))
+      .orderBy(col("level"), col("tile_x"), col("tile_y"))
+  }
+
+  val g19Sql: String =
+    s"""WITH l10 AS (
+       |  SELECT event_id * 7919 % ${1L << PyramidBaseZoom} AS tile_x,
+       |    event_id * 104729 % ${1L << PyramidBaseZoom} AS tile_y,
+       |    COUNT(*) AS n_features
+       |  FROM events GROUP BY 1, 2),
+       |l9 AS (
+       |  SELECT tile_x // 2 AS tile_x, tile_y // 2 AS tile_y,
+       |    SUM(n_features) AS n_features
+       |  FROM l10 GROUP BY 1, 2),
+       |l8 AS (
+       |  SELECT tile_x // 2 AS tile_x, tile_y // 2 AS tile_y,
+       |    SUM(n_features) AS n_features
+       |  FROM l9 GROUP BY 1, 2)
+       |SELECT 10 AS level, tile_x, tile_y,
+       |  CAST(n_features AS BIGINT) AS n_features FROM l10
+       |UNION ALL
+       |SELECT 9, tile_x, tile_y, CAST(n_features AS BIGINT) FROM l9
+       |UNION ALL
+       |SELECT 8, tile_x, tile_y, CAST(n_features AS BIGINT) FROM l8
+       |ORDER BY level, tile_x, tile_y""".stripMargin
+
   val g17Sql: String =
     s"""WITH pts AS ($pointsSql),
        |q AS (SELECT * FROM pts WHERE event_id % 97 = 0),

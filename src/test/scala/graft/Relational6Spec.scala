@@ -407,6 +407,47 @@ class Relational6Spec extends AnyFunSuite {
     assert(real.nonEmpty && real.forall(k => k >= 0.0 && k <= 1.0))
   }
 
+  test("g19 pyramid: per-level mass conserved, parents sum children") {
+    val out = Spatial.g19TilePyramid(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    val byLevel = out.groupBy(_._1)
+    assert(byLevel.keySet == Set(8, 9, 10))
+    byLevel.values.foreach(rows => assert(rows.map(_._4).sum == total))
+    // every level-9 parent equals the sum of its ≤4 level-10 children
+    val l10 = byLevel(10).map(r => (r._2, r._3) -> r._4).toMap
+    byLevel(9).foreach { case (_, px, py, n) =>
+      val kids = (for { dx <- 0 to 1; dy <- 0 to 1 }
+        yield l10.getOrElse((px * 2 + dx, py * 2 + dy), 0L)).sum
+      assert(kids == n)
+    }
+  }
+
+  test("q74 percentile bands agree with Spark's percentile " +
+    "(exactly at dyadic p, to float error at p90)") {
+    val got = Relational6.q74PercentileScale(spark, sf)
+      .select("l_returnflag", "p25_cents", "p50_cents", "p90_cents")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(pc, 0.25D)").as("p25"),
+        expr("percentile(pc, 0.5D)").as("p50"),
+        expr("percentile(pc, 0.9D)").as("p90"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.nonEmpty && got.keySet == ref.keySet)
+    got.foreach { case (k, (a25, a50, a90)) =>
+      val (b25, b50, b90) = ref(k)
+      // 0.25 and 0.5 are dyadic: Spark's float rank math is exact
+      assert(a25 == b25 && a50 == b50)
+      // 0.9 is not: Spark rounds 0.9*(n-1); allow relative 1e-9
+      assert(math.abs(a90 - b90) <= 1e-9 * math.max(1.0, math.abs(b90)))
+    }
+  }
+
   test("q70 drawdown: hand-planted peak-to-trough") {
     val dir = java.nio.file.Files.createTempDirectory("q70").toString
     // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
