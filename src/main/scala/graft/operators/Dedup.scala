@@ -1139,6 +1139,112 @@ object Dedup {
       s"_${Integer.toHexString(dir.hashCode)}" +
       s"_p${ProcessHandle.current().pid()}"
 
+  /** d58: quality-decile duplication calibration — the report that
+    * answers "does my quality score PREDICT duplication?" before
+    * anyone wires quality-weighted dedup (d46) into production: docs
+    * bucket into quality deciles and each decile reports its
+    * exact-duplicate rate. Decile CUTS come from the value-histogram
+    * prefix sums (the q71/q74 machinery — the quality score lives on
+    * a bounded integer grid of ≤1e6+1 values, so the global cum
+    * window is domain-bounded, gate-allowlisted); the 9 cut values
+    * are one bounded 1-row collect (the d23 maxId precedent) and
+    * bucket assignment is a stateless comparison chain — no per-row
+    * join against the cut table. Same qmic formula as d46, replayed
+    * by the oracle digit-for-digit. */
+  def d58QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("st", TextFunctions.wordStats(col("text")))
+      .withColumn("n_chars", length(trim(col("text"))).cast("long"))
+      .withColumn("alpha_ratio", round(
+        length(regexp_replace(trim(col("text")), "[^a-z]", ""))
+          .cast("double") / col("n_chars"), 6))
+      .withColumn("avg_word_len", round(
+        col("st.len_sum").cast("double") / col("st.n_words"), 6))
+      .withColumn("qmic", round(
+        (least(col("st.n_words").cast("double") / 100.0, lit(1.0)) * 0.5
+          + col("alpha_ratio") * 0.3
+          + when(col("avg_word_len").between(3.0, 8.0), 0.2)
+            .otherwise(0.0)) * 1e6, 0).cast("long"))
+      .select(col("doc_id"), col("qmic"),
+        md5(col("text").cast("binary")).as("h"))
+    val wCum = Window.orderBy(col("qmic"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = q.groupBy(col("qmic")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val cutCols = (1 to 9).map(i => expr(
+      s"min(CASE WHEN cum >= (n * $i) div 10 THEN qmic END)")
+      .as(s"c$i"))
+    val cutRow = cum.agg(cutCols.head, cutCols.tail: _*).head()
+    val cuts = (0 until 9).map(cutRow.getLong)
+    val decile = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + (col("qmic") > c).cast("int")
+    }
+    val copies = q.groupBy(col("h")).agg(count(lit(1)).as("nc"))
+    q.join(copies.hint("shuffle_hash"), Seq("h"))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nc") > 1).cast("long")).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          + lit(0.0))
+      .orderBy(col("decile"))
+  }
+
+  lazy val d58Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |q AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    CAST(ROUND((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + alpha_ratio * 0.3
+       |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0
+       |          THEN 0.2 ELSE 0.0 END) * 1000000) AS BIGINT) AS qmic
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len($w) AS BIGINT) AS n_words,
+       |      ROUND(CAST(length(regexp_replace(trim(text), '[^a-z]',
+       |        '', 'g')) AS DOUBLE) / length(trim(text)), 6)
+       |        AS alpha_ratio,
+       |      ROUND(CAST(list_sum(list_transform($w, x -> length(x)))
+       |        AS DOUBLE) / len($w), 6) AS avg_word_len
+       |    FROM corpus)),
+       |hist AS (SELECT qmic, COUNT(*) AS c FROM q GROUP BY 1),
+       |cum AS (
+       |  SELECT qmic,
+       |    SUM(c) OVER (ORDER BY qmic
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT i.i,
+       |    MIN(CASE WHEN cum >= (n * i.i) // 10 THEN qmic END) AS cut
+       |  FROM cum CROSS JOIN
+       |    (SELECT unnest(generate_series(1, 9)) AS i) i
+       |  GROUP BY i.i),
+       |copies AS (SELECT h, COUNT(*) AS nc FROM q GROUP BY 1),
+       |cc AS (
+       |  SELECT q.doc_id, q.h,
+       |    1 + (SELECT COUNT(*) FROM cuts WHERE cut < q.qmic)
+       |      AS decile
+       |  FROM q)
+       |SELECT CAST(cc.decile AS BIGINT) AS decile,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  ROUND(CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) + 0.0 AS dup_rate
+       |FROM cc JOIN copies ON copies.h = cc.h
+       |GROUP BY cc.decile ORDER BY decile""".stripMargin
+  }
+
   val d54Sql: String =
     """WITH d AS (
       |  SELECT doc_id, md5(text) AS h FROM documents),

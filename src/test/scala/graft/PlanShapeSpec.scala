@@ -282,6 +282,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "cumulative-share window over the brand aggregate: |brand| rows",
       "d53_quota_alloc" ->
         "apportionment windows over the source aggregate: |sources| rows")
+    // d58_quality_calibration's bounded-domain cum window runs in its
+    // EAGER cut-computation job (the 1-row collect), not in the
+    // registered plan this sweep audits — no entry needed
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -448,6 +448,28 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("d58 calibration: deciles partition the corpus, rates bounded, " +
+    "dup mass conserved") {
+    val out = Dedup.d58QualityCalibration(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (d, nd, dup, rate) =>
+      assert(d >= 1 && d <= 10)
+      assert(dup <= nd)
+      assert(math.abs(rate - dup.toDouble / nd) < 1e-6)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+    assert(out.map(_._2).sum == docs.count())
+    // total docs-in-duplicated-groups matches a direct count
+    val directDup = docs
+      .select(md5(col("text").cast("binary")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") > 1)
+      .agg(coalesce(sum("nc"), lit(0L))).head.getLong(0)
+    assert(out.map(_._3).sum == directDup)
+  }
+
   test("q70 drawdown: hand-planted peak-to-trough") {
     val dir = java.nio.file.Files.createTempDirectory("q70").toString
     // supplier 1: +10, +5 (peak 15), -12 (cum 3, dd 12), +4 (cum 7,
