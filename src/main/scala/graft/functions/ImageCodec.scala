@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+/** REAL image decode — JDK `javax.imageio` (public API, available
+  * offline) — the de-stubbed pixel path behind m01/m04/m06
+  * (map2db has no image surface; this is the training-data-pipeline
+  * extension SURVEY §2d specifies).
+  *
+  * Contract: payloads that actually ARE images (PNG/JPEG by magic
+  * bytes) decode to grayscale pixels and the media kernels operate in
+  * the PIXEL domain (2-D box-filter thumbnails — the geometry a real
+  * aHash/thumbnail pass uses); anything else falls back to the
+  * deterministic byte-domain stand-in, which remains the
+  * oracle-checked path on the synthetic text-payload corpus. The
+  * sniff is a few byte compares, so non-media payloads never pay
+  * codec overhead, and the decode stays a static JVM call — the
+  * Catalyst expressions wrapping it keep whole-stage codegen.
+  *
+  * Only container formats whose magic cannot occur in UTF-8 text are
+  * sniffed (PNG's 0x89, JPEG's 0xFF 0xD8): a text payload can never
+  * reach the codec, so the fallback path is deterministic by
+  * construction, and a hostile/garbled header can't trigger a
+  * giant-allocation decode attempt on non-image data.
+  */
+object ImageCodec {
+
+  /** PNG / JPEG magic-byte sniff (both start with non-UTF-8 bytes —
+    * see the object Scaladoc for why only these two). */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+          p(2) == 0xFF.toByte))
+
+  /** Decode to (width, height, row-major grayscale bytes) via
+    * integer ITU-R BT.601 luma ((77R + 150G + 29B) >> 8) —
+    * deterministic, no float. None when the payload is not a
+    * decodable image. */
+  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!looksLikeImage(p)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** 2-D box-filter downscale of the decoded grayscale image to a
+    * gw×gh cell grid, row-major, integer mean per cell — the
+    * real-image analogue of [[MultimediaKernel.blockMean]]'s 1-D
+    * block average. */
+  def grayThumb(p: Array[Byte], gw: Int, gh: Int): Option[Array[Byte]] =
+    decodeGray(p).map { case (w, h, px) =>
+      val out = new Array[Byte](gw * gh)
+      var cy = 0
+      while (cy < gh) {
+        val y0 = (cy.toLong * h / gh).toInt
+        val y1 = math.min(h, math.max(y0 + 1,
+          ((cy + 1).toLong * h / gh).toInt))
+        var cx = 0
+        while (cx < gw) {
+          val x0 = (cx.toLong * w / gw).toInt
+          val x1 = math.min(w, math.max(x0 + 1,
+            ((cx + 1).toLong * w / gw).toInt))
+          var s = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x) & 0xff; n += 1; x += 1 }
+            y += 1
+          }
+          out(cy * gw + cx) = (if (n == 0) 0L else s / n).toByte
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+
+  /** Grid geometry for a k-byte thumbnail: 8 columns when 8 | k (the
+    * aHash convention — m06's 48 bits are an 8×6 grid, m04's 32-byte
+    * thumbnail an 8×4), else a k×1 strip. */
+  def grid(k: Int): (Int, Int) =
+    if (k % 8 == 0 && k >= 8) (8, k / 8) else (k, 1)
+
+  /** Pixel-domain k-byte thumbnail of a real image payload; None for
+    * non-image payloads (callers fall back to the byte kernel). */
+  def thumbK(p: Array[Byte], k: Int): Option[Array[Byte]] = {
+    val (gw, gh) = grid(k)
+    grayThumb(p, gw, gh)
+  }
+
+  /** Spec helper: REAL deterministic PNG bytes for a synthetic scene
+    * (`f(x, y)` returns the 0xRRGGBB pixel). Pure-JDK encode, so the
+    * spec's planted images exercise the same codec a production
+    * payload would. */
+  def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, f(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

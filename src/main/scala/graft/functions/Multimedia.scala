@@ -5,18 +5,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
-/** Byte-domain media kernels (SURVEY.md §2d).
+/** Media kernels (SURVEY.md §2d) — pixel-domain for real images,
+  * byte-domain fallback for everything else.
   *
-  * The resample kernel is the 1-D analogue of nearest-neighbor image
-  * resize: output byte i reads input byte floor(i·len/k). The real
-  * pixel-domain resize would decode first (stubbed in this container —
-  * no media libraries); the Spark-side contract is identical either
-  * way: BinaryType → fixed-size BinaryType, codegen'd, no UDF
-  * boundary, so a 100 TB thumbnail pass stays inside whole-stage
-  * codegen.
+  * Payloads that ARE images (PNG/JPEG by magic sniff) decode through
+  * [[ImageCodec]] (JDK imageio — a REAL codec, de-stubbed r9) and
+  * resample as 2-D box-filtered grayscale thumbnails; non-media
+  * payloads take the 1-D byte kernels (output byte i reads/averages
+  * input block i·len/k — the deterministic stand-in the oracles
+  * check on the synthetic text-payload corpus). The Spark-side
+  * contract is identical either way: BinaryType → fixed-size
+  * BinaryType, codegen'd, no UDF boundary, so a 100 TB thumbnail
+  * pass stays inside whole-stage codegen — the decode is a static
+  * JVM call from the generated code.
   */
 object MultimediaKernel {
-  def resample(payload: Array[Byte], k: Int): Array[Byte] = {
+  def resample(payload: Array[Byte], k: Int): Array[Byte] =
+    ImageCodec.thumbK(payload, k)
+      .getOrElse(resampleBytes(payload, k))
+
+  /** 1-D nearest-neighbor byte resample (the non-image path). */
+  def resampleBytes(payload: Array[Byte], k: Int): Array[Byte] = {
     val len = payload.length
     if (len == 0) return Array.emptyByteArray
     val out = new Array[Byte](k)
@@ -36,8 +45,15 @@ object MultimediaKernel {
     * instead of re-picking unrelated bytes — the property that makes
     * the perceptual hash stable under near-duplicate perturbations
     * (measured: the dropped-word plants stay within a few bits).
-    * Degenerate blocks (len < k) fall back to the boundary byte. */
-  def blockMean(payload: Array[Byte], k: Int): Array[Byte] = {
+    * Degenerate blocks (len < k) fall back to the boundary byte.
+    * Real image payloads take the 2-D pixel path instead (see the
+    * object Scaladoc). */
+  def blockMean(payload: Array[Byte], k: Int): Array[Byte] =
+    ImageCodec.thumbK(payload, k)
+      .getOrElse(blockMeanBytes(payload, k))
+
+  /** 1-D average-pool byte resample (the non-image path). */
+  def blockMeanBytes(payload: Array[Byte], k: Int): Array[Byte] = {
     val len = payload.length
     if (len == 0) return Array.emptyByteArray
     val out = new Array[Byte](k)

@@ -34,39 +34,34 @@ object LinkGraph {
 
   val PrIters = 3
 
-  /** The (src, dst, deg) graph relation pinned per (session, dir) —
-    * iterative algorithms re-walk their edge relation every round, so
-    * it materializes ONCE (the GraphX/Pregel convention, and this
-    * repo's simCache pattern); without the pin each iteration's
-    * lineage re-derives the edge build from the full lineitem scan.
-    * [[releaseGraphCache]] drops the pin; Bench/ScaleCurve call it
-    * between sections. */
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  /** The per-(session, dir) pinned adjacency RDDs the iterative
+    * loops walk — iterative algorithms re-walk their edge relation
+    * every round, so it materializes ONCE (the GraphX/Pregel
+    * convention, and this repo's simCache pattern); without the pin
+    * each iteration's lineage re-derives the edge build from the full
+    * lineitem scan. [[releaseGraphCache]] drops the pins;
+    * Bench/ScaleCurve call it between sections. */
+  private val rddCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.rdd.RDD[_]]
 
-  /** Directed (c, s) trade-pair relation, pinned like [[graphCache]]
+  private def pinRdd[T](spark: SparkSession, dir: String, key: String)(
+      build: => org.apache.spark.rdd.RDD[T])
+      : org.apache.spark.rdd.RDD[T] =
+    rddCache.getOrElseUpdate((spark, dir, key), build.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .asInstanceOf[org.apache.spark.rdd.RDD[T]]
+
+  /** Directed (c, s) trade-pair relation, pinned like [[rddCache]]
     * and shared by d32 (which folds it undirected) and d36 (which
     * walks it as-is) — one edge extraction serves both. */
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** d36's per-half-step score relations: each is collected-from
-    * (the scalar max) AND re-walked by the next half-step and the
-    * final assembly, so without a pin every action replays the whole
-    * iteration chain from the edges — the cost is O(iters²) instead
-    * of O(iters). Node-scale, bounded. */
-  private val hitsCache = scala.collection.mutable.ArrayBuffer
-    .empty[DataFrame]
-
   def releaseGraphCache(): Unit = {
-    graphCache.values.foreach(_.unpersist())
-    graphCache.clear()
+    rddCache.values.foreach(_.unpersist())
+    rddCache.clear()
     pairCache.values.foreach(_.unpersist())
     pairCache.clear()
-    hitsCache.synchronized {
-      hitsCache.foreach(_.unpersist())
-      hitsCache.clear()
-    }
   }
 
   /** The pinned distinct customer→supplier pair relation.
@@ -101,30 +96,43 @@ object LinkGraph {
     * the joins pin shuffled builds; the d16/t11 lesson). Nodes
     * outside every edge have no walk semantics and are excluded by
     * construction. */
+  /** The loop body is RDD-based on a FIXED HashPartitioner — the
+    * [[Dedup.connectedComponents]] treatment: an iterative DataFrame
+    * loop re-plans and re-compiles fresh generated code every round
+    * (measured ~2 s/round of pure overhead at sf10, the dominant cost
+    * of the old form), while co-partitioned RDDs make the
+    * adjacency⋈ranks join narrow and leave exactly ONE shuffle per
+    * round (the rank messages, combiner-reduced map-side). All
+    * arithmetic is the same positive-Long floor division the SQL
+    * `div` form used, so results are bit-identical and the unrolled
+    * oracle is unchanged. */
   def d32Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradePairs(spark, dir)
-    val und = edges.select(col("c").as("src"),
-        (col("s") + SuppBase).as("dst"))
-      .unionAll(edges.select((col("s") + SuppBase).as("src"),
-        col("c").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = graphCache.getOrElseUpdate((spark, dir),
-      und.join(deg.hint("shuffle_hash"), Seq("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var ranks = withDeg.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(RankScale).as("r"))
-    for (_ <- 1 to PrIters) {
-      ranks = withDeg
-        .join(ranks.hint("shuffle_hash"),
-          col("src") === col("node"))
-        .select(col("dst"), expr("r div deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("m"))
-        .select(col("dst").as("node"),
-          (lit(RankScale - RankScale * DampNum / DampDen) +
-            expr(s"(m * $DampNum) div $DampDen")).as("r"))
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // adjacency src -> (dst, deg(src)), symmetrized, co-partitioned
+    // and pinned once per (session, dir)
+    val adj = pinRdd[(Long, (Long, Long))](spark, dir, "pr_adj") {
+      val edges = tradePairs(spark, dir)
+      val und = edges.select(col("c").cast("long"),
+          (col("s") + SuppBase).cast("long"))
+        .unionAll(edges.select((col("s") + SuppBase).cast("long"),
+          col("c").cast("long")))
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .partitionBy(part)
+      val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      und.join(deg) // narrow: both sides on `part`; keeps `part`
     }
-    ranks
+    val base = RankScale - RankScale * DampNum / DampDen
+    var ranks = adj.keys.distinct(part.numPartitions)
+      .map(n => (n, RankScale)).partitionBy(part)
+    for (_ <- 1 to PrIters) {
+      ranks = adj.join(ranks) // narrow, co-partitioned
+        .map { case (_, ((dst, dg), r)) => (dst, r / dg) }
+        .reduceByKey(part, _ + _) // the ONE shuffle per round
+        .mapValues(m => base + m * DampNum / DampDen)
+    }
+    ranks.toDF("node", "r")
       .select(when(col("node") >= SuppBase, lit("supplier"))
           .otherwise(lit("customer")).as("kind"),
         when(col("node") >= SuppBase, col("node") - SuppBase)
@@ -154,44 +162,55 @@ object LinkGraph {
     * BIGINT while max-degree · scale² < 2⁶³, i.e. degrees to ~9·10⁶
     * — document-scale graphs far past this corpus.
     *
-    * Plan shape at scale: the directed pair relation materializes
-    * ONCE ([[pairCache]]); each half-step is one shuffled equi-join
-    * of a node-scale score relation against it plus one key-keyed sum
-    * (score relations are statless aggregate outputs — broadcast
-    * would OOM at scale, so builds pin shuffled), and ONE collected
-    * scalar (the max — the d23 bounded-driver-scalar pattern) turns
-    * normalization into a literal. 2·[[HitsIters]] bounded driver
-    * round-trips total, nothing corpus-sized ever on the driver. */
+    * Plan shape at scale: the [[Dedup.connectedComponents]]/[[d32Pagerank]]
+    * treatment — the directed pair relation lands on a FIXED
+    * HashPartitioner in BOTH key orientations, pinned once
+    * ([[pinRdd]]); each half-step is then a NARROW co-partitioned
+    * join plus one combiner-reduced message shuffle, and ONE
+    * collected scalar (the max — the d23 bounded-driver-scalar
+    * pattern) turns normalization into a closure literal. No
+    * per-round re-planning/codegen (the cost the DataFrame loop
+    * paid), 2·[[HitsIters]] bounded driver round-trips total,
+    * nothing corpus-sized ever on the driver. Each half-step's raw
+    * sum is pinned (node-scale) because it is both max'd and
+    * re-walked downstream. */
   def d36Hits(spark: SparkSession, dir: String): DataFrame = {
-    val ed = tradePairs(spark, dir)
-    // each half-step relation is BOTH collected-from (its max) and
-    // re-walked downstream — persist it (node-scale) so every
-    // half-step computes exactly once (see [[hitsCache]])
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      hitsCache.synchronized { hitsCache += p }
-      p
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val byC = pinRdd[(Long, Long)](spark, dir, "hits_byc") {
+      tradePairs(spark, dir)
+        .select(col("c").cast("long"), col("s").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1))).partitionBy(part)
     }
-    var hubs = ed.select(col("c")).distinct()
-      .select(col("c"), lit(RankScale).as("h"))
-    var auths: DataFrame = null
-    for (_ <- 1 to HitsIters) {
-      val aRaw = pin(ed.join(hubs.hint("shuffle_hash"), Seq("c"))
-        .groupBy(col("s")).agg(sum(col("h")).as("ar")))
-      val amax = aRaw.agg(max(col("ar"))).collect()(0).getLong(0)
-      auths = aRaw.select(col("s"),
-        expr(s"(ar * $RankScale) div $amax").as("a"))
-      val hRaw = pin(ed.join(auths.hint("shuffle_hash"), Seq("s"))
-        .groupBy(col("c")).agg(sum(col("a")).as("hr")))
-      val hmax = hRaw.agg(max(col("hr"))).collect()(0).getLong(0)
-      hubs = hRaw.select(col("c"),
-        expr(s"(hr * $RankScale) div $hmax").as("h"))
+    val byS = pinRdd[(Long, Long)](spark, dir, "hits_bys") {
+      byC.map(_.swap).partitionBy(part)
     }
-    hubs.select(lit("hub").as("kind"), col("c").as("key"),
+    var hubs = byC.keys.distinct(part.numPartitions)
+      .map(c => (c, RankScale)).partitionBy(part)
+    var auths: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    for (i <- 1 to HitsIters) {
+      val aRaw = pinRdd[(Long, Long)](spark, dir, s"hits_ar$i") {
+        byC.join(hubs) // narrow
+          .map { case (_, (s, h)) => (s, h) }
+          .reduceByKey(part, _ + _)
+      }
+      val amax = aRaw.values.max()
+      auths = aRaw.mapValues(ar => ar * RankScale / amax)
+      val hRaw = pinRdd[(Long, Long)](spark, dir, s"hits_hr$i") {
+        byS.join(auths) // narrow
+          .map { case (_, (c, a)) => (c, a) }
+          .reduceByKey(part, _ + _)
+      }
+      val hmax = hRaw.values.max()
+      hubs = hRaw.mapValues(hr => hr * RankScale / hmax)
+    }
+    hubs.toDF("c", "h")
+      .select(lit("hub").as("kind"), col("c").as("key"),
         col("h").as("score_fp"))
-      .unionByName(auths.select(lit("authority").as("kind"),
-        col("s").as("key"), col("a").as("score_fp")))
+      .unionByName(auths.toDF("s", "a")
+        .select(lit("authority").as("kind"), col("s").as("key"),
+          col("a").as("score_fp")))
       .orderBy(col("kind"), col("key"))
   }
 

@@ -471,6 +471,7 @@ object MapOps {
     "g17_radius_join" -> (Spatial.g17RadiusJoin _),
     "g18_point_in_polygon" -> (Spatial.g18PointInPolygon _),
     "g19_tile_pyramid" -> (Spatial.g19TilePyramid _),
+    "g20_nearest_snap" -> (Spatial.g20NearestSnap _),
     "g12_tile_neighbors" -> (g12TileNeighbors _),
     "g01_varint_roundtrip" -> (g01VarintRoundtrip _),
     "g02_tile_transforms" -> (g02TileTransforms _),
@@ -490,6 +491,7 @@ object MapOps {
     "g17_radius_join" -> Spatial.g17Sql,
     "g18_point_in_polygon" -> Spatial.g18Sql,
     "g19_tile_pyramid" -> Spatial.g19Sql,
+    "g20_nearest_snap" -> Spatial.g20Sql,
     "g12_tile_neighbors" -> g12Sql,
     "g01_varint_roundtrip" -> g01Sql,
     "g02_tile_transforms" -> g02Sql,

@@ -9,12 +9,14 @@ import graft.Tables
   *
   * Images/audio/video travel as opaque `binary` columns with a typed
   * metadata struct; decode/feature-extraction runs batched per
-  * partition (the Scala analogue of `mapInPandas`). The decode itself
-  * is STUBBED — this container has no media libraries — with a
-  * deterministic fake (byte statistics standing in for pixel
-  * statistics), but everything Spark-level is real: schema, binary
-  * payload handling, per-partition batching, and the feature output
-  * contract.
+  * partition (the Scala analogue of `mapInPandas`). Image decode is
+  * REAL (r9): payloads that are PNG/JPEG by magic sniff decode
+  * through [[graft.functions.ImageCodec]] (JDK imageio) and features
+  * come from grayscale PIXELS; non-media payloads take a
+  * deterministic byte-statistics fallback — the oracle-checked path
+  * on the synthetic text-payload corpus. Everything Spark-level is
+  * identical on both arms: schema, binary payload handling,
+  * per-partition batching, and the feature output contract.
   *
   * At scale the payload column dominates IO: the metadata struct is
   * columnar so filters on format/size prune row groups without
@@ -45,24 +47,28 @@ object Multimodal {
       }
   }
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (pixels, resize, model features). The deterministic fake computes
-    * byte statistics so the batched per-partition flow — open codec
-    * once, process a batch of rows, emit fixed-schema features — is
-    * exercised end to end. */
+  /** Batched per-partition decode — open codec once, process a batch
+    * of rows, emit fixed-schema features. Real-image payloads
+    * (PNG/JPEG) decode to grayscale pixels and the features are PIXEL
+    * statistics; everything else computes the same statistics over
+    * raw bytes (deterministic — the synthetic corpus path the oracle
+    * replays; a text payload can never sniff as an image, so the two
+    * arms cannot alias). */
   def decodeFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // per-partition init (a codec/model handle in the real path)
+      // per-partition init point (a model handle would live here;
+      // ImageCodec is stateless so nothing to open per partition)
       it.map { r =>
+        val data = graft.functions.ImageCodec.decodeGray(r.payload)
+          .map(_._3).getOrElse(r.payload)
         // integer-sum / integer-length division — bit-identical in any
         // engine, no rounding needed
         val mean =
-          if (r.payload.isEmpty) 0.0
-          else r.payload.map(b => (b & 0xFF).toLong).sum.toDouble /
-            r.payload.length
+          if (data.isEmpty) 0.0
+          else data.map(b => (b & 0xFF).toLong).sum.toDouble / data.length
         MediaFeatures(r.doc_id, r.meta.format, r.meta.n_bytes, mean,
-          if (r.payload.isEmpty) -1 else r.payload.head & 0xFF)
+          if (data.isEmpty) -1 else data.head & 0xFF)
       }
     }
   }
@@ -301,9 +307,12 @@ object Multimodal {
     * bit-stable — the tail edit rescales every 1-D block boundary; a
     * real 2-D box-filtered image gives the strong stability the
     * algorithm is known for.
-    * The real pixel decode is the same honest stub as m01/m04 — the
-    * hash contract (fixed-size resample → mean-bit pack) is identical
-    * either way. */
+    * Pixel decode is REAL (r9): a PNG/JPEG payload routes through
+    * [[graft.functions.ImageCodec]] to an 8×6 box-filtered grayscale
+    * grid before the mean-bit pack (spec-pinned: re-encoded/rescaled
+    * real images land within a few bits, unrelated scenes far apart);
+    * the synthetic text corpus keeps the byte-domain path the oracle
+    * replays. */
   def m06PerceptualHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.corpusWithPlants(spark, dir)
       .select(col("doc_id"),

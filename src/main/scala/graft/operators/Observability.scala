@@ -31,8 +31,12 @@ object Observability {
         sum((length(col("text")) === 0).cast("long")).as("n_empty"),
         sum((col("n_chars") < 100).cast("long")).as("n_short"),
         sum(col("n_chars")).as("sum_chars"))
-    // the job the metrics ride: exact-dedup survivor election
+    // the job the metrics ride: exact-dedup survivor election.
+    // NULL text is excluded BEFORE hashing (ADVICE r8): md5(NULL)
+    // groups into a NULL-hash bucket the oracle's COUNT(DISTINCT …)
+    // would not count — the filter makes both sides NULL-consistent.
     val survivors = audited
+      .filter(col("text").isNotNull)
       .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
     val nSurvivors = survivors.count()

@@ -471,9 +471,18 @@ object Relational {
 
   /** q16: exact interpolated percentiles per group — the linear-
     * interpolation definition both engines implement, so the oracle
-    * is exact. This buffers each group's values in one aggregator —
-    * correct for oracle-checkable output, NOT the 100 TB plan; that
-    * is q47's mergeable approx_percentile sketch. */
+    * is exact.
+    *
+    * GROUP-SIZE CONTRACT (the d49 candidate-volume discipline): the
+    * exact `percentile` aggregate buffers EVERY value of a group in
+    * ONE task's aggregation buffer, so q16 is only admissible when
+    * max group rows ≤ [[Q16MaxGroupRows]] (~8 bytes/value → ≤ ~1 GiB
+    * of buffer against multi-GiB executor heaps). Above the bound,
+    * pick by need: q47's mergeable `approx_percentile` sketch
+    * (bounded state, rank-error n/10000) or q71/q74's value-histogram
+    * exact path (bounded when the DOMAIN is gridded, any n).
+    * RelationalSpec asserts this corpus is inside the bound — the
+    * same pre-flight a production caller runs. */
   def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -482,6 +491,11 @@ object Relational {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
       .orderBy(col("l_returnflag"))
+
+  /** q16's admission bound: max rows one group may hold before the
+    * single-task percentile buffer becomes the failure mode (~1 GiB
+    * of 8-byte values; see the q16 contract Scaladoc). */
+  val Q16MaxGroupRows = 128L * 1000 * 1000
 
   val q16Sql: String =
     """SELECT l_returnflag,

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 relational additions (SURVEY.md §2a): equi-depth
+  * histograms, referential-integrity audit, weighted median. */
+object Relational7 {
+
+  /** q75: per-group EQUI-DEPTH histogram (exact decile buckets) —
+    * q50 bins by equal VALUE width, which collapses on skewed data
+    * (one bin takes 90% of rows); the profiling report a warehouse
+    * actually wants is equal-POPULATION buckets. Exact at scale by
+    * the q71/q74/d58 value-histogram discipline: prices live on an
+    * integer cent grid, so per group the histogram + cum window is
+    * domain-bounded, the 9 cut values reduce to one narrow row per
+    * group, and bucket assignment is a stateless comparison chain
+    * after an equi-join on the group key — no per-row cut-table
+    * probe, no global window (everything partitions by
+    * l_returnflag). Ties keep equal values in one bucket (cum ≥
+    * rank-target rule), so bucket populations are equal up to tie
+    * mass — the exact semantics DuckDB replays. */
+  def q75EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+    val wCum = Window.partitionBy(col("f")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("f"))
+    val cum = li.groupBy(col("f"), col("pc"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val cutCols = (1 to 9).map(i => expr(
+      s"min(CASE WHEN cum >= (n * $i) div 10 THEN pc END)").as(s"c$i"))
+    val cuts = cum.groupBy(col("f")).agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + (col("pc") > col(s"c$i")).cast("int")
+    }
+    li.join(broadcast(cuts), Seq("f"))
+      .withColumn("bucket", decile.cast("long"))
+      .groupBy(col("f"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pc")).as("lo_cents"), max(col("pc")).as("hi_cents"))
+      .orderBy(col("f"), col("bucket"))
+  }
+
+  val q75Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      |  FROM lineitem),
+      |h AS (SELECT f, pc, COUNT(*) AS c FROM li GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT f, pc,
+      |    SUM(c) OVER (PARTITION BY f ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY f) AS n
+      |  FROM h),
+      |cuts AS (
+      |  SELECT f,
+      |    MIN(CASE WHEN cum >= (n * 1) // 10 THEN pc END) AS c1,
+      |    MIN(CASE WHEN cum >= (n * 2) // 10 THEN pc END) AS c2,
+      |    MIN(CASE WHEN cum >= (n * 3) // 10 THEN pc END) AS c3,
+      |    MIN(CASE WHEN cum >= (n * 4) // 10 THEN pc END) AS c4,
+      |    MIN(CASE WHEN cum >= (n * 5) // 10 THEN pc END) AS c5,
+      |    MIN(CASE WHEN cum >= (n * 6) // 10 THEN pc END) AS c6,
+      |    MIN(CASE WHEN cum >= (n * 7) // 10 THEN pc END) AS c7,
+      |    MIN(CASE WHEN cum >= (n * 8) // 10 THEN pc END) AS c8,
+      |    MIN(CASE WHEN cum >= (n * 9) // 10 THEN pc END) AS c9
+      |  FROM cum GROUP BY f)
+      |SELECT li.f AS f, CAST(1
+      |    + CASE WHEN pc > c1 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c2 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c3 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c4 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c5 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c6 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c7 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c8 THEN 1 ELSE 0 END
+      |    + CASE WHEN pc > c9 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  MIN(pc) AS lo_cents, MAX(pc) AS hi_cents
+      |FROM li JOIN cuts ON cuts.f = li.f
+      |GROUP BY 1, 2 ORDER BY f, bucket""".stripMargin
+
+  /** q76: referential-integrity audit — the orphan report every
+    * warehouse load gate runs: for each foreign-key edge of the
+    * schema, how many child rows point at a missing parent. Each
+    * check is one LEFT ANTI join on the key (hash-shuffled on the FK,
+    * partial-counted map-side — the cheapest possible shape; nothing
+    * is materialized but the per-edge counts), and the edges union
+    * into one audit relation. A clean corpus reports zeros — the
+    * audit's value is that it PROVES it, continuously, for the cost
+    * of one scan per edge. */
+  def q76RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // one pass per edge: LEFT join on the key (parent side is the
+    // PRIMARY key — unique by schema contract, so no multiplication)
+    // counts child rows and missing-parent rows in a single
+    // partial-aggregable aggregate; no anti-join + cross-join pair,
+    // no 1-row nested loops
+    def audit(edge: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k"), lit(1).as("hit")),
+          Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(edge).as("fk_edge"), col("n_child_rows"),
+          col("n_orphans"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    val part = Tables.load(spark, dir, "part")
+    audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+        part, "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey->supplier", li,
+        "l_suppkey", supp, "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer", ord,
+        "o_custkey", cust, "c_custkey"))
+      .unionByName(audit("customer.c_nationkey->nation", cust,
+        "c_nationkey", nat, "n_nationkey"))
+      .unionByName(audit("supplier.s_nationkey->nation", supp,
+        "s_nationkey", nat, "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val q76Sql: String = {
+    def edge(name: String, child: String, fk: String, parent: String,
+        pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT COUNT(*) FROM $child) AS n_child_rows,
+         |  (SELECT COUNT(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |                     WHERE p.$pk = c.$fk)) AS n_orphans"""
+        .stripMargin
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
+  /** q77: WEIGHTED median — the "median price paid per unit" class of
+    * statistic (each price weighted by its quantity), which plain
+    * q71 medians get wrong on skewed basket sizes. Same
+    * value-histogram discipline as q71, with quantity (exact cents
+    * grid → long) as the weight: per group, cum weight over the
+    * bounded price domain, weighted median = smallest price whose
+    * cumulative weight reaches half the total (lower weighted median
+    * — the standard discrete definition, replayed exactly by the
+    * oracle). One histogram aggregate + two bounded windows per
+    * group; nothing buffers a group in a task (the q16 contract's
+    * scale path, weighted). */
+  def q77WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"),
+        round(col("l_quantity") * 100, 0).cast("long").as("wq"))
+    val wCum = Window.partitionBy(col("f")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("f"))
+    li.groupBy(col("f"), col("pc"))
+      .agg(sum(col("wq")).as("w"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy(col("f"))
+      .agg(max(col("tot")).as("total_weight"),
+        expr("min(CASE WHEN cum * 2 >= tot THEN pc END)")
+          .as("wmedian_cents"))
+      .orderBy(col("f"))
+  }
+
+  val q77Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+      |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS wq
+      |  FROM lineitem),
+      |h AS (SELECT f, pc, CAST(SUM(wq) AS BIGINT) AS w
+      |      FROM li GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT f, pc, w,
+      |    SUM(w) OVER (PARTITION BY f ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY f) AS tot
+      |  FROM h)
+      |SELECT f, CAST(MAX(tot) AS BIGINT) AS total_weight,
+      |  MIN(CASE WHEN cum * 2 >= tot THEN pc END) AS wmedian_cents
+      |FROM cum GROUP BY f ORDER BY f""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_equidepth" -> (q75EquiDepth _),
+    "q76_ref_integrity" -> (q76RefIntegrity _),
+    "q77_weighted_median" -> (q77WeightedMedian _))
+
+  val oracles: Map[String, String] = Map(
+    "q75_equidepth" -> q75Sql,
+    "q76_ref_integrity" -> q76Sql,
+    "q77_weighted_median" -> q77Sql)
+}

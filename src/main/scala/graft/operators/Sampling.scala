@@ -310,8 +310,11 @@ object Sampling {
     * (value-histogram counts + prefix sums over the bounded distinct
     * domain, per source — the q71 discipline), the division the one
     * double op. Both engines replay digit-for-digit. int64 bound:
-    * cum·n < 2^63 holds through ~3·10⁹ rows/side/source; beyond
-    * that, widen to decimal or gate on a stratified sample. */
+    * cum·n < 2^63 holds through ~3·10⁹ rows/side/source; the bound
+    * is ENFORCED in-plan (ADVICE r8): an `assert_true` on
+    * n_base·n_delta fails the query loudly instead of letting the
+    * non-ANSI multiply wrap and corrupt the statistic. Beyond the
+    * bound, widen to decimal or gate on a stratified sample. */
   def d57DriftKs(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -337,9 +340,19 @@ object Sampling {
         max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
           .as("ks_numer"))
       .filter(col("n_base") > 0 && col("n_delta") > 0)
+      // the documented int64 contract, enforced: NULL (guard passed)
+      // coalesces to 0.0, a violation raises instead of wrapping.
+      // n_base/n_delta themselves are multiply-free, so they are
+      // trustworthy even when the numerator would have wrapped.
       .select(col("source"), col("n_base"), col("n_delta"),
         (round(col("ks_numer").cast("double")
-          / (col("n_base") * col("n_delta")), 6) + lit(0.0)).as("ks"))
+          / (col("n_base") * col("n_delta")), 6)
+          + coalesce(assert_true(
+              col("n_base").cast("double") * col("n_delta").cast("double")
+                < 9.0e18,
+              concat(lit("d57: n_base*n_delta exceeds the int64 KS " +
+                "numerator bound for source "), col("source")))
+            .cast("double"), lit(0.0))).as("ks"))
       .orderBy(col("source"))
   }
 
@@ -425,4 +438,127 @@ object Sampling {
        |  CAST(floor_share + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
        |    AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
+
+  /** d61 shard counts: the topology change under audit (N → N+1). */
+  val ShardsOld = 16
+  val ShardsNew = 17
+
+  /** d61: shard-topology rebalance audit — mod-N vs RENDEZVOUS
+    * (highest-random-weight, Thaler–Ravishankar, public algorithm)
+    * assignment when a 100 TB corpus grows its shard fleet from
+    * [[ShardsOld]] to [[ShardsNew]]: mod-N remaps ~(1 − 1/N′) of ALL
+    * keys (a full-corpus rewrite), rendezvous provably moves only
+    * ~1/N′ (each key re-homes only if the NEW node wins its hash
+    * race). The report measures both on the same corpus — the number
+    * a storage migration plan starts from. Exact and engine-portable:
+    * the per-(doc, shard) weight is the md5 hex string of
+    * "shard#doc", argmax'd per doc by (weight, shard) struct order —
+    * one 17-wide narrow explode + one partial-aggregable max, no
+    * shuffle before the per-doc aggregate, scalar audit rows out. */
+  def d61RendezvousShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+    val wt = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(ShardsNew - 1))).as("s"))
+      .withColumn("wt", md5(concat(col("s").cast("string"), lit("#"),
+        col("doc_id").cast("string")).cast("binary")))
+    val homes = wt.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("s") < ShardsOld, struct(col("wt"), col("s"))))
+          .getField("s").as("rv_old"),
+        max(struct(col("wt"), col("s"))).getField("s").as("rv_new"))
+    val modRow = docs.agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") % ShardsOld =!=
+          col("doc_id") % ShardsNew).cast("long")).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_docs"), col("n_moved"))
+    val rvRow = homes.agg(count(lit(1)).as("n_docs"),
+        sum((col("rv_old") =!= col("rv_new")).cast("long"))
+          .as("n_moved"))
+      .select(lit("rendezvous").as("scheme"), col("n_docs"),
+        col("n_moved"))
+    modRow.unionByName(rvRow)
+      .withColumn("moved_rate",
+        round(col("n_moved").cast("double") / col("n_docs"), 6)
+          + lit(0.0))
+      .orderBy(col("scheme"))
+  }
+
+  val d61Sql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, s.s AS s,
+       |    md5(CAST(s.s AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR))
+       |      AS wt
+       |  FROM documents CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${ShardsNew - 1})) AS s)
+       |      s),
+       |homes AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN s < $ShardsOld THEN wt || '|' ||
+       |      lpad(CAST(s AS VARCHAR), 2, '0') END) AS ko,
+       |    MAX(wt || '|' || lpad(CAST(s AS VARCHAR), 2, '0')) AS kn
+       |  FROM ex GROUP BY doc_id),
+       |rv AS (
+       |  SELECT doc_id,
+       |    CAST(substring(ko, 34, 2) AS BIGINT) AS rv_old,
+       |    CAST(substring(kn, 34, 2) AS BIGINT) AS rv_new
+       |  FROM homes)
+       |SELECT scheme, n_docs, n_moved,
+       |  ROUND(CAST(n_moved AS DOUBLE) / n_docs, 6) + 0.0
+       |    AS moved_rate
+       |FROM (
+       |  SELECT 'mod' AS scheme, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN doc_id % $ShardsOld
+       |      <> doc_id % $ShardsNew THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'rendezvous', COUNT(*),
+       |    CAST(SUM(CASE WHEN rv_old <> rv_new THEN 1 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM rv)
+       |ORDER BY scheme""".stripMargin
+
+  /** d62: deterministic EPOCH SHUFFLE — the training-order
+    * permutation a data loader needs: reproducible across runs,
+    * engines and partitioning (seeded hash order, no RNG state), yet
+    * statistically shuffled. Assigning the POSITION is the scale
+    * problem (a global row_number is a single-task sort); the d23
+    * bin-parallel form solves it: the first hash byte buckets docs
+    * into 256 bins whose offsets come from one bounded 256-row
+    * window, positions are bin offset + intra-bin rank (windows
+    * partitioned per bin) — and because the bin byte IS the hash
+    * prefix, (bin, rest-of-hash) order equals global hash order, so
+    * the oracle can state the plain global ROW_NUMBER form. */
+  def d62EpochShuffle(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seed = "epoch1"
+    val hashed = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(seed), lit("#"), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .withColumn("bin", substring(col("h"), 1, 2))
+    val offsets = hashed.groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("off"))
+    val wBin = Window.partitionBy(col("bin"))
+      .orderBy(col("h"), col("doc_id"))
+    hashed
+      .withColumn("rn", row_number().over(wBin).cast("long"))
+      .join(offsets.hint("shuffle_hash"), Seq("bin"))
+      .select(col("doc_id"), (col("off") + col("rn") - 1).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d62Sql: String =
+    """SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5('epoch1#' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    - 1 AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

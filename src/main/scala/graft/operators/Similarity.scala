@@ -656,6 +656,14 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("nbr_id"))
       .distinct()
+    rankKnnCandidates(spark, dir, cand)
+  }
+
+  /** Shared scoring tail of every kNN-graph variant (d49/d55/d59):
+    * re-attach vectors BY ID to the narrow candidate relation, exact
+    * cosine, bounded per-vector top-[[KnnK]] cut. */
+  private def rankKnnCandidates(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
@@ -674,6 +682,57 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** d59 banding: one 20-bit table (the low [[MpBits]] bits of the
+    * 32-plane signature) probed at Hamming radius 1. */
+  val MpBits = 20
+
+  /** d59: the kNN graph under MULTI-PROBE banding — occupancy control
+    * as a FUNCTION of N, the lever past d55: bucket count must track
+    * corpus size (bits ≈ log₂N keeps expected occupancy O(1), so the
+    * Σn²-shaped candidate volume stays O(N)), but deeper bands lose
+    * recall exponentially. Multi-probe (Lv et al., public algorithm)
+    * buys it back WITHOUT more tables: each vector also probes the
+    * [[MpBits]] buckets one signature-bit flip away, so a pair
+    * surfaces when their 20-bit bands differ in ≤ 1 bit. At sketch
+    * collision probability p (p = 1 − θ/π per plane), recall is
+    * p²⁰ + 20·p¹⁹(1−p) vs d55's 1−(1−p¹⁶)²: HIGHER for p ≳ 0.85
+    * (the near-dup regime the graph is built for) while expected
+    * candidate volume drops ~(2·2¹⁶)/(21·2²⁰)·N²-shaped ≈ 35% of
+    * d55's — and the probe fan is additive (21 narrow rows/vector),
+    * not multiplicative in data size. Probes live on the QUERY side
+    * only; the posting side stays one row/vector with the same
+    * occupancy cap, so the join is the same capped equi-join, no
+    * cross-bucket scan. Oracle replays sig → band → probes →
+    * capped cells → candidates → exact cosine → rank verbatim. */
+  def d59KnnMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << MpBits) - 1
+    val sigs = Tables.load(spark, dir, "embeddings")
+      .withColumn("sig", portableLshSignature(col("embedding")))
+      .select(col("vec_id"),
+        (col("sig").bitwiseAND(lit(mask))).as("bucket"))
+    val cells = sigs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupMaxBucket)
+      .select(col("bucket"))
+    // statless, corpus-scaling relations ride forced shuffles (the
+    // d12 lesson; global broadcast gate)
+    val posted = sigs.join(cells.hint("shuffle_hash"), Seq("bucket"))
+    val probes = sigs.select(col("vec_id"),
+      explode(expr(
+        s"transform(sequence(0, $MpBits), j -> CASE WHEN j = 0 " +
+          s"THEN bucket ELSE bucket ^ (CAST(1 AS BIGINT) << (j - 1)) " +
+          "END)")).as("bucket"))
+    val cand = probes.as("a")
+      .join(posted.as("b").hint("merge"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"))
+      .distinct()
+    rankKnnCandidates(spark, dir, cand)
+      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** d51: kNN label propagation / weak-label inference — the standard
@@ -743,6 +802,39 @@ object Similarity {
 
   val d55Sql: String =
     s"""WITH ${knnCtes(WideTables, WideBits)}
+       |SELECT vec_id, nbr_id, cos, rank FROM ranked
+       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
+  /** d59 oracle: the d49 chain with one [[MpBits]]-bit table and the
+    * Hamming-1 probe fan on the query side. */
+  val d59Sql: String =
+    s"""WITH ${portableSigCtes("embeddings", 1, MpBits)},
+       |cells AS (
+       |  SELECT bucket FROM banded GROUP BY bucket
+       |  HAVING COUNT(*) <= $NearDupMaxBucket),
+       |posted AS (
+       |  SELECT ba.vec_id, ba.bucket
+       |  FROM banded ba JOIN cells ce ON ba.bucket = ce.bucket),
+       |probes AS (
+       |  SELECT vec_id,
+       |    CASE WHEN j.j = 0 THEN bucket
+       |         ELSE xor(bucket, CAST(1 AS BIGINT) << (j.j - 1)) END
+       |      AS bucket
+       |  FROM banded CROSS JOIN
+       |    (SELECT unnest(generate_series(0, $MpBits)) AS j) j),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM probes a JOIN posted b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT cand.vec_id, cand.nbr_id, ROUND($cosSql, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.vec_id
+       |  JOIN embeddings c ON c.vec_id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT vec_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
        |SELECT vec_id, nbr_id, cos, rank FROM ranked
        |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 

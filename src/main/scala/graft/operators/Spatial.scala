@@ -289,4 +289,66 @@ object Spatial {
        |  h.min_d2
        |FROM q LEFT JOIN hits h ON h.event_id = q.event_id
        |ORDER BY q.event_id""".stripMargin
+
+  /** g20: nearest-neighbor SNAP join — not "how many POIs are near"
+    * (g17) but WHICH one: every query point snaps to its nearest POI
+    * within the R-disc (GPS-trace → road matching, address → parcel
+    * assignment — the reference's consumers do exactly this against
+    * its output db). Same lossless 3×3 grid prefilter as g17; the
+    * nearest pick is ONE partial-aggregable struct-min per query
+    * (min (d², poi_id) — the q36 argmax-without-sort shape, so ties
+    * break on the smaller POI id deterministically), no per-query
+    * sort, no window. Queries with an empty disc keep a NULL snap
+    * (left join) — dropped rows would silently shrink the trace. */
+  def g20NearestSnap(spark: SparkSession, dir: String): DataFrame = {
+    val R = RadiusUnits
+    val pts = points(spark, dir)
+    val qs = pts.filter(col("event_id") % 97 === 0)
+    val pois = pts.filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id").as("poi_id"),
+        col("x").as("px"), col("y").as("py"),
+        (col("x") / R).cast("long").as("cx"),
+        (col("y") / R).cast("long").as("cy"))
+    val qcells = qs
+      .withColumn("dcx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dcy", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("event_id"), col("x"), col("y"),
+        ((col("x") / R).cast("long") + col("dcx")).as("cx"),
+        ((col("y") / R).cast("long") + col("dcy")).as("cy"))
+    val best = qcells
+      .join(pois.hint("shuffle_hash"), Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("x") - col("px")) * (col("x") - col("px")) +
+          (col("y") - col("py")) * (col("y") - col("py")))
+      .filter(col("d2") <= R * R)
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("d2"), col("poi_id"))).as("b"))
+      .select(col("event_id"), col("b.poi_id").as("snap_id"),
+        col("b.d2").as("d2"))
+    qs.select(col("event_id"))
+      .join(best.hint("shuffle_hash"), Seq("event_id"), "left")
+      .select(col("event_id"), col("snap_id"), col("d2"))
+      .orderBy(col("event_id"))
+  }
+
+  val g20Sql: String =
+    s"""WITH pts AS ($pointsSql),
+       |q AS (SELECT * FROM pts WHERE event_id % 97 = 0),
+       |p AS (SELECT * FROM pts WHERE event_id % 97 <> 0),
+       |cand AS (
+       |  SELECT q.event_id, p.event_id AS poi_id,
+       |    (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+       |  FROM q JOIN p
+       |    ON (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)
+       |       <= ${RadiusUnits * RadiusUnits}),
+       |best AS (
+       |  SELECT event_id, MIN(d2) AS d2 FROM cand GROUP BY 1),
+       |sel AS (
+       |  SELECT c.event_id, MIN(c.poi_id) AS snap_id, b.d2
+       |  FROM best b JOIN cand c
+       |    ON c.event_id = b.event_id AND c.d2 = b.d2
+       |  GROUP BY c.event_id, b.d2)
+       |SELECT q.event_id, s.snap_id, s.d2
+       |FROM q LEFT JOIN sel s ON s.event_id = q.event_id
+       |ORDER BY q.event_id""".stripMargin
 }

@@ -82,6 +82,13 @@ object AtomicCommit {
     commit(df.sparkSession, path)
   }
 
+  /** Whether `path` holds a committed batch (the publish marker is
+    * present) — the idempotence probe for build-once artifacts like
+    * d56's fingerprint index: a committed directory is reused, an
+    * absent or torn one is rebuilt. */
+  def isCommitted(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(new Path(path), MarkerName))
+
   /** The committed file list: refuses an uncommitted directory,
     * verifies sizes. */
   def committedFiles(spark: SparkSession, path: String): Seq[String] = {

@@ -958,4 +958,66 @@ object EventStreams {
       count(lit(1)).as("n_rows"),
       sum((col("value") < 0).cast("long")).as("n_rejected"))
       .filter(col("value") >= 0)
+
+  /** s15 registered batch form: the SAME observe-on-the-gate pass run
+    * as a batch job (the t30 pattern — `Observation` delivers the
+    * executor-accumulated counters with the action's completion, zero
+    * extra scan), folded into the one-row audit record the monitoring
+    * feed carries: rows seen, rows rejected, rows kept. The spec pins
+    * stream==batch on the counter semantics; this entry pins the
+    * counters against the DuckDB oracle. */
+  def s15IngestAudit(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation(
+      s"s15_${System.nanoTime()}")
+    val gated = Tables.load(spark, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum((col("value") < 0).cast("long")).as("n_rejected"))
+      .filter(col("value") >= 0)
+    val nKept = gated.count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_rejected").asInstanceOf[Long], nKept))
+      .toDF("n_rows", "n_rejected", "n_kept")
+  }
+
+  val s15Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rejected,
+      |  CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM events""".stripMargin
+
+  /** s16 registered batch form: the transition-pair counts the
+    * stream's O(1)-state extraction emits, stated declaratively —
+    * per user, (ts, event_id)-ordered lead, counted per (from → to)
+    * pair (q72's relation WITHOUT the within-from share: the share is
+    * a finalize-stage ratio, not something an append-mode ingest
+    * stream can emit). The spec pins streamed == this batch form;
+    * this entry pins the batch form against the oracle. */
+  def s16TransitionCounts(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val s16Sql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM pairs WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 }

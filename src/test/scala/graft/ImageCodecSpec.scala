@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImageCodec, Multimedia, MultimediaKernel}
+
+/** The de-stubbed REAL image path (r9): planted actual PNGs — encoded
+  * and decoded by the JDK codec — must flow through the m04/m06
+  * kernels in the PIXEL domain, while non-image payloads keep the
+  * byte-domain path the oracles check. */
+class ImageCodecSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  // deterministic scenes
+  private def gradient(w: Int, h: Int): Array[Byte] =
+    ImageCodec.pngBytes(w, h) { (x, _) =>
+      val v = x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    }
+  private def inverse(w: Int, h: Int): Array[Byte] =
+    ImageCodec.pngBytes(w, h) { (x, _) =>
+      val v = 255 - x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    }
+
+  test("PNG roundtrip: real encode → real decode, exact dims and luma") {
+    val png = ImageCodec.pngBytes(20, 10)((_, _) => 0x406080)
+    assert(ImageCodec.looksLikeImage(png))
+    val Some((w, h, px)) = ImageCodec.decodeGray(png)
+    assert(w == 20 && h == 10 && px.length == 200)
+    // integer BT.601 luma of (0x40, 0x60, 0x80)
+    val expect = ((77 * 0x40 + 150 * 0x60 + 29 * 0x80) >> 8).toByte
+    assert(px.forall(_ == expect))
+  }
+
+  test("text payloads never sniff as images; byte kernels unchanged") {
+    val text = "The quick brown fox jumps over the lazy dog. " * 4
+    val bytes = text.getBytes("UTF-8")
+    assert(!ImageCodec.looksLikeImage(bytes))
+    assert(MultimediaKernel.resample(bytes, 32).toSeq ==
+      MultimediaKernel.resampleBytes(bytes, 32).toSeq)
+    assert(MultimediaKernel.blockMean(bytes, 48).toSeq ==
+      MultimediaKernel.blockMeanBytes(bytes, 48).toSeq)
+  }
+
+  test("real PNG routes the kernels through the 2-D pixel thumbnail") {
+    val png = gradient(64, 48)
+    val viaKernel = MultimediaKernel.blockMean(png, 48)
+    val viaCodec = ImageCodec.thumbK(png, 48).get
+    assert(viaKernel.toSeq == viaCodec.toSeq)
+    assert(viaKernel.length == 48)
+    // 8×6 grid of a horizontal gradient: each row strictly brighter
+    // left→right, rows identical
+    val rows = viaKernel.grouped(8).toSeq
+    rows.foreach { r =>
+      r.map(_ & 0xff).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a < b); case _ => ()
+      }
+    }
+    assert(rows.map(_.toSeq).distinct.size == 1)
+  }
+
+  test("aHash on real images: scale-stable within a scene, far apart " +
+    "across scenes — the stability the 1-D stub could not give") {
+    val h1 = MultimediaKernel.ahash(MultimediaKernel.blockMean(
+      gradient(64, 48), 48))
+    val h2 = MultimediaKernel.ahash(MultimediaKernel.blockMean(
+      gradient(128, 96), 48))
+    val h3 = MultimediaKernel.ahash(MultimediaKernel.blockMean(
+      inverse(64, 48), 48))
+    assert(hamming(h1, h2) <= 4,
+      s"same scene at 2 scales drifted ${hamming(h1, h2)} of 48 bits")
+    assert(hamming(h1, h3) >= 24,
+      s"unrelated scenes only ${hamming(h1, h3)} bits apart")
+  }
+
+  test("the codegen'd expression path carries real PNGs and text " +
+    "through their respective arms in ONE plan") {
+    import spark.implicits._
+    val png = gradient(64, 48)
+    val textB = ("just words, not an image. " * 8).getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, textB)).toDF("id", "payload")
+      .select(col("id"),
+        Multimedia.aHash(Multimedia.blockMean(col("payload"), 48))
+          .as("ahash"),
+        hex(Multimedia.byteResample(col("payload"), 32)).as("thumb"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == MultimediaKernel.ahash(
+      ImageCodec.thumbK(png, 48).get))
+    assert(got(2L)._1 == MultimediaKernel.ahash(
+      MultimediaKernel.blockMeanBytes(textB, 48)))
+    assert(got(1L)._2 == ImageCodec.thumbK(png, 32).get
+      .map("%02X".format(_)).mkString)
+    assert(got(2L)._2 == MultimediaKernel.resampleBytes(textB, 32)
+      .map("%02X".format(_)).mkString)
+  }
+
+  test("m01 decodeFeatures: a real PNG row reports PIXEL statistics") {
+    import spark.implicits._
+    val png = ImageCodec.pngBytes(10, 10)((_, _) => 0xFFFFFF)
+    val textB = "abc".getBytes("UTF-8")
+    val rows = Seq(
+      graft.operators.Multimodal.MediaRow(1L,
+        graft.operators.Multimodal.MediaMeta("png", png.length.toLong, 0),
+        png),
+      graft.operators.Multimodal.MediaRow(2L,
+        graft.operators.Multimodal.MediaMeta("jpeg", 3L, 0), textB))
+    val feats = graft.operators.Multimodal
+      .decodeFeatures(rows.toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    // white pixels: integer luma (77+150+29)*255 >> 8 = 255
+    assert(feats(1L).mean_byte == 255.0 && feats(1L).first_byte == 255)
+    // text row keeps byte statistics ('a'=97,'b'=98,'c'=99)
+    assert(feats(2L).mean_byte == 98.0 && feats(2L).first_byte == 97)
+  }
+}

@@ -396,6 +396,34 @@ class MapsforgeSpec extends AnyFunSuite {
         "each of the 3 non-empty tiles")
   }
 
+  test("CLI Main: suffix validation, default dst naming, build + " +
+    "license courtesy print (map2db.py:1520-1547 parity)") {
+    intercept[IllegalArgumentException](Main.parseArgs(Array.empty))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("x.txt")))
+    assert(Main.parseArgs(Array("/a/b.map")) == (("/a/b.map", "/a/b.db")))
+    assert(Main.parseArgs(Array("/a/b.map", "/c/d.db")) ==
+      (("/a/b.map", "/c/d.db")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli")
+    val src = dir.resolve("cli.map").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(mapPath),
+      java.nio.file.Paths.get(src))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (s2, dst) = Main.parseArgs(Array(src))
+    assert(dst == dir.resolve("cli.db").toString)
+    Main.run(spark, s2, dst, lines += _)
+    assert(new java.io.File(dst).exists(),
+      "single-file SQLite deliverable missing")
+    assert(new java.io.File(dst + ".d/config.toml").exists(),
+      "forgemap config missing from the parquet sink dir")
+    assert(lines.exists(_.contains(s"database written to '$dst'")))
+    assert(lines.exists(_.contains(
+      "also in the README table of the database")))
+    // the printed statement is the map's own dbl-encoded text (the
+    // license/copyright surface the reference echoes to the console)
+    val h = Mapsforge.readHeader(src)
+    h.dblString.foreach(s => assert(lines.exists(_.contains(s))))
+  }
+
   test("map2db entry writes the database and forgemap config for dbl maps") {
     val out = java.nio.file.Files.createTempDirectory("graft-m2db").toString
     val t = FdoSink.map2db(spark, mapPath, out)

@@ -212,6 +212,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t16_bigram_lp" -> "corpus token-total scalar: 1 row",
       "t21_pmi_collocations" -> "corpus token-total scalar: 1 row",
       "d38_source_weights" -> "corpus quality-total scalar: 1 row",
+      "d58_quality_calibration" -> "decile-cut scalar row: 1 row",
+      "q75_equidepth" ->
+        "per-group decile cuts: |l_returnflag| x 9 values",
       "s11_stream_decontam" ->
         "eval-suite grams: bounded by construction (d13's contract)")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
@@ -281,10 +284,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q66_pareto" ->
         "cumulative-share window over the brand aggregate: |brand| rows",
       "d53_quota_alloc" ->
-        "apportionment windows over the source aggregate: |sources| rows")
-    // d58_quality_calibration's bounded-domain cum window runs in its
-    // EAGER cut-computation job (the 1-row collect), not in the
-    // registered plan this sweep audits — no entry needed
+        "apportionment windows over the source aggregate: |sources| rows",
+      "d62_epoch_shuffle" ->
+        "per-bin offset window: 256 rows (hash-byte bins)",
+      "d58_quality_calibration" ->
+        ("cum window over the bounded qmic value histogram: <=1e6+1 " +
+          "rows (folded into the registered plan r9 — previously an " +
+          "eager side-job the sweep could not see)"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -56,6 +56,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q16 group-size contract: corpus groups are inside " +
+    "Q16MaxGroupRows (the exact-percentile admission bound)") {
+    // the pre-flight a production caller runs before picking q16
+    // over q47 (sketch) / q71+q74 (value-histogram exact): the exact
+    // `percentile` aggregate buffers a whole group in ONE task, so
+    // its use is contracted to max-group-rows <= Q16MaxGroupRows
+    val maxGroup = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxGroup > 0 && maxGroup <= Relational.Q16MaxGroupRows,
+      s"largest l_returnflag group ($maxGroup rows) breaches the " +
+        s"q16 buffer contract (${Relational.Q16MaxGroupRows}) — " +
+        "switch this workload to q47 or q71/q74")
+  }
+
   test("q47 sketch quantiles bound error against q16 exact percentiles") {
     val approx = Relational.q47ApproxPercentile(spark, sf).collect()
       .map(r => r.getString(0) ->
@@ -193,7 +208,11 @@ class RelationalSpec extends AnyFunSuite {
       "d44_random_projection", "d45_projected_rerank",
       // d47 composes d29's literal centroid broadcast (IVF leg) +
       // d30's bounded shortlist re-rank — same adjudication as both
-      "d47_residual_rerank")
+      "d47_residual_rerank",
+      // d58 cross-joins its 1-row decile-cut relation by broadcast
+      // (the t12 scalar pattern — folded into the registered plan in
+      // r9 so the gates can see it; previously an eager side-job)
+      "d58_quality_calibration")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
