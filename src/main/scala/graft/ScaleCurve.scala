@@ -30,10 +30,12 @@ object ScaleCurve {
     "2d_pipeline_retrieval" -> "t14_postings",
     "2d_pipeline_graph" -> "d32_pagerank",
     "2d_pipeline_bpe" -> "t23_bpe_encode",
-    // the kNN family's curve entry is the occupancy-scaled banding
-    // (the big-N production knob): d49's fixed 8-bit banding is
-    // honest-quadratic in candidates (~685 s at sf10, scaladoc'd)
+    // the kNN family's curve entries: the occupancy-scaled banding
+    // (the big-N production knob; d49's fixed 8-bit banding is
+    // honest-quadratic in candidates, ~685 s at sf10, scaladoc'd)
+    // and the r9 multi-probe lever past it
     "2d_pipeline_knn" -> "d55_knn_graph_wide",
+    "2d_pipeline_knn_mp" -> "d59_knn_multiprobe",
     "2c_spatial" -> "g18_point_in_polygon",
     "2d_pipeline_incremental" -> "d54_incremental_dedup",
     "2e_streaming" -> "s01_window_agg")

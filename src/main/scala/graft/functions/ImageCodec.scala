@@ -111,6 +111,22 @@ object ImageCodec {
     grayThumb(p, gw, gh)
   }
 
+  /** m09: cheap image-dimension probe — parses the PNG IHDR header
+    * (width/height as big-endian u32 at offsets 16/20, per the public
+    * PNG spec) WITHOUT decoding pixels: the metadata-extraction pass
+    * a 100 TB media corpus runs first (size/aspect gates, thumbnail
+    * budgeting) must not pay a full decode per blob. Returns
+    * (width << 32) | height packed in a long, or -1 for non-PNG /
+    * truncated payloads. Pure byte peeks — codegen-friendly static. */
+  def pngDims(p: Array[Byte]): Long = {
+    if (p.length < 24 || p(0) != 0x89.toByte || p(1) != 'P' ||
+      p(2) != 'N' || p(3) != 'G') return -1L
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    (be32(16) << 32) | be32(20)
+  }
+
   /** Spec helper: REAL deterministic PNG bytes for a synthetic scene
     * (`f(x, y)` returns the 0xRRGGBB pixel). Pure-JDK encode, so the
     * spec's planted images exercise the same codec a production

@@ -125,6 +125,21 @@ case class BlockMean(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** `png_dims(payload)` — header-only (width << 32 | height) probe of
+  * a PNG payload, -1 for non-PNG; no pixel decode (m09). */
+case class PngDims(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ImageCodec.pngDims(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageCodec.pngDims($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
 case class AHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -148,4 +163,7 @@ object Multimedia {
 
   def aHash(payload: Column): Column =
     GraftShim.column(AHash(GraftShim.expression(payload)))
+
+  def pngDims(payload: Column): Column =
+    GraftShim.column(PngDims(GraftShim.expression(payload)))
 }

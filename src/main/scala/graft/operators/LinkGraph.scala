@@ -34,22 +34,37 @@ object LinkGraph {
 
   val PrIters = 3
 
-  /** The per-(session, dir) pinned adjacency RDDs the iterative
-    * loops walk — iterative algorithms re-walk their edge relation
-    * every round, so it materializes ONCE (the GraphX/Pregel
-    * convention, and this repo's simCache pattern); without the pin
-    * each iteration's lineage re-derives the edge build from the full
-    * lineitem scan. [[releaseGraphCache]] drops the pins;
-    * Bench/ScaleCurve call it between sections. */
-  private val rddCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), org.apache.spark.rdd.RDD[_]]
+  /** The (src, dst, deg) graph relation pinned per (session, dir) —
+    * iterative algorithms re-walk their edge relation every round, so
+    * it materializes ONCE (the GraphX/Pregel convention, and this
+    * repo's simCache pattern); without the pin each iteration's
+    * lineage re-derives the edge build from the full lineitem scan.
+    * [[releaseGraphCache]] drops the pin; Bench/ScaleCurve call it
+    * between sections. */
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
-  private def pinRdd[T](spark: SparkSession, dir: String, key: String)(
-      build: => org.apache.spark.rdd.RDD[T])
-      : org.apache.spark.rdd.RDD[T] =
-    rddCache.getOrElseUpdate((spark, dir, key), build.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      .asInstanceOf[org.apache.spark.rdd.RDD[T]]
+  /** Checkpointed per-round relations (node-scale, bounded): each
+    * round's output is localCheckpoint'ed — truncating lineage keeps
+    * every round's plan one join deep instead of rounds-deep (the
+    * Bpe.trainMerges discipline) — and pinned here so
+    * [[releaseGraphCache]] can free the blocks.
+    *
+    * An RDD Pregel loop (the connectedComponents treatment) was
+    * MEASURED SLOWER here (sf10: 246 s vs the DataFrame loop's 92 s):
+    * the trade graph's edge relation is corpus-scale, and RDD object
+    * shuffles give up Tungsten's columnar serialization — the
+    * re-planning overhead the RDD loop saves is smaller than the
+    * serialization cost it adds. Checkpointed DataFrame rounds keep
+    * Tungsten AND cap the planning cost. */
+  private val roundCache = scala.collection.mutable.ArrayBuffer
+    .empty[DataFrame]
+
+  private def checkpointRound(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint() // eager: materializes + truncates
+    roundCache.synchronized { roundCache += p }
+    p
+  }
 
   /** Directed (c, s) trade-pair relation, pinned like [[rddCache]]
     * and shared by d32 (which folds it undirected) and d36 (which
@@ -58,10 +73,14 @@ object LinkGraph {
     .empty[(SparkSession, String), DataFrame]
 
   def releaseGraphCache(): Unit = {
-    rddCache.values.foreach(_.unpersist())
-    rddCache.clear()
+    graphCache.values.foreach(_.unpersist())
+    graphCache.clear()
     pairCache.values.foreach(_.unpersist())
     pairCache.clear()
+    roundCache.synchronized {
+      roundCache.foreach(_.unpersist())
+      roundCache.clear()
+    }
   }
 
   /** The pinned distinct customer→supplier pair relation.
@@ -96,43 +115,45 @@ object LinkGraph {
     * the joins pin shuffled builds; the d16/t11 lesson). Nodes
     * outside every edge have no walk semantics and are excluded by
     * construction. */
-  /** The loop body is RDD-based on a FIXED HashPartitioner — the
-    * [[Dedup.connectedComponents]] treatment: an iterative DataFrame
-    * loop re-plans and re-compiles fresh generated code every round
-    * (measured ~2 s/round of pure overhead at sf10, the dominant cost
-    * of the old form), while co-partitioned RDDs make the
-    * adjacency⋈ranks join narrow and leave exactly ONE shuffle per
-    * round (the rank messages, combiner-reduced map-side). All
-    * arithmetic is the same positive-Long floor division the SQL
-    * `div` form used, so results are bit-identical and the unrolled
-    * oracle is unchanged. */
+  /** Iteration discipline (r9): each round's rank relation is
+    * localCheckpoint'ed ([[checkpointRound]]) — the plan stays one
+    * join deep every round instead of rounds-deep, killing the
+    * re-plan/re-codegen growth the round-8 audit flagged, while the
+    * per-round work (one shuffled equi-join against the pinned edge
+    * relation + one dst-keyed sum) keeps Tungsten's columnar shuffle.
+    * (The RDD Pregel alternative was measured 2.7× SLOWER at sf10 —
+    * see [[roundCache]].) */
   def d32Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
-    // adjacency src -> (dst, deg(src)), symmetrized, co-partitioned
-    // and pinned once per (session, dir)
-    val adj = pinRdd[(Long, (Long, Long))](spark, dir, "pr_adj") {
-      val edges = tradePairs(spark, dir)
-      val und = edges.select(col("c").cast("long"),
-          (col("s") + SuppBase).cast("long"))
-        .unionAll(edges.select((col("s") + SuppBase).cast("long"),
-          col("c").cast("long")))
-        .rdd.map(r => (r.getLong(0), r.getLong(1)))
-        .partitionBy(part)
-      val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
-      und.join(deg) // narrow: both sides on `part`; keeps `part`
-    }
-    val base = RankScale - RankScale * DampNum / DampDen
-    var ranks = adj.keys.distinct(part.numPartitions)
-      .map(n => (n, RankScale)).partitionBy(part)
+    val edges = tradePairs(spark, dir)
+    val und = edges.select(col("c").as("src"),
+        (col("s") + SuppBase).as("dst"))
+      .unionAll(edges.select((col("s") + SuppBase).as("src"),
+        col("c").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // pinned PRE-PARTITIONED on src: the cached relation's output
+    // partitioning satisfies every round's join requirement, so each
+    // iteration shuffles ONLY the node-scale rank relation — the
+    // corpus-scale edge side never re-exchanges (the fixed-partitioner
+    // idea of a Pregel loop, kept inside Tungsten)
+    val withDeg = graphCache.getOrElseUpdate((spark, dir),
+      und.join(deg.hint("shuffle_hash"), Seq("src"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = checkpointRound(
+      withDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(RankScale).as("r")))
     for (_ <- 1 to PrIters) {
-      ranks = adj.join(ranks) // narrow, co-partitioned
-        .map { case (_, ((dst, dg), r)) => (dst, r / dg) }
-        .reduceByKey(part, _ + _) // the ONE shuffle per round
-        .mapValues(m => base + m * DampNum / DampDen)
+      ranks = checkpointRound(withDeg
+        .join(ranks.hint("shuffle_hash"),
+          col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(RankScale - RankScale * DampNum / DampDen) +
+            expr(s"(m * $DampNum) div $DampDen")).as("r")))
     }
-    ranks.toDF("node", "r")
+    ranks
       .select(when(col("node") >= SuppBase, lit("supplier"))
           .otherwise(lit("customer")).as("kind"),
         when(col("node") >= SuppBase, col("node") - SuppBase)
@@ -162,55 +183,42 @@ object LinkGraph {
     * BIGINT while max-degree · scale² < 2⁶³, i.e. degrees to ~9·10⁶
     * — document-scale graphs far past this corpus.
     *
-    * Plan shape at scale: the [[Dedup.connectedComponents]]/[[d32Pagerank]]
-    * treatment — the directed pair relation lands on a FIXED
-    * HashPartitioner in BOTH key orientations, pinned once
-    * ([[pinRdd]]); each half-step is then a NARROW co-partitioned
-    * join plus one combiner-reduced message shuffle, and ONE
-    * collected scalar (the max — the d23 bounded-driver-scalar
-    * pattern) turns normalization into a closure literal. No
-    * per-round re-planning/codegen (the cost the DataFrame loop
-    * paid), 2·[[HitsIters]] bounded driver round-trips total,
-    * nothing corpus-sized ever on the driver. Each half-step's raw
-    * sum is pinned (node-scale) because it is both max'd and
-    * re-walked downstream. */
+    * Plan shape at scale: the directed pair relation materializes
+    * ONCE ([[pairCache]]); each half-step is one shuffled equi-join
+    * of a node-scale score relation against it plus one key-keyed sum
+    * (score relations are statless aggregate outputs — broadcast
+    * would OOM at scale, so builds pin shuffled), and ONE collected
+    * scalar (the max — the d23 bounded-driver-scalar pattern) turns
+    * normalization into a literal. Each half-step's raw sum is
+    * localCheckpoint'ed ([[checkpointRound]], r9): the eager cut both
+    * materializes the relation ONCE for its two consumers (the max
+    * and the next half-step) and truncates lineage, so no action ever
+    * replays the iteration chain and the per-round plan stays one
+    * join deep. 2·[[HitsIters]] bounded driver round-trips total,
+    * nothing corpus-sized ever on the driver. */
   def d36Hits(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
-    val byC = pinRdd[(Long, Long)](spark, dir, "hits_byc") {
-      tradePairs(spark, dir)
-        .select(col("c").cast("long"), col("s").cast("long"))
-        .rdd.map(r => (r.getLong(0), r.getLong(1))).partitionBy(part)
+    val ed = tradePairs(spark, dir)
+    var hubs = ed.select(col("c")).distinct()
+      .select(col("c"), lit(RankScale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aRaw = checkpointRound(
+        ed.join(hubs.hint("shuffle_hash"), Seq("c"))
+          .groupBy(col("s")).agg(sum(col("h")).as("ar")))
+      val amax = aRaw.agg(max(col("ar"))).collect()(0).getLong(0)
+      auths = aRaw.select(col("s"),
+        expr(s"(ar * $RankScale) div $amax").as("a"))
+      val hRaw = checkpointRound(
+        ed.join(auths.hint("shuffle_hash"), Seq("s"))
+          .groupBy(col("c")).agg(sum(col("a")).as("hr")))
+      val hmax = hRaw.agg(max(col("hr"))).collect()(0).getLong(0)
+      hubs = hRaw.select(col("c"),
+        expr(s"(hr * $RankScale) div $hmax").as("h"))
     }
-    val byS = pinRdd[(Long, Long)](spark, dir, "hits_bys") {
-      byC.map(_.swap).partitionBy(part)
-    }
-    var hubs = byC.keys.distinct(part.numPartitions)
-      .map(c => (c, RankScale)).partitionBy(part)
-    var auths: org.apache.spark.rdd.RDD[(Long, Long)] = null
-    for (i <- 1 to HitsIters) {
-      val aRaw = pinRdd[(Long, Long)](spark, dir, s"hits_ar$i") {
-        byC.join(hubs) // narrow
-          .map { case (_, (s, h)) => (s, h) }
-          .reduceByKey(part, _ + _)
-      }
-      val amax = aRaw.values.max()
-      auths = aRaw.mapValues(ar => ar * RankScale / amax)
-      val hRaw = pinRdd[(Long, Long)](spark, dir, s"hits_hr$i") {
-        byS.join(auths) // narrow
-          .map { case (_, (c, a)) => (c, a) }
-          .reduceByKey(part, _ + _)
-      }
-      val hmax = hRaw.values.max()
-      hubs = hRaw.mapValues(hr => hr * RankScale / hmax)
-    }
-    hubs.toDF("c", "h")
-      .select(lit("hub").as("kind"), col("c").as("key"),
+    hubs.select(lit("hub").as("kind"), col("c").as("key"),
         col("h").as("score_fp"))
-      .unionByName(auths.toDF("s", "a")
-        .select(lit("authority").as("kind"), col("s").as("key"),
-          col("a").as("score_fp")))
+      .unionByName(auths.select(lit("authority").as("kind"),
+        col("s").as("key"), col("a").as("score_fp")))
       .orderBy(col("kind"), col("key"))
   }
 

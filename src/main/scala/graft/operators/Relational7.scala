@@ -96,22 +96,26 @@ object Relational7 {
     * into one audit relation. A clean corpus reports zeros — the
     * audit's value is that it PROVES it, continuously, for the cost
     * of one scan per edge. */
+  /** One FK edge's audit: a LEFT join on the key (parent side is the
+    * PRIMARY key — unique by schema contract, so no multiplication)
+    * counts child rows and missing-parent rows in a single
+    * partial-aggregable aggregate; no anti-join + cross-join pair,
+    * no 1-row nested loops. Public for spec use on planted orphans. */
+  def fkAudit(edge: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(fk).as("k"))
+      .join(parent.select(col(pk).as("k"), lit(1).as("hit")),
+        Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(lit(edge).as("fk_edge"), col("n_child_rows"),
+        col("n_orphans"))
+
   def q76RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    // one pass per edge: LEFT join on the key (parent side is the
-    // PRIMARY key — unique by schema contract, so no multiplication)
-    // counts child rows and missing-parent rows in a single
-    // partial-aggregable aggregate; no anti-join + cross-join pair,
-    // no 1-row nested loops
     def audit(edge: String, child: DataFrame, fk: String,
         parent: DataFrame, pk: String): DataFrame =
-      child.select(col(fk).as("k"))
-        .join(parent.select(col(pk).as("k"), lit(1).as("hit")),
-          Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child_rows"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L))
-            .as("n_orphans"))
-        .select(lit(edge).as("fk_edge"), col("n_child_rows"),
-          col("n_orphans"))
+      fkAudit(edge, child, fk, parent, pk)
     val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
     val cust = Tables.load(spark, dir, "customer")

@@ -632,4 +632,88 @@ object Retrieval {
        |    list_slice(toks, start + 1, start + $ChunkW), ' '))
        |    AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** d63 document-frequency cap (shared-term candidate generation
+    * drops terms in more docs than this) and report threshold. */
+  val SparseDfCap = 10L
+  val SparseCosMin = 0.5
+
+  /** d63: sparse-cosine document similarity via POSTING-LIST join —
+    * the IR-native near-dup/similarity path when there are no
+    * embeddings: documents as tf-weighted sparse term vectors,
+    * dot products assembled from the inverted index (candidates meet
+    * ONLY where a term is shared — an equi-join on the term, the
+    * DISCO/DIMSUM family's shape), never an all-pairs scan.
+    *
+    * The candidate-volume contract, stated like d49's: pair work is
+    * Σ_term df², so COMMON terms are the quadratic hazard — terms
+    * with df > [[SparseDfCap]] are dropped from candidate GENERATION
+    * (the d02 MaxBucketSize / m05 MaxChunkCopies adjudication; a
+    * production run tunes the cap to its df histogram). Cosine is
+    * defined over the SAME capped term space on both sides (norms
+    * from capped postings) so the score is self-consistent and the
+    * oracle replays it digit-for-digit: integer dot/norms, one sqrt
+    * each, round 6. */
+  def d63SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val post = tokens(Tables.load(spark, dir, "documents"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val rare = post.join(
+      post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= SparseDfCap)
+        .select(col("term"))
+        .hint("shuffle_hash"),
+      Seq("term"))
+    val norms = rare.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = rare.select(col("term"), col("doc_id").as("a_id"),
+        col("tf").as("tfa"))
+      .join(rare.select(col("term"), col("doc_id").as("b_id"),
+        col("tf").as("tfb")).hint("shuffle_hash"), Seq("term"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"),
+        col("n2").as("na")).hint("shuffle_hash"), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"),
+        col("n2").as("nb")).hint("shuffle_hash"), Seq("b_id"))
+      .withColumn("cos", round(col("dot").cast("double")
+        / (sqrt(col("na").cast("double"))
+          * sqrt(col("nb").cast("double"))), 6) + lit(0.0))
+      .filter(col("cos") >= SparseCosMin)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val d63Sql: String =
+    s"""WITH $tokSql,
+       |p AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |rare AS (
+       |  SELECT p.term, p.doc_id, p.tf
+       |  FROM p JOIN (SELECT term FROM p GROUP BY term
+       |               HAVING COUNT(*) <= $SparseDfCap) d
+       |    USING (term)),
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+       |  FROM rare GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM rare a JOIN rare b
+       |    ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, dot,
+       |  ROUND(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+       |    6) + 0.0 AS cos
+       |FROM dots
+       |JOIN norms na ON na.doc_id = dots.a_id
+       |JOIN norms nb ON nb.doc_id = dots.b_id
+       |WHERE ROUND(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+       |    6) + 0.0 >= $SparseCosMin
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -959,6 +959,21 @@ object EventStreams {
       sum((col("value") < 0).cast("long")).as("n_rejected"))
       .filter(col("value") >= 0)
 
+  /** s17 (spec-verified): LATE-DATA accounting — a stateful streaming
+    * operator silently DROPS rows that arrive older than the
+    * watermark; at 100 TB/day that silence is a data-loss incident
+    * with no alarm. Spark counts the drops per batch and stateful
+    * operator (`numRowsDroppedByWatermark` in each progress event);
+    * this surfaces the total for a query — the number an ingest
+    * monitor alerts on and reconciles against upstream counts. Reads
+    * driver-held progress structs only; nothing touches executors. */
+  def lateDropTotal(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(p => p.stateOperators.iterator
+        .map(_.numRowsDroppedByWatermark))
+      .sum
+
   /** s15 registered batch form: the SAME observe-on-the-gate pass run
     * as a batch job (the t30 pattern — `Observation` delivers the
     * executor-accumulated counters with the action's completion, zero

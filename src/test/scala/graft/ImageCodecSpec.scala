@@ -98,6 +98,22 @@ class ImageCodecSpec extends AnyFunSuite {
       .map("%02X".format(_)).mkString)
   }
 
+  test("m09 png_dims: header-only dimension probe, no pixel decode") {
+    import spark.implicits._
+    val png = ImageCodec.pngBytes(640, 480)((_, _) => 0x123456)
+    assert(ImageCodec.pngDims(png) == ((640L << 32) | 480L))
+    assert(ImageCodec.pngDims("not a png".getBytes("UTF-8")) == -1L)
+    assert(ImageCodec.pngDims(png.take(20)) == -1L) // truncated header
+    // the codegen'd expression path, mixed payloads in one plan
+    val got = Seq((1L, png), (2L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"), Multimedia.pngDims(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ((640L << 32) | 480L) && got(2L) == -1L)
+    assert(((got(1L) >> 32) & 0xffffffffL) == 640L)
+    assert((got(1L) & 0xffffffffL) == 480L)
+  }
+
   test("m01 decodeFeatures: a real PNG row reports PIXEL statistics") {
     import spark.implicits._
     val png = ImageCodec.pngBytes(10, 10)((_, _) => 0xFFFFFF)

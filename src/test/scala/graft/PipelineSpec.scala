@@ -942,6 +942,39 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s17 late-data accounting: watermark-dropped rows surface in " +
+    "the counters and never mutate finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Double)]
+    def ev(minute: Long) =
+      (new Timestamp(minute * 60000L), "click", 1.0)
+    val q = EventStreams.windowedAgg(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s17_late").start()
+    try {
+      input.addData(ev(0), ev(1), ev(2))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes the first window, append
+      // mode finalizes and emits it
+      input.addData(ev(60))
+      q.processAllAvailable()
+      val before = spark.table("s17_late").count()
+      assert(before >= 1)
+      assert(EventStreams.lateDropTotal(q) == 0)
+      // a straggler for the long-finalized minute-0 window: it must
+      // be DROPPED (counted), not re-open the window
+      input.addData(ev(1))
+      q.processAllAvailable()
+      assert(EventStreams.lateDropTotal(q) >= 1,
+        "watermark drop was not surfaced in the progress counters")
+      assert(spark.table("s17_late").count() == before,
+        "a late row mutated finalized output")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionize emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Relational7, Retrieval, Sampling, Spatial}
+
+/** Property pins for the round-9 operators beyond their DuckDB
+  * oracles: structural invariants and brute-force cross-checks at
+  * spec scale. */
+class Relational7Spec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+  import spark.implicits._
+
+  test("q75 equi-depth: buckets partition each group, populations " +
+    "flat up to tie mass, ranges disjoint and ordered") {
+    val got = Relational7.q75EquiDepth(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    val totals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (f, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 10L))
+      assert(sorted.map(_._3).sum == totals(f))
+      // ranges ascend without overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4)
+        case _ => ()
+      }
+      // equal population up to tie tolerance on this corpus
+      val target = totals(f) / 10.0
+      sorted.foreach { case (_, _, n, _, _) =>
+        assert(math.abs(n - target) / target < 0.2,
+          s"$f bucket population $n far from $target")
+      }
+    }
+  }
+
+  test("q76 referential integrity: clean corpus audits clean; " +
+    "planted orphans are counted exactly") {
+    val res = Relational7.q76RefIntegrity(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(res.length == 6)
+    res.foreach { case (edge, n, orphans) =>
+      assert(n > 0 && orphans == 0L, s"$edge: $orphans orphans")
+    }
+    // planted: 2 of 5 child rows point nowhere
+    val child = Seq(1L, 2L, 3L, 98L, 99L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val a = Relational7.fkAudit("t", child, "fk", parent, "pk")
+      .as[(String, Long, Long)].head()
+    assert(a == (("t", 5L, 2L)))
+  }
+
+  test("q77 weighted median equals the brute-force definition") {
+    val got = Relational7.q77WeightedMedian(spark, sf)
+      .as[(String, Long, Long)].collect().toMap2
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        round(col("l_quantity") * 100, 0).cast("long"))
+      .as[(String, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var cum = 0L
+      val wmed = sorted.collectFirst {
+        case (pc, w) if { cum += w; cum * 2 >= total } => pc
+      }.get
+      val (gotTotal, gotMed) = got(f)
+      assert(gotTotal == total && gotMed == wmed,
+        s"$f: got ($gotTotal, $gotMed) want ($total, $wmed)")
+    }
+  }
+
+  private implicit class ToMap2(
+      rows: Array[(String, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("d60 SNM: every pair within the edit bound, no duplicates, " +
+    "and adjacent planted dups are recovered") {
+    val pairs = Dedup.d60SortedNeighborhood(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, d) =>
+      assert(a < b && d <= Dedup.SnmMaxEdit)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // planted pairs (doc, doc+1e6) share their whole normalized key
+    // prefix; those long enough to key identically MUST be adjacent
+    // in sort order and therefore recovered
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val keyOf = (t: String) =>
+      t.toLowerCase.replaceAll("[^a-z0-9]", "").take(Dedup.SnmKeyLen)
+    val docs = Dedup.corpusWithPlants(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val recoverable = docs.keys.filter(_ >= 1000000L).filter { pid =>
+      val oid = pid - 1000000L
+      docs.contains(oid) && keyOf(docs(oid)) == keyOf(docs(pid)) &&
+        keyOf(docs(oid)).length >= 8
+    }
+    val hit = recoverable.count(pid => found((pid - 1000000L, pid)))
+    assert(recoverable.nonEmpty &&
+      hit >= (recoverable.size * 0.9).toInt,
+      s"SNM recovered $hit of ${recoverable.size} identical-key plants")
+  }
+
+  test("d61 rendezvous vs mod: minimal movement holds and counts " +
+    "match the HRW definition") {
+    val got = Sampling.d61RendezvousShards(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (nDocs, nModMoved, modRate) = got("mod")
+    val (n2, nRvMoved, rvRate) = got("rendezvous")
+    assert(nDocs == n2 && nDocs > 0)
+    // mod-N remaps nearly everything; rendezvous only ~1/17
+    assert(modRate > 0.8, s"mod moved rate $modRate")
+    assert(rvRate < 0.15, s"rendezvous moved rate $rvRate")
+    assert(nRvMoved < nModMoved / 4)
+    // brute-force HRW on a sample of doc ids
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def home(doc: Long, n: Int) =
+      (0 until n).maxBy(s => (md5hex(s"$s#$doc"), s))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val expMoved = docs.count(d =>
+      home(d, Sampling.ShardsOld) != home(d, Sampling.ShardsNew))
+    assert(nRvMoved == expMoved)
+  }
+
+  test("d62 epoch shuffle: positions are an exact permutation in " +
+    "global hash order") {
+    val got = Sampling.d62EpochShuffle(spark, sf)
+      .as[(Long, Long)].collect()
+    val n = got.length
+    assert(got.map(_._2).sorted.toSeq == (0L until n))
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = got.map(_._1)
+      .sortBy(d => (md5hex(s"epoch1#$d"), d)).zipWithIndex
+      .map { case (d, i) => d -> i.toLong }.toMap
+    got.foreach { case (d, pos) => assert(pos == expected(d)) }
+  }
+
+  test("g20 snap equals brute-force nearest within R, NULL on " +
+    "empty discs, deterministic tiebreak") {
+    val R = Spatial.RadiusUnits
+    val pts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 3500000).as("x"),
+        (col("event_id") * 104729 % 1600000).as("y"))
+      .as[(Long, Long, Long)].collect()
+    val qs = pts.filter(_._1 % 97 == 0)
+    val pois = pts.filter(_._1 % 97 != 0)
+    val got = Spatial.g20NearestSnap(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got.size == qs.length)
+    qs.foreach { case (qid, qx, qy) =>
+      val inDisc = pois.iterator.map { case (pid, px, py) =>
+        val d2 = (qx - px) * (qx - px) + (qy - py) * (qy - py)
+        (d2, pid)
+      }.filter(_._1 <= R * R).toSeq
+      val want =
+        if (inDisc.isEmpty) None
+        else Some { val m = inDisc.min; (m._2, m._1) }
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
+  test("d63 sparse cosine: bounds hold and one pair matches the " +
+    "brute-force capped-space cosine") {
+    val pairs = Retrieval.d63SparseCosine(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, dot, cos) =>
+      assert(a < b && dot >= 1 &&
+        cos >= Retrieval.SparseCosMin && cos <= 1.000001)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+}
