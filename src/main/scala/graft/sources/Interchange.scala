@@ -345,6 +345,53 @@ object Interchange {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** f10: partition-scoped OVERWRITE (`partitionOverwriteMode=dynamic`)
+    * — the incremental-reload primitive: reloading one day/language
+    * must replace ONLY the partitions present in the incoming batch.
+    * The default STATIC overwrite semantics truncate the whole
+    * table first — on a 100 TB lake that is the classic
+    * reload-one-day-lose-everything incident; dynamic mode scopes the
+    * delete to partitions the new batch actually writes. Plants a
+    * hive-partitioned copy, reloads lang='en' with doubled n_chars,
+    * and digests the table: the oracle proves the en partition
+    * carries the reload while every other partition is the untouched
+    * original (the spec additionally pins that non-en partition FILES
+    * were not rewritten). */
+  def f10PartitionOverwrite(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("dynover", dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val reload = docs.filter(col("lang") === "en")
+      .withColumn("n_chars", (col("n_chars") * 2).cast("long"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(key, "STATIC")
+    try {
+      spark.conf.set(key, "dynamic")
+      reload.write.mode("overwrite").partitionBy("lang").parquet(out)
+    } finally spark.conf.set(key, saved)
+    digest(spark.read.parquet(out)
+      .select(docs.columns.map(c =>
+        if (c == "lang") col(c).cast("string").as(c) else col(c))
+        .toIndexedSeq: _*))
+  }
+
+  val f10Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, source,
+      |    CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  min(text) AS min_text, max(source) AS max_source
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Spec helper: the f10 output dir for `dir` (this process). */
+  def dynOverDir(dir: String): String = roundTripDir("dynover", dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
@@ -354,7 +401,8 @@ object Interchange {
     "f06_tsv_roundtrip" -> (f06TsvRoundTrip _),
     "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _),
     "f08_schema_evolution" -> (f08SchemaEvolution _),
-    "f09_codec_matrix" -> (f09CodecMatrix _))
+    "f09_codec_matrix" -> (f09CodecMatrix _),
+    "f10_partition_overwrite" -> (f10PartitionOverwrite _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -365,5 +413,6 @@ object Interchange {
     "f06_tsv_roundtrip" -> f06Sql,
     "f07_fixed_width_roundtrip" -> f07Sql,
     "f08_schema_evolution" -> f08Sql,
-    "f09_codec_matrix" -> f09Sql)
+    "f09_codec_matrix" -> f09Sql,
+    "f10_partition_overwrite" -> f10Sql)
 }

@@ -21,6 +21,50 @@ class InterchangeSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("f10 dynamic partition overwrite rewrites ONLY the incoming " +
+    "partition; static mode would truncate the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("id", "lang", "v")
+    val reload = Seq((1L, "a", 99L)).toDF("id", "lang", "v")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    def files(dir: String, p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/lang=$p")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val dynDir = java.nio.file.Files
+      .createTempDirectory("graft_dynover").toString
+    base.write.mode("overwrite").partitionBy("lang").parquet(dynDir)
+    val untouched = files(dynDir, "b")
+    assert(untouched.nonEmpty)
+    val saved = spark.conf.get(key, "STATIC")
+    try {
+      spark.conf.set(key, "dynamic")
+      reload.write.mode("overwrite").partitionBy("lang").parquet(dynDir)
+      // the b partition's FILES are bit-for-bit untouched, and the
+      // table is reload ∪ other-partitions
+      assert(files(dynDir, "b") == untouched,
+        "dynamic overwrite rewrote an uninvolved partition")
+      val got = spark.read.parquet(dynDir)
+        .select(col("id"), col("lang").cast("string"), col("v"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq ==
+        Seq((1L, "a", 99L), (3L, "b", 30L), (4L, "c", 40L)))
+      // contrast: STATIC mode on the same reload truncates the table
+      val statDir = java.nio.file.Files
+        .createTempDirectory("graft_statover").toString
+      base.write.mode("overwrite").partitionBy("lang").parquet(statDir)
+      spark.conf.set(key, "static")
+      reload.write.mode("overwrite").partitionBy("lang")
+        .parquet(statDir)
+      assert(spark.read.parquet(statDir).count() == 1,
+        "static overwrite kept partitions dynamic mode must preserve")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("jsonl round trip preserves every row verbatim") {
     val docs = Tables.load(spark, sf, "documents")
     roundTripEquals(
