@@ -210,13 +210,92 @@ object Relational7 {
       |  MIN(CASE WHEN cum * 2 >= tot THEN pc END) AS wmedian_cents
       |FROM cum GROUP BY f ORDER BY f""".stripMargin
 
+  /** q78 deterministic change feed: every 20th key deletes, every
+    * key ≡ 7 (mod 20) updates, every key ≡ 3 (mod 20) also inserts a
+    * re-keyed copy at +[[CdcInsertOffset]]. */
+  val CdcInsertOffset = 100000000L
+
+  /** q78: CDC BATCH APPLY (MERGE INTO semantics on immutable
+    * storage) — the change-data-capture primitive every warehouse
+    * load runs: apply a (op, key, payload) change feed to the last
+    * snapshot, producing the next snapshot. On parquet (no in-place
+    * update) the correct shape is ONE full outer join of snapshot ×
+    * changes on the key and a per-row verdict: delete drops, update
+    * takes the change payload, insert materializes the new row,
+    * untouched keys pass through — exactly one shuffle each side,
+    * partial-aggregation-free, linear at any scale (the row-at-a-time
+    * reference analogue is map2db's per-row SELECT→UPDATE merge
+    * loop). The change feed here derives deterministically from the
+    * base table so the oracle replays feed + apply verbatim. */
+  def q78CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val changes = base
+      .filter(col("key") % 20 === 0 || col("key") % 20 === 7 ||
+        col("key") % 20 === 3)
+      .select(col("key"),
+        when(col("key") % 20 === 0, "D")
+          .when(col("key") % 20 === 7, "U")
+          .otherwise("I").as("op"),
+        when(col("key") % 20 === 7, col("bal") + 1000)
+          .otherwise(col("bal") + 5).as("new_bal"),
+        col("seg").as("new_seg"))
+      .withColumn("key",
+        when(col("op") === "I", col("key") + CdcInsertOffset)
+          .otherwise(col("key")))
+    base.join(changes.hint("shuffle_hash"), Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("key"),
+        when(col("op").isin("U", "I"), col("new_bal"))
+          .otherwise(col("bal")).as("bal_cents"),
+        when(col("op").isin("U", "I"), col("new_seg"))
+          .otherwise(col("seg")).as("seg"),
+        coalesce(col("op"), lit("=")).as("op"))
+      .orderBy(col("key"))
+  }
+
+  val q78Sql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS key,
+       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+       |    c_mktsegment AS seg
+       |  FROM customer),
+       |changes AS (
+       |  SELECT CASE WHEN op = 'I' THEN key + $CdcInsertOffset
+       |              ELSE key END AS key,
+       |    op, new_bal, new_seg
+       |  FROM (
+       |    SELECT key,
+       |      CASE WHEN key % 20 = 0 THEN 'D'
+       |           WHEN key % 20 = 7 THEN 'U' ELSE 'I' END AS op,
+       |      CASE WHEN key % 20 = 7 THEN bal + 1000
+       |           ELSE bal + 5 END AS new_bal,
+       |      seg AS new_seg
+       |    FROM base
+       |    WHERE key % 20 IN (0, 7, 3))),
+       |m AS (
+       |  SELECT COALESCE(b.key, c.key) AS key, b.bal, b.seg,
+       |    c.op, c.new_bal, c.new_seg
+       |  FROM base b FULL OUTER JOIN changes c ON c.key = b.key)
+       |SELECT key,
+       |  CASE WHEN op IN ('U', 'I') THEN new_bal ELSE bal END
+       |    AS bal_cents,
+       |  CASE WHEN op IN ('U', 'I') THEN new_seg ELSE seg END AS seg,
+       |  COALESCE(op, '=') AS op
+       |FROM m WHERE COALESCE(op, '') <> 'D'
+       |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
-    "q77_weighted_median" -> (q77WeightedMedian _))
+    "q77_weighted_median" -> (q77WeightedMedian _),
+    "q78_cdc_apply" -> (q78CdcApply _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
     "q76_ref_integrity" -> q76Sql,
-    "q77_weighted_median" -> q77Sql)
+    "q77_weighted_median" -> q77Sql,
+    "q78_cdc_apply" -> q78Sql)
 }

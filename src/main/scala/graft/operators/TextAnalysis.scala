@@ -1246,4 +1246,40 @@ object TextAnalysis {
        |  COUNT(*) AS n_shared
        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** t31: multibyte/encoding-shape audit — the per-source report
+    * that sizes tokenizer and storage budgets on mixed-script
+    * corpora: UTF-8 byte length vs character length per document
+    * (bytes ≥ chars; equality ⇔ pure ASCII), aggregated to docs
+    * with any multibyte character, total bytes/chars, and the byte
+    * inflation ratio. Complements t27 (mojibake detects BROKEN
+    * encodings; this measures legitimate multibyte share). Pure
+    * length arithmetic — one scan, one partial-aggregable group, no
+    * string materialization beyond the lengths. A clean-ASCII corpus
+    * audits at inflation 1.0 — the audit's value is proving it
+    * (q76's contract). */
+  def t31MultibyteAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        expr("octet_length(text)").cast("long").as("b"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("b") > col("c")).cast("long")).as("n_multibyte_docs"),
+        sum(col("b")).as("total_bytes"),
+        sum(col("c")).as("total_chars"))
+      .withColumn("inflation",
+        round(col("total_bytes").cast("double")
+          / col("total_chars"), 6) + lit(0.0))
+      .orderBy(col("source"))
+
+  val t31Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN strlen(text) > length(text)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+      |    / SUM(length(text)), 6) + 0.0 AS inflation
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }
