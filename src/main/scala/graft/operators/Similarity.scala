@@ -684,6 +684,79 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
+  /** d64 prefix widths (the matryoshka truncation ladder). */
+  val MatryoshkaDims = Seq(16, 32, 48, 64)
+
+  /** d64: MATRYOSHKA truncation audit (MRL-style, Kusupati et al.,
+    * public) — modern embedding models train so that dimension
+    * PREFIXES remain usable; serving then truncates vectors to cut
+    * index memory k-fold. Before flipping that switch, a pipeline
+    * measures what truncation costs: for each prefix width, the
+    * exact top-[[TopK]] under prefix cosine vs the full-width
+    * top-[[TopK]], recall = overlap share. Per width this is d05's
+    * brute topk over sliced vectors (the calibration-baseline shape
+    * — bounded query set broadcast, per-query rank window); the
+    * audit relation out is |widths| rows. The full-width row is the
+    * recall-1.0 control pinning the harness. */
+  def d64MatryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = emb.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    def topk(p: Int): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.join(broadcast(queries))
+        .withColumn("cos", round(cosine(
+          slice(col("q_emb"), 1, p),
+          slice(col("embedding"), 1, p)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val base = topk(64)
+    MatryoshkaDims.map { p =>
+      topk(p).join(base.hint("shuffle_hash"), Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("dims"), col("n_hits"),
+          (round(col("n_hits").cast("double")
+            / (NumQueries * TopK), 6) + lit(0.0)).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("dims"))
+  }
+
+  val d64Sql: String = {
+    def cosP(p: Int) =
+      s"""list_sum(list_transform(list_zip(
+         |      list_slice(q.embedding, 1, $p),
+         |      list_slice(c.embedding, 1, $p)),
+         |    pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+         |  / (SQRT(list_sum(list_transform(list_slice(q.embedding, 1, $p),
+         |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |   * SQRT(list_sum(list_transform(list_slice(c.embedding, 1, $p),
+         |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+        .stripMargin
+    def tk(p: Int) =
+      s"""tk$p AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${cosP(p)}, 6) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+         |  WHERE rank <= $TopK)""".stripMargin
+    val rows = MatryoshkaDims.map(p =>
+      s"""SELECT CAST($p AS BIGINT) AS dims,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE)
+         |    / ${NumQueries * TopK}, 6) + 0.0 AS recall
+         |FROM tk$p a JOIN tk64 b
+         |  ON a.q_id = b.q_id AND a.vec_id = b.vec_id""".stripMargin)
+    s"""WITH ${MatryoshkaDims.map(tk).mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY dims""".stripMargin
+  }
+
   /** d59 banding: one 20-bit table (the low [[MpBits]] bits of the
     * 32-plane signature) probed at Hamming radius 1. */
   val MpBits = 20

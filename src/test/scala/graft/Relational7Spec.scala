@@ -177,6 +177,25 @@ class Relational7Spec extends AnyFunSuite {
     }
   }
 
+  test("d64 matryoshka audit: full-width control at recall 1.0, " +
+    "all widths in (0,1], counts consistent") {
+    val got = graft.operators.Similarity.d64MatryoshkaAudit(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq ==
+      graft.operators.Similarity.MatryoshkaDims.map(_.toLong))
+    val full = graft.operators.Similarity.NumQueries.toLong *
+      graft.operators.Similarity.TopK
+    got.foreach { case (dims, hits, recall) =>
+      assert(hits >= 1 && hits <= full)
+      assert(recall > 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits.toDouble / full) < 1e-6,
+        s"dims=$dims recall/hits mismatch")
+    }
+    val (d64, h64, r64) = got.last
+    assert(d64 == 64L && h64 == full && r64 == 1.0,
+      "full-width control is not at recall 1.0")
+  }
+
   test("d63 sparse cosine: bounds hold and one pair matches the " +
     "brute-force capped-space cosine") {
     val pairs = Retrieval.d63SparseCosine(spark, sf)

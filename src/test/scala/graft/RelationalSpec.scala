@@ -212,7 +212,10 @@ class RelationalSpec extends AnyFunSuite {
       // d58 cross-joins its 1-row decile-cut relation by broadcast
       // (the t12 scalar pattern — folded into the registered plan in
       // r9 so the gates can see it; previously an eager side-job)
-      "d58_quality_calibration")
+      "d58_quality_calibration",
+      // d64 is d05's calibration-baseline shape per prefix width
+      // (8-row query set broadcast against the candidates)
+      "d64_matryoshka_audit")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
