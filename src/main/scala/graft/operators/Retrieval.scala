@@ -640,9 +640,12 @@ object Retrieval {
 
   /** d63: sparse-cosine document similarity via POSTING-LIST join —
     * the IR-native near-dup/similarity path when there are no
-    * embeddings: documents as tf-weighted sparse term vectors,
+    * embeddings: documents as tf-weighted sparse vectors over
+    * 3-word SHINGLE terms (single words saturate on a bounded
+    * vocabulary — every word's df exceeds any usable cap; shingles
+    * keep the discriminative, low-df dimensions the method needs),
     * dot products assembled from the inverted index (candidates meet
-    * ONLY where a term is shared — an equi-join on the term, the
+    * ONLY where a shingle is shared — an equi-join on the term, the
     * DISCO/DIMSUM family's shape), never an all-pairs scan.
     *
     * The candidate-volume contract, stated like d49's: pair work is
@@ -653,9 +656,16 @@ object Retrieval {
     * defined over the SAME capped term space on both sides (norms
     * from capped postings) so the score is self-consistent and the
     * oracle replays it digit-for-digit: integer dot/norms, one sqrt
-    * each, round 6. */
+    * each, round 6. Runs over the planted-duplicate corpus (the
+    * d02/d24/m05 convention). */
   def d63SparseCosine(spark: SparkSession, dir: String): DataFrame = {
-    val post = tokens(Tables.load(spark, dir, "documents"))
+    val post = Dedup.corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val rare = post.join(
@@ -686,11 +696,17 @@ object Retrieval {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val d63Sql: String =
-    s"""WITH $tokSql,
+  lazy val d63Sql: String =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |cw AS (SELECT doc_id, string_split(trim(text), ' ')
+       |       AS ws FROM corpus),
+       |ctok AS (
+       |  SELECT doc_id,
+       |    ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS term
+       |  FROM cw, unnest(generate_series(1, len(ws) - 2)) AS u(i)),
        |p AS (
        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-       |  FROM tok GROUP BY 1, 2),
+       |  FROM ctok GROUP BY 1, 2),
        |rare AS (
        |  SELECT p.term, p.doc_id, p.tf
        |  FROM p JOIN (SELECT term FROM p GROUP BY term

@@ -196,14 +196,47 @@ class Relational7Spec extends AnyFunSuite {
       "full-width control is not at recall 1.0")
   }
 
-  test("d63 sparse cosine: bounds hold and one pair matches the " +
+  test("d63 sparse cosine: bounds hold and every pair matches the " +
     "brute-force capped-space cosine") {
     val pairs = Retrieval.d63SparseCosine(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
     pairs.foreach { case (a, b, dot, cos) =>
       assert(a < b && dot >= 1 &&
         cos >= Retrieval.SparseCosMin && cos <= 1.000001)
     }
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // brute force the capped term space locally and replay every
+    // reported pair's dot and cosine exactly (over the same planted
+    // corpus the operator reads)
+    val docs = Dedup.corpusWithPlants(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // mirror the operator exactly: split(trim(text), " ") words,
+    // 3-word shingle terms, no case folding
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      val ws = Option(t).getOrElse("").trim.split(" ", -1).toSeq
+      val shingles =
+        if (ws.length < 3) Seq.empty[String]
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      id -> shingles.groupBy(identity)
+        .map { case (w, o) => w -> o.length.toLong }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    val rare: Map[Long, Map[String, Long]] = tf.map { case (id, m) =>
+      id -> m.filter { case (w, _) => df(w) <= Retrieval.SparseDfCap }
+    }
+    pairs.foreach { case (a, b, dot, cos) =>
+      val (ma, mb) = (rare(a), rare(b))
+      val expDot = ma.keysIterator.filter(mb.contains)
+        .map(w => ma(w) * mb(w)).sum
+      assert(dot == expDot, s"pair ($a,$b) dot $dot != $expDot")
+      def n2(m: Map[String, Long]) = m.values.map(v => v * v).sum
+      val expCos = math.rint(expDot.toDouble /
+        (math.sqrt(n2(ma).toDouble) * math.sqrt(n2(mb).toDouble))
+        * 1e6) / 1e6
+      assert(math.abs(cos - expCos) < 1e-9,
+        s"pair ($a,$b) cos $cos != $expCos")
+    }
   }
 }
