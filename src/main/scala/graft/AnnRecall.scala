@@ -53,7 +53,10 @@ object AnnRecall {
         },"projected_rerank_by_R":{$projByR
         },"projected_rerank_by_dims_at_R50":{$projByDims
         },"residual_rerank_by_nprobe_codes_R":{$rerankByCodes
-        },"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
+        },"banding_edge_recall":{${
+          a.bandingRecall(spark).map { case (k, v) =>
+            s""""$k":${fmt(v)}""" }.mkString(",")
+        }},"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
           a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),

@@ -299,4 +299,42 @@ object AnnQuality {
       (d, hits / denom)
     }
   }
+
+  /** BANDING recall on the planted corpus — the d55-vs-d59 trade as
+    * a committed measurement: of each vector's exact
+    * top-[[RecallK]] neighbor edges, the share each
+    * candidate-generation scheme would PROPOSE (collide on) —
+    * d55's 2×16-bit exact banding vs d59's 20-bit band probed at
+    * Hamming radius 1, both over the same 32-plane portable
+    * signature family. The predicates are evaluated directly on the
+    * truth edges (this measures the collision curve, the d42 role;
+    * candidate volume is the other side of the trade and is
+    * measured by the scale curve). */
+  def bandingRecall(spark: SparkSession): Seq[(String, Double)] = {
+    val corp = corpus(spark)
+    val sigs = corp.select(col("vec_id"),
+      Similarity.portableLshSignature(
+        col("qv").cast("array<double>")).as("sig"))
+    val truth = bruteTopK(
+        corp.select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+        corp.select(col("vec_id"), col("qv")), RecallK + 1)
+      .filter(col("q_id") =!= col("vec_id")) // drop the self edge
+    val scored = truth
+      .join(sigs.select(col("vec_id").as("q_id"), col("sig").as("sa")),
+        Seq("q_id"))
+      .join(sigs.select(col("vec_id"), col("sig").as("sb")),
+        Seq("vec_id"))
+    val wideHit = (0 until Similarity.WideTables).map(h =>
+        shiftright(col("sa"), h * Similarity.WideBits)
+          .bitwiseAND(lit(0xffffL)) ===
+        shiftright(col("sb"), h * Similarity.WideBits)
+          .bitwiseAND(lit(0xffffL)))
+      .reduce(_ || _)
+    val mask = (1L << Similarity.MpBits) - 1
+    val mpHit = expr(s"bit_count((sa & $mask) ^ (sb & $mask)) <= 1")
+    val r = scored.agg(avg(wideHit.cast("double")),
+      avg(mpHit.cast("double"))).head()
+    Seq("wide_2x16" -> r.getDouble(0),
+      "multiprobe_20bit_h1" -> r.getDouble(1))
+  }
 }

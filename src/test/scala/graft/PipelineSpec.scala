@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
       s"full probe must equal brute force: ${byProbe(16)}")
   }
 
+  test("banding edge recall: d59's 20-bit multi-probe beats d55's " +
+    "2x16 exact banding on the planted top-k edges") {
+    // the committed ann_recall.json banding_edge_recall entry's
+    // floor: deterministic planted corpus, fixed numbers (~0.47 vs
+    // ~0.36). Multi-probe must propose MORE of the true-neighbor
+    // edges (the r9 claim); both schemes must be meaningfully
+    // between the trivial extremes.
+    val r = graft.operators.AnnQuality.bandingRecall(spark).toMap
+    val (wide, mp) = (r("wide_2x16"), r("multiprobe_20bit_h1"))
+    assert(mp >= wide,
+      s"multi-probe recall $mp fell below wide banding $wide")
+    assert(wide > 0.1 && wide < 0.9 && mp > 0.1 && mp < 0.9,
+      s"banding recall out of expected band: wide=$wide mp=$mp")
+  }
+
   test("projected rerank recall climbs with BOTH levers (R and dims)") {
     // d45's quality contract: a 16-of-64 ±1 projection buys a CHEAP
     // shortlist, not a ranking — JL distortion at 4× compression
