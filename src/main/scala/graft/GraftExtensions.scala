@@ -80,6 +80,17 @@ object GraftExtensions {
     fn("graft_byte_resample",
       "graft_byte_resample(bin, k) - nearest-neighbor resample to k bytes",
       e => ByteResample(e.head, intArg(e(1), "graft_byte_resample"))),
+    fn("graft_block_mean",
+      "graft_block_mean(bin, k) - average-pool resample to k bytes" +
+        " (real PNG/JPEG payloads take the 2-D pixel path)",
+      e => BlockMean(e.head, intArg(e(1), "graft_block_mean"))),
+    fn("graft_ahash",
+      "graft_ahash(bin) - average-hash bit pack of a thumbnail",
+      e => AHash(e.head)),
+    fn("graft_png_dims",
+      "graft_png_dims(bin) - (width << 32) | height from a PNG" +
+        " header, -1 for non-PNG; no pixel decode",
+      e => PngDims(e.head)),
     fn("graft_shingle_hashes_all",
       "graft_shingle_hashes_all(text, n) - one hash per shingle" +
         " occurrence (multiset; feed graft_simhash)",

@@ -100,6 +100,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Number](4).longValue == (341 - 338) * 8 + (533 - 530))
   }
 
+  test("media SQL functions: block_mean/ahash/png_dims evaluate, " +
+    "real PNG routes to the pixel path") {
+    val png = graft.functions.ImageCodec.pngBytes(32, 24)((_, _) => 0x808080)
+    val row = spark.sql(
+      s"""SELECT graft_ahash(graft_block_mean(payload, 48)) AS h,
+         |  graft_png_dims(payload) AS d,
+         |  graft_png_dims(CAST('words' AS BINARY)) AS nd
+         |FROM VALUES (X'${png.map("%02X".format(_)).mkString}')
+         |  AS t(payload)""".stripMargin).head()
+    assert(row.getLong(0) == graft.functions.MultimediaKernel.ahash(
+      graft.functions.ImageCodec.thumbK(png, 48).get))
+    assert(row.getLong(1) == ((32L << 32) | 24L))
+    assert(row.getLong(2) == -1L)
+  }
+
   test("extensions injector applies cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
