@@ -1281,6 +1281,66 @@ object Dedup {
       |FROM delta LEFT JOIN base b ON b.h = delta.h
       |ORDER BY delta.doc_id""".stripMargin
 
+  /** d65: per-source dedup SURVIVORSHIP report — after near-dup
+    * keeper election (d20), which sources lose how much: docs in,
+    * survivors out, survival rate. This matters because dedup is a
+    * silent MIXTURE SHIFT: if one source loses 40% of its docs to
+    * duplication and another 2%, the post-dedup corpus no longer
+    * matches mixture weights computed pre-dedup (d18/d38) — this
+    * report is the correction input, and the per-source bias
+    * dashboard a curation run logs. Plants carry their parent's
+    * source (orig id = doc_id mod the plant offset); one extra
+    * orig-key join + one group over d20's survivor relation. */
+  def d65DedupSurvivorship(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("orig_id"), col("source"))
+    val corpus = corpusWithPlants(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 1000000L).as("orig_id"))
+    val survivors = d20DedupCorpus(spark, dir)
+      .select(col("doc_id"), lit(1).as("kept"))
+    corpus.join(src.hint("shuffle_hash"), Seq("orig_id"))
+      .join(survivors.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("kept"), lit(0))).cast("long")
+          .as("n_survivors"))
+      .withColumn("survival_rate",
+        round(col("n_survivors").cast("double") / col("n_docs"), 6)
+          + lit(0.0))
+      .orderBy(col("source"))
+  }
+
+  lazy val d65Sql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |comp AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT node, node FROM nodes
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e
+       |      JOIN reach r ON e.dst = r.node)
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+       |corpus AS ($corpusSql),
+       |surv AS (
+       |  SELECT c.doc_id
+       |  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+       |  WHERE comp.label IS NULL OR comp.label = c.doc_id),
+       |m AS (
+       |  SELECT d.source,
+       |    CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+       |  FROM corpus c
+       |  JOIN documents d ON d.doc_id = c.doc_id % 1000000
+       |  LEFT JOIN surv s ON s.doc_id = c.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_survivors,
+       |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) + 0.0
+       |    AS survival_rate
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** d60 sort key length and neighborhood window. */
   val SnmKeyLen = 32
   val SnmWindow = 2

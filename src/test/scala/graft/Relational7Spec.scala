@@ -177,6 +177,24 @@ class Relational7Spec extends AnyFunSuite {
     }
   }
 
+  test("d65 survivorship: per-source totals reconcile with the " +
+    "corpus and with d20's survivor count") {
+    val got = Dedup.d65DedupSurvivorship(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, s, r) =>
+      assert(s >= 1 && s <= n)
+      assert(math.abs(r - s.toDouble / n) < 1e-6)
+    }
+    val corpusN = Dedup.corpusWithPlants(spark, sf).count()
+    val survN = Dedup.d20DedupCorpus(spark, sf).count()
+    assert(got.map(_._2).sum == corpusN)
+    assert(got.map(_._3).sum == survN)
+    // plants make survivorship a real signal: at least one source
+    // must have lost documents
+    assert(got.exists(_._4 < 1.0))
+  }
+
   test("d64 matryoshka audit: full-width control at recall 1.0, " +
     "all widths in (0,1], counts consistent") {
     val got = graft.operators.Similarity.d64MatryoshkaAudit(spark, sf)
