@@ -287,15 +287,60 @@ object Relational7 {
        |FROM m WHERE COALESCE(op, '') <> 'D'
        |ORDER BY key""".stripMargin
 
+  /** q79: GROUPING disambiguation on subtotal reports — the ROLLUP
+    * correctness trap q17 glosses over: a NULL in a rollup output
+    * column means EITHER "subtotal over this column" OR "the data
+    * itself was NULL", and any consumer that infers subtotals from
+    * NULLs mis-reads corpora with genuinely missing keys. The
+    * `grouping()` flag is the standard disambiguator (0 = data row,
+    * 1 = aggregated-over). Planted NULL data (one nation name
+    * nullified deterministically) forces both meanings to coexist in
+    * the same report, so the flags are load-bearing, not
+    * decorative. Same one-pass Expand shape as q17. */
+  def q79GroupingFlags(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val cust = Tables.load(spark, dir, "customer")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        nullif(col("n_name"), lit("FRANCE")).as("nat"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    cust.rollup(col("r_name"), col("nat"))
+      .agg(grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("nat")).cast("long").as("g_nation"),
+        count(lit(1)).as("n_cust"),
+        sum(col("bal")).cast("long").as("bal_cents_sum"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"),
+        col("nat"))
+  }
+
+  val q79Sql: String =
+    """WITH c AS (
+      |  SELECT r_name, NULLIF(n_name, 'FRANCE') AS nat,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey)
+      |SELECT r_name, nat,
+      |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+      |  CAST(GROUPING(nat) AS BIGINT) AS g_nation,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(bal) AS BIGINT) AS bal_cents_sum
+      |FROM c GROUP BY ROLLUP(r_name, nat)
+      |ORDER BY g_region, g_nation, r_name, nat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
     "q77_weighted_median" -> (q77WeightedMedian _),
-    "q78_cdc_apply" -> (q78CdcApply _))
+    "q78_cdc_apply" -> (q78CdcApply _),
+    "q79_grouping_flags" -> (q79GroupingFlags _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
     "q76_ref_integrity" -> q76Sql,
     "q77_weighted_median" -> q77Sql,
-    "q78_cdc_apply" -> q78Sql)
+    "q78_cdc_apply" -> q78Sql,
+    "q79_grouping_flags" -> q79Sql)
 }
