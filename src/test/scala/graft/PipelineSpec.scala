@@ -1301,6 +1301,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.toSeq == (1L to 200L))
   }
 
+  test("s18 hive-partitioned streaming sink: rows land in their " +
+    "partition dirs, pruning reads one partition, no dups") {
+    // the landing-zone layout an ingest stream actually writes:
+    // partitionBy on writeStream gives downstream batch jobs
+    // partition pruning for free (f04's read-side contract), with
+    // the same exactly-once _spark_metadata manifest as the flat
+    // sink. Late re-reads must see each row once, in the right dir.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_psink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_psink_ckpt").toString
+    val q = src.toDF().toDF("id", "lang")
+      .writeStream.format("parquet").partitionBy("lang")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "en"), (2L, "de"), (3L, "en"))
+      q.processAllAvailable()
+      src.addData((4L, "fr"), (5L, "de"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$out/_spark_metadata").exists())
+    Seq("en", "de", "fr").foreach(l =>
+      assert(new java.io.File(s"$out/lang=$l").isDirectory,
+        s"partition dir lang=$l missing"))
+    val back = spark.read.parquet(out)
+      .selectExpr("id", "CAST(lang AS STRING) AS lang")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en"),
+      (4L, "fr"), (5L, "de")))
+    // pruning: a lang='de' read touches only that partition's files
+    val plan = spark.read.parquet(out).filter("lang = 'de'")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lang=en"),
+      "partition pruning failed — en files in the de scan")
+    val de = spark.read.parquet(out).filter("lang = 'de'")
+      .select("id").as[Long].collect().sorted
+    assert(de.toSeq == Seq(2L, 5L))
+  }
+
   test("left-outer interval join emits unconverted rows on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
