@@ -121,6 +121,11 @@ object ImageCodec {
   def pngDims(p: Array[Byte]): Long = {
     if (p.length < 24 || p(0) != 0x89.toByte || p(1) != 'P' ||
       p(2) != 'N' || p(3) != 'G') return -1L
+    // the first chunk MUST be IHDR (PNG spec §5.6) — a PNG-magic
+    // payload with a non-conforming first chunk would otherwise
+    // return garbage packed dims instead of the -1 sentinel
+    if (p(12) != 'I' || p(13) != 'H' || p(14) != 'D' || p(15) != 'R')
+      return -1L
     def be32(o: Int): Long =
       ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)

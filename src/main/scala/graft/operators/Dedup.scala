@@ -1117,14 +1117,20 @@ object Dedup {
     val idxDir = fingerprintIndexDir(dir)
     // build-once: a committed index is REUSED (the production daily-
     // job lifecycle — base documents are never rescanned while the
-    // index stands); only an absent or torn (uncommitted) directory
-    // triggers a rebuild. Spec exercises both arms (ADVICE r8: the
-    // old unconditional rewrite only ever tested write-then-read).
-    if (!graft.sources.AtomicCommit.isCommitted(spark, idxDir))
-      graft.sources.AtomicCommit.writeParquetCommitted(
+    // index stands); an absent/torn directory OR a dataset-fingerprint
+    // mismatch triggers a rebuild (ADVICE r9: path identity alone let
+    // a regenerated corpus at the same path serve stale base_doc
+    // mappings — the manifest now records WHAT corpus the index was
+    // built from, not just where).
+    val fp = datasetFingerprint(spark, dir)
+    val reusable =
+      graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
+        readIndexFingerprint(spark, idxDir).contains(fp)
+    if (!reusable)
+      buildFingerprintIndex(spark, idxDir,
         docs.filter(col("doc_id") % 10 =!= 0)
           .groupBy(col("h")).agg(min(col("doc_id")).as("base_doc")),
-        idxDir)
+        fp)
     val idx = graft.sources.AtomicCommit
       .readParquetCommitted(spark, idxDir)
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -1139,19 +1145,110 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** The d56 index directory for `dir`: the FULL dataset path,
-    * sanitized, is the key — two distinct dirs can never alias
-    * (ADVICE r8: the previous hashCode key could collide and
-    * silently serve one dataset the other's index, and the
-    * per-pid suffix both leaked dirs across processes and made the
-    * committed index unreachable to the next run). The index is an
-    * authority on the base corpus AT `dir`; callers that re-point
-    * `dir` at different data must drop the index first (the spec's
-    * cleanup contract). */
-  def fingerprintIndexDir(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_fpindex_" +
-      new java.io.File(dir).getAbsolutePath
-        .replaceAll("[^A-Za-z0-9._-]", "_")
+  /** The d56 index directory for `dir`: keyed on the SHA-256 digest
+    * of the dataset's ABSOLUTE path — collision-free by construction
+    * (ADVICE r9: the r8 sanitize-the-whole-path key aliased distinct
+    * dirs — `/a/b` and `/a_b` both sanitize to `_a_b` — and a deep
+    * path could overrun the 255-char filename component limit). The
+    * sanitized basename survives only as a human-readable prefix; the
+    * digest is the identity. Staleness of the data AT the path is
+    * handled separately by [[datasetFingerprint]]. */
+  def fingerprintIndexDir(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prefix = new java.io.File(abs).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_").take(40)
+    s"${sys.props("java.io.tmpdir")}/graft_fpindex_${prefix}_$digest"
+  }
+
+  /** Name of the dataset-fingerprint file inside a committed index. */
+  val IndexFpName = "_GRAFT_DATASET_FP"
+
+  /** Driver-side fingerprint of the base corpus the d56 index derives
+    * from: SHA-256 over the sorted (relative path, length, mtime)
+    * listing of `dir/documents.parquet` — a metadata-only probe (no
+    * data scan) that changes whenever the corpus files are rewritten,
+    * replaced, or appended. Works through the Hadoop FileSystem API so
+    * the same probe runs on local disk, HDFS, or an object store
+    * (where mtime+len is exactly the change signal ETags encode). */
+  def datasetFingerprint(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/documents.parquet")
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = Seq.newBuilder[String]
+    if (f.getFileStatus(root).isFile) {
+      val s = f.getFileStatus(root)
+      entries += s"${root.getName}\t${s.getLen}\t${s.getModificationTime}"
+    } else {
+      val it = f.listFiles(root, true)
+      val base = root.toUri.getPath
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.endsWith(".crc")) {
+          val rel = s.getPath.toUri.getPath.stripPrefix(base)
+          entries += s"$rel\t${s.getLen}\t${s.getModificationTime}"
+        }
+      }
+    }
+    val body = entries.result().sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The dataset fingerprint a committed index records, if any. */
+  private def readIndexFingerprint(
+      spark: SparkSession, idxDir: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(idxDir, IndexFpName)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        Some(bs.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Build the fingerprint index into a process-private temp dir and
+    * RENAME it into place — concurrent builders can no longer
+    * interleave part-file writes inside the published directory
+    * (ADVICE r9): each builds its own complete, committed, fp-stamped
+    * tree and the rename is the single publish point. Losing a rename
+    * race is fine — the winner's index is equivalent (same corpus,
+    * same deterministic build) — so the loser just discards its
+    * attempt and reads the winner's. */
+  private def buildFingerprintIndex(spark: SparkSession, idxDir: String,
+      base: DataFrame, fp: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(idxDir)
+    val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(idxDir + ".build-" +
+      java.lang.ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    base.write.mode("overwrite").parquet(tmp.toString)
+    // fp stamp BEFORE the commit marker: a torn build can never
+    // present a marker without its fingerprint
+    val out = f.create(new Path(tmp, IndexFpName), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+    graft.sources.AtomicCommit.commit(spark, tmp.toString)
+    if (f.exists(dst)) f.delete(dst, true) // stale or torn loser
+    if (!f.rename(tmp, dst)) {
+      // another process published between the delete and the rename:
+      // its index is equivalent — drop ours and require theirs whole
+      f.delete(tmp, true)
+      require(
+        graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
+          readIndexFingerprint(spark, idxDir).contains(fp),
+        s"lost index-publish race at $idxDir but no committed " +
+          "matching index found")
+    }
+  }
 
   /** d58: quality-decile duplication calibration — the report that
     * answers "does my quality score PREDICT duplication?" before

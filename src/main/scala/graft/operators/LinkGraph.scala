@@ -66,19 +66,35 @@ object LinkGraph {
     p
   }
 
-  /** Directed (c, s) trade-pair relation, pinned like [[rddCache]]
+  /** Directed (c, s) trade-pair relation, pinned like [[graphCache]]
     * and shared by d32 (which folds it undirected) and d36 (which
     * walks it as-is) — one edge extraction serves both. */
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Release every pinned relation. `Dataset.unpersist()` frees the
+    * CacheManager-backed pins (graphCache/pairCache), but NOT the
+    * localCheckpoint'ed rounds — localCheckpoint persists the
+    * Dataset's INTERNAL RDD directly (MEMORY_AND_DISK), outside the
+    * CacheManager, so a checkpointed round's blocks would otherwise
+    * linger until GC + ContextCleaner get to the RDD (ADVICE r9: they
+    * accumulated across bench iterations). The checkpointed Dataset's
+    * plan is a LogicalRDD wrapping exactly that persisted RDD, so the
+    * release path unpersists it there — safe because release runs
+    * only after results are materialized. */
   def releaseGraphCache(): Unit = {
     graphCache.values.foreach(_.unpersist())
     graphCache.clear()
     pairCache.values.foreach(_.unpersist())
     pairCache.clear()
     roundCache.synchronized {
-      roundCache.foreach(_.unpersist())
+      roundCache.foreach { p =>
+        p.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => p.unpersist()
+        }
+      }
       roundCache.clear()
     }
   }

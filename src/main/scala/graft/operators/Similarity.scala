@@ -715,13 +715,23 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("q_id"), col("vec_id"))
     }
-    val base = topk(64)
+    // the full-width topk is the most expensive stage (broadcast
+    // cross-join + rank window over the whole candidate set) and
+    // every ladder row joins against it — checkpoint it ONCE instead
+    // of re-deriving it per width, and derive the dims=64 control row
+    // from it directly (its self-join recall is 1.0 by construction,
+    // so a second full-width topk computed the same relation twice —
+    // ADVICE r9)
+    val base = topk(64).localCheckpoint()
     MatryoshkaDims.map { p =>
-      topk(p).join(base.hint("shuffle_hash"), Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(p.toLong).as("dims"), col("n_hits"),
-          (round(col("n_hits").cast("double")
-            / (NumQueries * TopK), 6) + lit(0.0)).as("recall"))
+      val hits =
+        if (p == 64) base.agg(count(lit(1)).as("n_hits"))
+        else topk(p)
+          .join(base.hint("shuffle_hash"), Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+      hits.select(lit(p.toLong).as("dims"), col("n_hits"),
+        (round(col("n_hits").cast("double")
+          / (NumQueries * TopK), 6) + lit(0.0)).as("recall"))
     }.reduce(_ unionByName _).orderBy(col("dims"))
   }
 

@@ -104,6 +104,11 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.pngDims(png) == ((640L << 32) | 480L))
     assert(ImageCodec.pngDims("not a png".getBytes("UTF-8")) == -1L)
     assert(ImageCodec.pngDims(png.take(20)) == -1L) // truncated header
+    // PNG magic but a non-conforming first chunk (not IHDR) must hit
+    // the -1 sentinel, not read garbage at the IHDR offsets (ADVICE r9)
+    val rogue = png.clone()
+    rogue(12) = 'J'; rogue(13) = 'U'; rogue(14) = 'N'; rogue(15) = 'K'
+    assert(ImageCodec.pngDims(rogue) == -1L)
     // the codegen'd expression path, mixed payloads in one plan
     val got = Seq((1L, png), (2L, "text".getBytes("UTF-8")))
       .toDF("id", "payload")

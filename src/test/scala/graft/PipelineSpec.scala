@@ -376,6 +376,21 @@ class PipelineSpec extends AnyFunSuite {
     pr.unpersist()
   }
 
+  test("releaseGraphCache frees the localCheckpoint'd round blocks " +
+    "(ADVICE r9: Dataset.unpersist can't reach them)") {
+    import graft.operators.LinkGraph
+    LinkGraph.releaseGraphCache() // reset to a known cache state
+    val before = spark.sparkContext.getPersistentRDDs.size
+    LinkGraph.d32Pagerank(spark, sf).collect()
+    val during = spark.sparkContext.getPersistentRDDs.size
+    assert(during > before,
+      s"pagerank pinned nothing? before=$before during=$during")
+    LinkGraph.releaseGraphCache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"release leaked persisted RDD blocks: before=$before after=$after")
+  }
+
   test("edit-distance verify scores planted near-dups high") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.d24EditDistance(spark, sf)

@@ -405,6 +405,39 @@ class Relational6Spec extends AnyFunSuite {
     } finally rmIdx() // don't leak tmp dirs across runs (ADVICE r8)
   }
 
+  test("d56 index dir is collision-free and the index invalidates " +
+    "when the corpus at the same path changes (ADVICE r9)") {
+    // digest keying: paths the old sanitizer aliased now differ
+    assert(Dedup.fingerprintIndexDir("/tmp/a/b") !=
+      Dedup.fingerprintIndexDir("/tmp/a_b"))
+    val dir = java.nio.file.Files.createTempDirectory("d56inv").toString
+    val idx = Dedup.fingerprintIndexDir(dir)
+    def rmAll(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(path))
+    }
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // base docs 1,2 ("aa","bb"); delta doc 10 ("aa") → dup_of_base 1
+      write(Seq((1L, "aa"), (2L, "bb"), (10L, "aa")))
+      val a = Dedup.d56PersistedIndex(spark, dir)
+        .select(col("doc_id"), col("status")).as[(Long, String)].collect()
+      assert(a.toSeq == Seq((10L, "dup_of_base")))
+      // corpus REGENERATED at the same path: base "aa" disappears.
+      // A path-identity index would still serve the stale mapping;
+      // the fingerprint must force a rebuild → doc 10 is now "new".
+      write(Seq((1L, "zz"), (2L, "bb"), (10L, "aa")))
+      val b = Dedup.d56PersistedIndex(spark, dir)
+        .select(col("doc_id"), col("status")).as[(Long, String)].collect()
+      assert(b.toSeq == Seq((10L, "new")),
+        s"stale index served after corpus change: ${b.mkString(",")}")
+    } finally { rmAll(dir); rmAll(idx) }
+  }
+
   test("s16 streamed transitions equal the batch q72 pair counts") {
     import graft.streaming.EventStreams
     implicit val sqlCtx = spark.sqlContext
