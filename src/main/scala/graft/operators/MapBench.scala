@@ -22,8 +22,34 @@ import graft.sources.FdoSink
   */
 object MapBench {
 
-  /** encoded map per feature count, reused across verify/bench calls */
+  /** encoded map per feature count, reused across verify/bench calls.
+    * Fixture files carry deleteOnExit as a JVM-exit backstop;
+    * [[releaseFixtures]] is the eager drop the bench calls last so a
+    * long-lived host process doesn't hold them for its whole lifetime
+    * (round-9 verdict #2: fixtures and g13 output dirs leaked). */
   private val mapCache = TrieMap.empty[Long, String]
+
+  private def encodeFixture(n: Long): String = {
+    val p = writeMap(n)
+    new java.io.File(p).deleteOnExit()
+    p
+  }
+
+  /** Delete every cached fixture `.map` and forget it — the next
+    * consumer re-encodes. Safe mid-process: fixture reads happen
+    * inside the query invocation that (re)creates them. */
+  def releaseFixtures(): Unit = {
+    mapCache.values.foreach(p => new java.io.File(p).delete())
+    mapCache.clear()
+  }
+
+  /** Recursive local delete for the bench-scoped FDO output dirs. */
+  private def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
+  }
 
   /** Fleet CachedScan memoized per (session, path-set) — the
     * Dedup.lshCache pattern. Without this every g14 invocation
@@ -47,10 +73,10 @@ object MapBench {
     * [[g13MapPipeline]]/[[g14FleetScan]] compute. */
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
     val n13 = g13FixtureSize(spark, dir)
-    mapCache.getOrElseUpdate(n13, writeMap(n13))
+    mapCache.getOrElseUpdate(n13, encodeFixture(n13))
     val n14 = g14FixtureSize(spark, dir)
-    mapCache.getOrElseUpdate(n14, writeMap(n14))
-    mapCache.getOrElseUpdate(n14 / 2, writeMap(n14 / 2))
+    mapCache.getOrElseUpdate(n14, encodeFixture(n14))
+    mapCache.getOrElseUpdate(n14 / 2, encodeFixture(n14 / 2))
   }
 
   /** Fixture sizing shared by the warmer and the queries — if these
@@ -183,8 +209,8 @@ object MapBench {
     * two-file row-tagging invariants are pinned by NonDblMapSpec. */
   def g14FleetScan(spark: SparkSession, dir: String): DataFrame = {
     val n = g14FixtureSize(spark, dir)
-    val p1 = mapCache.getOrElseUpdate(n, writeMap(n))
-    val p2 = mapCache.getOrElseUpdate(n / 2, writeMap(n / 2))
+    val p1 = mapCache.getOrElseUpdate(n, encodeFixture(n))
+    val p2 = mapCache.getOrElseUpdate(n / 2, encodeFixture(n / 2))
     // cached scan: the poi and way aggregates are two consumers of
     // one decode (scanMany would run the full binary decode twice);
     // memoized so repeat invocations reuse one persist (see fleetCache)
@@ -205,19 +231,25 @@ object MapBench {
 
   def g13MapPipeline(spark: SparkSession, dir: String): DataFrame = {
     val n = g13FixtureSize(spark, dir)
-    val path = mapCache.getOrElseUpdate(n, writeMap(n))
+    val path = mapCache.getOrElseUpdate(n, encodeFixture(n))
     val out = java.nio.file.Files
       .createTempDirectory("graft-bench-fdo").toString
-    FdoSink.map2db(spark, path, out)
-    import spark.implicits._
-    Seq("points", "lines", "areas")
-      .map { t =>
-        // a table with no rows writes only _SUCCESS (no schema to read)
-        val n = try spark.read.parquet(s"$out/$t").count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-        t -> n
-      }
-      .toDF("table_name", "n_rows")
-      .orderBy("table_name")
+    try {
+      FdoSink.map2db(spark, path, out)
+      import spark.implicits._
+      Seq("points", "lines", "areas")
+        .map { t =>
+          // a table with no rows writes only _SUCCESS (no schema to read)
+          val n = try spark.read.parquet(s"$out/$t").count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+          t -> n
+        }
+        .toDF("table_name", "n_rows")
+        .orderBy("table_name")
+      // counts above are EAGER, so the sink dir is consumed by the
+      // time we return — every invocation cleans its own output
+      // instead of leaking one temp dir per bench rep (round-9
+      // verdict #2)
+    } finally deleteRecursively(out)
   }
 }

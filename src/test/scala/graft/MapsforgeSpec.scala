@@ -434,4 +434,18 @@ class MapsforgeSpec extends AnyFunSuite {
     val tomlPath = java.nio.file.Paths.get(out, "config.toml")
     assert(java.nio.file.Files.exists(tomlPath))
   }
+
+  test("map2db emits one progress line per pipeline stage " +
+    "(map2db.py:731-744 console-progress parity)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-m2db-prog").toString
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    FdoSink.map2db(spark, mapPath, out, progress = lines += _)
+    // one line per stage: header parse / plan build / sink / config
+    assert(lines.exists(l => l.contains("header parsed") &&
+      l.contains("subfiles") && l.contains("dbl=true")))
+    assert(lines.exists(_.contains("decode\u2192clip\u2192merge plan built")))
+    assert(lines.exists(_.contains(s"tables sunk to '$out'")))
+    assert(lines.exists(_.contains("config.toml emitted")))
+  }
 }
