@@ -56,8 +56,11 @@ object AnnRecall {
         },"banding_edge_recall":{${
           a.bandingRecall(spark).map { case (k, v) =>
             s""""$k":${fmt(v)}""" }.mkString(",")
+        }},"candidate_volume":{${
+          a.candidateVolumes(spark).map { case (k, v) =>
+            s""""$k":$v""" }.mkString(",")
         }},"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
-          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking"}"""
+          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking. banding_edge_recall/candidate_volume pair the trade per candidate scheme: d66's trained-cell blocking (16 cells, 2 probes) proposes ~1.8x the true edges of d59's data-blind multi-probe at ~39% of its candidate volume — a trained coarse quantizer spends buckets where the data is"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -334,7 +334,70 @@ object AnnQuality {
     val mpHit = expr(s"bit_count((sa & $mask) ^ (sb & $mask)) <= 1")
     val r = scored.agg(avg(wideHit.cast("double")),
       avg(mpHit.cast("double"))).head()
+    val cellHit = truth
+      .join(cellProbes(spark).select(col("vec_id").as("q_id"),
+        col("cell")), Seq("q_id"))
+      .join(cellPrimary(spark).select(col("vec_id"), col("cell")),
+        Seq("vec_id", "cell"), "left_semi")
+      .select(col("q_id"), col("vec_id")).distinct().count()
     Seq("wide_2x16" -> r.getDouble(0),
-      "multiprobe_20bit_h1" -> r.getDouble(1))
+      "multiprobe_20bit_h1" -> r.getDouble(1),
+      "cell_blocked_16x2" -> cellHit.toDouble / truth.count())
+  }
+
+  /** Per-vector (vec_id, cell, rn) under k-means centroids trained on
+    * the planted corpus — the d66 blocking, audit-side. */
+  private def cellRanked(spark: SparkSession): DataFrame = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(corp, init, Similarity.KmIters)
+    corp.join(broadcast(cents))
+      .withColumn("dist", Similarity.qDist(col("qv"), col("qc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cent_id"))))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
+  }
+
+  private def cellPrimary(spark: SparkSession): DataFrame =
+    cellRanked(spark).filter(col("rn") === 1)
+
+  private def cellProbes(spark: SparkSession): DataFrame =
+    cellRanked(spark).filter(col("rn") <= Similarity.CellProbes)
+
+  /** CANDIDATE VOLUME per scheme on the planted corpus — the other
+    * side of the recall trade, committed next to it (round-9 verdict
+    * item 3's bar: d66's recall must land at candidate volume ≤
+    * d59's). Counts DISTINCT directed (q, v) candidate pairs each
+    * scheme proposes, exactly as its generator joins them. */
+  def candidateVolumes(spark: SparkSession): Seq[(String, Long)] = {
+    val corp = corpus(spark)
+    val sigs = corp.select(col("vec_id"),
+        Similarity.portableLshSignature(
+          col("qv").cast("array<double>")).as("sig"))
+      .localCheckpoint()
+    val wide = (0 until Similarity.WideTables).map { h =>
+      val b = sigs.select(col("vec_id"),
+        shiftright(col("sig"), h * Similarity.WideBits)
+          .bitwiseAND(lit(0xffffL)).as("b"))
+      b.as("a").join(b.as("bb"), col("a.b") === col("bb.b") &&
+          col("a.vec_id") =!= col("bb.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("bb.vec_id").as("vec_id"))
+    }.reduce(_ unionByName _).distinct().count()
+    val mask = (1L << Similarity.MpBits) - 1
+    val mp20 = sigs.select(col("vec_id"),
+      col("sig").bitwiseAND(lit(mask)).as("b"))
+    val mp = mp20.as("a").join(mp20.as("bb"),
+        expr("bit_count(a.b ^ bb.b) <= 1") &&
+          col("a.vec_id") =!= col("bb.vec_id"))
+      .count()
+    val cell = cellProbes(spark).select(col("vec_id").as("q_id"),
+        col("cell"))
+      .join(cellPrimary(spark), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct().count()
+    Seq("wide_2x16" -> wide, "multiprobe_20bit_h1" -> mp,
+      "cell_blocked_16x2" -> cell)
   }
 }

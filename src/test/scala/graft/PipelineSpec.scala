@@ -68,6 +68,23 @@ class PipelineSpec extends AnyFunSuite {
       s"banding recall out of expected band: wide=$wide mp=$mp")
   }
 
+  test("d66 trained-cell blocking: more edge recall than d59 at less " +
+    "candidate volume (the r10 audit floors)") {
+    // deterministic planted corpus — measured 0.838 recall at 0.50M
+    // pairs vs d59's 0.472 at 1.27M; floors hold the verdict bar
+    // (recall >= 0.6 at volume <= d59's) with slack for arithmetic
+    // drift, and the strict inequality pins the ORDERING
+    val r = graft.operators.AnnQuality.bandingRecall(spark).toMap
+    val cell = r("cell_blocked_16x2")
+    assert(cell >= 0.6, s"cell-blocked edge recall $cell below 0.6 floor")
+    assert(cell > r("multiprobe_20bit_h1"),
+      s"cell-blocked recall $cell did not beat d59 ${r("multiprobe_20bit_h1")}")
+    val v = graft.operators.AnnQuality.candidateVolumes(spark).toMap
+    assert(v("cell_blocked_16x2") <= v("multiprobe_20bit_h1"),
+      s"cell-blocked volume ${v("cell_blocked_16x2")} exceeded d59's " +
+        s"${v("multiprobe_20bit_h1")}")
+  }
+
   test("projected rerank recall climbs with BOTH levers (R and dims)") {
     // d45's quality contract: a 16-of-64 ±1 projection buys a CHEAP
     // shortlist, not a ranking — JL distortion at 4× compression

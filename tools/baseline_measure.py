@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Measured single-node baseline: DuckDB oracle replay vs the Spark plan.
+
+Round-9 verdict item 2: the bench-vs-baseline ratio had been an
+ESTIMATE since round 4 (the reference itself cannot execute here — no
+shapely). DuckDB is installed for the oracle harness, so the closest
+measurable single-node columnar baseline is: run each SQL-expressible
+headline query's ORACLE SQL in DuckDB against the same sf parquet the
+Spark plan reads, min-of-2, and pair it with the Spark bench number
+(gc-quiesced min-of-2 from bench_out.json).
+
+Usage:
+  python3 tools/baseline_measure.py <verify_outdir> <sfdir> \
+      <bench_out.json> <out.json> [query ...]
+
+<verify_outdir> must hold oracle_sql.json (a graft.Verify run);
+queries defaults to the SQL-expressible bench headline set.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary", "q05_topk_revenue", "d02_minhash_lsh",
+    "d20_dedup_corpus", "d21_pipeline_e2e", "t11_boiler_strip",
+    "s01_window_agg",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    outdir, sfdir, bench_path, dst = sys.argv[1:5]
+    queries = sys.argv[5:] or DEFAULT_QUERIES
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    bench = json.load(open(bench_path))
+    spark_times = bench.get("queries", {})
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    n_threads = con.execute(
+        "SELECT current_setting('threads')").fetchone()[0]
+
+    report = {}
+    for name in queries:
+        if name not in oracle:
+            report[name] = {"error": "no oracle SQL (not SQL-expressible)"}
+            continue
+        sql = oracle[name]
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            # fetchall materializes the full result — the same
+            # full-plan contract as the Spark side's noop sink
+            con.execute(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        entry = {"duckdb_s": round(best, 3)}
+        if name in spark_times:
+            sp = float(spark_times[name])
+            entry["spark_s"] = sp
+            entry["spark_over_duckdb"] = round(sp / best, 2) if best > 0 else None
+        report[name] = entry
+
+    ratios = [v["spark_over_duckdb"] for v in report.values()
+              if isinstance(v.get("spark_over_duckdb"), (int, float))]
+    ratios.sort()
+    out = {
+        "sf_dir": sfdir,
+        "duckdb_threads": int(n_threads),
+        "method": ("duckdb oracle replay min-of-2 (full materialize) vs "
+                   "spark bench gc-quiesced min-of-2 full-plan noop, "
+                   "same parquet inputs"),
+        "queries": report,
+        "median_spark_over_duckdb":
+            (ratios[len(ratios) // 2] if ratios else None),
+    }
+    json.dump(out, open(dst, "w"), indent=1)
+    print(json.dumps(out["queries"], indent=1))
+    print(f"median spark/duckdb ratio: {out['median_spark_over_duckdb']}")
+
+
+if __name__ == "__main__":
+    main()
