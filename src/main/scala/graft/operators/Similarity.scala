@@ -846,7 +846,14 @@ object Similarity {
     * cap keeps a degenerate cell from going quadratic, same knob as
     * every other candidate generator. Oracle replays train → assign
     * → probe → capped cells → candidates → exact cosine → rank. */
-  def d66CellKnn(spark: SparkSession, dir: String): DataFrame = {
+  def d66CellKnn(spark: SparkSession, dir: String): DataFrame =
+    cellKnnEdges(spark, dir).orderBy(col("vec_id"), col("rank"))
+
+  /** The d66 edge relation without the presentation sort — shared
+    * with d51's label-propagation vote (which consumes the measured
+    * best graph, not the historical 8-bit banding; round-9 verdict
+    * item 4). */
+  private def cellKnnEdges(spark: SparkSession, dir: String): DataFrame = {
     val qz = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
     val init = qz.filter(col("vec_id") < IvfCells)
@@ -877,23 +884,27 @@ object Similarity {
         col("b.vec_id").as("nbr_id"))
       .distinct()
     rankKnnCandidates(spark, dir, cand)
-      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** d51: kNN label propagation / weak-label inference — the standard
     * embedding-space auto-labeler (and the evaluation every labeled
     * embedding table gets): each vector takes the majority label of
-    * its [[KnnK]] nearest neighbors from the d49 graph, ties broken
-    * deterministically (vote count desc, label asc), and is scored
-    * against its own label. The graph build is d49's capped-LSH
-    * bounded path — nothing quadratic; the vote is one (vec, label)
-    * aggregate plus a per-vector argmax window on the graph-sized
-    * relation. Vectors whose capped cells yield no neighbors drop
-    * out (same contract as d49). */
+    * its [[KnnK]] nearest neighbors, ties broken deterministically
+    * (vote count desc, label asc), and is scored against its own
+    * label. The neighborhood graph is [[d66CellKnn]]'s trained-cell
+    * build — the measured-best generator (edge recall 0.838 at ~39%
+    * of d59's candidate volume, ann_recall.json), re-based here from
+    * d49's historical 8-bit banding (round-9 verdict item 4): label
+    * propagation quality is bounded by edge recall, so the vote
+    * should ride the best graph the library offers. Nothing
+    * quadratic; the vote is one (vec, label) aggregate plus a
+    * per-vector argmax window on the graph-sized relation. Vectors
+    * whose capped cells yield no neighbors drop out (same contract
+    * as every capped generator). */
   def d51KnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
-    val votes = knnEdges(spark, dir)
+    val votes = cellKnnEdges(spark, dir)
       .select(col("vec_id"), col("nbr_id"))
       .join(labels.select(col("vec_id").as("nbr_id"),
         col("label").as("nbr_label")), Seq("nbr_id"))
@@ -983,8 +994,11 @@ object Similarity {
        |SELECT vec_id, nbr_id, cos, rank FROM ranked
        |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
-  val d51Sql: String =
-    s"""WITH $knnCtes,
+  /** d51 oracle: the d66 trained-cell chain + the majority vote —
+    * the graph CTEs are [[d66Ctes]] verbatim, so the re-base is a
+    * tail swap, not a new chain. */
+  lazy val d51Sql: String =
+    s"""WITH $d66Ctes,
        |votes AS (
        |  SELECT r.vec_id, e.label AS nbr_label, COUNT(*) AS n_votes
        |  FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
@@ -1008,7 +1022,14 @@ object Similarity {
     * tail. Declared lazy so it composes the (lazy) kmeans CTE text
     * once at first use. */
   lazy val d66Sql: String =
-    s"""WITH ${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
+    s"""WITH $d66Ctes
+       |SELECT vec_id, nbr_id, cos, rank FROM ranked
+       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
+  /** The d66 chain through `ranked` — shared by [[d66Sql]] and the
+    * re-based [[d51Sql]]. */
+  private lazy val d66Ctes: String =
+    s"""${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
        |${assignCte(s"a${KmIters + 1}", "q", s"c$KmIters")},
        |posted AS (
        |  SELECT vec_id, cent_id AS cell FROM a${KmIters + 1}
@@ -1034,9 +1055,7 @@ object Similarity {
        |ranked AS (
        |  SELECT vec_id, nbr_id, cos, ROW_NUMBER() OVER (
        |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
-       |  FROM scored)
-       |SELECT vec_id, nbr_id, cos, rank FROM ranked
-       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+       |  FROM scored)""".stripMargin
 
   val PqSubspaces = 4 // 64-dim embedding → 4 × 16-dim subvectors
   val PqSubDim = 16

@@ -130,8 +130,9 @@ class Relational6Spec extends AnyFunSuite {
       qs.select("qid").as[Long].collect().toSet)
   }
 
-  test("d51 knn label: prediction is the majority of d49 neighbors") {
-    val knn = Similarity.d49KnnGraph(spark, sf)
+  test("d51 knn label: prediction is the majority of d66 neighbors " +
+    "(re-based r10 onto the measured-best graph)") {
+    val knn = Similarity.d66CellKnn(spark, sf)
       .select("vec_id", "nbr_id").as[(Long, Long)].collect()
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").as[(Long, Int)].collect().toMap
