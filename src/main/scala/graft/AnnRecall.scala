@@ -30,6 +30,8 @@ object AnnRecall {
     }.mkString(",")
     val projByR = curveJson(a.projectedRecallCurve(spark))
     val projByDims = curveJson(a.projectedDimsCurve(spark))
+    val mrlByR = curveJson(a.mrlRerankCurve(spark))
+    val mrlByWidth = curveJson(a.mrlWidthCurve(spark))
     // d47 production config: residual IVF+PQ shortlist + exact
     // re-rank, (nprobe × codes × R) — the round-7 verdict's sweep.
     // Recall is CAPPED by the full-precision probe ceiling (recall_
@@ -52,6 +54,8 @@ object AnnRecall {
         },"residual_ivfpq_recall_by_codes":{$residByCodes
         },"projected_rerank_by_R":{$projByR
         },"projected_rerank_by_dims_at_R50":{$projByDims
+        },"mrl_rerank_by_R_at_width16":{$mrlByR
+        },"mrl_rerank_by_width_at_R50":{$mrlByWidth
         },"residual_rerank_by_nprobe_codes_R":{$rerankByCodes
         },"banding_edge_recall":{${
           a.bandingRecall(spark).map { case (k, v) =>

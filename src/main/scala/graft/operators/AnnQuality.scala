@@ -300,6 +300,48 @@ object AnnQuality {
     }
   }
 
+  /** MRL serving sweep widths (prefix dims) — 64 is the exactness
+    * control: a full-width "prefix" shortlist IS the exact ranking,
+    * so recall@k must be 1.0 whenever R ≥ k. */
+  val MrlWidths = Seq(8, 16, 32, 64)
+  val MrlRs = Seq(10, 20, 50, 100)
+
+  /** d67 recall surface: recall@[[RecallK]] of the MRL-prefix
+    * shortlist → full-width re-rank serving config, vs shortlist R at
+    * the serving width — the (width, R) quality surface a production
+    * truncation decision reads next to d64's prefix-only ladder. */
+  def mrlRerankCurve(spark: SparkSession,
+      rs: Seq[Int] = MrlRs, width: Int = Similarity.MrlWidth)
+      : Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    rs.map { r =>
+      val hits = Similarity.prefixRerank(qs, corp, r, RecallK, width)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (r, hits / denom)
+    }
+  }
+
+  /** The width leg of the d67 surface at fixed R. */
+  def mrlWidthCurve(spark: SparkSession,
+      widths: Seq[Int] = MrlWidths, r: Int = 50): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    widths.map { d =>
+      val hits = Similarity.prefixRerank(qs, corp, r, RecallK, d)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (d, hits / denom)
+    }
+  }
+
   /** BANDING recall on the planted corpus — the d55-vs-d59 trade as
     * a committed measurement: of each vector's exact
     * top-[[RecallK]] neighbor edges, the share each

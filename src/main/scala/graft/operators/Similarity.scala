@@ -2485,6 +2485,96 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** d67 serving prefix width: 16 of 64 dims — the same 4× front-end
+    * compression point as d45's projection and the width d64's ladder
+    * audits. */
+  val MrlWidth = 16
+
+  /** d67: MATRYOSHKA-prefix shortlist + full-width exact re-rank —
+    * the serving config modern MRL embedding stacks run (round-9
+    * verdict item 6; Kusupati et al., public): the index stores/scans
+    * only each vector's [[MrlWidth]]-dim PREFIX (d64's truncation,
+    * k-fold memory and scan-cost cut), and only queries×[[RerankR]]
+    * shortlisted rows re-meet the full 64-dim vectors for the final
+    * ranking — d30's re-rank shape with prefix truncation instead of
+    * ADC. Composition of audited parts: d64 measures what the prefix
+    * alone costs; this closes the loop with the re-rank that buys the
+    * quality back (recall-vs-(width, R) surface committed in
+    * ann_recall.json, floors spec-pinned). All-integer arithmetic on
+    * prefix slices, so the oracle replays shortlist → re-rank
+    * bit-for-bit. At scale: the shortlist is the only corpus-wide
+    * ranking and runs at 1/4 width, the re-rank join is queries×R
+    * bounded — same contract as d45/d30. */
+  def d67MrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    prefixRerank(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+      qz.filter(col("vec_id") >= NumQueries),
+      RerankR, TopK)
+  }
+
+  /** d67's core on already-quantized relations — [[projectedRerank]]
+    * with a PREFIX SLICE where that uses a JL projection; reused by
+    * AnnQuality's MRL recall sweep on the planted corpus. */
+  def prefixRerank(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int, width: Int = MrlWidth): DataFrame = {
+    val qs = queries.withColumn("q_pv", slice(col("q_qv"), 1, width))
+    val cs = cands.withColumn("pv", slice(col("qv"), 1, width))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdist"), col("vec_id"))
+    val shortlist = cs.crossJoin(broadcast(qs))
+      .withColumn("pdist", qDist(col("q_pv"), col("pv")))
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= r)
+      .select(col("q_id"), col("vec_id"), col("q_qv"), col("qv"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    shortlist
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle for d67: quantize, prefix-slice L2 shortlist cut at
+    * [[RerankR]], exact full-width re-rank — the d45 oracle shape
+    * minus the plane derivation. */
+  lazy val d67Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |pd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $MrlWidth),
+       |      d -> (a.qv[d] - b.qv[d]) * (a.qv[d] - b.qv[d])))
+       |      AS BIGINT) AS pdist
+       |  FROM q a JOIN q b
+       |    ON a.vec_id < $NumQueries AND b.vec_id >= $NumQueries),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |        PARTITION BY q_id ORDER BY pdist, vec_id) AS prank
+       |    FROM pd) s
+       |  WHERE prank <= $RerankR),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      d -> (qq.qv[d] - vv.qv[d]) * (qq.qv[d] - vv.qv[d])))
+       |      AS BIGINT) AS dist
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.q_id
+       |  JOIN q vv ON vv.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, dist, rank FROM (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr) f
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   /** Oracle for d45: the d44 long-form projection CTE, pairwise
     * projected L2 by plane-join + GROUP BY, windowed shortlist cut,
     * exact 64-dim re-rank. */

@@ -68,6 +68,28 @@ class PipelineSpec extends AnyFunSuite {
       s"banding recall out of expected band: wide=$wide mp=$mp")
   }
 
+  test("d67 MRL rerank: recall climbs with BOTH levers (R and width), " +
+    "and a full-width prefix at R >= k is exact") {
+    // the serving-config surface committed in ann_recall.json: a
+    // 16-of-64 prefix buys a cheap shortlist, the full-width re-rank
+    // buys quality back as R grows; a 64-wide "prefix" shortlist IS
+    // the exact ranking, so recall@k = 1.0 at any R >= k — the
+    // harness-pinning control (same discipline as d25's full-probe
+    // degeneracy)
+    val a = graft.operators.AnnQuality
+    val byR = a.mrlRerankCurve(spark).map(_._2)
+    assert(byR.zip(byR.tail).forall { case (lo, hi) => hi >= lo },
+      s"recall not monotone in R: $byR")
+    assert(byR.last > byR.head,
+      s"recall flat across the whole R sweep: $byR")
+    val byW = a.mrlWidthCurve(spark)
+    assert(byW.map(_._2).zip(byW.map(_._2).tail)
+        .forall { case (lo, hi) => hi >= lo },
+      s"recall not monotone in width: $byW")
+    assert(byW.last._1 == 64 && byW.last._2 == 1.0,
+      s"full-width control not exact: ${byW.last}")
+  }
+
   test("d66 trained-cell blocking: more edge recall than d59 at less " +
     "candidate volume (the r10 audit floors)") {
     // deterministic planted corpus — measured 0.838 recall at 0.50M
