@@ -55,10 +55,14 @@ object ScaleCurve {
     val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       "/root/repo/localdata/sf10")
     val skewOnly = args.contains("skew")
+    // `stream` runs ONLY the streaming-throughput points (quick
+    // iteration on that column without the full sweep); artifact is
+    // not rewritten in that mode
+    val streamOnly = args.contains("stream")
 
     try graft.operators.MapBench.warmFixtures(spark, sf01)
     catch { case _: Throwable => () }
-    if (!skewOnly) {
+    if (!skewOnly && !streamOnly) {
       // throwaway warm pass at sf0.01: absorbs JIT/codegen/first-touch
       // costs so the sf0.1 column isn't inflated by cold-JVM effects
       // (the r5 first cut read sf0.1 SLOWER than sf1 for the first
@@ -110,7 +114,7 @@ object ScaleCurve {
       }
 
     val curve: Seq[(String, Seq[(String, String, Double, Option[Double])])] =
-      if (skewOnly) Nil
+      if (skewOnly || streamOnly) Nil
       else {
         println("sf0.1 sweep:")
         val c01 = sweep(sf01, coldWarm = false)
@@ -121,6 +125,28 @@ object ScaleCurve {
         Seq("sf0.1" -> c01, "sf1" -> c1, "sf10" -> c10)
       }
 
+    // STREAMING throughput column (round-9 verdict item 7): the real
+    // streaming leg of s01 (file source → watermarked window agg →
+    // noop sink, drained as per-file micro-batches under AvailableNow)
+    // at each scale's event volume — rows/s plus the per-batch
+    // latency spread, the numbers §2e's correctness pins don't carry
+    val streamPts: Seq[(String, graft.streaming.StreamBench.Throughput)] =
+      if (skewOnly) Nil
+      else Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf10" -> sf10)
+        .filter { case (_, d) => new java.io.File(d).isDirectory }
+        .flatMap { case (tag, d) =>
+          try {
+            val t = graft.streaming.StreamBench.s01Throughput(spark, d)
+            println(s"  streaming s01 @ $tag: ${t.rows} rows in ${
+              fmt(t.wallSec)} s = ${fmt(t.rowsPerSec / 1000)}k rows/s, " +
+              s"avg batch ${fmt(t.avgBatchMs)} ms, max ${t.maxBatchMs} ms")
+            Seq(tag -> t)
+          } catch { case e: Throwable =>
+            println(s"  streaming s01 @ $tag failed: ${e.getMessage}")
+            Nil
+          }
+        }
+
     // the committed artifact drills skew at sf10 when the replica is
     // there: the hot key then holds ~18M rows and the straggler
     // dwarfs job overhead (at sf1 the two are comparable and the
@@ -129,7 +155,8 @@ object ScaleCurve {
       if (new java.io.File(sf10).isDirectory) sf10 else sf1
     println(s"skew drill (${skewDir.split('/').last}):")
     val skew =
-      try graft.operators.SkewBench.drill(spark, skewDir)
+      if (streamOnly) Nil
+      else try graft.operators.SkewBench.drill(spark, skewDir)
       catch { case e: Throwable =>
         println("  skew drill failed: " + e.getMessage); Nil }
     skew.foreach { case (k, v) => println(s"  $k: ${fmt(v)} s") }
@@ -146,10 +173,18 @@ object ScaleCurve {
     val skewJson = skew.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val curvePart = if (curveJson.isEmpty) "" else curveJson + ","
+    val streamJson = streamPts.map { case (tag, t) =>
+      s""""$tag":{"rows":${t.rows},"rows_per_s":${fmt(t.rowsPerSec)
+        },"batches":${t.batchMs.size},"avg_batch_ms":${fmt(t.avgBatchMs)
+        },"max_batch_ms":${t.maxBatchMs}}"""
+    }.mkString("{", ",", "}")
+    val streamPart =
+      if (streamPts.isEmpty) ""
+      else s""""2e_streaming_throughput":$streamJson,"""
     val skewTag = "skew_" + skewDir.split('/').last
-    val json = s"""{"families":$famJson,$curvePart"$skewTag":$skewJson,"execution":"full-plan noop, local[${
+    val json = s"""{"families":$famJson,$curvePart$streamPart"$skewTag":$skewJson,"execution":"full-plan noop, local[${
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"}"""
-    if (!skewOnly)
+    if (!skewOnly && !streamOnly)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("scale_curve.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

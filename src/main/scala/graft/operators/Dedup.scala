@@ -1513,5 +1513,117 @@ object Dedup {
        |SELECT DISTINCT a_id, b_id, edit_dist
        |FROM (${pair(1)} UNION ALL ${pair(2)})
        |ORDER BY a_id, b_id""".stripMargin
+  }\n
+  // ---- d68: content-defined chunking / exact-substring dedup --------
+
+  /** Words per boundary-hash window (the CDC rolling window). */
+  val ChunkShingle = 3
+  /** Boundary modulus: a position closes its chunk when its 3-word
+    * shingle's hash ≡ 0 (mod 8) — expected chunk length 8 words. */
+  val ChunkMod = 8
+  /** Chunks shorter than this don't report (trivial repeats). */
+  val MinChunkWords = 4
+
+  /** d68: CONTENT-DEFINED CHUNKING over words + the repeated-chunk
+    * report — the building block of exact-substring dedup (the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better"
+    * treatment, public; suffix arrays find arbitrary repeats, CDC
+    * finds them at boundary-aligned granularity for a single
+    * hash-groupBy). Boundaries come from the CONTENT (a word position
+    * closes its chunk when its [[ChunkShingle]]-word shingle hash ≡ 0
+    * mod [[ChunkMod]]), so a shared passage chunks identically in
+    * every document that contains it REGARDLESS of offset — the
+    * property a fixed-width splitter lacks and the reason CDC is the
+    * standard dedup primitive for both bytes (m03) and text (here).
+    * Report: every ≥[[MinChunkWords]]-word chunk appearing in ≥2
+    * distinct documents, with occurrence counts and the doc-id span.
+    *
+    * Plan shape: one per-doc window (lag shingle + running boundary
+    * sum — bounded by doc length), one (doc, chunk) aggregate, one
+    * corpus-wide hash groupBy. Nothing pairwise, nothing quadratic:
+    * the cross-doc meeting point is the chunk-hash aggregate, the
+    * same contract as d01's exact dedup. Boundary hash reads ONE hex
+    * digit of md5 (portable); chunk identity is the full md5 of the
+    * chunk text. Plants (the d02 corpus) guarantee measured repeats:
+    * a last-word-truncated copy shares every interior chunk of its
+    * original. */
+  def d68CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.words(col("text")))
+          .as(Seq("pos", "w")))
+    val bd = words
+      .withColumn("w1", lag(col("w"), 1).over(byDoc))
+      .withColumn("w2", lag(col("w"), 2).over(byDoc))
+      .withColumn("boundary",
+        (col("pos") >= ChunkShingle - 1 &&
+          pmod(conv(substring(md5(concat_ws(" ",
+            col("w2"), col("w1"), col("w"))), 16, 1), 16, 10)
+            .cast("long"), lit(ChunkMod.toLong)) === 0L).cast("long"))
+    val chunks = bd
+      .withColumn("chunk_idx", coalesce(
+        sum(col("boundary")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ")).as("chunk_hash"))
+    chunks.filter(col("n_words") >= MinChunkWords)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        min(col("n_words")).as("n_words"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
   }
-}
+
+  /** DuckDB oracle for d68: words with positions, the lag-shingle
+    * boundary walk, running-sum chunk ids, ordered string_agg chunk
+    * hashing, and the cross-doc report — step for step. */
+  lazy val d68Sql: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql} AS wl
+       |  FROM ($corpusSql)),
+       |words AS (
+       |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(wl)),
+       |        i -> struct_pack(pos := i - 1, w := wl[i]))) AS u
+       |    FROM wl) s),
+       |sh AS (
+       |  SELECT doc_id, pos, w,
+       |    LAG(w, 2) OVER dw AS w2, LAG(w, 1) OVER dw AS w1
+       |  FROM words
+       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |bd AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN pos >= ${ChunkShingle - 1} AND
+       |      (strpos('0123456789abcdef', substring(
+       |         md5(w2 || ' ' || w1 || ' ' || w), 16, 1)) - 1)
+       |        % $ChunkMod = 0
+       |      THEN 1 ELSE 0 END AS boundary
+       |  FROM sh),
+       |ci AS (
+       |  SELECT doc_id, pos, w,
+       |    COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+       |      ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_idx
+       |  FROM bd),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, COUNT(*) AS n_words,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM ci GROUP BY doc_id, chunk_idx)
+       |SELECT chunk_hash,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(MIN(n_words) AS BIGINT) AS n_words
+       |FROM ch WHERE n_words >= $MinChunkWords
+       |GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_hash""".stripMargin
+}\n
