@@ -402,8 +402,20 @@ object AnnQuality {
       .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
   }
 
-  private def cellPrimary(spark: SparkSession): DataFrame =
-    cellRanked(spark).filter(col("rn") === 1)
+  /** Posting side EXACTLY as the d66 generator builds it: primary
+    * cells filtered through the [[Similarity.NearDupMaxBucket]]
+    * capped-cell set — without the cap the audit would overstate the
+    * generator's recall/volume whenever a cell exceeds it (ADVICE
+    * r10; harmless at this corpus's occupancy, but the audit must
+    * measure the generator's ACTUAL candidate relation). */
+  private def cellPrimary(spark: SparkSession): DataFrame = {
+    val primary = cellRanked(spark).filter(col("rn") === 1)
+    val capped = primary.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Similarity.NearDupMaxBucket)
+      .select(col("cell"))
+    primary.join(capped, Seq("cell"), "left_semi")
+  }
 
   private def cellProbes(spark: SparkSession): DataFrame =
     cellRanked(spark).filter(col("rn") <= Similarity.CellProbes)
@@ -415,31 +427,36 @@ object AnnQuality {
     * scheme proposes, exactly as its generator joins them. */
   def candidateVolumes(spark: SparkSession): Seq[(String, Long)] = {
     val corp = corpus(spark)
+    // checkpointed for the three reuses below, unpersisted before
+    // returning — everything here is materialized by the count()s,
+    // so the blocks must not outlive the call (ADVICE r10)
     val sigs = corp.select(col("vec_id"),
         Similarity.portableLshSignature(
           col("qv").cast("array<double>")).as("sig"))
       .localCheckpoint()
-    val wide = (0 until Similarity.WideTables).map { h =>
-      val b = sigs.select(col("vec_id"),
-        shiftright(col("sig"), h * Similarity.WideBits)
-          .bitwiseAND(lit(0xffffL)).as("b"))
-      b.as("a").join(b.as("bb"), col("a.b") === col("bb.b") &&
-          col("a.vec_id") =!= col("bb.vec_id"))
-        .select(col("a.vec_id").as("q_id"), col("bb.vec_id").as("vec_id"))
-    }.reduce(_ unionByName _).distinct().count()
-    val mask = (1L << Similarity.MpBits) - 1
-    val mp20 = sigs.select(col("vec_id"),
-      col("sig").bitwiseAND(lit(mask)).as("b"))
-    val mp = mp20.as("a").join(mp20.as("bb"),
-        expr("bit_count(a.b ^ bb.b) <= 1") &&
-          col("a.vec_id") =!= col("bb.vec_id"))
-      .count()
-    val cell = cellProbes(spark).select(col("vec_id").as("q_id"),
-        col("cell"))
-      .join(cellPrimary(spark), Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id")).distinct().count()
-    Seq("wide_2x16" -> wide, "multiprobe_20bit_h1" -> mp,
-      "cell_blocked_16x2" -> cell)
+    try {
+      val wide = (0 until Similarity.WideTables).map { h =>
+        val b = sigs.select(col("vec_id"),
+          shiftright(col("sig"), h * Similarity.WideBits)
+            .bitwiseAND(lit(0xffffL)).as("b"))
+        b.as("a").join(b.as("bb"), col("a.b") === col("bb.b") &&
+            col("a.vec_id") =!= col("bb.vec_id"))
+          .select(col("a.vec_id").as("q_id"), col("bb.vec_id").as("vec_id"))
+      }.reduce(_ unionByName _).distinct().count()
+      val mask = (1L << Similarity.MpBits) - 1
+      val mp20 = sigs.select(col("vec_id"),
+        col("sig").bitwiseAND(lit(mask)).as("b"))
+      val mp = mp20.as("a").join(mp20.as("bb"),
+          expr("bit_count(a.b ^ bb.b) <= 1") &&
+            col("a.vec_id") =!= col("bb.vec_id"))
+        .count()
+      val cell = cellProbes(spark).select(col("vec_id").as("q_id"),
+          col("cell"))
+        .join(cellPrimary(spark), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id")).distinct().count()
+      Seq("wide_2x16" -> wide, "multiprobe_20bit_h1" -> mp,
+        "cell_blocked_16x2" -> cell)
+    } finally Similarity.unpinCheckpoint(sigs)
   }
 }

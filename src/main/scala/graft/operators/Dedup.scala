@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1228,25 +1229,48 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val dst = new Path(idxDir)
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a committed index with the matching fingerprint is equivalent
+    // by construction (same corpus, deterministic build): NEVER
+    // delete it out from under a concurrent reader — reuse it
+    def committedMatch(): Boolean =
+      graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
+        readIndexFingerprint(spark, idxDir).contains(fp)
+    if (committedMatch()) return
     val tmp = new Path(idxDir + ".build-" +
       java.lang.ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8))
-    base.write.mode("overwrite").parquet(tmp.toString)
-    // fp stamp BEFORE the commit marker: a torn build can never
-    // present a marker without its fingerprint
-    val out = f.create(new Path(tmp, IndexFpName), true)
-    try out.write(fp.getBytes("UTF-8")) finally out.close()
-    graft.sources.AtomicCommit.commit(spark, tmp.toString)
-    if (f.exists(dst)) f.delete(dst, true) // stale or torn loser
-    if (!f.rename(tmp, dst)) {
-      // another process published between the delete and the rename:
-      // its index is equivalent — drop ours and require theirs whole
-      f.delete(tmp, true)
-      require(
-        graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
-          readIndexFingerprint(spark, idxDir).contains(fp),
-        s"lost index-publish race at $idxDir but no committed " +
-          "matching index found")
+    // try/finally: a failed parquet write or lost race must not leave
+    // the private build tree behind
+    var published = false
+    try {
+      base.write.mode("overwrite").parquet(tmp.toString)
+      // fp stamp BEFORE the commit marker: a torn build can never
+      // present a marker without its fingerprint
+      val out = f.create(new Path(tmp, IndexFpName), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      graft.sources.AtomicCommit.commit(spark, tmp.toString)
+      if (f.exists(dst) && !committedMatch())
+        f.delete(dst, true) // stale or torn loser, wrong fingerprint
+      // Hadoop rename(tmp, dst) with dst an EXISTING directory moves
+      // tmp INSIDE dst instead of returning false — so re-check dst
+      // right before the rename and treat any dst-existence as a
+      // lost race rather than trusting rename's return value
+      published = !f.exists(dst) && f.rename(tmp, dst) &&
+        !f.exists(new Path(dst, tmp.getName))
+      if (f.exists(new Path(dst, tmp.getName))) {
+        // rename-into-dir happened anyway (dst appeared in the gap):
+        // our tree nested inside the winner's — remove the orphan
+        f.delete(new Path(dst, tmp.getName), true)
+        published = false
+      }
+      if (!published)
+        // another process published concurrently: its index is
+        // equivalent — drop ours and require theirs whole
+        require(committedMatch(),
+          s"lost index-publish race at $idxDir but no committed " +
+            "matching index found")
+    } finally {
+      if (!published && f.exists(tmp)) f.delete(tmp, true)
     }
   }
 
@@ -1513,7 +1537,8 @@ object Dedup {
        |SELECT DISTINCT a_id, b_id, edit_dist
        |FROM (${pair(1)} UNION ALL ${pair(2)})
        |ORDER BY a_id, b_id""".stripMargin
-  }\n
+  }
+
   // ---- d68: content-defined chunking / exact-substring dedup --------
 
   /** Words per boundary-hash window (the CDC rolling window). */
@@ -1547,7 +1572,11 @@ object Dedup {
     * chunk text. Plants (the d02 corpus) guarantee measured repeats:
     * a last-word-truncated copy shares every interior chunk of its
     * original. */
-  def d68CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared CDC chunk relation: (doc_id, chunk_idx, n_words,
+    * chunk_text, chunk_hash) — one per-doc window pass + one
+    * (doc, chunk) aggregate; d68 reports over it, d69 strips with
+    * it. */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = corpusWithPlants(spark, dir)
       .select(col("doc_id"),
@@ -1561,16 +1590,20 @@ object Dedup {
           pmod(conv(substring(md5(concat_ws(" ",
             col("w2"), col("w1"), col("w"))), 16, 1), 16, 10)
             .cast("long"), lit(ChunkMod.toLong)) === 0L).cast("long"))
-    val chunks = bd
+    bd
       .withColumn("chunk_idx", coalesce(
         sum(col("boundary")).over(
           byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(count(lit(1)).as("n_words"),
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w")), " ")).as("chunk_hash"))
-    chunks.filter(col("n_words") >= MinChunkWords)
+          s => s.getField("w")), " ").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
+  def d68CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir).filter(col("n_words") >= MinChunkWords)
       .groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
@@ -1579,7 +1612,6 @@ object Dedup {
         min(col("n_words")).as("n_words"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("chunk_hash"))
-  }
 
   /** DuckDB oracle for d68: words with positions, the lag-shingle
     * boundary walk, running-sum chunk ids, ordered string_agg chunk
@@ -1626,4 +1658,109 @@ object Dedup {
        |FROM ch WHERE n_words >= $MinChunkWords
        |GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY chunk_hash""".stripMargin
-}\n
+
+  /** d69: the EXACT-SUBSTRING-DEDUP DELIVERABLE — the corpus with
+    * repeated passages STRIPPED (what d68 reports, d69 removes; the
+    * Lee et al. treatment's output side). Every ≥[[MinChunkWords]]-word
+    * CDC chunk occurring ≥2 times in the corpus keeps only its FIRST
+    * occurrence (min (doc_id, chunk_idx) — d01's keep-min convention,
+    * applied intra-doc too, so self-repetition is stripped along with
+    * cross-doc boilerplate); all later occurrences are cut and the
+    * surviving chunks re-join in order as the doc's deduped text.
+    * Per doc: chunk/drop counts, word counts in/out, and the stripped
+    * text itself.
+    *
+    * Plan shape: the shared [[cdcChunks]] relation (one per-doc
+    * window + one (doc, chunk) aggregate), then ONE chunk-hash
+    * groupBy for the keeper election (partial-aggregable min/count —
+    * never a per-hash window, so a mass-duplicated chunk costs its
+    * combiner nothing), one equi-join back, one per-doc aggregate to
+    * re-assemble. Nothing pairwise. The keeper key packs
+    * (doc_id, chunk_idx) as doc_id·10⁶+idx — exact while docs stay
+    * under 10⁶ chunks (testdata docs are ≤10³ words; a corpus of
+    * book-length docs would widen the packing, noted here). */
+  def d69CdcStrip(spark: SparkSession, dir: String): DataFrame = {
+    val occ = cdcChunks(spark, dir)
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("chunk_idx"))
+    val dups = occ.filter(col("n_words") >= MinChunkWords)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("k")).as("keep_k"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("chunk_hash"), col("keep_k"))
+    occ.join(dups.hint("shuffle_hash"), Seq("chunk_hash"), "left")
+      .withColumn("dropped",
+        (col("keep_k").isNotNull && col("k") =!= col("keep_k"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(col("n_words")).as("words_in"),
+        sum(when(col("dropped") === 0, col("n_words"))
+          .otherwise(0L)).as("words_out"),
+        array_join(transform(filter(
+          array_sort(collect_list(struct(
+            col("chunk_idx"), col("dropped"), col("chunk_text")))),
+          s => s.getField("dropped") === 0),
+          s => s.getField("chunk_text")), " ").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for d69: the d68 chunk CTEs extended with chunk
+    * text, the packed-key keeper election, and the per-doc
+    * re-assembly — step for step. */
+  lazy val d69Sql: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql} AS wl
+       |  FROM ($corpusSql)),
+       |words AS (
+       |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(wl)),
+       |        i -> struct_pack(pos := i - 1, w := wl[i]))) AS u
+       |    FROM wl) s),
+       |sh AS (
+       |  SELECT doc_id, pos, w,
+       |    LAG(w, 2) OVER dw AS w2, LAG(w, 1) OVER dw AS w1
+       |  FROM words
+       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |bd AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN pos >= ${ChunkShingle - 1} AND
+       |      (strpos('0123456789abcdef', substring(
+       |         md5(w2 || ' ' || w1 || ' ' || w), 16, 1)) - 1)
+       |        % $ChunkMod = 0
+       |      THEN 1 ELSE 0 END AS boundary
+       |  FROM sh),
+       |ci AS (
+       |  SELECT doc_id, pos, w,
+       |    COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+       |      ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_idx
+       |  FROM bd),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, COUNT(*) AS n_words,
+       |    string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+       |    doc_id * 1000000 + chunk_idx AS k
+       |  FROM ci GROUP BY doc_id, chunk_idx),
+       |dups AS (
+       |  SELECT chunk_hash, MIN(k) AS keep_k
+       |  FROM ch WHERE n_words >= $MinChunkWords
+       |  GROUP BY chunk_hash HAVING COUNT(*) >= 2),
+       |marked AS (
+       |  SELECT ch.*, CASE WHEN d.keep_k IS NOT NULL
+       |      AND ch.k <> d.keep_k THEN 1 ELSE 0 END AS dropped
+       |  FROM ch LEFT JOIN dups d USING (chunk_hash))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(n_words) AS BIGINT) AS words_in,
+       |  CAST(SUM(CASE WHEN dropped = 0 THEN n_words ELSE 0 END)
+       |    AS BIGINT) AS words_out,
+       |  COALESCE(string_agg(CASE WHEN dropped = 0 THEN chunk_text END,
+       |    ' ' ORDER BY chunk_idx), '') AS text_out
+       |FROM marked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+}

@@ -203,11 +203,39 @@ object Similarity {
   private val simCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (DataFrame, Seq[DataFrame])]
 
+  /** localCheckpoint'ed relations pinned OUTSIDE the CacheManager
+    * (localCheckpoint persists the Dataset's internal RDD directly,
+    * so `Dataset.unpersist()` can't free it — the
+    * LinkGraph.roundCache lesson, ADVICE r10); released by
+    * [[releaseSimCache]], which Bench calls between reps. */
+  private val ckptCache = scala.collection.mutable.ArrayBuffer
+    .empty[DataFrame]
+
+  private[operators] def pinCheckpoint(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint()
+    ckptCache.synchronized { ckptCache += p }
+    p
+  }
+
+  /** Free a checkpointed Dataset's blocks directly (its plan is a
+    * LogicalRDD wrapping exactly the persisted RDD). Safe once its
+    * consumers are materialized. */
+  private[operators] def unpinCheckpoint(p: DataFrame): Unit =
+    p.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => p.unpersist()
+    }
+
   def releaseSimCache(): Unit = {
     simCache.values.foreach { case (_, pinned) =>
       pinned.foreach(_.unpersist())
     }
     simCache.clear()
+    ckptCache.synchronized {
+      ckptCache.foreach(unpinCheckpoint)
+      ckptCache.clear()
+    }
   }
 
   /** d12: the SCALE path for near-dup pairs — candidates meet only
@@ -721,8 +749,9 @@ object Similarity {
     // of re-deriving it per width, and derive the dims=64 control row
     // from it directly (its self-join recall is 1.0 by construction,
     // so a second full-width topk computed the same relation twice —
-    // ADVICE r9)
-    val base = topk(64).localCheckpoint()
+    // ADVICE r9); pinned through ckptCache so releaseSimCache frees
+    // the blocks (ADVICE r10)
+    val base = pinCheckpoint(topk(64))
     MatryoshkaDims.map { p =>
       val hits =
         if (p == 64) base.agg(count(lit(1)).as("n_hits"))

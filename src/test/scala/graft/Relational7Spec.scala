@@ -257,4 +257,89 @@ class Relational7Spec extends AnyFunSuite {
         s"pair ($a,$b) cos $cos != $expCos")
     }
   }
+
+  test("d68 CDC chunks: report equals the brute-force chunker and " +
+    "planted copies share interior chunks cross-doc") {
+    val got = Dedup.d68CdcChunks(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nDocs, nOcc, first, last, nWords) =>
+      assert(nDocs >= 2 && nOcc >= nDocs && first <= last &&
+        nWords >= Dedup.MinChunkWords)
+    }
+    // brute-force the identical content-defined chunking on the
+    // driver (same words, same shingle hash digit, same mod) and
+    // require the FULL report to match
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[(String, Int)] = {
+      val ws = Option(text).getOrElse("").trim.split(" ", -1)
+      val bounds = ws.indices.map { i =>
+        i >= Dedup.ChunkShingle - 1 && Integer.parseInt(
+          md5hex(s"${ws(i - 2)} ${ws(i - 1)} ${ws(i)}")
+            .substring(15, 16), 16) % Dedup.ChunkMod == 0
+      }
+      val idxs = ws.indices.map(i => bounds.take(i).count(identity))
+      ws.indices.groupBy(idxs).toSeq.map { case (ci, ps) =>
+        val words = ps.sorted.map(ws)
+        (ci, (md5hex(words.mkString(" ")), words.length))
+      }.sortBy(_._1).map(_._2)
+    }
+    val docs = Dedup.corpusWithPlants(spark, sf)
+      .as[(Long, String)].collect()
+    val exp = docs.flatMap { case (id, t) =>
+      chunksOf(t).filter(_._2 >= Dedup.MinChunkWords)
+        .map { case (h, n) => (h, id, n) }
+    }.groupBy(_._1).map { case (h, occ) =>
+      val ids = occ.map(_._2)
+      (h, ids.distinct.length.toLong, occ.length.toLong,
+        ids.min, ids.max, occ.map(_._3).min.toLong)
+    }.filter(_._2 >= 2).toSeq.sortBy(_._1)
+    assert(got.toSeq.sortBy(_._1) == exp,
+      s"CDC report mismatch: got ${got.length} rows, want ${exp.length}")
+    // offset-invariance: at least one chunk is shared between an
+    // original (<1e6) and its planted truncated copy (>=1e6)
+    assert(got.exists { case (_, _, _, first, last, _) =>
+      first < 1000000L && last >= 1000000L })
+
+    // ---- d69 strip: brute-force the keeper election + re-assembly
+    val all = docs.flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case ((h, n), ci) =>
+        (h, id, ci.toLong, n)
+      }
+    }
+    val keepK = all.filter(_._4 >= Dedup.MinChunkWords)
+      .groupBy(_._1).collect { case (h, occ) if occ.length >= 2 =>
+        h -> occ.map(o => o._2 * 1000000L + o._3).min
+      }
+    val expStrip = all.groupBy(_._2).map { case (id, occ) =>
+      val marked = occ.sortBy(_._3).map { case (h, _, ci, n) =>
+        val dropped = keepK.get(h).exists(_ != id * 1000000L + ci)
+        (dropped, n)
+      }
+      id -> ((id, occ.length.toLong,
+        marked.count(_._1).toLong,
+        marked.map(_._2.toLong).sum,
+        marked.filterNot(_._1).map(_._2.toLong).sum))
+    }
+    val gotStrip = Dedup.d69CdcStrip(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(gotStrip.map(_._1).toSeq == gotStrip.map(_._1).sorted.toSeq)
+    assert(gotStrip.length == expStrip.size)
+    var anyDropped = false
+    gotStrip.foreach { case (id, nc, nd, wi, wo, text) =>
+      assert(expStrip(id) == ((id, nc, nd, wi, wo)),
+        s"d69 counts for doc $id: got ($nc,$nd,$wi,$wo), " +
+          s"want ${expStrip(id)}")
+      // the re-assembled text is exactly the surviving chunks of the
+      // original in order — check word count agreement (full-text
+      // equality is pinned by the oracle hash compare)
+      val n = if (wo == 0L) { assert(text.isEmpty); 0L }
+        else text.split(" ", -1).length.toLong
+      assert(n == wo, s"doc $id text_out has $n words, wants $wo")
+      anyDropped ||= nd > 0
+    }
+    assert(anyDropped, "plants must force at least one stripped chunk")
+  }
 }
