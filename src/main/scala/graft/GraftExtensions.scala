@@ -96,6 +96,10 @@ object GraftExtensions {
         " occurrence (multiset; feed graft_simhash)",
       e => ShingleHashes(e.head,
         intArg(e(1), "graft_shingle_hashes_all"), dedup = false)),
+    fn("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity" +
+        " (DuckDB/RapidFuzz semantics; byte-wise, exact for ASCII)",
+      e => graft.functions.JaroWinkler(e.head, e(1))),
     fn("graft_word_stats",
       "graft_word_stats(text) - struct(n_words, stop_hits, len_sum," +
         " bpe_sum) in one byte scan",

@@ -1539,6 +1539,76 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** d71 acceptance threshold on Jaro–Winkler similarity. */
+  val JwMin = 0.90
+
+  /** d71: SNM-blocked JARO–WINKLER record linkage — the OTHER classic
+    * string-similarity verifier next to edit distance (d24/d60):
+    * Jaro–Winkler weighs matching characters and transpositions
+    * with a common-prefix boost, the standard measure for short keys
+    * (names, titles, normalized headers) where Levenshtein's unit
+    * costs mis-rank. Candidates come from exactly d60's sorted
+    * neighborhood (one hash shuffle on the 2-char block + per-block
+    * lead() windows — nothing pairwise beyond the window); each
+    * candidate pair verifies with the codegen'd [[
+    * graft.functions.TextCodec.jaroWinkler]] kernel, whose semantics
+    * are pinned byte-exact to DuckDB's `jaro_winkler_similarity` for
+    * ASCII (the normalized keys are [a-z0-9]) — so the oracle replays
+    * blocking AND verification verbatim. */
+  def d71JaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, SnmKeyLen).as("k"))
+      .filter(length(col("k")) > 0)
+      .withColumn("blk", substring(col("k"), 1, 2))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("k"), col("doc_id"))
+    val withNext = (1 to SnmWindow).foldLeft(keyed) { (df, i) =>
+      df.withColumn(s"k$i", lead(col("k"), i).over(w))
+        .withColumn(s"id$i", lead(col("doc_id"), i).over(w))
+    }
+    (1 to SnmWindow).map { i =>
+      withNext
+        .filter(col(s"id$i").isNotNull)
+        .select(least(col("doc_id"), col(s"id$i")).as("a_id"),
+          greatest(col("doc_id"), col(s"id$i")).as("b_id"),
+          (round(TextFunctions.jaroWinkler(col("k"), col(s"k$i")), 6)
+            + lit(0.0)).as("jw"))
+        .filter(col("jw") >= JwMin)
+    }.reduce(_ unionByName _)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  lazy val d71Sql: String = {
+    val pair = (i: Int) =>
+      s"""SELECT LEAST(doc_id, id$i) AS a_id,
+         |  GREATEST(doc_id, id$i) AS b_id,
+         |  ROUND(jaro_winkler_similarity(k, k$i), 6) + 0.0 AS jw
+         |FROM nbr WHERE id$i IS NOT NULL
+         |  AND ROUND(jaro_winkler_similarity(k, k$i), 6) >= $JwMin"""
+        .stripMargin
+    s"""WITH corpus AS ($corpusSql),
+       |keyed AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |      1, $SnmKeyLen) AS k
+       |  FROM corpus
+       |  WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '',
+       |    'g')) > 0),
+       |nbr AS (
+       |  SELECT doc_id, k,
+       |    LEAD(k, 1) OVER w AS k1, LEAD(doc_id, 1) OVER w AS id1,
+       |    LEAD(k, 2) OVER w AS k2, LEAD(doc_id, 2) OVER w AS id2
+       |  FROM keyed
+       |  WINDOW w AS (PARTITION BY substring(k, 1, 2)
+       |    ORDER BY k, doc_id))
+       |SELECT DISTINCT a_id, b_id, jw
+       |FROM (${pair(1)} UNION ALL ${pair(2)})
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- d68: content-defined chunking / exact-substring dedup --------
 
   /** Words per boundary-hash window (the CDC rolling window). */

@@ -330,17 +330,90 @@ object Relational7 {
       |FROM c GROUP BY ROLLUP(r_name, nat)
       |ORDER BY g_region, g_nation, r_name, nat""".stripMargin
 
+  /** The q80 profile targets: (column, representation kind). Doubles
+    * profile on the exact integer cent grid (the q71/q75 discipline —
+    * a double min/max stringifies differently per engine; the scaled
+    * long is portable), timestamps as dates. */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "long", "l_partkey" -> "long",
+    "l_suppkey" -> "long", "l_linenumber" -> "long",
+    "l_quantity" -> "cents", "l_extendedprice" -> "cents",
+    "l_discount" -> "cents", "l_tax" -> "cents",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "date")
+
+  /** q80: single-pass DATA-PROFILING report (the Deequ/column-stats
+    * pass every ingest runs before trusting a new table): per column —
+    * row count, null count, exact distinct count, min and max in a
+    * portable string representation. ONE scan produces every metric:
+    * all per-column aggregates live in one Aggregate node (the
+    * several-exact-count-distincts plan, q41 — Catalyst expands by
+    * distinct column; exactness is the profiler's price and the
+    * expand factor is the documented cost knob; a 100 TB profile
+    * would swap in approx_count_distinct per column behind the same
+    * report schema), then the single metrics row unpivots to one row
+    * per column through an inline of a LITERAL-sized struct array —
+    * no second scan, no join. */
+  def q80Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def repr(c: String, kind: String) = kind match {
+      case "long" => col(c)
+      case "cents" => round(col(c) * 100, 0).cast("long")
+      case "string" => col(c)
+      case "date" => col(c).cast("date")
+    }
+    val aggs = ProfileCols.flatMap { case (c, kind) =>
+      val r = repr(c, kind)
+      Seq(count(r).as(s"cnt_$c"),
+        countDistinct(r).as(s"nd_$c"),
+        min(r).cast("string").as(s"mn_$c"),
+        max(r).cast("string").as(s"mx_$c"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = ProfileCols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        coalesce(col(s"mn_$c"), lit("")).as("min_repr"),
+        coalesce(col(s"mx_$c"), lit("")).as("max_repr"))
+    }
+    one.select(explode(array(rows: _*)).as("m"))
+      .select(col("m.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val q80Sql: String = {
+    def sel(c: String, kind: String) = {
+      val r = kind match {
+        case "long" | "string" => c
+        case "cents" => s"CAST(ROUND($c * 100) AS BIGINT)"
+        case "date" => s"CAST($c AS DATE)"
+      }
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($r) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $r) AS BIGINT) AS n_distinct,
+         |  COALESCE(CAST(MIN($r) AS VARCHAR), '') AS min_repr,
+         |  COALESCE(CAST(MAX($r) AS VARCHAR), '') AS max_repr
+         |FROM lineitem""".stripMargin
+    }
+    ProfileCols.map { case (c, k) => sel(c, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
     "q77_weighted_median" -> (q77WeightedMedian _),
     "q78_cdc_apply" -> (q78CdcApply _),
-    "q79_grouping_flags" -> (q79GroupingFlags _))
+    "q79_grouping_flags" -> (q79GroupingFlags _),
+    "q80_profile" -> (q80Profile _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
     "q76_ref_integrity" -> q76Sql,
     "q77_weighted_median" -> q77Sql,
     "q78_cdc_apply" -> q78Sql,
-    "q79_grouping_flags" -> q79Sql)
+    "q79_grouping_flags" -> q79Sql,
+    "q80_profile" -> q80Sql)
 }

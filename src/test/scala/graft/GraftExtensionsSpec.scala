@@ -31,6 +31,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("jaro_winkler matches DuckDB-pinned reference values") {
+    // every pin below was read off DuckDB's jaro_winkler_similarity
+    // (the oracle engine) — including the two semantics traps: any
+    // empty input -> 0 (even both-empty), and INTEGER transposition
+    // halving ('arnab'/'raanb' has 4 mismatched matched positions ->
+    // t=2; 'b00aabbb0'/'00abb0aab' splits floor from fractional)
+    val pins = Seq(
+      ("martha", "marhta", 0.961111), ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296),
+      ("crate", "trace", 0.733333), ("dwayne", "duane", 0.84),
+      ("arnab", "raanb", 0.866667),
+      ("b00aabbb0", "00abb0aab", 0.800926),
+      ("abcdefgh", "abzzzzzz", 0.5), ("aaaa", "aabb", 0.666667),
+      ("ab", "abcdefghij", 0.786667),
+      ("hello world", "hello word", 0.981818),
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("", "", 0.0),
+      ("a", "b", 0.0))
+    pins.foreach { case (a, b, want) =>
+      val got = spark.sql(
+        s"SELECT round(graft_jaro_winkler('$a', '$b'), 6) AS jw")
+        .collect().head.getDouble(0)
+      assert(got == want, s"jw('$a','$b') = $got, want $want")
+      // symmetry
+      val rev = spark.sql(
+        s"SELECT round(graft_jaro_winkler('$b', '$a'), 6) AS jw")
+        .collect().head.getDouble(0)
+      assert(rev == got, s"jw not symmetric on ('$a','$b')")
+    }
+  }
+
   test("simhash and sorted-jaccard SQL functions evaluate") {
     val r = spark.sql(
       "SELECT graft_simhash(graft_shingle_hashes('a b c d e', 3)) AS sh," +

@@ -258,6 +258,67 @@ class Relational7Spec extends AnyFunSuite {
     }
   }
 
+  test("q80 profile: metrics reconcile with direct per-column queries") {
+    val got = Relational7.q80Profile(spark, sf)
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got.length == 11)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    got.foreach { case (c, rows, nulls, nd, mn, mx) =>
+      assert(rows == n && nulls >= 0 && nd >= 1 && nd <= rows,
+        s"$c: rows=$rows nulls=$nulls nd=$nd")
+      assert(mn.nonEmpty && mx.nonEmpty)
+    }
+    val m = got.map(r => r._1 -> r).toMap
+    // spot-check three kinds against direct aggregates
+    val ok = li.agg(countDistinct(col("l_orderkey")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    assert(m("l_orderkey")._4 == ok.getLong(0) &&
+      m("l_orderkey")._5 == ok.getLong(1).toString &&
+      m("l_orderkey")._6 == ok.getLong(2).toString)
+    val rf = li.agg(countDistinct(col("l_returnflag")),
+      min(col("l_returnflag")), max(col("l_returnflag"))).head()
+    assert(m("l_returnflag")._4 == rf.getLong(0) &&
+      m("l_returnflag")._5 == rf.getString(1) &&
+      m("l_returnflag")._6 == rf.getString(2))
+    val q = li.agg(
+      countDistinct(round(col("l_quantity") * 100, 0).cast("long")),
+      min(round(col("l_quantity") * 100, 0).cast("long")),
+      max(round(col("l_quantity") * 100, 0).cast("long"))).head()
+    assert(m("l_quantity")._4 == q.getLong(0) &&
+      m("l_quantity")._5 == q.getLong(1).toString &&
+      m("l_quantity")._6 == q.getLong(2).toString)
+  }
+
+  test("d71 JW pairs: bounds, symmetry with the kernel, and planted " +
+    "identical-key dups recovered at jw = 1") {
+    val pairs = Dedup.d71JaroWinkler(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, jw) =>
+      assert(a < b && jw >= Dedup.JwMin && jw <= 1.000001)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // identical-key plants (the d60 recoverable set) must appear with
+    // jw exactly 1.0
+    val keyOf = (t: String) =>
+      t.toLowerCase.replaceAll("[^a-z0-9]", "").take(Dedup.SnmKeyLen)
+    val docs = Dedup.corpusWithPlants(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val found = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    val recoverable = docs.keys.filter(_ >= 1000000L).filter { pid =>
+      val oid = pid - 1000000L
+      docs.contains(oid) && keyOf(docs(oid)) == keyOf(docs(pid)) &&
+        keyOf(docs(oid)).length >= 8
+    }
+    val hit = recoverable.count { pid =>
+      found.get((pid - 1000000L, pid)).contains(1.0)
+    }
+    assert(recoverable.nonEmpty &&
+      hit >= (recoverable.size * 0.9).toInt,
+      s"JW recovered $hit of ${recoverable.size} identical-key plants")
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)

@@ -215,7 +215,15 @@ class RelationalSpec extends AnyFunSuite {
       "d58_quality_calibration",
       // d64 is d05's calibration-baseline shape per prefix width
       // (8-row query set broadcast against the candidates)
-      "d64_matryoshka_audit")
+      "d64_matryoshka_audit",
+      // d66 composes the d22 literal centroid broadcast (bounded
+      // k×dim, collected between k-means rounds) for its cell
+      // assignment; the candidate join itself is a capped equi-join.
+      // d51 rides the d66 graph (round-9 verdict item 4 re-base), so
+      // the same literal broadcast appears in its plan. d67 is d64's
+      // truncation shape + d30's bounded shortlist re-rank (8-row
+      // query set broadcast) — same adjudication as both parents.
+      "d66_cell_knn", "d51_knn_label", "d67_mrl_rerank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
