@@ -563,7 +563,10 @@ object Dedup {
     * 32-bit halves) → per-bit ±1 votes → sign → signature longs →
     * planted-pair hamming. Bit 63 is added as Long.MinValue so the
     * signed BIGINT bit pattern matches Spark's Long exactly. */
-  val simhashSql: String = {
+  /** The d03 signature CTE chain (corpus → shingles → md5 halves →
+    * bit votes → signed 64-bit signature, blank docs re-attached at
+    * signature 0) — shared verbatim by the d03 and d72 oracles. */
+  private lazy val simhashSigCtes: String = {
     val w = TextFunctions.wordsSql
     def half(from: Int) =
       s"""CAST(list_sum(list_transform(generate_series(1, 8),
@@ -571,7 +574,7 @@ object Dedup {
          |          substring(h, p + ${from - 1}, 1)) AS BIGINT) - 1)
          |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
         .stripMargin
-    s"""WITH corpus AS ($corpusSql),
+    s"""corpus AS ($corpusSql),
        |sh AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(trim(text)) = 0 THEN []
@@ -605,13 +608,90 @@ object Dedup {
        |-- so both engines agree on corpora that contain empty documents.
        |sig AS (
        |  SELECT c.doc_id, COALESCE(s.simhash, 0) AS simhash
-       |  FROM corpus c LEFT JOIN sigv s USING (doc_id))
+       |  FROM corpus c LEFT JOIN sigv s USING (doc_id))""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS a_id, a.simhash AS sig_a, b.simhash AS sig_b,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
        |WHERE a.doc_id < 1000000
        |ORDER BY a_id""".stripMargin
+
+  /** d72 block geometry: 4 disjoint 16-bit blocks of the 64-bit
+    * signature. PIGEONHOLE GUARANTEE: any pair within hamming
+    * [[SimHamMax]] = 3 has its ≤3 differing bits spread over ≤3
+    * blocks, so at least one block matches EXACTLY — recall 1.0 at
+    * the bound, by construction, not probabilistically. */
+  val SimBlocks = 4
+  val SimHamMax = 3
+
+  /** d72: corpus-wide SimHash near-dup DISCOVERY via Manku-style
+    * block keys (Manku/Jain/Sarma, WWW'07 — the published
+    * web-scale simhash dedup construction; public). d03 computes
+    * signatures and verifies the PLANTED pairs; d72 is the missing
+    * discovery side: find every pair within hamming ≤ [[SimHamMax]]
+    * without anything pairwise. Each signature posts [[SimBlocks]]
+    * 16-bit block keys; candidates meet only on an exact (block,
+    * key) match — by pigeonhole this finds EVERY qualifying pair
+    * (recall 1.0 at the bound), and bit_count verifies each
+    * candidate so precision is exact too. Candidate volume per
+    * table is sum over 65536 buckets of n², i.e. ~N²/65536 on
+    * hash-uniform signatures — the published trade; degenerate
+    * buckets (near-identical corpora collapse keys) are dropped by
+    * the [[MaxBucketSize]] cap, the same knob as every other
+    * candidate generator, and at larger N the block width widens
+    * (16 → 20+ bits over more tables) per the paper's table. */
+  def d72SimhashBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val sig = corpusWithPlants(spark, dir)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .select(col("doc_id"), simhashCol(col("t"), col("w")).as("sig"))
+    val posted = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until SimBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sig"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("p"))
+      .select(col("doc_id"), col("sig"),
+        col("p.blk").as("blk"), col("p.key").as("key"))
+    val capped = posted.groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= MaxBucketSize)
+      .select(col("blk"), col("key"))
+    val postedC = posted.join(capped.hint("shuffle_hash"),
+      Seq("blk", "key"))
+    postedC.as("a")
+      .join(postedC.as("b").hint("merge"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= SimHamMax)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** DuckDB oracle for d72: the shared d03 signature CTEs + block
+    * posting, bucket cap, block-equi candidates, hamming verify. */
+  lazy val d72Sql: String =
+    s"""WITH $simhashSigCtes,
+       |blocks AS (SELECT unnest(generate_series(0, ${SimBlocks - 1}))
+       |  AS blk),
+       |posted AS (
+       |  SELECT s.doc_id, s.simhash, b.blk,
+       |    (s.simhash >> (16 * b.blk)) & 65535 AS key
+       |  FROM sig s CROSS JOIN blocks b),
+       |capped AS (
+       |  SELECT blk, key FROM posted GROUP BY 1, 2
+       |  HAVING COUNT(*) <= $MaxBucketSize),
+       |pc AS (SELECT p.* FROM posted p JOIN capped USING (blk, key))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM pc a JOIN pc b ON a.blk = b.blk AND a.key = b.key
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Prefix length for d24's edit-distance verify: Levenshtein is
     * O(len²) PER PAIR, so production fuzzy-dedup runs it on bounded

@@ -401,13 +401,58 @@ object Relational7 {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Journey prefix length for q81. */
+  val PathLen = 5
+
+  /** q81: USER-JOURNEY PATH MINING — the product-analytics report
+    * next to q72's pairwise transition matrix and q51's fixed
+    * funnel: the frequency table of each user's first-[[PathLen]]
+    * event-type journey (the free-form "how do users actually
+    * flow" question a fixed funnel can't answer). Per user: one
+    * bounded window (rank by (ts, event_id) — event_id breaks ts
+    * ties deterministically) cut at [[PathLen]], one per-user
+    * aggregate re-assembling the ordered path string, one
+    * corpus-wide path groupBy. Path cardinality is bounded by the
+    * user count; nothing pairwise, no global window. */
+  def q81UserPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("first_user"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  val q81Sql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+       |    AS path
+       |  FROM r WHERE rn <= $PathLen GROUP BY user_id)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  MIN(user_id) AS first_user
+       |FROM p GROUP BY path
+       |ORDER BY n_users DESC, path""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
     "q77_weighted_median" -> (q77WeightedMedian _),
     "q78_cdc_apply" -> (q78CdcApply _),
     "q79_grouping_flags" -> (q79GroupingFlags _),
-    "q80_profile" -> (q80Profile _))
+    "q80_profile" -> (q80Profile _),
+    "q81_user_paths" -> (q81UserPaths _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
@@ -415,5 +460,6 @@ object Relational7 {
     "q77_weighted_median" -> q77Sql,
     "q78_cdc_apply" -> q78Sql,
     "q79_grouping_flags" -> q79Sql,
-    "q80_profile" -> q80Sql)
+    "q80_profile" -> q80Sql,
+    "q81_user_paths" -> q81Sql)
 }

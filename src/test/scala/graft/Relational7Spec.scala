@@ -319,6 +319,63 @@ class Relational7Spec extends AnyFunSuite {
       s"JW recovered $hit of ${recoverable.size} identical-key plants")
   }
 
+  test("d72 simhash blocks: equals the brute-force hamming<=3 pair " +
+    "set (pigeonhole recall 1.0 at spec scale)") {
+    val got = Dedup.d72SimhashBlocks(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= Dedup.SimHamMax)
+    }
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // brute force: all-pairs hamming over the collected signatures
+    // (no bucket at spec scale can exceed the cap, so the block join
+    // must find EVERY pair within the bound — the pigeonhole claim)
+    val sigs = Dedup.corpusWithPlants(spark, sf)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .select(col("doc_id"),
+        Dedup.simhashCol(col("t"), col("w")).as("sig"))
+      .as[(Long, Long)].collect()
+    val exp = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= Dedup.SimHamMax
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      val (lo, hi) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      (lo, hi, h.toLong)
+    }).toSet
+    assert(got.toSet == exp,
+      s"d72: got ${got.length} pairs, brute force ${exp.size}")
+    assert(exp.nonEmpty, "planted dups must yield hamming<=3 pairs")
+  }
+
+  test("q81 user paths: equals the brute-force journey table") {
+    val got = Relational7.q81UserPaths(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // counts descend (ties broken by path asc)
+    got.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+      case _ => ()
+    }
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsl"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val exp = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._3, r._4)).take(Relational7.PathLen)
+        .map(_._2).mkString(">")
+    }
+    val expTable = exp.groupBy(_._2).map { case (path, us) =>
+      (path, us.size.toLong, us.keys.min)
+    }.toSet
+    assert(got.toSet == expTable)
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)
