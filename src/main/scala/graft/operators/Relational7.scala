@@ -477,6 +477,41 @@ object Relational7 {
        |FROM p GROUP BY path
        |ORDER BY n_users DESC, path""".stripMargin
 
+  /** q82: semi-structured ingestion through Spark 4's VARIANT type —
+    * the modern replacement for q11's per-access get_json_object
+    * string re-parse: `parse_json` decodes each props payload ONCE
+    * into the binary-encoded VARIANT, and every subsequent
+    * `variant_get` is a typed path read on the binary form (the
+    * open-format counterpart of the shredded semi-structured columns
+    * warehouse engines store). Same scan/aggregate scale shape as
+    * q11; the win at 100 TB is per-row decode cost when MANY paths
+    * read the same payload. Report: per event type — rows, typed-k
+    * hits, exact distinct k, min/max k. */
+  def q82VariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        countDistinct(col("k")).as("nd_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q82Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS n_k,
+      |  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+      |    AS BIGINT)) AS BIGINT) AS nd_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
@@ -484,7 +519,8 @@ object Relational7 {
     "q78_cdc_apply" -> (q78CdcApply _),
     "q79_grouping_flags" -> (q79GroupingFlags _),
     "q80_profile" -> (q80Profile _),
-    "q81_user_paths" -> (q81UserPaths _))
+    "q81_user_paths" -> (q81UserPaths _),
+    "q82_variant_props" -> (q82VariantProps _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
@@ -493,5 +529,6 @@ object Relational7 {
     "q78_cdc_apply" -> q78Sql,
     "q79_grouping_flags" -> q79Sql,
     "q80_profile" -> q80Sql,
-    "q81_user_paths" -> q81Sql)
+    "q81_user_paths" -> q81Sql,
+    "q82_variant_props" -> q82Sql)
 }

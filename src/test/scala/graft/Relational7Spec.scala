@@ -376,6 +376,25 @@ class Relational7Spec extends AnyFunSuite {
     assert(got.toSet == expTable)
   }
 
+  test("q82 variant props: equals the brute-force JSON parse") {
+    val got = Relational7.q82VariantProps(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("props"))
+      .as[(String, String)].collect()
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val exp = ev.groupBy(_._1).map { case (t, rows) =>
+      val ks = rows.flatMap(r =>
+        kRe.findFirstMatchIn(Option(r._2).getOrElse(""))
+          .map(_.group(1).toLong))
+      (t, rows.length.toLong, ks.length.toLong,
+        ks.distinct.length.toLong, ks.min, ks.max)
+    }.toSet
+    assert(got.toSet == exp)
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)
