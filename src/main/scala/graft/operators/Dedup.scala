@@ -953,6 +953,131 @@ object Dedup {
        |       * (CAST(1 AS BIGINT) << (4 * (8 - p))))) AS BIGINT)"""
       .stripMargin
 
+  /** d73 bin count (a power of two: the bin key is the hash's low
+    * bits, identical two's-complement arithmetic in both engines). */
+  val OphBins = 32
+
+  /** d73: ONE-PERMUTATION MinHash (OPH — Li/Owen/Zhang NIPS'12,
+    * public) estimator calibration. Classic k-perm minhash (d02/d39)
+    * evaluates k permutations for EVERY shingle — k hash ops per
+    * element; OPH hashes each shingle ONCE into [[OphBins]] bins and
+    * keeps per-bin minima, so signature cost drops k-fold — the form
+    * an at-scale sketch pipeline actually computes at ingest. The
+    * estimator here is the unbiased no-densification form: empty
+    * bins are SKIPPED and Jaccard is estimated over the bins
+    * non-empty in BOTH docs (matched/aligned); densification
+    * variants fill empty bins for fixed-width signatures, trading
+    * bias for alignment-free compare — out of scope, documented.
+    * Like d39, the report pairs the estimate with the exact
+    * distinct-shingle Jaccard per planted pair so the error is
+    * measured, not assumed. Per-bin min is duplicate-insensitive, so
+    * the multiset/set distinction d39 documents does not arise for
+    * the sketch (the exact side uses DISTINCT shingles). */
+  def d73OphMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpusWithPlants(spark, dir)
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+    val sh = base.select(col("doc_id"),
+      explode(array_distinct(
+        shingleStrings(col("t"), col("w"), 3))).as("s"))
+    val binned = sh.select(col("doc_id"), md5Long(col("s")).as("hv"))
+      .withColumn("bin",
+        col("hv").bitwiseAND(lit((OphBins - 1).toLong)))
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(min(col("hv")).as("mh"))
+    val aligned = binned.filter(col("doc_id") < 1000000L).as("a")
+      .join(binned.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"),
+          col("bin"), col("mh").as("mh_b")).as("b"),
+        Seq("doc_id", "bin"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_aligned"),
+        sum((col("mh") === col("mh_b")).cast("long")).as("n_matched"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.filter(col("doc_id") < 1000000L)
+      .join(sh.filter(col("doc_id") >= 1000000L)
+          .select((col("doc_id") - 1000000L).as("doc_id"), col("s")),
+        Seq("doc_id", "s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("i"))
+    aligned
+      .join(inter.hint("shuffle_hash"), Seq("doc_id"))
+      .join(cnt.hint("shuffle_hash"), Seq("doc_id"))
+      .join(cnt.hint("shuffle_hash")
+          .select((col("doc_id") - 1000000L).as("doc_id"),
+            col("n").as("nb")),
+        Seq("doc_id"))
+      .select(col("doc_id").as("a_id"), col("n_aligned"),
+        col("n_matched"),
+        (round(col("n_matched").cast("double") / col("n_aligned"), 6)
+          + lit(0.0)).as("est_jaccard"),
+        (round(col("i").cast("double")
+          / (col("n") + col("nb") - col("i")), 6) + lit(0.0))
+          .as("jaccard"),
+        (round(abs(
+          round(col("n_matched").cast("double") / col("n_aligned"), 6)
+          - round(col("i").cast("double")
+            / (col("n") + col("nb") - col("i")), 6)), 6) + lit(0.0))
+          .as("abs_err"))
+      .orderBy(col("a_id"))
+  }
+
+  /** DuckDB oracle for d73: the d39-style portable shingle-hash CTEs
+    * + bin minima, aligned-bin estimate, exact distinct Jaccard. */
+  lazy val d73Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM ($corpusSql)
+       |  WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s
+       |  FROM (SELECT doc_id, unnest(
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |    WHEN len(${TextFunctions.wordsSql}) >= 3 THEN
+       |      list_transform(generate_series(1,
+       |          len(${TextFunctions.wordsSql}) - 2),
+       |        i -> ${TextFunctions.wordsSql}[i] || ' ' ||
+       |          ${TextFunctions.wordsSql}[i+1] || ' ' ||
+       |          ${TextFunctions.wordsSql}[i+2])
+       |    ELSE [trim(text)] END) AS s FROM corpus)),
+       |hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |h2 AS (SELECT doc_id, ${d39Half(1)} AS hi, ${d39Half(9)} AS lo
+       |       FROM hx),
+       |hl AS (
+       |  SELECT doc_id,
+       |    (hi - CASE WHEN hi >= 2147483648
+       |       THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS hv
+       |  FROM h2),
+       |binned AS (
+       |  SELECT doc_id, hv & ${OphBins - 1} AS bin, MIN(hv) AS mh
+       |  FROM hl GROUP BY 1, 2),
+       |al AS (
+       |  SELECT a.doc_id AS a_id, COUNT(*) AS n_aligned,
+       |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_matched
+       |  FROM binned a JOIN binned b
+       |    ON b.doc_id = a.doc_id + 1000000 AND b.bin = a.bin
+       |  WHERE a.doc_id < 1000000 GROUP BY 1),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a_id, COUNT(*) AS i
+       |  FROM sh x JOIN sh y
+       |    ON y.doc_id = x.doc_id + 1000000 AND y.s = x.s
+       |  WHERE x.doc_id < 1000000 GROUP BY 1)
+       |SELECT al.a_id, CAST(n_aligned AS BIGINT) AS n_aligned,
+       |  n_matched,
+       |  ROUND(CAST(n_matched AS DOUBLE) / n_aligned, 6) + 0.0
+       |    AS est_jaccard,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) + 0.0
+       |    AS jaccard,
+       |  ROUND(ABS(ROUND(CAST(n_matched AS DOUBLE) / n_aligned, 6)
+       |    - ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6)), 6)
+       |    + 0.0 AS abs_err
+       |FROM al
+       |JOIN inter ON inter.a_id = al.a_id
+       |JOIN cnt ca ON ca.doc_id = al.a_id
+       |JOIN cnt cb ON cb.doc_id = al.a_id + 1000000
+       |ORDER BY al.a_id""".stripMargin
+
   /** Shared CTE prefix for d39/d42: portable signatures (`sig`) and
     * exact planted-pair Jaccard (`tru`). */
   private lazy val calibCtes: String = {

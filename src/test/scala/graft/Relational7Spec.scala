@@ -395,6 +395,52 @@ class Relational7Spec extends AnyFunSuite {
     assert(got.toSet == exp)
   }
 
+  test("d73 OPH: per-pair bins and matches equal the brute-force " +
+    "replay; exact jaccard agrees; estimator error bounded") {
+    val got = Dedup.d73OphMinhash(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, na, nm, est, j, err) =>
+      assert(na >= 1 && nm >= 0 && nm <= na)
+      assert(est >= 0 && est <= 1 && j > 0 && j <= 1.000001)
+      assert(math.abs(err - math.abs(est - j)) <= 1e-6)
+    }
+    val docs = Dedup.corpusWithPlants(spark, sf)
+      .as[(Long, String)].collect().toMap
+    def shingles(t0: String): Set[String] = {
+      val t = Option(t0).getOrElse("").trim
+      if (t.isEmpty) Set.empty
+      else {
+        val w = t.split(" ", -1)
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set(t)
+      }
+    }
+    def h64(s: String): Long =
+      java.nio.ByteBuffer.wrap(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))).getLong
+    got.foreach { case (aId, na, nm, _, j, _) =>
+      val sa = shingles(docs(aId))
+      val sb = shingles(docs(aId + 1000000L))
+      val i = sa.intersect(sb).size
+      val expJ = i.toDouble / (sa.size + sb.size - i)
+      assert(math.abs(j - math.rint(expJ * 1e6) / 1e6) < 1e-9,
+        s"pair $aId jaccard $j != $expJ")
+      def bins(s: Set[String]): Map[Long, Long] =
+        s.groupBy(x => h64(x) & (Dedup.OphBins - 1).toLong)
+          .map { case (b, xs) => b -> xs.map(h64).min }
+      val (ba, bb) = (bins(sa), bins(sb))
+      val al = ba.keySet.intersect(bb.keySet)
+      assert(na == al.size && nm == al.count(b => ba(b) == bb(b)),
+        s"pair $aId bins: got ($na,$nm), " +
+          s"want (${al.size},${al.count(b => ba(b) == bb(b))})")
+    }
+    // the estimator must actually track jaccard on this corpus
+    assert(got.map(_._6).sum / got.length < 0.2,
+      "mean |est - jaccard| too large")
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)
