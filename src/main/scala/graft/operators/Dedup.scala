@@ -1950,7 +1950,15 @@ object Dedup {
     * groupBy for the keeper election (partial-aggregable min/count —
     * never a per-hash window, so a mass-duplicated chunk costs its
     * combiner nothing), one equi-join back, one per-doc aggregate to
-    * re-assemble. Nothing pairwise. The keeper key packs
+    * re-assemble. Nothing pairwise. Known trade, chosen eyes-open:
+    * the occ and keeper sides each expand the chunk derivation (the
+    * plan computes it twice; measured, the exchanges do NOT
+    * canonicalize into a ReusedExchange) — the alternative, a
+    * min-over-hash window, derives once but materializes every
+    * occurrence of a mass-duplicated chunk in ONE window partition,
+    * the exact degenerate case this repo's dedup operators are built
+    * to avoid; 2× a doc-partitioned CPU pass is the cheaper side of
+    * that trade at every scale. The keeper key packs
     * (doc_id, chunk_idx) as doc_id·10⁶+idx — exact while docs stay
     * under 10⁶ chunks (testdata docs are ≤10³ words; a corpus of
     * book-length docs would widen the packing, noted here). */
