@@ -512,6 +512,77 @@ object Relational7 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q83 snapshot boundary: rows shipping strictly before this date
+    * are the "already aggregated" snapshot, the rest arrive as the
+    * delta batch. */
+  val Q83Cut = "1996-01-01"
+
+  /** q83: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * refresh pattern every warehouse runs: a per-key aggregate
+    * snapshot exists; a delta batch arrives; the next snapshot must
+    * come from merging PARTIAL STATES (snapshot ⊔ delta), never from
+    * re-scanning history. Works exactly when the aggregate is
+    * decomposable (sum/count/min/max here — avg derives as sum/count;
+    * exact median/distinct are NOT and need the full relation or a
+    * mergeable sketch, q12/q47's territory — documented contract).
+    * The full outer join is the merge (a key may exist in only one
+    * side); the oracle replays snapshot → delta → merge, and the
+    * SPEC pins the merged result equal to the one-shot full
+    * aggregation — the correctness statement that makes incremental
+    * refresh trustworthy. At scale the delta side is a batch (small);
+    * the snapshot side is ALREADY key-partitioned state, so the
+    * refresh cost is O(delta + touched keys), not O(history). */
+  def q83IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"),
+        col("l_shipdate").cast("date").as("d"))
+    def agg(rows: DataFrame): DataFrame = rows.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"),
+        min(col("pc")).as("mn"), max(col("pc")).as("mx"))
+    val snap = agg(li.filter(col("d") < lit(Q83Cut).cast("date")))
+    val delta = agg(li.filter(col("d") >= lit(Q83Cut).cast("date")))
+    snap.select(col("k"), col("n").as("n_a"), col("s").as("s_a"),
+        col("mn").as("mn_a"), col("mx").as("mx_a"))
+      .join(delta.select(col("k"), col("n").as("n_b"),
+        col("s").as("s_b"), col("mn").as("mn_b"),
+        col("mx").as("mx_b")), Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s_a"), lit(0L)) + coalesce(col("s_b"), lit(0L)))
+          .as("sum_pc"),
+        least(coalesce(col("mn_a"), col("mn_b")),
+          coalesce(col("mn_b"), col("mn_a"))).as("min_pc"),
+        greatest(coalesce(col("mx_a"), col("mx_b")),
+          coalesce(col("mx_b"), col("mx_a"))).as("max_pc"))
+      .orderBy(col("k"))
+  }
+
+  val q83Sql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey AS k,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+       |    CAST(l_shipdate AS DATE) AS d
+       |  FROM lineitem),
+       |snap AS (
+       |  SELECT k, COUNT(*) AS n, SUM(pc) AS s, MIN(pc) AS mn,
+       |    MAX(pc) AS mx
+       |  FROM li WHERE d < DATE '$Q83Cut' GROUP BY k),
+       |delta AS (
+       |  SELECT k, COUNT(*) AS n, SUM(pc) AS s, MIN(pc) AS mn,
+       |    MAX(pc) AS mx
+       |  FROM li WHERE d >= DATE '$Q83Cut' GROUP BY k)
+       |SELECT COALESCE(a.k, b.k) AS k,
+       |  CAST(COALESCE(a.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n,
+       |  CAST(COALESCE(a.s, 0) + COALESCE(b.s, 0) AS BIGINT)
+       |    AS sum_pc,
+       |  LEAST(COALESCE(a.mn, b.mn), COALESCE(b.mn, a.mn)) AS min_pc,
+       |  GREATEST(COALESCE(a.mx, b.mx), COALESCE(b.mx, a.mx))
+       |    AS max_pc
+       |FROM snap a FULL OUTER JOIN delta b ON a.k = b.k
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_equidepth" -> (q75EquiDepth _),
     "q76_ref_integrity" -> (q76RefIntegrity _),
@@ -520,7 +591,8 @@ object Relational7 {
     "q79_grouping_flags" -> (q79GroupingFlags _),
     "q80_profile" -> (q80Profile _),
     "q81_user_paths" -> (q81UserPaths _),
-    "q82_variant_props" -> (q82VariantProps _))
+    "q82_variant_props" -> (q82VariantProps _),
+    "q83_incremental_agg" -> (q83IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     "q75_equidepth" -> q75Sql,
@@ -530,5 +602,6 @@ object Relational7 {
     "q79_grouping_flags" -> q79Sql,
     "q80_profile" -> q80Sql,
     "q81_user_paths" -> q81Sql,
-    "q82_variant_props" -> q82Sql)
+    "q82_variant_props" -> q82Sql,
+    "q83_incremental_agg" -> q83Sql)
 }

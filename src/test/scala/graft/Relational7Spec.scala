@@ -441,6 +441,30 @@ class Relational7Spec extends AnyFunSuite {
       "mean |est - jaccard| too large")
   }
 
+  test("q83 incremental merge equals the one-shot full aggregation") {
+    val got = Relational7.q83IncrementalAgg(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"),
+        min(col("pc")).as("min_pc"), max(col("pc")).as("max_pc"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == full.toSet,
+      s"incremental merge diverges from full: got ${got.length}, " +
+        s"full ${full.length}")
+    // both sides of the cut must be non-trivially populated, or the
+    // merge was never exercised
+    val cut = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_shipdate").cast("date") <
+        lit(Relational7.Q83Cut).cast("date")).as("pre"))
+      .groupBy(col("pre")).count()
+      .as[(Boolean, Long)].collect().toMap
+    assert(cut.getOrElse(true, 0L) > 0 && cut.getOrElse(false, 0L) > 0)
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)
