@@ -466,6 +466,82 @@ object EventStreams {
       .empty[String, scala.collection.concurrent.TrieMap[Long, String]]
   }
 
+  /** Mergeable per-key aggregate state for [[incrementalAggStream]]
+    * — (n, sum, min, max): the decomposable partial-state tuple of
+    * the q83 batch merge. Unlike [[KeyedStore]]'s last-write-wins
+    * upsert, an aggregate MERGE is NOT value-idempotent: replaying a
+    * batch double-counts, so the store tracks the last applied
+    * batchId and the sink skips batches it has already merged — the
+    * standard foreachBatch exactly-once recipe for non-idempotent
+    * targets (batchId-keyed transactional apply). */
+  trait AggStore extends Serializable {
+    def mergePartials(rows: Seq[(Long, (Long, Long, Long, Long))]): Unit
+    /** Atomically claim `batchId`; false when already applied.
+      * Production targets must claim and merge in ONE transaction
+      * (claim-then-merge alone degrades to at-most-once if the merge
+      * can fail after the claim — the test double accepts that,
+      * a JDBC/Delta target records the batchId inside the merge
+      * transaction). */
+    def beginBatch(batchId: Long): Boolean
+  }
+
+  class InMemoryAggStore extends AggStore {
+    private val id = java.util.UUID.randomUUID().toString
+    def data: scala.collection.concurrent.TrieMap[
+        Long, (Long, Long, Long, Long)] =
+      InMemoryAggStore.registry.getOrElseUpdate(id,
+        scala.collection.concurrent.TrieMap.empty)
+    private def applied = InMemoryAggStore.batches
+      .getOrElseUpdate(id, scala.collection.concurrent.TrieMap.empty)
+    override def beginBatch(batchId: Long): Boolean =
+      applied.putIfAbsent(batchId, true).isEmpty
+    override def mergePartials(
+        rows: Seq[(Long, (Long, Long, Long, Long))]): Unit =
+      rows.foreach { case (k, (n, s, mn, mx)) =>
+        val merged = data.get(k) match {
+          case Some((n0, s0, mn0, mx0)) =>
+            (n0 + n, s0 + s, math.min(mn0, mn), math.max(mx0, mx))
+          case None => (n, s, mn, mx)
+        }
+        data.put(k, merged)
+      }
+  }
+  object InMemoryAggStore {
+    private val registry = scala.collection.concurrent.TrieMap.empty[
+      String,
+      scala.collection.concurrent.TrieMap[Long, (Long, Long, Long, Long)]]
+    private val batches = scala.collection.concurrent.TrieMap.empty[
+      String, scala.collection.concurrent.TrieMap[Long, Boolean]]
+  }
+
+  /** STREAMING INCREMENTAL-AGGREGATE REFRESH — q83's materialized-
+    * view merge at ingest: each micro-batch reduces to per-key
+    * partial states (one small shuffled aggregate over the BATCH,
+    * never the history) and merges them into the keyed state target.
+    * The batchId guard makes the non-idempotent merge exactly-once
+    * under replay/restart; the partial-state aggregate itself runs
+    * distributed and only the collapsed per-key rows reach the
+    * store (O(touched keys) per batch). Input: (k, pc) rows. */
+  def incrementalAggStream(rows: DataFrame, store: AggStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (store.beginBatch(batchId)) {
+          batch.groupBy(col("k"))
+            .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"),
+              min(col("pc")).as("mn"), max(col("pc")).as("mx"))
+            .foreachPartition {
+              (it: Iterator[org.apache.spark.sql.Row]) =>
+                it.grouped(10000).foreach(g =>
+                  store.mergePartials(g.map(r => (r.getLong(0),
+                    (r.getLong(1), r.getLong(2), r.getLong(3),
+                      r.getLong(4))))))
+            }
+        }
+    }
+
   /** Exactly-once upsert sink: rows merge per PARTITION on the
     * executors — nothing funnels through the driver (the round-2
     * version collect()ed each micro-batch, which caps throughput at

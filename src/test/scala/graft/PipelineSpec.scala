@@ -1125,6 +1125,30 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental-agg refresh: merged state equals the " +
+    "batch aggregate; replay cannot double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val store = new EventStreams.InMemoryAggStore
+    val q = EventStreams.incrementalAggStream(
+      input.toDF().toDF("k", "pc"), store).start()
+    try {
+      input.addData((1L, 100L), (1L, 50L), (2L, 7L))
+      q.processAllAvailable()
+      input.addData((1L, 300L), (3L, -4L))
+      q.processAllAvailable()
+      assert(store.data.toMap == Map(
+        1L -> ((3L, 450L, 50L, 300L)),
+        2L -> ((1L, 7L, 7L, 7L)),
+        3L -> ((1L, -4L, -4L, -4L))))
+      // a replayed batchId must be skipped: merge is NOT
+      // value-idempotent, the batch guard is what makes it safe
+      assert(!store.beginBatch(0L) && !store.beginBatch(1L))
+    } finally q.stop()
+  }
+
   test("exactly-once sink resumes from checkpoint without re-delivery") {
     import spark.implicits._
     // crash-restart semantics, not just replay-idempotence: a
