@@ -302,4 +302,118 @@ object LinkGraph {
        |FROM r$PrIters
        |ORDER BY kind, key""".stripMargin
   }
+
+  /** d74: TRIANGLE COUNT + global clustering coefficient of the d66
+    * kNN graph — the graph-analytics staple next to PageRank (d32)
+    * and HITS (d36), and the canonical distributed-join scale story:
+    * counting triangles naively joins edges three ways with
+    * sum-of-deg² wedges; ORIENTING every edge from its (degree, id)-
+    * smaller endpoint to its larger one caps every node's out-degree
+    * at O(√E) (the Schank/Wagner — node-iterator-core — construction,
+    * public), so the wedge join is bounded and each triangle is
+    * generated EXACTLY ONCE (its orientation-least vertex owns it).
+    *
+    * Graph choice is the scale argument: the undirected d66
+    * trained-cell kNN graph has degree O(k) BY CONSTRUCTION at any
+    * corpus size, so the wedge space is O(N·k²) — linear in N. (The
+    * first cut used a supplier co-part co-occurrence graph: on
+    * uniform-random assignments it densifies toward complete as the
+    * corpus grows — 22 s at sf0.1 and quadratic beyond — and any
+    * support threshold that sparsifies random data empties it. A
+    * co-occurrence graph needs real affinity structure; the
+    * embedding corpus HAS structure, and its triangle density is the
+    * quantity SemDeDup-style pipelines actually care about.)
+    * Everything below the graph build is distinct/groupBy/equi-join
+    * — no windows, nothing driver-side; the one-row report carries
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient 3T / Σ deg(deg−1)/2. */
+  def d74Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.cellKnnEdges(spark, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.hint("shuffle_hash")
+        .select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.hint("shuffle_hash")
+        .select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2").hint("shuffle_hash"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val triangles = wedges
+      .join(oriented.select(col("src"), col("dst"))
+        .hint("shuffle_hash"), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    val edgeTotal = edges.agg(count(lit(1)).as("n_edges"))
+    triangles.crossJoin(broadcast(wedgeTotal))
+      .crossJoin(broadcast(edgeTotal))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"),
+        col("n_triangles"),
+        (round(lit(3.0) * col("n_triangles")
+          / col("n_wedges"), 6) + lit(0.0)).as("clustering_coeff"))
+  }
+
+  /** DuckDB oracle for d74: the d66 replayed chain (trained cells →
+    * capped posting → probe join → exact-cosine rank) undirected,
+    * then degrees, (degree, id) orientation, bounded wedge join,
+    * semi-join close. */
+  lazy val d74Sql: String =
+    s"""WITH ${Similarity.d66Ctes},
+       |edges AS (
+       |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+       |    GREATEST(vec_id, nbr_id) AS v
+       |  FROM ranked WHERE rank <= ${Similarity.KnnK}),
+       |deg AS (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS n FROM edges
+       |    UNION ALL SELECT v AS n FROM edges) GROUP BY n),
+       |wd AS (
+       |  SELECT u, v, du.deg AS du, dv.deg AS dv
+       |  FROM edges
+       |  JOIN deg du ON du.n = u
+       |  JOIN deg dv ON dv.n = v),
+       |oriented AS (
+       |  SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN u ELSE v END AS src,
+       |    CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN v ELSE u END AS dst,
+       |    CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN dv ELSE du END AS ddst
+       |  FROM wd),
+       |wedges AS (
+       |  SELECT e1.dst AS src, e2.dst AS dst
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.src = e2.src AND (e1.ddst < e2.ddst
+       |      OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM oriented o
+       |    WHERE o.src = w.src AND o.dst = w.dst)),
+       |wt AS (
+       |  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM deg),
+       |et AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  ROUND(3.0 * n_triangles / n_wedges, 6) + 0.0
+       |    AS clustering_coeff
+       |FROM tri, wt, et""".stripMargin
 }

@@ -882,7 +882,7 @@ object Similarity {
     * with d51's label-propagation vote (which consumes the measured
     * best graph, not the historical 8-bit banding; round-9 verdict
     * item 4). */
-  private def cellKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def cellKnnEdges(spark: SparkSession, dir: String): DataFrame = {
     val qz = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
     val init = qz.filter(col("vec_id") < IvfCells)
@@ -1057,7 +1057,7 @@ object Similarity {
 
   /** The d66 chain through `ranked` — shared by [[d66Sql]] and the
     * re-based [[d51Sql]]. */
-  private lazy val d66Ctes: String =
+  private[operators] lazy val d66Ctes: String =
     s"""${kmeansCtes(s"vec_id < $IvfCells", s"vec_id >= $IvfCells")},
        |${assignCte(s"a${KmIters + 1}", "q", s"c$KmIters")},
        |posted AS (

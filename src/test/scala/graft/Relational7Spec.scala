@@ -465,6 +465,42 @@ class Relational7Spec extends AnyFunSuite {
     assert(cut.getOrElse(true, 0L) > 0 && cut.getOrElse(false, 0L) > 0)
   }
 
+  test("d74 triangles: equals the brute-force count over the " +
+    "collected edge set") {
+    val got = graft.operators.LinkGraph.d74Triangles(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (nNodes, nEdges, nWedges, nTri, cc) = got.head
+    // brute force over the SAME kNN graph (the d66 relation is
+    // oracle-verified in its own right; here it is the graph input)
+    val edges = graft.operators.Similarity.d66CellKnn(spark, sf)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct().as[(Long, Long)].collect().map {
+        case (u, v) => (u, v)
+      }.toSet
+    val nbrs = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      nbrs(u) = nbrs(u) + v; nbrs(v) = nbrs(v) + u
+    }
+    val nodes = nbrs.keySet
+    val expTri = edges.toSeq.map { case (u, v) =>
+      (nbrs(u) intersect nbrs(v)).size
+    }.sum / 3
+    val expWedges = nodes.toSeq
+      .map(n => { val d = nbrs(n).size.toLong; d * (d - 1) / 2 }).sum
+    assert(nNodes == nodes.size && nEdges == edges.size,
+      s"nodes/edges: got ($nNodes,$nEdges), " +
+        s"want (${nodes.size},${edges.size})")
+    assert(nWedges == expWedges && nTri == expTri,
+      s"wedges/triangles: got ($nWedges,$nTri), " +
+        s"want ($expWedges,$expTri)")
+    assert(math.abs(cc - math.rint(3.0 * expTri / expWedges * 1e6)
+      / 1e6) < 1e-9)
+    assert(nTri > 0, "graph must contain triangles at spec scale")
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)

@@ -223,7 +223,10 @@ class RelationalSpec extends AnyFunSuite {
       // the same literal broadcast appears in its plan. d67 is d64's
       // truncation shape + d30's bounded shortlist re-rank (8-row
       // query set broadcast) — same adjudication as both parents.
-      "d66_cell_knn", "d51_knn_label", "d67_mrl_rerank")
+      "d66_cell_knn", "d51_knn_label", "d67_mrl_rerank",
+      // d74's one-row node/edge/wedge totals cross-join onto the
+      // one-row triangle count by broadcast (the t12 scalar pattern)
+      "d74_triangles")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
