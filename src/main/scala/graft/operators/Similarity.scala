@@ -1440,6 +1440,96 @@ object Similarity {
        |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** d75: FILTERED vector search — the metadata-predicate ANN
+    * problem every production vector store faces (top-k among
+    * vectors satisfying a predicate; here: candidates sharing the
+    * query's label — self-class retrieval, deterministic and
+    * oracle-replayable). PRE-filter semantics: the predicate applies
+    * to cell members BEFORE the rank window, so the k survivors
+    * always come from the filtered set. The post-filter alternative
+    * (search first, filter the top-k after) silently returns fewer
+    * than k — often zero — whenever the filter is selective: with L
+    * uniform labels, post-filtering unfiltered top-k keeps ~k/L
+    * rows. That failure mode is pinned in the spec, not just
+    * described. Composition: d22's training and d25's probe/assign
+    * legs verbatim; the filter is ONE pushed predicate on the
+    * (cell-blocked) posting join — no extra shuffle, no second
+    * index. */
+  def d75FilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"),
+        col("label"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("label").as("want"))
+    val init = emb.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val train = emb.filter(col("vec_id") >= NumQueries + IvfCells)
+      .select(col("vec_id"), col("qv"))
+    val cents = kmeansQuantized(train, init, KmIters)
+    val assigned = emb.filter(col("vec_id") >= NumQueries)
+      .join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("qv")).as("qv"), first(col("label")).as("lab"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+        col("qv"), col("lab"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_qv"), col("want"),
+        col("cent_id").as("cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("lab") === col("want")) // PRE-filter, before rank
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("want").cast("long").as("label"),
+        col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for d75: the d25 chain with labels re-joined and
+    * the predicate applied inside the posting join, before the rank
+    * window. */
+  val d75Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |qs AS (SELECT q.vec_id AS q_id, q.qv AS qqv, e.label AS want
+       |       FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+       |       WHERE q.vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (
+       |  SELECT sa.vec_id, sa.qv, sa.cent_id, e.label AS lab
+       |  FROM sa JOIN embeddings e ON e.vec_id = sa.vec_id
+       |  WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, qqv, want, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.qqv, qs.want, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |res AS (
+       |  SELECT q_id, want, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM (SELECT pr.q_id, pr.want, a.vec_id,
+       |    ${qDistSql("pr.qqv", "a.qv")} AS dist
+       |  FROM pr JOIN asg a
+       |    ON a.cent_id = pr.cent_id AND a.lab = pr.want
+       |  WHERE pr.rn <= $NProbe))
+       |SELECT q_id, CAST(want AS BIGINT) AS label, vec_id, dist, rank
+       |FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Per-subspace trained PQ codebook: Lloyd's k-means over each
     * 16-dim subvector slice, returned as (sub, code_id, qc). ALL four
     * subspaces train in ONE [[kmeansGrouped]] chain — the subspace id

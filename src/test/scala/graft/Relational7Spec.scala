@@ -501,6 +501,36 @@ class Relational7Spec extends AnyFunSuite {
     assert(nTri > 0, "graph must contain triangles at spec scale")
   }
 
+  test("d75 filtered IVF: every hit matches the query label, ranks " +
+    "are clean, and pre-filter strictly beats post-filter") {
+    import graft.operators.Similarity
+    val got = Similarity.d75FilteredIvf(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to rows.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4
+        case _ => true
+      }, s"query $q distances not monotone")
+      rows.foreach { case (_, want, vid, _, _) =>
+        assert(labels(vid) == want && labels(q) == want,
+          s"query $q hit $vid label ${labels(vid)} != $want")
+      }
+    }
+    // the post-filter failure mode, measured: filtering the
+    // UNFILTERED top-k afterwards keeps only ~k/L rows
+    val post = Similarity.d25IvfSearch(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .count { case (q, vid, _, _) => labels(vid) == labels(q) }
+    assert(got.length > post,
+      s"pre-filter ${got.length} rows must beat post-filter $post")
+  }
+
   test("d68 CDC chunks: report equals the brute-force chunker and " +
     "planted copies share interior chunks cross-doc") {
     val got = Dedup.d68CdcChunks(spark, sf)

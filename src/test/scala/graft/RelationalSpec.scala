@@ -225,8 +225,12 @@ class RelationalSpec extends AnyFunSuite {
       // query set broadcast) — same adjudication as both parents.
       "d66_cell_knn", "d51_knn_label", "d67_mrl_rerank",
       // d74's one-row node/edge/wedge totals cross-join onto the
-      // one-row triangle count by broadcast (the t12 scalar pattern)
-      "d74_triangles")
+      // one-row triangle count by broadcast (the t12 scalar pattern);
+      // its graph input is the d66 chain (literal centroid broadcast)
+      "d74_triangles",
+      // d75 composes d25's literal centroid broadcast for its
+      // assignment and probe legs (same adjudication as d25)
+      "d75_filtered_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
