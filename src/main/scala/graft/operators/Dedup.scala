@@ -989,7 +989,11 @@ object Dedup {
     val aligned = binned.filter(col("doc_id") < 1000000L).as("a")
       .join(binned.filter(col("doc_id") >= 1000000L)
         .select((col("doc_id") - 1000000L).as("doc_id"),
-          col("bin"), col("mh").as("mh_b")).as("b"),
+          col("bin"), col("mh").as("mh_b")).as("b")
+        // both sides are corpus-scaling (docs × bins) aggregate
+        // outputs with no stats: pin the shuffled build so Catalyst
+        // can't guess-broadcast one (the t11/d16 bug class)
+        .hint("shuffle_hash"),
         Seq("doc_id", "bin"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_aligned"),

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-11 relational additions (SURVEY.md §2a): in-plan Bloom-filter
+  * join pruning and the nearest-neighbor as-of join. */
+object Relational8 {
+
+  // ---- q84: Bloom-pruned selective join -----------------------------
+
+  /** Bloom geometry: 2^16 bits (8 KiB as 1024 longs), 3 hashes. At the
+    * registered selectivity (~30 build keys) the false-positive rate is
+    * ~(3·30/65536)³ ≈ 2e-9; a production build sizes bits ≈ 10×keys for
+    * ~1% FPR and the plan shape below is unchanged (the filter is still
+    * one broadcast row). */
+  val BloomBits = 1 << 16
+  val BloomHashes = 3
+
+  /** q84: Bloom-filter join pruning — the runtime-filter pattern for
+    * the join whose build side is too big to broadcast as a hash
+    * relation but whose BLOOM (KiB–MiB) broadcasts trivially. The
+    * selective customer subset reduces to ONE row holding a
+    * word→bits map (a 1024-entry bitset); that row cross-joins onto
+    * orders (broadcast — no shuffle of the fact side), and each order
+    * tests its 3 hash positions statelessly, so non-matching fact rows
+    * die BEFORE the join shuffle instead of being shuffled and then
+    * dropped. The surviving ~build-sized slice then hash-joins the
+    * build side exactly (shuffle_hash, standing in for the
+    * at-scale case where neither side broadcasts). Bloom positives are
+    * a superset of true matches, so the exact join makes the result
+    * identical to the unpruned plan — the oracle is the plain join,
+    * and no hash needs to be engine-portable. Everything, including
+    * the bitset aggregate, lives INSIDE the returned plan (the d58
+    * lesson: no hidden eager side-jobs). */
+  def q84BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    def positions(key: org.apache.spark.sql.Column) =
+      (0 until BloomHashes).map(i =>
+        pmod(xxhash64(lit(i), key), lit(BloomBits.toLong)))
+    // build → one row: map from 64-bit word index to OR'd bits
+    val bloom = build
+      .select(explode(array(positions(col("c_custkey")): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("word"),
+        call_function("shiftleft", lit(1L),
+          (col("pos") % 64).cast("int")).as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("word"), col("bits"))))).as("bloom"))
+    val probe = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .crossJoin(broadcast(bloom))
+    val hit = positions(col("o_custkey")).map { pos =>
+      val word = shiftright(pos, 6)
+      val bit = call_function("shiftleft", lit(1L),
+        (pos % 64).cast("int"))
+      (coalesce(element_at(col("bloom"), word), lit(0L))
+        .bitwiseAND(bit)) =!= 0L
+    }.reduce(_ && _)
+    probe.filter(hit).drop("bloom")
+      .join(build.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q84Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q85: nearest as-of join ---------------------------------------
+
+  /** q85: NEAREST as-of join — completes the as-of family (q13
+    * backward, q59 forward, q52 tolerance): each purchase takes its
+    * user's closest view in EITHER direction (the sensor-alignment
+    * semantics pandas merge_asof(direction='nearest') defines), ties
+    * broken toward the earlier (backward) match. Composed from the
+    * same single-key-shuffle union-window plan as q13/q59 — one
+    * backward fill + one forward fill over the SAME shuffled
+    * (user, ts) layout, then a stateless per-row argmin — so the cost
+    * is two windows on one exchange, never a per-row range probe.
+    * Views pre-dedup per (user, ts) on max event_id so equal-timestamp
+    * winners match DuckDB's ASOF tie contract; a view at exactly the
+    * purchase ts appears on both sides with gap 0 and resolves
+    * backward. Rows with no view on either side keep NULLs (outer). */
+  def q85AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val back = AsOf.asofJoin(purchases, views, "user_id", "ts", "ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"),
+        col("r_view_id").as("b_view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+          .as("b_gap_us"))
+    val fwd = AsOf.asofJoinForward(purchases, views, "user_id", "ts",
+        "ts")
+      .select(col("event_id").as("purchase_id"),
+        col("r_view_id").as("f_view_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts")))
+          .as("f_gap_us"))
+    val takeBack = col("b_view_id").isNotNull &&
+      (col("f_view_id").isNull || col("b_gap_us") <= col("f_gap_us"))
+    back.join(fwd.hint("shuffle_hash"), Seq("purchase_id"))
+      .select(col("purchase_id"), col("user_id"),
+        when(takeBack, col("b_view_id"))
+          .otherwise(col("f_view_id")).as("view_id"),
+        when(takeBack, col("b_gap_us"))
+          .when(col("f_view_id").isNotNull, col("f_gap_us"))
+          .as("gap_us"),
+        when(takeBack, lit("backward"))
+          .when(col("f_view_id").isNotNull, lit("forward"))
+          .as("direction"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q85Sql: String =
+    """WITH views AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id,
+      |    v.view_id AS b_view_id,
+      |    epoch_us(p.ts) - epoch_us(v.ts) AS b_gap_us
+      |  FROM p ASOF LEFT JOIN views v
+      |    ON p.user_id = v.user_id AND v.ts <= p.ts),
+      |f AS (
+      |  SELECT p.event_id AS purchase_id,
+      |    v.view_id AS f_view_id,
+      |    epoch_us(v.ts) - epoch_us(p.ts) AS f_gap_us
+      |  FROM p ASOF LEFT JOIN views v
+      |    ON p.user_id = v.user_id AND v.ts >= p.ts)
+      |SELECT b.purchase_id, b.user_id,
+      |  CASE WHEN b_view_id IS NOT NULL AND
+      |      (f_view_id IS NULL OR b_gap_us <= f_gap_us)
+      |    THEN b_view_id ELSE f_view_id END AS view_id,
+      |  CASE WHEN b_view_id IS NOT NULL AND
+      |      (f_view_id IS NULL OR b_gap_us <= f_gap_us)
+      |    THEN b_gap_us ELSE f_gap_us END AS gap_us,
+      |  CASE WHEN b_view_id IS NOT NULL AND
+      |      (f_view_id IS NULL OR b_gap_us <= f_gap_us)
+      |    THEN 'backward'
+      |    WHEN f_view_id IS NOT NULL THEN 'forward' END AS direction
+      |FROM b JOIN f ON b.purchase_id = f.purchase_id
+      |ORDER BY b.purchase_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_bloom_prune" -> (q84BloomPrune _),
+    "q85_asof_nearest" -> (q85AsofNearest _))
+
+  val oracles: Map[String, String] = Map(
+    "q84_bloom_prune" -> q84Sql,
+    "q85_asof_nearest" -> q85Sql)
+}

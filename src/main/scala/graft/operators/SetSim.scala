@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Exact set-similarity self-join with prefix filtering (SURVEY.md
+  * §2d) — the AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et
+  * al. WWW'08, public formulations). Unlike the MinHash/SimHash
+  * entries (d02/d03: probabilistic candidates, measured recall), this
+  * is the EXACT join: every pair with Jaccard ≥ τ is returned, none
+  * missed, yet the pair space is never enumerated.
+  */
+object SetSim {
+
+  /** Jaccard threshold as a fraction: 10·|A∩B| ≥ 7·|A∪B| ⇔ J ≥ 0.7 —
+    * kept integer so the verify predicate is exact on both engines. */
+  val TauNum = 7
+  val TauDen = 10
+
+  /** d76: prefix-filtered exact set-similarity self-join — the
+    * published lossless candidate filter: order every doc's distinct
+    * 3-word shingles by ascending corpus document-frequency (rarest
+    * first, ties by shingle), and keep only each doc's first
+    * s − ⌈τ·s⌉ + 1 shingles as its PREFIX. The prefix-filtering lemma
+    * (SSJoin/AllPairs) guarantees any pair with J ≥ τ shares a prefix
+    * element, so candidates meet on an equi-join over PREFIX postings
+    * only — the common elements that would make a naive posting
+    * self-join explode are exactly the ones the ordering pushes OUT
+    * of prefixes. A length filter (τ·|A| ≤ |B| ≤ |A|/τ, integer form)
+    * rides the join condition. Survivors verify exactly: shingle
+    * arrays re-attach by doc id (two hash joins), intersection is a
+    * bounded per-row array op, and the τ test is integer
+    * cross-multiplication — no floats anywhere. ⌈τ·s⌉ is computed as
+    * ⌊(7s+9)/10⌋, never float ceil (0.7·s carries representation
+    * error at exact multiples).
+    *
+    * Set element choice is itself a scale decision: WORD sets
+    * saturate on a shared vocabulary (at sf0.01 ~40% of ALL doc
+    * pairs clear J ≥ 0.7 on words — the output would be inherently
+    * quadratic); 3-word SHINGLE sets are discriminative, so the
+    * qualifying relation is plants + true near-dups and the prefix
+    * join stays near-linear.
+    *
+    * Scale shape: one shingle-frequency aggregate, one per-doc window
+    * (bounded by doc length), one posting equi-join whose fan-out the
+    * prefix bound caps, two id-keyed verify joins. Nothing pairwise,
+    * nothing corpus-global. The oracle brute-forces the same relation
+    * through the full posting self-join — feasible at oracle scale,
+    * and any candidate the filter wrongly dropped would surface as a
+    * hash mismatch, so losslessness is verified, not assumed. */
+  def d76SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.corpusWithPlants(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("t", trim(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingleStrings(col("t"), col("w"), 3))
+          .as("toks"))
+    val post = docs.select(col("doc_id"), size(col("toks")).as("s"),
+      explode(col("toks")).as("g"))
+    val freq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val ranked = post.join(freq.hint("shuffle_hash"), Seq("g"))
+      .withColumn("rn", row_number().over(wDoc))
+    // prefix length p = s − ⌈τ·s⌉ + 1, integer ceil
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("s") - floor((col("s") * TauNum + (TauDen - 1)) / TauDen)
+          + 1)
+      .select(col("doc_id"), col("g"), col("s"))
+    // both posting sides are corpus-scaling window outputs with no
+    // stats: pin the shuffled build (the t11/d16 bug class)
+    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.s") * TauDen >= col("a.s") * TauNum &&
+          col("a.s") * TauDen >= col("b.s") * TauNum)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_sort(col("toks")).as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"),
+        col("toks").as("ta")).hint("shuffle_hash"), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"),
+        col("toks").as("tb")).hint("shuffle_hash"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ta"), col("tb")))
+          .cast("long").as("inter_size"),
+        (size(col("ta")) + size(col("tb")) -
+          size(array_intersect(col("ta"), col("tb"))))
+          .cast("long").as("union_size"))
+      .filter(col("inter_size") * TauDen >= col("union_size") * TauNum)
+      .withColumn("jaccard_micros",
+        expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Brute-force oracle: full shingle-posting self-join → per-pair
+    * intersection counts → integer τ test. Exact by construction
+    * (pairs sharing no shingle have J = 0 < τ). */
+  lazy val d76Sql: String =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |wd AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    string_split(trim(text), ' ') AS ws
+       |  FROM corpus WHERE length(trim(text)) > 0),
+       |docs AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1,
+       |        len(ws) - 2),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [t] END AS toks
+       |  FROM wd),
+       |tk AS (SELECT doc_id, unnest(toks) AS g FROM docs),
+       |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS s FROM docs),
+       |pair AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(COUNT(*) AS BIGINT) AS inter_size
+       |  FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a_id, b_id, inter_size,
+       |    sa.s + sb.s - inter_size AS union_size
+       |  FROM pair
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, inter_size,
+       |  CAST(union_size AS BIGINT) AS union_size,
+       |  CAST(inter_size * 1000000 // union_size AS BIGINT)
+       |    AS jaccard_micros
+       |FROM j
+       |WHERE inter_size * $TauDen >= union_size * $TauNum
+       |ORDER BY a_id, b_id""".stripMargin
+}

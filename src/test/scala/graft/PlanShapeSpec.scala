@@ -216,7 +216,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q75_equidepth" ->
         "per-group decile cuts: |l_returnflag| x 9 values",
       "s11_stream_decontam" ->
-        "eval-suite grams: bounded by construction (d13's contract)")
+        "eval-suite grams: bounded by construction (d13's contract)",
+      "d74_triangles" ->
+        ("two 1-row report scalars (edge/wedge totals), explicit " +
+          "broadcast() on count aggregates"),
+      "q84_bloom_prune" ->
+        ("the 1-row bloom bitset (groupBy().agg over <= 1024 words), " +
+          "explicit broadcast() — the whole point of the operator"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

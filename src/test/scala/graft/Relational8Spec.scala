@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational8, SetSim}
+
+/** Property pins for the round-11 operators beyond their DuckDB
+  * oracles: the bloom prune's transparency + effectiveness, nearest
+  * as-of tie semantics, and set-sim join losslessness. */
+class Relational8Spec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+  import spark.implicits._
+
+  test("q84 bloom prune returns exactly the unpruned join result") {
+    val got = Relational8.q84BloomPrune(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("rev"))
+      .orderBy(col("o_orderpriority"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum > 0, "build side selected nothing")
+  }
+
+  test("q84 bloom filter admits every true match and prunes most " +
+    "non-matches (false-positive rate sane at 8 KiB / 3 hashes)") {
+    // replicate the in-plan bloom test standalone over distinct keys
+    val buildKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k")).as[Long].collect().toSet
+    assert(buildKeys.nonEmpty)
+    val probed = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey").as("k")).distinct()
+    val bloomHits = {
+      val bloom = spark.createDataset(buildKeys.toSeq).toDF("k")
+        .select(explode(array((0 until Relational8.BloomHashes).map(i =>
+          pmod(xxhash64(lit(i), col("k")),
+            lit(Relational8.BloomBits.toLong))): _*)).as("pos"))
+        .select(shiftright(col("pos"), 6).as("word"),
+          call_function("shiftleft", lit(1L),
+            (col("pos") % 64).cast("int")).as("bit"))
+        .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("word"), col("bits"))))).as("bloom"))
+      val hit = (0 until Relational8.BloomHashes).map { i =>
+        val pos = pmod(xxhash64(lit(i), col("k")),
+          lit(Relational8.BloomBits.toLong))
+        val bit = call_function("shiftleft", lit(1L),
+          (pos % 64).cast("int"))
+        coalesce(element_at(col("bloom"), shiftright(pos, 6)), lit(0L))
+          .bitwiseAND(bit) =!= 0L
+      }.reduce(_ && _)
+      probed.crossJoin(broadcast(bloom)).filter(hit)
+        .select(col("k")).as[Long].collect().toSet
+    }
+    val trueMatches = probed.as[Long].collect().toSet
+      .intersect(buildKeys)
+    // lossless for true matches
+    assert(trueMatches.subsetOf(bloomHits))
+    // and actually selective: survivors are a small superset
+    val nProbe = probed.count()
+    assert(bloomHits.size < nProbe / 2,
+      s"bloom admitted ${bloomHits.size} of $nProbe probe keys")
+  }
+
+  test("q85 nearest as-of matches a brute-force nearest with " +
+    "backward tie-break") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("view_id"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq
+      }
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val want = purchases.map { case (pid, u, us) =>
+      val vs = views.getOrElse(u, Seq.empty)
+      val back = vs.filter(_._1 <= us).lastOption
+      val fwd = vs.find(_._1 >= us)
+      (back, fwd) match {
+        case (Some((bts, bid)), Some((fts, _)))
+            if us - bts <= fts - us =>
+          (pid, u, Some(bid), Some(us - bts), Some("backward"))
+        case (Some((bts, bid)), None) =>
+          (pid, u, Some(bid), Some(us - bts), Some("backward"))
+        case (_, Some((fts, fid))) =>
+          (pid, u, Some(fid), Some(fts - us), Some("forward"))
+        case _ => (pid, u, None, None, None)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Relational8.q85AsofNearest(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(got == want)
+    // both directions must actually occur on this corpus
+    assert(got.exists(_._5.contains("backward")))
+    assert(got.exists(_._5.contains("forward")))
+  }
+
+  test("d76 set-sim join is lossless vs brute-force exact Jaccard " +
+    "and its prefix postings are a strict subset of full postings") {
+    val docs = graft.operators.Dedup.corpusWithPlants(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ws = t.trim.split(" ", -1)
+        val shingles =
+          if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+          else Set(t.trim)
+        id -> shingles
+      }
+    val want = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs if a < b
+      inter = ta.intersect(tb).size
+      uni = ta.size + tb.size - inter
+      if inter * SetSim.TauDen >= uni * SetSim.TauNum
+    } yield (a, b, inter.toLong, uni.toLong,
+      inter.toLong * 1000000L / uni)).sortBy(r => (r._1, r._2)).toSeq
+    val got = SetSim.d76SetSimJoin(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "no qualifying pairs — plants missing?")
+    // prefix postings strictly fewer than full postings
+    val full = docs.map(_._2.size.toLong).sum
+    val prefixLen = docs.map { case (_, t) =>
+      val s = t.size.toLong
+      s - (s * SetSim.TauNum + (SetSim.TauDen - 1)) / SetSim.TauDen + 1
+    }.sum
+    assert(prefixLen < full / 2,
+      s"prefix posting volume $prefixLen not small vs $full")
+  }
+}
