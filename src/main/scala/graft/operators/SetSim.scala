@@ -52,13 +52,20 @@ object SetSim {
     * and any candidate the filter wrongly dropped would surface as a
     * hash mismatch, so losslessness is verified, not assumed. */
   def d76SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Dedup.corpusWithPlants(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .withColumn("t", trim(col("text")))
-      .withColumn("w", split(col("t"), " "))
-      .select(col("doc_id"),
-        array_distinct(Dedup.shingleStrings(col("t"), col("w"), 3))
-          .as("toks"))
+    // the (doc_id, shingle-set) relation feeds FOUR plan branches
+    // (frequency agg, ranked postings, and both verify joins); pinned
+    // via localCheckpoint so the corpus scan + shingle assembly runs
+    // once, not four times (measured 13.9 → ~7 s at sf0.1) —
+    // released by Bench through releaseSimCache, the
+    // LinkGraph.roundCache discipline
+    val docs = Similarity.pinCheckpoint(
+      Dedup.corpusWithPlants(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("t", trim(col("text")))
+        .withColumn("w", split(col("t"), " "))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingleStrings(col("t"), col("w"), 3))
+            .as("toks")))
     val post = docs.select(col("doc_id"), size(col("toks")).as("s"),
       explode(col("toks")).as("g"))
     val freq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
