@@ -164,11 +164,75 @@ object Relational8 {
       |FROM b JOIN f ON b.purchase_id = f.purchase_id
       |ORDER BY b.purchase_id""".stripMargin
 
+  // ---- q86: correlated EXISTS / NOT-EXISTS pair, decorrelated ------
+
+  /** Ship-date cutoff that splits the synthetic corpus into on-time /
+    * late lines (its dates span 1995–2001). */
+  val LateCutoff = "1998-01-31"
+
+  /** q86: the TPC-H Q21 shape — per supplier, count the multi-supplier
+    * orders where THAT supplier is the only late one (EXISTS another
+    * supplier on the order, NOT EXISTS another late supplier). The
+    * correlated-subquery formulation re-scans lineitem per outer row;
+    * the scale form DECORRELATES both quantifiers into aggregates of
+    * ONE distinct (order, supplier) relation — n_supp > 1 replaces
+    * EXISTS, n_late = 1 replaces NOT-EXISTS-other-late (the late
+    * probe row itself accounts for the 1) — so the whole query is two
+    * aggregates over one relation plus two order-keyed hash joins.
+    * The oracle runs the textbook correlated EXISTS/NOT EXISTS SQL,
+    * so the hash match PROVES the decorrelation, not just restates
+    * it. */
+  def q86ExistsDecorrelated(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val allSup = li.select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val late = li
+      .filter(col("l_shipdate").cast("date") > lit(LateCutoff))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val nSup = allSup.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val nLate = late.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_late"))
+    val waiting = late
+      .join(nSup.hint("shuffle_hash"), Seq("l_orderkey"))
+      .join(nLate.hint("shuffle_hash"), Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    waiting.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val q86Sql: String =
+    s"""WITH sl AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) > DATE '$LateCutoff')
+       |SELECT s.s_suppkey, s.s_name,
+       |  CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM sl l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       |WHERE EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND CAST(l3.l_shipdate AS DATE) > DATE '$LateCutoff')
+       |GROUP BY s.s_suppkey, s.s_name
+       |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bloom_prune" -> (q84BloomPrune _),
-    "q85_asof_nearest" -> (q85AsofNearest _))
+    "q85_asof_nearest" -> (q85AsofNearest _),
+    "q86_exists_decorrelated" -> (q86ExistsDecorrelated _))
 
   val oracles: Map[String, String] = Map(
     "q84_bloom_prune" -> q84Sql,
-    "q85_asof_nearest" -> q85Sql)
+    "q85_asof_nearest" -> q85Sql,
+    "q86_exists_decorrelated" -> q86Sql)
 }

@@ -392,6 +392,81 @@ object Interchange {
   /** Spec helper: the f10 output dir for `dir` (this process). */
   def dynOverDir(dir: String): String = roundTripDir("dynover", dir)
 
+  // ---- f11: bucketed co-located join --------------------------------
+
+  /** Bucket count for f11 — fixed so both tables land on the same
+    * layout; at cluster scale this is sized to the target parallelism
+    * (e.g. 4096 buckets for a 1000-executor fact table). */
+  val Buckets = 16
+
+  /** f11: BUCKETED tables join WITHOUT a shuffle — the storage-layout
+    * contract every warehouse fact/fact join at 100 TB depends on:
+    * orders and lineitem are written once as bucketed+sorted tables
+    * (hash(orderkey) mod [[Buckets]] decides the file, in-file rows
+    * sort by the key), and every later join on the bucket key reads
+    * both sides ALREADY co-partitioned and pre-sorted — the exchange
+    * that dominates an unbucketed sort-merge join (reshuffling the
+    * whole fact table per query) never appears in the plan, which
+    * the spec pins (zero Exchange under the join). The repeated-join
+    * economics are the point: the one-time bucketed write amortizes
+    * across every downstream join/aggregation on the same key.
+    *
+    * Lifecycle: Spark only writes bucket metadata through the
+    * catalog, so the build registers an EXTERNAL table (data under
+    * tmpdir, per-process like every Interchange artifact) on first
+    * use per (session, dataset); later calls in the session — bench
+    * reps, repeated reads — reuse table + files. The in-memory
+    * catalog dies with the session; a fresh session re-registers
+    * over a fresh per-process path. The result is identical to the
+    * plain parquet join (bucketing is pure layout), so the oracle is
+    * the unbucketed SQL. */
+  def f11BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    bucketedTable(spark, dir, "orders", "o_orderkey")
+    bucketedTable(spark, dir, "lineitem", "l_orderkey")
+    spark.table(bucketedName(dir, "lineitem"))
+      .join(spark.table(bucketedName(dir, "orders")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Catalog name for the bucketed copy of `table` over `dir` —
+    * unique per dataset dir AND process (parallel test forks must not
+    * collide on the shared warehouse path). */
+  def bucketedName(dir: String, table: String): String =
+    s"graft_${table}_b_${Integer.toHexString(dir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+
+  /** Register (building if absent) the bucketed external table. */
+  def bucketedTable(spark: SparkSession, dir: String, table: String,
+      key: String): Unit = {
+    val name = bucketedName(dir, table)
+    if (!spark.catalog.tableExists(name)) {
+      Tables.load(spark, dir, table)
+        // pre-shuffle onto the bucket layout (same murmur3 hash as
+        // the bucketing spec) so every bucket is ONE file — multiple
+        // files per bucket would both fragment the read and stop the
+        // scan from reporting its sort order (forcing a per-query
+        // re-sort under the merge join)
+        .repartition(Buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, key).sortBy(key)
+        .option("path", roundTripDir(s"bucket_$table", dir))
+        .saveAsTable(name)
+    }
+  }
+
+  val f11Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_jsonl_roundtrip" -> (f01JsonlRoundTrip _),
     "f02_csv_roundtrip" -> (f02CsvRoundTrip _),
@@ -402,7 +477,8 @@ object Interchange {
     "f07_fixed_width_roundtrip" -> (f07FixedWidthRoundTrip _),
     "f08_schema_evolution" -> (f08SchemaEvolution _),
     "f09_codec_matrix" -> (f09CodecMatrix _),
-    "f10_partition_overwrite" -> (f10PartitionOverwrite _))
+    "f10_partition_overwrite" -> (f10PartitionOverwrite _),
+    "f11_bucketed_join" -> (f11BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -414,5 +490,6 @@ object Interchange {
     "f07_fixed_width_roundtrip" -> f07Sql,
     "f08_schema_evolution" -> f08Sql,
     "f09_codec_matrix" -> f09Sql,
-    "f10_partition_overwrite" -> f10Sql)
+    "f10_partition_overwrite" -> f10Sql,
+    "f11_bucketed_join" -> f11Sql)
 }

@@ -115,6 +115,66 @@ class Relational8Spec extends AnyFunSuite {
     assert(got.exists(_._5.contains("forward")))
   }
 
+  test("q86 decorrelation equals a literal exists/not-exists replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").cast("string").as("sd"))
+      .as[(Long, Long, String)].collect()
+    val byOrder = li.groupBy(_._1)
+    val cutoff = Relational8.LateCutoff
+    val want = byOrder.toSeq.flatMap { case (_, lines) =>
+      val supps = lines.map(_._2).distinct
+      val lateSupps = lines.filter(_._3 > cutoff).map(_._2).distinct
+      if (supps.length > 1 && lateSupps.length == 1) lateSupps else Nil
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational8.q86ExistsDecorrelated(spark, sf)
+      .select(col("s_suppkey"), col("numwait"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("f11 bucketed join: zero exchanges under the join, result " +
+    "equals the plain parquet join, table reused on second call") {
+    import graft.sources.Interchange
+    val got = Interchange.f11BucketedJoin(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("q"))
+      .orderBy(col("o_orderpriority"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+    // the bare bucketed join (no aggregate above it) plans with NO
+    // shuffle exchange: both scans are already co-partitioned by the
+    // catalog bucket spec. At spec scale the tables squeeze under the
+    // broadcast threshold (which sidesteps bucketing entirely), so
+    // pin the merge-join path the layout exists for by disabling it.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      spark.table(Interchange.bucketedName(sf, "lineitem"))
+        .join(spark.table(Interchange.bucketedName(sf, "orders")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, saved)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    // second call reuses the registered table (no rebuild): the
+    // tables must still exist and answer
+    val again = Interchange.f11BucketedJoin(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("d76 set-sim join is lossless vs brute-force exact Jaccard " +
     "and its prefix postings are a strict subset of full postings") {
     val docs = graft.operators.Dedup.corpusWithPlants(spark, sf)
