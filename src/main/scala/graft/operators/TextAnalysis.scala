@@ -1282,4 +1282,92 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
       |    / SUM(length(text)), 6) + 0.0 AS inflation
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- t32: per-source KL divergence (domain-shift ranking) ---------
+
+  /** t32: per-source unigram KL divergence against the corpus — the
+    * domain-shift ranking a mixture designer reads before weighting
+    * sources (d18/d38): KL(source ‖ corpus) = Σ_t p_t·ln(p_t/q_t)
+    * with p from the source's unigram distribution, q from the whole
+    * corpus. Complements d57's KS drift (one numeric column, two
+    * snapshots) with full-vocabulary distributional distance per
+    * source.
+    *
+    * The t15 transcendental discipline throughout: each term's
+    * ln argument regroups to a RATIO OF INTEGER PRODUCTS
+    * (c_st·N)/(N_s·c_t), both products exact longs, each ln
+    * evaluated once per (source, term) row and quantized to the 10⁶
+    * grid immediately — so the per-source sum Σ c_st·(lnq(c_st·N) −
+    * lnq(N_s·c_t)) is exact integer arithmetic and the reported KL
+    * is ONE division at the end. Since corpus counts contain the
+    * source's own, q_t > 0 wherever p_t > 0 — no smoothing needed.
+    * Plan: one token explode, one (source, term) aggregate, a
+    * shuffled equi-join against the term-total relation
+    * (vocabulary-sized — never broadcast), the |sources|-row and
+    * 1-row totals broadcast, one per-source sum. */
+  def t32SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(x: Column): Column =
+      round(log(x.cast("double")) * lit(1e6), 0).cast("long")
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.words(col("text"))).as("term"))
+    val cst = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cst"))
+    val ns = cst.groupBy(col("source"))
+      .agg(sum(col("cst")).cast("long").as("ns"),
+        count(lit(1)).as("n_terms"))
+    val ct = cst.groupBy(col("term"))
+      .agg(sum(col("cst")).cast("long").as("ct"))
+    val n = ct.agg(sum(col("ct")).cast("long").as("n"))
+    cst
+      .join(ct.hint("shuffle_hash"), Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"), col("n_terms"),
+        (col("cst") *
+          (lnq(col("cst") * col("n")) - lnq(col("ns") * col("ct"))))
+          .as("contrib"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        max(col("n_terms")).as("n_terms"),
+        sum(col("contrib")).cast("long").as("kl_num_micros"))
+      .withColumn("kl_nats",
+        round(col("kl_num_micros").cast("double")
+          / col("n_tokens") / 1e6, 6) + lit(0.0))
+      .orderBy(col("source"))
+  }
+
+  lazy val t32Sql: String = {
+    val w = TextFunctions.wordsSql
+    s"""WITH tk AS (
+       |  SELECT source, unnest($w) AS term FROM documents),
+       |cst AS (
+       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cst
+       |  FROM tk GROUP BY 1, 2),
+       |ns AS (
+       |  SELECT source, CAST(SUM(cst) AS BIGINT) AS ns,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM cst GROUP BY 1),
+       |ct AS (
+       |  SELECT term, CAST(SUM(cst) AS BIGINT) AS ct
+       |  FROM cst GROUP BY 1),
+       |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+       |con AS (
+       |  SELECT cst.source,
+       |    cst.cst * (
+       |      CAST(ROUND(ln(CAST(cst.cst * n.n AS DOUBLE)) * 1000000)
+       |        AS BIGINT)
+       |      - CAST(ROUND(ln(CAST(ns.ns * ct.ct AS DOUBLE)) * 1000000)
+       |        AS BIGINT)) AS contrib,
+       |    ns.ns, ns.n_terms
+       |  FROM cst
+       |  JOIN ct USING (term)
+       |  JOIN ns USING (source)
+       |  CROSS JOIN n)
+       |SELECT source, MAX(ns) AS n_tokens, MAX(n_terms) AS n_terms,
+       |  CAST(SUM(contrib) AS BIGINT) AS kl_num_micros,
+       |  ROUND(CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE)
+       |    / MAX(ns) / 1000000.0, 6) + 0.0 AS kl_nats
+       |FROM con GROUP BY source ORDER BY source""".stripMargin
+  }
 }

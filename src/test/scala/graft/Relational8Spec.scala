@@ -175,6 +175,34 @@ class Relational8Spec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("t32 per-source KL: integer numerators replay exactly, " +
+    "values are non-negative up to grid quantization") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(split(trim(col("text")), " ")).as("term"))
+      .as[(String, String)].collect()
+    val cst = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap // (source, term) -> count
+    val ns = cst.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val ct = cst.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val n = ct.values.sum
+    def lnq(x: Long): Long =
+      math.round(math.log(x.toDouble) * 1e6)
+    val wantNum = cst.toSeq.map { case ((s, t), c) =>
+      s -> c * (lnq(c * n) - lnq(ns(s) * ct(t)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = graft.operators.TextAnalysis.t32SourceKl(spark, sf)
+      .select(col("source"), col("kl_num_micros"), col("kl_nats"))
+      .as[(String, Long, Double)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == wantNum)
+    got.foreach { case (s, _, kl) =>
+      assert(kl >= -1e-5, s"$s negative KL $kl")
+    }
+    assert(got.exists(_._3 > 0.0), "no source diverges at all")
+  }
+
   test("d76 set-sim join is lossless vs brute-force exact Jaccard " +
     "and its prefix postings are a strict subset of full postings") {
     val docs = graft.operators.Dedup.corpusWithPlants(spark, sf)
