@@ -226,10 +226,53 @@ object Relational8 {
        |GROUP BY s.s_suppkey, s.s_name
        |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
 
+  // ---- q87: mergeable-sketch incremental distinct -------------------
+
+  /** q87: incremental DISTINCT maintenance via mergeable HLL sketches
+    * — closes the gap q83 documents: count/sum/min/max merge by
+    * partial states, but exact distinct is NOT decomposable; the
+    * production answer is a mergeable sketch kept as the aggregate's
+    * stored state. Base and delta (the d54 every-10th split) each
+    * reduce to one DataSketches HLL sketch per event type
+    * (hll_sketch_agg — Spark-native, codegen'd, mergeable by
+    * construction); refresh is hll_union on the BOUNDED sketch
+    * relation — O(types · sketch bytes), never a re-scan of history —
+    * and the spec pins merge(base, delta) == one-shot full-corpus
+    * sketch (the statement that makes the refresh trustworthy) plus
+    * estimate-vs-exact error. DuckDB's approx_distinct uses a
+    * different sketch, so this is a declared rows-only entry (q12's
+    * contract); the exact_full column carries the ground truth in the
+    * report itself. */
+  def q87HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val base = e.filter(col("event_id") % 10 =!= 0)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_base"))
+    val delta = e.filter(col("event_id") % 10 === 0)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_delta"))
+    val full = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_full"),
+        count_distinct(col("user_id")).as("exact_full"))
+    base.join(delta, Seq("event_type"))
+      .join(full, Seq("event_type"))
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk_base)").as("est_base"),
+        expr("hll_sketch_estimate(hll_union(sk_base, sk_delta))")
+          .as("est_merged"),
+        expr("hll_sketch_estimate(sk_full)").as("est_full"),
+        col("exact_full"),
+        (expr("hll_sketch_estimate(hll_union(sk_base, sk_delta))") ===
+          expr("hll_sketch_estimate(sk_full)")).as("merge_consistent"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bloom_prune" -> (q84BloomPrune _),
     "q85_asof_nearest" -> (q85AsofNearest _),
-    "q86_exists_decorrelated" -> (q86ExistsDecorrelated _))
+    "q86_exists_decorrelated" -> (q86ExistsDecorrelated _),
+    "q87_hll_merge" -> (q87HllMerge _))
 
   val oracles: Map[String, String] = Map(
     "q84_bloom_prune" -> q84Sql,

@@ -107,6 +107,92 @@ object SetSim {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Fuzzy-decontamination Jaccard threshold: 2·|A∩B| ≥ |A∪B|. */
+  val DecontamTauNum = 1
+  val DecontamTauDen = 2
+
+  /** d77: FUZZY eval-set decontamination — d13 catches verbatim
+    * 4-gram reuse; the leak that actually poisons benchmarks is the
+    * lightly-edited copy (whitespace-normalized, one sentence
+    * trimmed, a word swapped) whose shared n-grams survive at high
+    * Jaccard without any exact long match being the point. Each
+    * training doc (the corpusWithPlants training side, ids ≥
+    * [[graft.operators.TextAnalysis.d13Decontaminate EvalDocs]]'
+    * convention) meets the eval suite on shingle-set Jaccard ≥ 1/2:
+    * the eval side is SMALL BY CONSTRUCTION (a benchmark suite), so
+    * its distinct-shingle postings broadcast — the training corpus
+    * never shuffles for the candidate join (d13's contract) — and
+    * per (train, eval) candidate the exact Jaccard verifies under
+    * integer cross-multiplication against both set sizes. Plants of
+    * eval members (last word dropped) are the built-in positives:
+    * they carry NO exact-duplicate hash yet must flag here. */
+  def d77FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val eval0 = TextAnalysis.EvalDocs
+    // pinned for the same reason as d76: the shingle-set relation
+    // feeds both the eval and train branches — one scan, not two
+    val docs = Similarity.pinCheckpoint(
+      Dedup.corpusWithPlants(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("t", trim(col("text")))
+        .withColumn("w", split(col("t"), " "))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingleStrings(col("t"), col("w"), 3))
+            .as("toks")))
+    val bench = docs.filter(col("doc_id") < eval0)
+      .select(col("doc_id").as("eval_doc"),
+        size(col("toks")).as("se"), explode(col("toks")).as("g"))
+    val train = docs.filter(col("doc_id") >= eval0)
+      .select(col("doc_id").as("train_doc"),
+        size(col("toks")).as("st"), explode(col("toks")).as("g"))
+    train.join(broadcast(bench), Seq("g"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("inter_size"),
+        max(col("st")).as("st"), max(col("se")).as("se"))
+      .select(col("train_doc"), col("eval_doc"),
+        col("inter_size"),
+        (col("st") + col("se") - col("inter_size")).as("union_size"))
+      .filter(col("inter_size") * DecontamTauDen >=
+        col("union_size") * DecontamTauNum)
+      .withColumn("jaccard_micros",
+        expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** DuckDB oracle for d77: the d76 shingle CTEs split into eval /
+    * train sides, posting join, integer τ test. */
+  lazy val d77Sql: String = {
+    val eval0 = TextAnalysis.EvalDocs
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |wd AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    string_split(trim(text), ' ') AS ws
+       |  FROM corpus WHERE length(trim(text)) > 0),
+       |docs AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1,
+       |        len(ws) - 2),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [t] END AS toks
+       |  FROM wd),
+       |tk AS (SELECT doc_id, len(toks) AS s, unnest(toks) AS g
+       |       FROM docs),
+       |pair AS (
+       |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       |    CAST(COUNT(*) AS BIGINT) AS inter_size,
+       |    CAST(MAX(tr.s) + MAX(ev.s) - COUNT(*) AS BIGINT)
+       |      AS union_size
+       |  FROM tk tr JOIN tk ev ON tr.g = ev.g
+       |  WHERE tr.doc_id >= $eval0 AND ev.doc_id < $eval0
+       |  GROUP BY 1, 2)
+       |SELECT train_doc, eval_doc, inter_size, union_size,
+       |  CAST(inter_size * 1000000 // union_size AS BIGINT)
+       |    AS jaccard_micros
+       |FROM pair
+       |WHERE inter_size * $DecontamTauDen >=
+       |  union_size * $DecontamTauNum
+       |ORDER BY train_doc, eval_doc""".stripMargin
+  }
+
   /** Brute-force oracle: full shingle-posting self-join → per-pair
     * intersection counts → integer τ test. Exact by construction
     * (pairs sharing no shingle have J = 0 < τ). */

@@ -222,7 +222,9 @@ class PlanShapeSpec extends AnyFunSuite {
           "broadcast() on count aggregates"),
       "q84_bloom_prune" ->
         ("the 1-row bloom bitset (groupBy().agg over <= 1024 words), " +
-          "explicit broadcast() — the whole point of the operator"))
+          "explicit broadcast() — the whole point of the operator"),
+      "q87_hll_merge" ->
+        "per-event-type sketch relations: |event_type| rows")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -175,6 +175,57 @@ class Relational8Spec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("d77 fuzzy decontam flags every plant of an eval doc and " +
+    "matches a brute-force eval-vs-train Jaccard sweep") {
+    import graft.operators.{SetSim, TextAnalysis}
+    val docs = graft.operators.Dedup.corpusWithPlants(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ws = t.trim.split(" ", -1)
+        val sh =
+          if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+          else Set(t.trim)
+        id -> sh
+      }
+    val evalSide = docs.filter(_._1 < TextAnalysis.EvalDocs)
+    val trainSide = docs.filter(_._1 >= TextAnalysis.EvalDocs)
+    val want = (for {
+      (tr, st) <- trainSide
+      (ev, se) <- evalSide
+      inter = st.intersect(se).size
+      uni = st.size + se.size - inter
+      if inter * SetSim.DecontamTauDen >= uni * SetSim.DecontamTauNum
+    } yield (tr, ev, inter.toLong, uni.toLong,
+      inter.toLong * 1000000L / uni)).sortBy(r => (r._1, r._2)).toSeq
+    val got = SetSim.d77FuzzyDecontam(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // every plant of an eval doc (orig_id < EvalDocs, orig_id % 10
+    // == 0 per the plant convention) must flag against its original
+    val plantPositives = docs.map(_._1).filter(id =>
+      id >= 1000000L && (id - 1000000L) < TextAnalysis.EvalDocs)
+    assert(plantPositives.nonEmpty)
+    plantPositives.foreach { p =>
+      assert(got.exists(r => r._1 == p && r._2 == p - 1000000L),
+        s"plant $p of eval doc ${p - 1000000L} not flagged")
+    }
+  }
+
+  test("q87 hll merge: merged sketch equals the one-shot full " +
+    "sketch, estimates within 2% of exact") {
+    val got = Relational8.q87HllMerge(spark, sf)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (t, _, estMerged, estFull, exact, consistent) =>
+      assert(consistent, s"$t: merged sketch != full sketch")
+      assert(estMerged == estFull, s"$t estimates diverge")
+      assert(math.abs(estFull - exact).toDouble / exact <= 0.02,
+        s"$t estimate $estFull vs exact $exact")
+    }
+  }
+
   test("t32 per-source KL: integer numerators replay exactly, " +
     "values are non-negative up to grid quantization") {
     val toks = spark.read.parquet(s"$sf/documents.parquet")
