@@ -179,6 +179,88 @@ object Sampling {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- d78: fixed-length sequence packing (doc-spanning) ------------
+
+  /** Tokens per packed training sequence for d78. A power of two so
+    * the offset→sequence division is exact under any arithmetic. */
+  val SeqLen = 512L
+
+  /** d78: FIXED-LENGTH sequence packing — the layout a pretraining
+    * run actually feeds the model: the corpus concatenates in doc_id
+    * order and splits into [[SeqLen]]-token sequences, documents
+    * SPANNING sequence boundaries (d23 packs whole docs into ~budget
+    * shards; packed batches cut mid-document — both layouts exist in
+    * production, this is the dense one with zero padding waste).
+    * Output is the span relation a packed-batch loader consumes:
+    * (seq_id, doc_id, doc_off, seq_off, len) — every token of every
+    * doc lands in exactly one span, every sequence except the last
+    * holds exactly [[SeqLen]] tokens (both spec-pinned).
+    *
+    * Scale shape: the global token offset comes from d23's
+    * distributed prefix sum (contiguous doc_id bins → per-bin totals
+    * → tiny window → per-bin row sums; no global window), then each
+    * doc explodes into its ⌈span⌉ sequences via a bounded
+    * `sequence()` — output size Σ(n/L + 1), linear in the corpus. */
+  def d78SequencePack(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n"))
+    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val binOf = least(lit(bins - 1),
+      (col("doc_id") * bins / (maxId + 1)).cast("int"))
+    val binned = docs.withColumn("bin", binOf)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("bin"))
+      .agg(sum(col("n")).as("bin_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bin_tokens")).over(w), lit(0L)))
+      .select(col("bin"), col("offset"))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    binned.join(broadcast(offsets), Seq("bin"))
+      .withColumn("o",
+        col("offset") + coalesce(sum(col("n")).over(wRow), lit(0L)))
+      .select(col("doc_id"), col("n"), col("o"),
+        explode(sequence(expr(s"o DIV $SeqLen"),
+          expr(s"(o + n - 1) DIV $SeqLen"))).as("seq_id"))
+      .withColumn("start", greatest(col("o"), col("seq_id") * SeqLen))
+      .select(col("seq_id"), col("doc_id"),
+        (col("start") - col("o")).as("doc_off"),
+        (col("start") - col("seq_id") * SeqLen).as("seq_off"),
+        (least(col("o") + col("n"), (col("seq_id") + 1) * SeqLen)
+          - col("start")).as("len"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** DuckDB oracle: the single-window global-cumsum formulation —
+    * the partitioning-invisible contract (d23's convention). */
+  val d78Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+       |    SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents),
+       |d AS (SELECT doc_id, n, CAST(cum - n AS BIGINT) AS o FROM t),
+       |sp AS (
+       |  SELECT doc_id, n, o,
+       |    unnest(generate_series(o // $SeqLen,
+       |      (o + n - 1) // $SeqLen)) AS seq_id
+       |  FROM d)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |  CAST(GREATEST(o, seq_id * $SeqLen) - o AS BIGINT) AS doc_off,
+       |  CAST(GREATEST(o, seq_id * $SeqLen) - seq_id * $SeqLen
+       |    AS BIGINT) AS seq_off,
+       |  CAST(LEAST(o + n, (seq_id + 1) * $SeqLen)
+       |    - GREATEST(o, seq_id * $SeqLen) AS BIGINT) AS len
+       |FROM sp ORDER BY seq_id, doc_id""".stripMargin
+
   // ---- d35: weighted sampling without replacement -------------------
 
   /** Sample size for d35. */

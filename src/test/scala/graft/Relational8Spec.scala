@@ -226,6 +226,41 @@ class Relational8Spec extends AnyFunSuite {
     }
   }
 
+  test("d78 sequence packing: every non-final sequence exactly full, " +
+    "every doc's spans reassemble it contiguously") {
+    import graft.operators.Sampling
+    val spans = Sampling.d78SequencePack(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.nonEmpty)
+    val l = Sampling.SeqLen
+    // per-sequence totals: all == L except the last
+    val bySeq = spans.groupBy(_._1).view
+      .mapValues(_.map(_._5).sum).toSeq.sortBy(_._1)
+    bySeq.dropRight(1).foreach { case (s, tot) =>
+      assert(tot == l, s"sequence $s holds $tot tokens")
+    }
+    assert(bySeq.last._2 <= l && bySeq.last._2 > 0)
+    // sequence ids are contiguous from 0
+    assert(bySeq.map(_._1) == (0L until bySeq.length.toLong))
+    // per-doc reassembly: spans ordered by seq cover [0, n) contiguously
+    val nTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._1)
+      var expect = 0L
+      ordered.foreach { case (_, _, docOff, seqOff, len) =>
+        assert(docOff == expect, s"doc $doc gap at $docOff")
+        assert(len > 0 && seqOff >= 0 && seqOff < l)
+        expect += len
+      }
+      assert(expect == nTokens(doc), s"doc $doc spans $expect tokens")
+    }
+    // spanning actually happens: some doc crosses a boundary
+    assert(spans.groupBy(_._2).exists(_._2.size > 1))
+  }
+
   test("t32 per-source KL: integer numerators replay exactly, " +
     "values are non-negative up to grid quantization") {
     val toks = spark.read.parquet(s"$sf/documents.parquet")
