@@ -38,7 +38,14 @@ object ScaleCurve {
     "2d_pipeline_knn_mp" -> "d59_knn_multiprobe",
     "2c_spatial" -> "g18_point_in_polygon",
     "2d_pipeline_incremental" -> "d54_incremental_dedup",
-    "2e_streaming" -> "s01_window_agg")
+    "2e_streaming" -> "s01_window_agg",
+    // round-11 additions: the exact set-sim join (prefix-filtered),
+    // the shuffle-free bucketed layout join, doc-spanning sequence
+    // packing, and the bloom-pruned selective join
+    "2d_pipeline_setsim" -> "d76_setsim_join",
+    "2a_storage_bucketed" -> "f11_bucketed_join",
+    "2d_pipeline_pack" -> "d78_sequence_pack",
+    "2a_bloom_prune" -> "q84_bloom_prune")
 
   private def fmt(v: Double): String = {
     val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

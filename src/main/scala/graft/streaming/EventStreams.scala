@@ -1111,4 +1111,96 @@ object EventStreams {
       |SELECT from_type, to_type, COUNT(*) AS n
       |FROM pairs WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  // ---- s19: changelog materialization (CDC apply at ingest) ---------
+
+  case class Change(user_id: Long, ts: Timestamp, event_id: Long,
+    op: String, value: Double)
+  case class KeyState(us: Long, event_id: Long, op: String,
+    value: Double, n: Long)
+  case class Snapshot(user_id: Long, n_changes: Long, last_op: String,
+    value: Option[Double], last_us: Long)
+
+  /** The changelog interpretation shared by the batch and streaming
+    * forms: every event upserts its user's value; an `error` event is
+    * the DELETE tombstone. */
+  def asChangelog(e: DataFrame): DataFrame =
+    e.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("value"))
+
+  /** s19 registered batch form: CHANGELOG → SNAPSHOT — q78 applies a
+    * prepared daily CDC batch to a prior snapshot; this is the other
+    * end of that pipeline, materializing the current table straight
+    * from the raw ordered change feed (the Debezium-consumer shape):
+    * last-writer-wins per key on the (ts, event_id) total order,
+    * delete tombstones surviving as explicit deleted rows (the report
+    * stays total — readers distinguish "deleted" from "never
+    * existed"). One partial-aggregable struct-max per key — no
+    * window, no sort, nothing beyond one key shuffle at any history
+    * size. The streaming twin ([[changelogStream]]) holds exactly one
+    * KeyState per key and pays each change once; the spec pins
+    * streamed final state == this batch snapshot. */
+  def s19ChangelogSnapshot(spark: SparkSession, dir: String)
+      : DataFrame =
+    asChangelog(Tables.load(spark, dir, "events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(struct(col("ts"), col("event_id"), col("op"),
+          col("value"))).as("last"))
+      .select(col("user_id"), col("n_changes"),
+        col("last.op").as("last_op"),
+        when(col("last.op") === "upsert", col("last.value"))
+          .as("value"),
+        unix_micros(col("last.ts")).as("last_us"))
+      .orderBy(col("user_id"))
+
+  val s19Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN event_type = 'error' THEN 'delete'
+      |      ELSE 'upsert' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, event_id, value, op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM c)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_changes, op AS last_op,
+      |  CASE WHEN op = 'upsert' THEN value END AS value,
+      |  epoch_us(ts) AS last_us
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** s19 scale path: the changelog folds into O(1) state per key —
+    * each arriving change replaces the stored (ts, id, op, value) if
+    * it orders later; every micro-batch emits each touched key's
+    * CURRENT row (update-in-place consumers upsert it downstream).
+    * The batch job re-reads the whole feed every run; the stream
+    * pays each change exactly once against keyed state — the only
+    * shape that holds when the changelog is 100 TB and today's slice
+    * is gigabytes. */
+  def changelogStream(changes: Dataset[Change]): Dataset[Snapshot] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Change], state: GroupState[KeyState]) =>
+          var st = state.getOption
+          it.toSeq.sortBy(c => (micros(c.ts), c.event_id)).foreach { c =>
+            val newer = st.forall(s =>
+              micros(c.ts) > s.us ||
+                (micros(c.ts) == s.us && c.event_id > s.event_id))
+            val n = st.map(_.n).getOrElse(0L) + 1
+            st =
+              if (newer)
+                Some(KeyState(micros(c.ts), c.event_id, c.op, c.value, n))
+              else st.map(s => s.copy(n = n))
+          }
+          st.foreach(state.update)
+          val s = st.get
+          Snapshot(uid, s.n, s.op,
+            if (s.op == "upsert") Some(s.value) else None, s.us)
+      }
+  }
 }

@@ -261,6 +261,45 @@ class Relational8Spec extends AnyFunSuite {
     assert(spans.groupBy(_._2).exists(_._2.size > 1))
   }
 
+  test("s19 streamed changelog state equals the batch snapshot " +
+    "across multi-batch arrival") {
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val changes = EventStreams.asChangelog(
+      Tables.load(spark, sf, "events"))
+      .as[EventStreams.Change].collect()
+      .sortBy(c => (c.ts.getTime, c.event_id))
+    val chunks = changes.grouped(
+      math.max(1, changes.length / 4 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Change]
+    val q = EventStreams.changelogStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("s19_sink").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // last emitted row per key IS the final state (update mode)
+      val streamed = spark.table("s19_sink")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_changes"), col("last_us"),
+          col("last_op"), col("value"))).as("last"))
+        .select(col("user_id"), col("last.n_changes"),
+          col("last.last_op"), col("last.value"), col("last.last_us"))
+        .as[(Long, Long, String, Option[Double], Long)]
+        .collect().toSeq.sortBy(_._1)
+      val batch = EventStreams.s19ChangelogSnapshot(spark, sf)
+        .select(col("user_id"), col("n_changes"), col("last_op"),
+          col("value"), col("last_us"))
+        .as[(Long, Long, String, Option[Double], Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // both tombstoned and live keys must occur
+      assert(batch.exists(_._3 == "delete"))
+      assert(batch.exists(_._3 == "upsert"))
+    } finally q.stop()
+  }
+
   test("t32 per-source KL: integer numerators replay exactly, " +
     "values are non-negative up to grid quantization") {
     val toks = spark.read.parquet(s"$sf/documents.parquet")
