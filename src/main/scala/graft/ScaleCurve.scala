@@ -39,10 +39,19 @@ object ScaleCurve {
     "2c_spatial" -> "g18_point_in_polygon",
     "2d_pipeline_incremental" -> "d54_incremental_dedup",
     "2e_streaming" -> "s01_window_agg",
-    // round-11 additions: the exact set-sim join (prefix-filtered),
-    // the shuffle-free bucketed layout join, doc-spanning sequence
-    // packing, and the bloom-pruned selective join
-    "2d_pipeline_setsim" -> "d76_setsim_join",
+    // round-11 additions: the shuffle-free bucketed layout join,
+    // doc-spanning sequence packing, and the bloom-pruned selective
+    // join. d76 (exact set-sim join) is deliberately NOT a curve
+    // family — the d49 precedent: on this corpus the shingle
+    // vocabulary SATURATES (~220k distinct shingles at any n up to
+    // 9), so per-shingle document frequency grows linearly with the
+    // corpus and the exact τ=0.7 pair OUTPUT is itself Θ(N²)
+    // (measured: 69M co-occurring pairs / 330k qualifying pairs at
+    // sf1 → OOM-scale at sf10); no exact algorithm beats its own
+    // output size. The operator's scale envelope is output-bounded —
+    // the right tool at this duplication density is d02→d20
+    // (LSH candidates → cluster keepers); d76 is the exact tool for
+    // realistic sparse corpora, gate-verified at the oracle scales.
     "2a_storage_bucketed" -> "f11_bucketed_join",
     "2d_pipeline_pack" -> "d78_sequence_pack",
     "2a_bloom_prune" -> "q84_bloom_prune")

@@ -50,7 +50,20 @@ object SetSim {
     * nothing corpus-global. The oracle brute-forces the same relation
     * through the full posting self-join — feasible at oracle scale,
     * and any candidate the filter wrongly dropped would surface as a
-    * hash mismatch, so losslessness is verified, not assumed. */
+    * hash mismatch, so losslessness is verified, not assumed.
+    *
+    * Scale ENVELOPE (measured, r11): every exact τ-join is bounded
+    * below by its own output, and on THIS corpus the output is
+    * Θ(N²) — the generator's shingle vocabulary saturates (~220k
+    * distinct shingles at every n from 3 to 9), so per-shingle df
+    * grows linearly with the corpus: at sf1, 69M co-occurring pairs,
+    * 12.2M prefix candidates (the filter's honest 5.7× cut), 330k
+    * qualifying pairs; all three scale ~N². The production tool at
+    * that duplication density is d02→d20 (LSH candidates → cluster
+    * keepers, near-linear); d76 is the exact tool for realistic
+    * SPARSE corpora, where candidates ≈ output ≈ small. The d49
+    * precedent: honest-quadratic on pathological density,
+    * scaladoc'd, excluded from the scale curve. */
   def d76SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     // the (doc_id, shingle-set) relation feeds FOUR plan branches
     // (frequency agg, ranked postings, and both verify joins); pinned
