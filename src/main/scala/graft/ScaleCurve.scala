@@ -54,7 +54,10 @@ object ScaleCurve {
     // realistic sparse corpora, gate-verified at the oracle scales.
     "2a_storage_bucketed" -> "f11_bucketed_join",
     "2d_pipeline_pack" -> "d78_sequence_pack",
-    "2a_bloom_prune" -> "q84_bloom_prune")
+    "2a_bloom_prune" -> "q84_bloom_prune",
+    // r12: persisted-index SEARCH (the read path; its one-time build
+    // is timed separately in artifact_builds, like f11's layout)
+    "2d_pipeline_ann_idx" -> "d79_persisted_ivf")
 
   private def fmt(v: Double): String = {
     val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -91,6 +94,32 @@ object ScaleCurve {
           catch { case _: Throwable => () }
         }
     }
+
+    // one-time durable-artifact builds, timed as their OWN columns
+    // (r11 verdict #6: f11's 52.6 s "cold" was build+read conflated):
+    // reset deletes the committed artifact so the build is a true
+    // cold build; the family rows below then time steady-state reads
+    val builds: Seq[(String, Seq[(String, Double)])] =
+      if (skewOnly || streamOnly) Nil
+      else Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf10" -> sf10)
+        .filter { case (_, d) => new java.io.File(d).isDirectory }
+        .map { case (tag, d) =>
+          def t(reset: => Unit, build: => Unit): Double = {
+            reset
+            val t0 = System.nanoTime()
+            build
+            (System.nanoTime() - t0) / 1e9
+          }
+          val fb = t(
+            graft.sources.Interchange.resetBucketedLayout(spark, d),
+            graft.sources.Interchange.buildBucketedLayout(spark, d))
+          val ib = t(
+            graft.operators.Similarity.resetIvfIndex(spark, d),
+            graft.operators.Similarity.ensureIvfIndex(spark, d))
+          println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
+            s" d79 ivf index ${fmt(ib)} s")
+          tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib)
+        }
 
     def time(key: String, dir: String): Double = {
       graft.operators.Dedup.releaseLshCache()
@@ -189,6 +218,12 @@ object ScaleCurve {
     val skewJson = skew.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val curvePart = if (curveJson.isEmpty) "" else curveJson + ","
+    val buildsPart =
+      if (builds.isEmpty) ""
+      else builds.map { case (tag, bs) =>
+        "\"" + tag + "\":{" + bs.map { case (k, v) =>
+          s""""$k":${fmt(v)}""" }.mkString(",") + "}"
+      }.mkString("\"artifact_builds\":{", ",", "},")
     val streamJson = streamPts.map { case (tag, t) =>
       s""""$tag":{"rows":${t.rows},"rows_per_s":${fmt(t.rowsPerSec)
         },"batches":${t.batchMs.size},"avg_batch_ms":${fmt(t.avgBatchMs)
@@ -198,7 +233,7 @@ object ScaleCurve {
       if (streamPts.isEmpty) ""
       else s""""2e_streaming_throughput":$streamJson,"""
     val skewTag = "skew_" + skewDir.split('/').last
-    val json = s"""{"families":$famJson,$curvePart$streamPart"$skewTag":$skewJson,"execution":"full-plan noop, local[${
+    val json = s"""{"families":$famJson,$curvePart$buildsPart$streamPart"$skewTag":$skewJson,"execution":"full-plan noop, local[${
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"}"""
     if (!skewOnly && !streamOnly)
       java.nio.file.Files.write(

@@ -1324,25 +1324,7 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
-    val idxDir = fingerprintIndexDir(dir)
-    // build-once: a committed index is REUSED (the production daily-
-    // job lifecycle — base documents are never rescanned while the
-    // index stands); an absent/torn directory OR a dataset-fingerprint
-    // mismatch triggers a rebuild (ADVICE r9: path identity alone let
-    // a regenerated corpus at the same path serve stale base_doc
-    // mappings — the manifest now records WHAT corpus the index was
-    // built from, not just where).
-    val fp = datasetFingerprint(spark, dir)
-    val reusable =
-      graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
-        readIndexFingerprint(spark, idxDir).contains(fp)
-    if (!reusable)
-      buildFingerprintIndex(spark, idxDir,
-        docs.filter(col("doc_id") % 10 =!= 0)
-          .groupBy(col("h")).agg(min(col("doc_id")).as("base_doc")),
-        fp)
-    val idx = graft.sources.AtomicCommit
-      .readParquetCommitted(spark, idxDir)
+    val idx = committedFingerprintIndex(spark, dir)
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     docs.filter(col("doc_id") % 10 === 0)
       .withColumn("rn", row_number().over(w))
@@ -1353,6 +1335,32 @@ object Dedup {
           .otherwise("new").as("status"),
         col("base_doc"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Ensure-and-read the committed (h → base_doc) fingerprint index —
+    * d56's lifecycle as a reusable leg (s20 probes the same index on
+    * a stream): a committed index with a matching dataset fingerprint
+    * is REUSED (the production daily-job lifecycle — base documents
+    * are never rescanned while the index stands); an absent/torn
+    * directory OR a dataset-fingerprint mismatch triggers a rebuild
+    * (ADVICE r9: path identity alone let a regenerated corpus at the
+    * same path serve stale base_doc mappings — the stamp records WHAT
+    * corpus the index was built from, not just where). */
+  def committedFingerprintIndex(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val idxDir = fingerprintIndexDir(dir)
+    val fp = datasetFingerprint(spark, dir)
+    val reusable =
+      graft.sources.AtomicCommit.isCommitted(spark, idxDir) &&
+        readIndexFingerprint(spark, idxDir).contains(fp)
+    if (!reusable)
+      buildFingerprintIndex(spark, idxDir,
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .filter(col("doc_id") % 10 =!= 0)
+          .groupBy(col("h")).agg(min(col("doc_id")).as("base_doc")),
+        fp)
+    graft.sources.AtomicCommit.readParquetCommitted(spark, idxDir)
   }
 
   /** The d56 index directory for `dir`: keyed on the SHA-256 digest

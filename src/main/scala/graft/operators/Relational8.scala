@@ -23,19 +23,26 @@ object Relational8 {
   /** q84: Bloom-filter join pruning — the runtime-filter pattern for
     * the join whose build side is too big to broadcast as a hash
     * relation but whose BLOOM (KiB–MiB) broadcasts trivially. The
-    * selective customer subset reduces to ONE row holding a
-    * word→bits map (a 1024-entry bitset); that row cross-joins onto
-    * orders (broadcast — no shuffle of the fact side), and each order
-    * tests its 3 hash positions statelessly, so non-matching fact rows
-    * die BEFORE the join shuffle instead of being shuffled and then
+    * selective customer subset reduces, with a distributed bit_or
+    * aggregate, to a DENSE 1024-long bitset (8 KiB); that bounded
+    * result is collected once and re-enters the probe plan as a
+    * LITERAL array (the d22 adjudicated pattern: a bounded collect
+    * between plan stages, exactly how Spark's own injected runtime
+    * bloom filters reuse a subquery result), so each order tests its
+    * 3 hash positions with an O(1) `element_at` on the literal —
+    * stateless, no join, no broadcast exchange — and non-matching
+    * fact rows die AT THE SCAN instead of being shuffled and then
     * dropped. The surviving ~build-sized slice then hash-joins the
     * build side exactly (shuffle_hash, standing in for the
     * at-scale case where neither side broadcasts). Bloom positives are
     * a superset of true matches, so the exact join makes the result
     * identical to the unpruned plan — the oracle is the plain join,
-    * and no hash needs to be engine-portable. Everything, including
-    * the bitset aggregate, lives INSIDE the returned plan (the d58
-    * lesson: no hidden eager side-jobs). */
+    * and no hash needs to be engine-portable. Both hash legs cast the
+    * key to long first, so physical-schema drift (int32 vs int64
+    * parquet) can never make build and probe hash different
+    * representations of the same key. A production build sizes
+    * bits ≈ 10×keys for ~1% FPR; the probe stays an O(1) indexed
+    * lookup because the bitset is dense, not a keyed map. */
   def q84BloomPrune(spark: SparkSession, dir: String): DataFrame = {
     val build = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING" &&
@@ -43,28 +50,34 @@ object Relational8 {
       .select(col("c_custkey"), col("c_name"))
     def positions(key: org.apache.spark.sql.Column) =
       (0 until BloomHashes).map(i =>
-        pmod(xxhash64(lit(i), key), lit(BloomBits.toLong)))
-    // build → one row: map from 64-bit word index to OR'd bits
-    val bloom = build
+        pmod(xxhash64(lit(i), key.cast("long")), lit(BloomBits.toLong)))
+    // distributed build: explode positions, OR per word, densify to
+    // BloomBits/64 longs in the final 1-row aggregate
+    val words = build
       .select(explode(array(positions(col("c_custkey")): _*)).as("pos"))
       .select(shiftright(col("pos"), 6).as("word"),
         call_function("shiftleft", lit(1L),
           (col("pos") % 64).cast("int")).as("bit"))
       .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("word"), col("bits"))))).as("bloom"))
+      .agg(map_from_entries(collect_list(
+        struct(col("word"), col("bits")))).as("m"))
+      .select(transform(
+        sequence(lit(0L), lit((BloomBits / 64 - 1).toLong)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+    // bounded collect (8 KiB): the bitset becomes a literal in the
+    // probe plan — no exchange, no join, filter evaluable at the scan
+    val bitset: Array[Long] = words.head.getSeq[Long](0).toArray
+    val bloomLit = lit(bitset)
     val probe = Tables.load(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderpriority"),
         col("o_totalprice"))
-      .crossJoin(broadcast(bloom))
     val hit = positions(col("o_custkey")).map { pos =>
-      val word = shiftright(pos, 6)
+      val word = shiftright(pos, 6).cast("int")
       val bit = call_function("shiftleft", lit(1L),
         (pos % 64).cast("int"))
-      (coalesce(element_at(col("bloom"), word), lit(0L))
-        .bitwiseAND(bit)) =!= 0L
+      (element_at(bloomLit, word + 1).bitwiseAND(bit)) =!= 0L
     }.reduce(_ && _)
-    probe.filter(hit).drop("bloom")
+    probe.filter(hit)
       .join(build.hint("shuffle_hash"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderpriority"))

@@ -79,6 +79,20 @@ object SetSim {
         .select(col("doc_id"),
           array_distinct(Dedup.shingleStrings(col("t"), col("w"), 3))
             .as("toks")))
+    setSimJoin(docs)
+  }
+
+  /** The prefix-filtered join core on an arbitrary (doc_id, toks)
+    * set relation — d76's machinery, reusable by the sparse-corpus
+    * scale drill ([[graft.SetSimDrill]]) where the input is NOT the
+    * saturated synthetic corpus. */
+  def setSimJoin(docs: DataFrame): DataFrame =
+    verifyCandidates(prefixCandidates(docs), docs)
+
+  /** Prefix-posting candidate pairs (a_id < b_id, distinct) — the
+    * lossless AllPairs candidate set, exposed so the scale drill can
+    * COUNT candidate volume separately from qualifying output. */
+  def prefixCandidates(docs: DataFrame): DataFrame = {
     val post = docs.select(col("doc_id"), size(col("toks")).as("s"),
       explode(col("toks")).as("g"))
     val freq = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -94,13 +108,18 @@ object SetSim {
       .select(col("doc_id"), col("g"), col("s"))
     // both posting sides are corpus-scaling window outputs with no
     // stats: pin the shuffled build (the t11/d16 bug class)
-    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+    prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.s") * TauDen >= col("a.s") * TauNum &&
           col("a.s") * TauDen >= col("b.s") * TauNum)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Exact-verify leg: re-attach shingle arrays by id, integer
+    * cross-multiplied τ test. */
+  def verifyCandidates(cand: DataFrame, docs: DataFrame): DataFrame = {
     val sets = docs.select(col("doc_id"),
       array_sort(col("toks")).as("toks"))
     cand

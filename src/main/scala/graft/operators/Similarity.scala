@@ -1391,13 +1391,25 @@ object Similarity {
     * d25's composition: assign candidates to their argmin cell, probe
     * each query's best `nprobe` cells, exact-rank only their members. */
   def ivfSearchTrained(queries: DataFrame, cands: DataFrame,
-      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val assigned = cands.join(broadcast(cents))
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfProbeRank(queries, ivfAssign(cands, cents), cents, nprobe, k)
+
+  /** d25's assignment leg alone: each candidate to its argmin cell —
+    * (vec_id, cell, qv). Also the posting-list relation the persisted
+    * index (d79) stores. */
+  def ivfAssign(cands: DataFrame, cents: DataFrame): DataFrame =
+    cands.join(broadcast(cents))
       .withColumn("dist", qDist(col("qv"), col("qc")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
         first(col("qv")).as("qv"))
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("qv"))
+
+  /** d25's probe+rank legs on an ALREADY-ASSIGNED posting relation
+    * (vec_id, cell, qv) — the piece a persisted index reuses without
+    * re-running assignment. */
+  def ivfProbeRank(queries: DataFrame, assigned: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("dist"), col("cent_id"))
     val probes = queries.join(broadcast(cents))
@@ -1439,6 +1451,143 @@ object Similarity {
        |  WHERE pr.rn <= $NProbe))
        |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---- d79: persisted IVF index (the ANN index lifecycle) -----------
+
+  /** Bump when the index layout or its training constants change: a
+    * durable on-disk index must never be reinterpreted under a
+    * different format. */
+  val AnnIndexV = 1
+
+  /** Durable (pid-free) home of the committed IVF index for `dir`. */
+  def annIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_v$AnnIndexV" +
+      s"_c${IvfCells}i$KmIters" +
+      s"_${Integer.toHexString(dir.hashCode)}"
+
+  /** Build-if-absent the persisted IVF index — the lifecycle gap the
+    * r11 verdict named (#4): d22/d25 retrained per run; a production
+    * vector index is a durable, atomically-committed artifact the
+    * query path RELOADS (the reference's own deliverable is exactly a
+    * persisted queryable artifact — map2db.py 1311-1345 builds the
+    * sqlite db once and every later query opens it).
+    *
+    * Layout, one committed tree ([[graft.sources.AtomicCommit
+    * .publishCommitted]] — build-to-temp, source-fingerprint stamp,
+    * manifest, marker, atomic rename; the d56 contract):
+    *  - `centroids/` — the trained (cent_id, qc) relation (k×dim);
+    *  - `postings/`  — every candidate's (vec_id, qv) under its argmin
+    *    cell, hive-PARTITIONED BY cell so a probe of nprobe cells
+    *    reads only those partitions (partition pruning is the on-disk
+    *    form of the IVF contract: O(N·nprobe/K) bytes touched, not
+    *    O(N)).
+    * A regenerated embeddings table changes the fingerprint and
+    * rebuilds; a torn build never presents a commit marker, so
+    * readers either see a whole index or rebuild. */
+  def ensureIvfIndex(spark: SparkSession, dir: String): String =
+    annIndexPath(dir).intern.synchronized {
+      val path = annIndexPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + IvfCells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+          val cents = kmeansQuantized(train, init, KmIters)
+          cents.coalesce(1).write.parquet(s"$tmp/centroids")
+          ivfAssign(qz.filter(col("vec_id") >= NumQueries), cents)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** DELETE the durable index, forcing the next [[ensureIvfIndex]] to
+    * pay the full train+assign build (the scale curve times that
+    * build as its own column, separate from the search read). */
+  def resetIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(annIndexPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** d79: search over the PERSISTED index — load the committed
+    * centroids + cell-partitioned postings (exactly the manifest's
+    * files — orphans from failed attempts never reach the scan) and
+    * run d25's probe+rank legs with NO training and NO assignment
+    * jobs. Same split, same integer grid, same tie-breaks as d25, so
+    * the oracle is d25's SQL verbatim and a hash match proves
+    * persisted == retrained-in-memory end to end. */
+  def d79PersistedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureIvfIndex(spark, dir)
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val cents = spark.read
+      .parquet(files.filter(_.contains("/centroids/")): _*)
+    val postings = spark.read.option("basePath", s"$root/postings")
+      .parquet(files.filter(_.contains("/postings/")): _*)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("qv"))
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    ivfProbeRank(queries, postings, cents, NProbe, TopK)
+  }
+
+  /** Durable (pid-free) home of the committed PQ index for `dir`. */
+  def pqIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_pq_idx_v$AnnIndexV" +
+      s"_s${PqSubspaces}c${PqCodes}i$KmIters" +
+      s"_${Integer.toHexString(dir.hashCode)}"
+
+  /** Build-if-absent the persisted PQ index — the compressed-corpus
+    * half of the index lifecycle (d79 persists the IVF partitioner;
+    * this persists what FAISS serializes for IndexPQ): `codebook/`
+    * holds the four trained sub-quantizers (4×16×16-dim, KiB), and
+    * `codes/` holds each vector's 4 code ids — the 64×-compressed
+    * corpus representation that is the WHOLE point of PQ: at query
+    * time only codes and the bounded distance table move, never the
+    * full vectors. Same committed-artifact contract as d79/f11
+    * ([[graft.sources.AtomicCommit.publishCommitted]]). */
+  def ensurePqIndex(spark: SparkSession, dir: String): String =
+    pqIndexPath(dir).intern.synchronized {
+      val path = pqIndexPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val book = trainPqCodebook(spark, dir)
+          book.coalesce(1).write.parquet(s"$tmp/codebook")
+          pqAssignCodes(qz, book).write.parquet(s"$tmp/codes")
+        })
+      path
+    }
+
+  /** d80: ADC search over the PERSISTED PQ index — load the committed
+    * codebook + code relations and run d27's table-lookup scan with
+    * NO training and NO assignment jobs (the query-time work is one
+    * bounded distance-table build against the KiB codebook plus the
+    * codes-only scan). Same splits, grid, and tie-breaks as d27, so
+    * the oracle is d27's SQL verbatim — the hash match proves
+    * persisted == retrained for the PQ leg like d79 proves it for
+    * IVF. */
+  def d80PersistedPq(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePqIndex(spark, dir)
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val book = spark.read
+      .parquet(files.filter(_.contains("/codebook/")): _*)
+    val codes = spark.read
+      .parquet(files.filter(_.contains("/codes/")): _*)
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    adcScan(qz, codes, book, TopK)
+  }
 
   /** d75: FILTERED vector search — the metadata-predicate ANN
     * problem every production vector store faces (top-k among
@@ -1607,7 +1756,14 @@ object Similarity {
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
     // corpus side: ONLY the trained code ids ride forward (d26's
     // assignment, inlined so the plan is one chain)
-    val codes = qz.filter(col("vec_id") >= PqCodes)
+    adcScan(qz, pqAssignCodes(qz, book), book, k)
+  }
+
+  /** d26's assignment as a reusable leg: (vec_id, sub, code) under
+    * `book` for every non-codebook vector — also the code relation
+    * the persisted PQ index (d80) stores. */
+  def pqAssignCodes(qz: DataFrame, book: DataFrame): DataFrame =
+    qz.filter(col("vec_id") >= PqCodes)
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
         col("qv"))
@@ -1617,6 +1773,13 @@ object Similarity {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code_id"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code_id").as("code"))
+
+  /** The ADC table-lookup scan alone, over an ALREADY-CODED corpus —
+    * the piece a persisted PQ index reuses without retraining or
+    * re-assigning. `codes` = (vec_id, sub, code); queries come from
+    * the live `qz` relation. */
+  def adcScan(qz: DataFrame, codes: DataFrame, book: DataFrame,
+      k: Int): DataFrame = {
     // query side: the bounded (q_id, sub, code) → distance table
     val table = qz.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"),

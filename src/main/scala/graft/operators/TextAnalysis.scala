@@ -1295,19 +1295,26 @@ object TextAnalysis {
     *
     * The t15 transcendental discipline throughout: each term's
     * ln argument regroups to a RATIO OF INTEGER PRODUCTS
-    * (c_st·N)/(N_s·c_t), both products exact longs, each ln
-    * evaluated once per (source, term) row and quantized to the 10⁶
-    * grid immediately — so the per-source sum Σ c_st·(lnq(c_st·N) −
-    * lnq(N_s·c_t)) is exact integer arithmetic and the reported KL
-    * is ONE division at the end. Since corpus counts contain the
+    * (c_st·N)/(N_s·c_t). Each factor is cast to double BEFORE the
+    * multiply — at corpus scale (N ~ 1e13+ tokens) c_st·N as int64
+    * would overflow, and ln only needs ~1 ulp on the product, which
+    * the double×double form gives identically in Spark and the
+    * oracle. Each ln is evaluated once per (source, term) row and
+    * quantized to the 10⁶ grid immediately — so the per-source sum
+    * Σ c_st·(lnq(c_st·N) − lnq(N_s·c_t)) is exact integer
+    * arithmetic and the reported KL is ONE division at the end. Since corpus counts contain the
     * source's own, q_t > 0 wherever p_t > 0 — no smoothing needed.
     * Plan: one token explode, one (source, term) aggregate, a
     * shuffled equi-join against the term-total relation
     * (vocabulary-sized — never broadcast), the |sources|-row and
     * 1-row totals broadcast, one per-source sum. */
   def t32SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    // x is a product of two counts, each cast to double first:
+    // overflow-free at any corpus scale (see scaladoc)
     def lnq(x: Column): Column =
-      round(log(x.cast("double")) * lit(1e6), 0).cast("long")
+      round(log(x) * lit(1e6), 0).cast("long")
+    def dprod(a: Column, b: Column): Column =
+      a.cast("double") * b.cast("double")
     val toks = graft.Tables.load(spark, dir, "documents")
       .select(col("source"),
         explode(TextFunctions.words(col("text"))).as("term"))
@@ -1325,8 +1332,8 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("source"), col("ns"), col("n_terms"),
         (col("cst") *
-          (lnq(col("cst") * col("n")) - lnq(col("ns") * col("ct"))))
-          .as("contrib"))
+          (lnq(dprod(col("cst"), col("n")))
+            - lnq(dprod(col("ns"), col("ct"))))).as("contrib"))
       .groupBy(col("source"))
       .agg(max(col("ns")).as("n_tokens"),
         max(col("n_terms")).as("n_terms"),
@@ -1355,10 +1362,11 @@ object TextAnalysis {
        |con AS (
        |  SELECT cst.source,
        |    cst.cst * (
-       |      CAST(ROUND(ln(CAST(cst.cst * n.n AS DOUBLE)) * 1000000)
-       |        AS BIGINT)
-       |      - CAST(ROUND(ln(CAST(ns.ns * ct.ct AS DOUBLE)) * 1000000)
-       |        AS BIGINT)) AS contrib,
+       |      CAST(ROUND(ln(CAST(cst.cst AS DOUBLE)
+       |        * CAST(n.n AS DOUBLE)) * 1000000) AS BIGINT)
+       |      - CAST(ROUND(ln(CAST(ns.ns AS DOUBLE)
+       |        * CAST(ct.ct AS DOUBLE)) * 1000000) AS BIGINT))
+       |      AS contrib,
        |    ns.ns, ns.n_terms
        |  FROM cst
        |  JOIN ct USING (term)

@@ -124,4 +124,117 @@ object AtomicCommit {
       : DataFrame =
     spark.read.option("basePath", path)
       .parquet(committedFiles(spark, path): _*)
+
+  // ---- durable derived artifacts (fingerprint + atomic publish) ----
+
+  /** Source-change stamp a committed derived artifact records. */
+  val SrcFpName = "_graft_src_fp"
+
+  /** Change signal for a source parquet table: (relative path, size,
+    * mtime) of every data file under `dir/table.parquet`, hashed — a
+    * metadata-only probe (no data scan) that changes whenever the
+    * source files are rewritten, replaced, or appended, so a derived
+    * artifact (bucketed layout, ANN index) is never served stale.
+    * mtime+len is exactly the change signal object-store ETags
+    * encode, and the probe runs through the Hadoop FileSystem API on
+    * local disk, HDFS, or an object store alike. */
+  def tableFingerprint(spark: SparkSession, dir: String,
+      table: String): String = {
+    val root = new Path(s"$dir/$table.parquet")
+    val f = fs(spark, root.toString)
+    val entries = Seq.newBuilder[String]
+    if (f.getFileStatus(root).isFile) {
+      val s = f.getFileStatus(root)
+      entries += s"${root.getName}\t${s.getLen}\t${s.getModificationTime}"
+    } else {
+      val it = f.listFiles(root, true)
+      val base = root.toUri.getPath
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.endsWith(".crc"))
+          entries += s"${s.getPath.toUri.getPath.stripPrefix(base)}" +
+            s"\t${s.getLen}\t${s.getModificationTime}"
+      }
+    }
+    val body = entries.result().sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The source fingerprint a committed artifact records, if any. */
+  def readSrcFp(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(new Path(path), SrcFpName)
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        Some(bs.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Committed AND stamped with the expected source fingerprint. */
+  def isCommittedFor(spark: SparkSession, path: String,
+      fp: String): Boolean =
+    isCommitted(spark, path) && readSrcFp(spark, path).contains(fp)
+
+  /** Build-once / reuse-everywhere publish of a derived artifact —
+    * the d56 persisted-index contract (ADVICE r9), factored out so
+    * every durable artifact (bucketed layout, ANN index) shares one
+    * adjudicated implementation:
+    *
+    *  - a committed tree whose fingerprint matches `fp` is reused
+    *    as-is and NEVER deleted out from under a concurrent reader;
+    *  - otherwise `build(tmp)` writes a complete tree into a
+    *    process-private temp dir, the fp stamp lands BEFORE the
+    *    commit marker (a torn build can never present a marker
+    *    without its fingerprint), and a rename is the single publish
+    *    point;
+    *  - losing the rename race is fine — the winner's artifact is
+    *    equivalent (same source, deterministic build) — the loser
+    *    discards its attempt and requires the winner's tree whole;
+    *  - a stale or torn tree at `dst` (wrong/missing fp) is deleted
+    *    right before the rename, then rebuilt by whoever wins.
+    *
+    * Returns after `dst` holds a committed, fp-matching artifact. */
+  def publishCommitted(spark: SparkSession, dst: String, fp: String,
+      build: String => Unit): Unit = {
+    val f = fs(spark, dst)
+    val dstPath = new Path(dst)
+    if (isCommittedFor(spark, dst, fp)) return
+    val tmp = new Path(dst + ".build-" +
+      ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    var published = false
+    try {
+      build(tmp.toString)
+      val out = f.create(new Path(tmp, SrcFpName), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      commit(spark, tmp.toString)
+      if (f.exists(dstPath) && !isCommittedFor(spark, dst, fp))
+        f.delete(dstPath, true) // stale or torn, wrong fingerprint
+      // Hadoop rename(tmp, dst) with dst an EXISTING directory moves
+      // tmp INSIDE dst instead of returning false — re-check dst
+      // right before the rename and treat any dst-existence as a
+      // lost race rather than trusting rename's return value
+      published = !f.exists(dstPath) && f.rename(tmp, dstPath) &&
+        !f.exists(new Path(dstPath, tmp.getName))
+      if (f.exists(new Path(dstPath, tmp.getName))) {
+        // rename-into-dir happened anyway (dst appeared in the gap):
+        // our tree nested inside the winner's — remove the orphan
+        f.delete(new Path(dstPath, tmp.getName), true)
+        published = false
+      }
+      if (!published) require(isCommittedFor(spark, dst, fp),
+        s"lost artifact-publish race at $dst but no committed " +
+          "matching artifact found")
+    } finally {
+      if (!published && f.exists(tmp)) f.delete(tmp, true)
+    }
+  }
 }

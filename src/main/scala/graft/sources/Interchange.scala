@@ -411,15 +411,15 @@ object Interchange {
     * economics are the point: the one-time bucketed write amortizes
     * across every downstream join/aggregation on the same key.
     *
-    * Lifecycle: Spark only writes bucket metadata through the
-    * catalog, so the build registers an EXTERNAL table (data under
-    * tmpdir, per-process like every Interchange artifact) on first
-    * use per (session, dataset); later calls in the session — bench
-    * reps, repeated reads — reuse table + files. The in-memory
-    * catalog dies with the session; a fresh session re-registers
-    * over a fresh per-process path. The result is identical to the
-    * plain parquet join (bucketing is pure layout), so the oracle is
-    * the unbucketed SQL. */
+    * Lifecycle (durable since r12): the DATA publishes once under a
+    * pid-free path via build-to-temp + atomic rename, stamped with
+    * the source files' fingerprint; later calls in the session reuse
+    * the catalog entry, and a FRESH process re-registers its own
+    * in-memory catalog entry over the already-committed files with
+    * CLUSTERED BY DDL — no rebuild, which is the point of a
+    * warehouse bucketed table. The result is identical to the plain
+    * parquet join (bucketing is pure layout), so the oracle is the
+    * unbucketed SQL. */
   def f11BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     bucketedTable(spark, dir, "orders", "o_orderkey")
     bucketedTable(spark, dir, "lineitem", "l_orderkey")
@@ -434,18 +434,52 @@ object Interchange {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Catalog name for the bucketed copy of `table` over `dir` —
-    * unique per dataset dir AND process (parallel test forks must not
-    * collide on the shared warehouse path). */
-  def bucketedName(dir: String, table: String): String =
-    s"graft_${table}_b_${Integer.toHexString(dir.hashCode)}" +
-      s"_p${ProcessHandle.current().pid()}"
+  /** Bump when [[Buckets]] or the bucketed write shape changes: a
+    * durable on-disk layout must never be silently reinterpreted
+    * under a different bucket spec. */
+  val BucketLayoutV = 1
 
-  /** Register (building if absent) the bucketed external table. */
+  /** Catalog name for the bucketed copy of `table` over `dir` — keyed
+    * by dataset dir + bucket count + layout version, NOT pid (r11
+    * verdict #8): a warehouse bucketed table is a durable shared
+    * artifact. Catalog entries are per-process (in-memory catalog),
+    * so forked test JVMs registering the same name cannot collide;
+    * the shared DATA path is race-safe via the d56-style
+    * build-to-temp + atomic-rename publish in [[bucketedTable]]. */
+  def bucketedName(dir: String, table: String): String =
+    s"graft_${table}_b${Buckets}v${BucketLayoutV}_" +
+      Integer.toHexString(dir.hashCode)
+
+  /** Durable (pid-free, NOT cleanup-registered) home of the bucketed
+    * files: the one-time layout build amortizes across processes. */
+  private def bucketedPath(dir: String, table: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_bucket_${table}" +
+      s"_b${Buckets}v${BucketLayoutV}_${Integer.toHexString(dir.hashCode)}"
+
+  /** Register (building if absent) the bucketed external table.
+    *
+    * Durable + race-safe lifecycle (r11 advice + verdict #8):
+    *  - IN-PROCESS, the exists-check + build + registration is
+    *    synchronized on the interned table name, so two threads can
+    *    no longer both see the table absent and race the write;
+    *  - CROSS-PROCESS, the data publishes once through
+    *    [[AtomicCommit.publishCommitted]] (build-to-temp + atomic
+    *    rename, fingerprint-stamped against the source files so a
+    *    regenerated dataset rebuilds; losing the rename race reuses
+    *    the winner's equivalent layout);
+    *  - a SECOND process finds the committed files and registers its
+    *    own catalog entry over them with CLUSTERED BY DDL — reusing
+    *    the one-time layout instead of rebuilding it, which is the
+    *    whole economics of bucketing: one write, every later process
+    *    joins shuffle-free. */
   def bucketedTable(spark: SparkSession, dir: String, table: String,
-      key: String): Unit = {
+      key: String): Unit = bucketedName(dir, table).intern.synchronized {
     val name = bucketedName(dir, table)
-    if (!spark.catalog.tableExists(name)) {
+    if (spark.catalog.tableExists(name)) return
+    val path = bucketedPath(dir, table)
+    val fp = AtomicCommit.tableFingerprint(spark, dir, table)
+    AtomicCommit.publishCommitted(spark, path, fp, { tmp =>
+      val tmpTable = name + s"_build_p${ProcessHandle.current().pid()}"
       Tables.load(spark, dir, table)
         // pre-shuffle onto the bucket layout (same murmur3 hash as
         // the bucketing spec) so every bucket is ONE file — multiple
@@ -455,10 +489,37 @@ object Interchange {
         .repartition(Buckets, col(key))
         .write.mode("overwrite")
         .bucketBy(Buckets, key).sortBy(key)
-        .option("path", roundTripDir(s"bucket_$table", dir))
-        .saveAsTable(name)
-    }
+        .option("path", tmp)
+        .saveAsTable(tmpTable)
+      // external table: dropping the throwaway catalog entry keeps
+      // the files; the durable entry is the DDL registration below
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    })
+    // register THIS process's catalog entry over the committed files
+    val schema = Tables.load(spark, dir, table).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
   }
+
+  /** Build (or reuse) both f11 bucketed tables — the one-time layout
+    * job, callable on its own so the scale curve can time it
+    * separately from the steady-state read (r11 verdict #6). */
+  def buildBucketedLayout(spark: SparkSession, dir: String): Unit = {
+    bucketedTable(spark, dir, "orders", "o_orderkey")
+    bucketedTable(spark, dir, "lineitem", "l_orderkey")
+  }
+
+  /** Drop the catalog entries and DELETE the durable layout, forcing
+    * the next [[buildBucketedLayout]] to pay the full build. */
+  def resetBucketedLayout(spark: SparkSession, dir: String): Unit =
+    Seq("orders", "lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketedName(dir, t)}")
+      val p = new org.apache.hadoop.fs.Path(bucketedPath(dir, t))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
 
   val f11Sql: String =
     """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -1203,4 +1203,72 @@ object EventStreams {
             if (s.op == "upsert") Some(s.value) else None, s.us)
       }
   }
+
+  /** Arrival micro-batch width for s20 (the s10/s11 convention). */
+  val IndexDedupBatch = 100L
+
+  /** s20: ingest admission against the PERSISTED dedup index — the
+    * d56 lifecycle meeting the stream: arriving documents probe the
+    * COMMITTED (fingerprint → keeper) artifact at the door, so a doc
+    * already in the base corpus is flagged before it's committed to
+    * storage, and the base corpus is never rescanned (d17 filters
+    * against an in-memory static side; this probes the durable
+    * index a daily batch job maintains — the two halves of the same
+    * production lifecycle). Registered batch form: d54's delta
+    * convention (doc_id % 10) counted per arrival window — docs in,
+    * dups-of-base, new. [[indexDedupStream]] is the ingest-time
+    * path: md5 in a stateless projection, one stream-static LEFT
+    * join against the committed index (stateless on the stream
+    * side), and the ONLY stateful stage is the watermark-bounded
+    * windowed count. Spec-pinned equal to this form across
+    * micro-batch arrivals. */
+  def s20IndexDedup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.Dedup.committedFingerprintIndex(spark, dir)
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        (col("doc_id") / IndexDedupBatch).cast("long").as("wnd"))
+      .join(idx.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("wnd"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("base_doc").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dup_of_base"))
+      .withColumn("n_new", (col("n_docs") - col("n_dup_of_base"))
+        .cast("long"))
+      .orderBy(col("wnd"))
+  }
+
+  /** s20's ingest-time form: a stream-static left join against the
+    * committed index relation — no stream-side state until the
+    * windowed count. */
+  def indexDedupStream(docs: Dataset[DocArrival], idx: DataFrame)
+      : DataFrame =
+    docs.toDF()
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        col("ts"))
+      .join(idx, Seq("h"), "left")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("base_doc").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dup_of_base"))
+
+  /** DuckDB oracle for s20: base fingerprint set → delta probe →
+    * window counts. */
+  val s20Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents),
+       |base AS (
+       |  SELECT h, MIN(doc_id) AS base_doc FROM d
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1)
+       |SELECT CAST(delta.doc_id // $IndexDedupBatch AS BIGINT) AS wnd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN b.base_doc IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_of_base,
+       |  CAST(COUNT(*) - SUM(CASE WHEN b.base_doc IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |FROM (SELECT doc_id, h FROM d WHERE doc_id % 10 = 0) delta
+       |LEFT JOIN base b ON b.h = delta.h
+       |GROUP BY 1 ORDER BY wnd""".stripMargin
 }

@@ -36,6 +36,83 @@ class PipelineSpec extends AnyFunSuite {
       col("count") =!= Similarity.TopK).count() == 0)
   }
 
+  test("d79 persisted IVF index: search equals the in-memory chain, " +
+    "reload never retrains, stale/torn indexes rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensureIvfIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    // persisted search == the retrained in-memory search, row for row
+    val persisted = Similarity.d79PersistedIvf(spark, sf).collect().toSeq
+    val memory = Similarity.d25IvfSearch(spark, sf).collect().toSeq
+    assert(persisted == memory)
+    assert(persisted.nonEmpty)
+    // the search call did not touch the index files (reload, no build)
+    val s0 = state()
+    Similarity.d79PersistedIvf(spark, sf).collect()
+    assert(state() == s0, "repeat search rebuilt the index")
+    // a torn index (marker gone) is refused by the committed reader
+    // and rebuilt whole by the next ensure
+    val marker = new Path(root, graft.sources.AtomicCommit.MarkerName)
+    f.delete(marker, false)
+    intercept[IllegalArgumentException] {
+      graft.sources.AtomicCommit.committedFiles(spark, root)
+    }
+    assert(Similarity.d79PersistedIvf(spark, sf).collect().toSeq
+      == memory)
+    assert(f.exists(marker), "ensure did not re-publish a torn index")
+    // a stale fingerprint (source changed) also rebuilds
+    val fpFile = new Path(root, graft.sources.AtomicCommit.SrcFpName)
+    val out = f.create(fpFile, true)
+    try out.write("stale".getBytes("UTF-8")) finally out.close()
+    assert(Similarity.d79PersistedIvf(spark, sf).collect().toSeq
+      == memory)
+    assert(!graft.sources.AtomicCommit.readSrcFp(spark, root)
+      .contains("stale"), "stale index was served, not rebuilt")
+    // the postings really are cell-partitioned on disk (the pruning
+    // layout the at-scale probe depends on)
+    assert(f.exists(new Path(root, "postings/cell=0")) ||
+      f.listStatus(new Path(root, "postings"))
+        .exists(_.getPath.getName.startsWith("cell=")))
+  }
+
+  test("d80 persisted PQ index: ADC search equals the retrained d27 " +
+    "chain and repeat searches never rebuild") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensurePqIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Seq[(String, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val persisted = Similarity.d80PersistedPq(spark, sf).collect().toSeq
+    val memory = Similarity.d27AdcSearch(spark, sf).collect().toSeq
+    assert(persisted == memory)
+    assert(persisted.nonEmpty)
+    val m0 = mtimes()
+    Similarity.d80PersistedPq(spark, sf).collect()
+    assert(mtimes() == m0, "repeat search rebuilt the PQ index")
+  }
+
   test("IVF recall@10 climbs with nprobe and clears 0.9 at nprobe=4") {
     // the quality contract at PARTIAL probe — the only regime a 100 TB
     // user actually runs (full probe is d25's exactness pin above).
@@ -317,6 +394,44 @@ class PipelineSpec extends AnyFunSuite {
       assert(streamed.exceptAll(batch).count() == 0
         && batch.exceptAll(streamed).count() == 0,
         "streamed decontamination windows differ from the batch form")
+    } finally q.stop()
+  }
+
+  test("s20 streamed index-dedup admission equals the batch form " +
+    "across multi-batch arrival, probing the COMMITTED index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Dedup.committedFingerprintIndex(spark, sf)
+    val base = 1700000040000L
+    val arrivals = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) => EventStreams.DocArrival(id, text,
+        new java.sql.Timestamp(
+          base + id / EventStreams.IndexDedupBatch * 60000L)) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.DocArrival]
+    val q = EventStreams.indexDedupStream(input.toDS(), idx)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("idxdedup").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("idxdedup")
+        .select((((col("w.start").cast("long") * 1000L) - base) / 60000L)
+          .as("wnd"), col("n_docs"), col("n_dup_of_base"))
+      val batch = EventStreams.s20IndexDedup(spark, sf)
+        .select(col("wnd"), col("n_docs"), col("n_dup_of_base"))
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed index-dedup windows differ from the batch form")
+      // the probe found real dups: the delta planted by the generator
+      // shares text with base docs somewhere
+      assert(EventStreams.s20IndexDedup(spark, sf)
+        .agg(sum(col("n_docs"))).as[Long].head > 0)
     } finally q.stop()
   }
 

@@ -220,11 +220,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "d74_triangles" ->
         ("two 1-row report scalars (edge/wedge totals), explicit " +
           "broadcast() on count aggregates"),
-      "q84_bloom_prune" ->
-        ("the 1-row bloom bitset (groupBy().agg over <= 1024 words), " +
-          "explicit broadcast() — the whole point of the operator"),
       "q87_hll_merge" ->
-        "per-event-type sketch relations: |event_type| rows")
+        "per-event-type sketch relations: |event_type| rows",
+      // q84's bloom bitset no longer broadcasts: it is collected as a
+      // bounded 8 KiB literal (d22 pattern) and probed statelessly.
+      "d78_sequence_pack" ->
+        ("per-bin packed-token prefix offsets: |bins| rows — the " +
+          "d23/s09 bounded-prefix-offset contract, explicit " +
+          "broadcast(); bins = ceil(tokens/SeqLen/binTarget), fixed " +
+          "by the shuffle-width knob, never corpus-scaling"),
+      "t32_source_kl" ->
+        ("two bounded stats relations: per-source token totals " +
+          "(|sources| rows) and the 1-row corpus total (the t12 " +
+          "scalar pattern), both explicit broadcast()"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
@@ -298,7 +306,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "d58_quality_calibration" ->
         ("cum window over the bounded qmic value histogram: <=1e6+1 " +
           "rows (folded into the registered plan r9 — previously an " +
-          "eager side-job the sweep could not see)"))
+          "eager side-job the sweep could not see)"),
+      "d78_sequence_pack" ->
+        ("prefix-offset window over the per-bin sequence counts: " +
+          "|bins| rows — d23/m07's allowlisted bounded-prefix-offset " +
+          "pattern; the corpus-scaling window inside each bin is " +
+          "partitioned by bin, only the |bins|-row offset relation " +
+          "is global"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -175,6 +175,59 @@ class Relational8Spec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("f11 bucketed layout is durable: a fresh catalog re-registers " +
+    "over the committed files WITHOUT rebuilding, still zero-Exchange") {
+    import graft.sources.Interchange
+    // build (or reuse) via the registered query, then record the data
+    // files' identity (name+len+mtime): the cross-process contract is
+    // that a second catalog finds the committed layout and never
+    // rewrites it
+    Interchange.f11BucketedJoin(spark, sf).collect()
+    def layoutState(table: String): Seq[(String, Long, Long)] = {
+      val name = Interchange.bucketedName(sf, table)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+        .filter(col("col_name") === "Location")
+        .select(col("data_type")).as[String].head
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val f = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(root, true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.getName, s.getLen, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val before =
+      layoutState("orders") ++ layoutState("lineitem")
+    assert(before.nonEmpty)
+    // simulate a fresh process: the in-memory catalog entry vanishes
+    // (external table — files stay), then the query re-registers
+    Seq("orders", "lineitem").foreach(t => spark.sql(
+      s"DROP TABLE ${Interchange.bucketedName(sf, t)}"))
+    val got = Interchange.f11BucketedJoin(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // same files, same sizes, same mtimes — registration, not rebuild
+    assert(layoutState("orders") ++ layoutState("lineitem") == before)
+    // and the DDL-registered read is still the shuffle-free one
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      spark.table(Interchange.bucketedName(sf, "lineitem"))
+        .join(spark.table(Interchange.bucketedName(sf, "orders")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, saved)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("d77 fuzzy decontam flags every plant of an eval doc and " +
     "matches a brute-force eval-vs-train Jaccard sweep") {
     import graft.operators.{SetSim, TextAnalysis}

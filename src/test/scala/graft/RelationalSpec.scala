@@ -230,7 +230,15 @@ class RelationalSpec extends AnyFunSuite {
       "d74_triangles",
       // d75 composes d25's literal centroid broadcast for its
       // assignment and probe legs (same adjudication as d25)
-      "d75_filtered_ivf")
+      "d75_filtered_ivf",
+      // t32 cross-joins ONE corpus-token-total row by broadcast (the
+      // t12/t15 scalar pattern) — a 1-row build side, nothing
+      // quadratic; its vocabulary-sized term join is shuffle_hash
+      "t32_source_kl",
+      // d79 is d25's probe leg over the LOADED index: the same
+      // bounded 16-row centroid relation broadcasts against the
+      // queries (scan-fed now — it comes off the committed parquet)
+      "d79_persisted_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
