@@ -55,9 +55,11 @@ object ScaleCurve {
     "2a_storage_bucketed" -> "f11_bucketed_join",
     "2d_pipeline_pack" -> "d78_sequence_pack",
     "2a_bloom_prune" -> "q84_bloom_prune",
-    // r12: persisted-index SEARCH (the read path; its one-time build
-    // is timed separately in artifact_builds, like f11's layout)
-    "2d_pipeline_ann_idx" -> "d79_persisted_ivf")
+    // r12: persisted-index SEARCH (the read paths; their one-time
+    // builds are timed separately in artifact_builds, like f11's
+    // layout)
+    "2d_pipeline_ann_idx" -> "d79_persisted_ivf",
+    "2d_pipeline_pq_idx" -> "d80_persisted_pq")
 
   private def fmt(v: Double): String = {
     val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -74,9 +76,12 @@ object ScaleCurve {
     val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       "/root/repo/localdata/sf10")
     val skewOnly = args.contains("skew")
-    // `stream` runs ONLY the streaming-throughput points (quick
-    // iteration on that column without the full sweep); artifact is
-    // not rewritten in that mode
+    // `stream` runs ONLY the streaming-throughput points and PATCHES
+    // that block in the committed artifact (r12: the full sweep's
+    // streaming leg runs last in a JVM that just chewed the sf10
+    // column — its sf0.1 point is contention-prone, and the isolated
+    // re-measure is the adjudicated number, same protocol as the
+    // bench drills)
     val streamOnly = args.contains("stream")
 
     try graft.operators.MapBench.warmFixtures(spark, sf01)
@@ -116,9 +121,13 @@ object ScaleCurve {
           val ib = t(
             graft.operators.Similarity.resetIvfIndex(spark, d),
             graft.operators.Similarity.ensureIvfIndex(spark, d))
+          val pb = t(
+            graft.operators.Similarity.resetPqIndex(spark, d),
+            graft.operators.Similarity.ensurePqIndex(spark, d))
           println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
-            s" d79 ivf index ${fmt(ib)} s")
-          tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib)
+            s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s")
+          tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib,
+            "d80_index_build" -> pb)
         }
 
     def time(key: String, dir: String): Double = {
@@ -239,6 +248,37 @@ object ScaleCurve {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("scale_curve.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else if (streamOnly && streamPts.nonEmpty) {
+      // patch ONLY the streaming block of the committed artifact
+      val p = java.nio.file.Paths.get("scale_curve.json")
+      if (java.nio.file.Files.exists(p)) {
+        val cur = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val key = "\"2e_streaming_throughput\":"
+        val i = cur.indexOf(key)
+        if (i >= 0) {
+          // scan the balanced value object after the key
+          var j = i + key.length
+          var depth = 0
+          var end = -1
+          while (end < 0 && j < cur.length) {
+            cur(j) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (end > 0) {
+            val patched = cur.substring(0, i + key.length) +
+              streamJson + cur.substring(end + 1)
+            java.nio.file.Files.write(p, patched.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            println("patched 2e_streaming_throughput in scale_curve.json")
+          }
+        }
+      }
+    }
     println(json)
     spark.stop()
   }

@@ -1569,6 +1569,13 @@ object Similarity {
       path
     }
 
+  /** DELETE the durable PQ index (see [[resetIvfIndex]]). */
+  def resetPqIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pqIndexPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   /** d80: ADC search over the PERSISTED PQ index — load the committed
     * codebook + code relations and run d27's table-lookup scan with
     * NO training and NO assignment jobs (the query-time work is one
@@ -1588,6 +1595,133 @@ object Similarity {
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
     adcScan(qz, codes, book, TopK)
   }
+
+  // ---- d81: incremental index update (freshness without retrain) ---
+
+  /** Every DeltaMod-th corpus vector is the "newly arrived" slice for
+    * d81 (the d54 delta convention on the embeddings table). */
+  val DeltaMod = 10L
+
+  def annBasePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_base_v$AnnIndexV" +
+      s"_c${IvfCells}i$KmIters" +
+      s"_${Integer.toHexString(dir.hashCode)}"
+
+  def annDeltaPath(dir: String): String = annBasePath(dir) + "_delta"
+
+  /** d81's BASE index: centroids trained on the base corpus ONLY
+    * (delta vectors excluded from training — they don't exist yet in
+    * this lifecycle), postings = base assignments. Same committed
+    * layout as d79. */
+  def ensureBaseIvfIndex(spark: SparkSession, dir: String): String =
+    annBasePath(dir).intern.synchronized {
+      val path = annBasePath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + IvfCells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells &&
+            col("vec_id") % DeltaMod =!= 0)
+          val cents = kmeansQuantized(train, init, KmIters)
+          cents.coalesce(1).write.parquet(s"$tmp/centroids")
+          ivfAssign(qz.filter(col("vec_id") >= NumQueries &&
+              (col("vec_id") < NumQueries + IvfCells ||
+                col("vec_id") % DeltaMod =!= 0)), cents)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  private def loadIndexPart(spark: SparkSession, root: String,
+      part: String): DataFrame = {
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val sel = files.filter(_.contains(s"/$part/"))
+    if (part == "postings")
+      spark.read.option("basePath", s"$root/postings").parquet(sel: _*)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("qv"))
+    else spark.read.parquet(sel: _*)
+  }
+
+  /** The INCREMENTAL update — the operation a production index runs
+    * daily instead of retraining: newly arrived vectors (the
+    * [[DeltaMod]] slice) assign against the COMMITTED base centroids
+    * and publish as their own small committed tree. Cost is O(delta):
+    * the base postings are never read, the base tree is never
+    * touched (spec-pinned by file mtimes), and no k-means runs. */
+  def ensureIvfDelta(spark: SparkSession, dir: String): String =
+    annDeltaPath(dir).intern.synchronized {
+      val basePath = ensureBaseIvfIndex(spark, dir)
+      val path = annDeltaPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val cents = loadIndexPart(spark, basePath, "centroids")
+          val delta = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+            .filter(col("vec_id") >= NumQueries + IvfCells &&
+              col("vec_id") % DeltaMod === 0)
+          ivfAssign(delta, cents)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** d81: search over base ∪ delta — the freshness contract: the
+    * result is IDENTICAL to a one-shot index whose centroids were
+    * trained on the base corpus and whose postings cover everything
+    * (the oracle replays exactly that chain), yet the engine never
+    * retrained and never rewrote the base postings. The two
+    * committed posting trees union at the scan — both
+    * cell-partitioned, so the probe prunes both the same way. */
+  def d81IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = ensureBaseIvfIndex(spark, dir)
+    val deltaPath = ensureIvfDelta(spark, dir)
+    val cents = loadIndexPart(spark, basePath, "centroids")
+    val postings = loadIndexPart(spark, basePath, "postings")
+      .unionByName(loadIndexPart(spark, deltaPath, "postings"))
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    ivfProbeRank(queries, postings, cents, NProbe, TopK)
+  }
+
+  /** DuckDB oracle for d81: the one-shot chain d81's incremental
+    * lifecycle must equal — centroids trained on the BASE slice only,
+    * assignment over the full candidate set, d25's probe+rank. */
+  val d81Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells} AND vec_id % $DeltaMod <> 0")},
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id FROM sa WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, qqv, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.qqv, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |res AS (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM (SELECT pr.q_id, a.vec_id,
+       |    ${qDistSql("pr.qqv", "a.qv")} AS dist
+       |  FROM pr JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe))
+       |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
 
   /** d75: FILTERED vector search — the metadata-predicate ANN
     * problem every production vector store faces (top-k among

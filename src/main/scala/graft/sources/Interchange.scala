@@ -81,6 +81,28 @@ object Interchange {
 
   val f01Sql: String = digestSql
 
+  /** f12: GZIP-compressed JSONL round trip — the wire format training
+    * corpora actually ship in (CommonCrawl-derived sets land as
+    * .jsonl.gz). Byte-lossless like f01, with the SCALE HAZARD the
+    * codec carries made explicit: gzip is NOT splittable, so one
+    * archive = one task no matter its size — a 100 GB .jsonl.gz
+    * would serialize through a single executor core. The remedy is
+    * structural, not a knob: ship many medium archives (this writer
+    * emits one per input partition) and repartition right after
+    * ingest so downstream stages never inherit archive-count
+    * parallelism. InterchangeSpec pins the hazard (a single .gz
+    * reads back as exactly 1 partition) and the remedy. */
+  def f12GzipJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = roundTripDir("jsonlgz", dir)
+    docs.write.mode("overwrite")
+      .option("compression", "gzip").json(out)
+    digest(spark.read.schema(docs.schema)
+      .option("mode", "FAILFAST").json(out))
+  }
+
+  val f12Sql: String = digestSql
+
   /** f02: documents → CSV (header, RFC-quoted) → read(schema,
     * FAILFAST) → digest. */
   def f02CsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
@@ -539,7 +561,8 @@ object Interchange {
     "f08_schema_evolution" -> (f08SchemaEvolution _),
     "f09_codec_matrix" -> (f09CodecMatrix _),
     "f10_partition_overwrite" -> (f10PartitionOverwrite _),
-    "f11_bucketed_join" -> (f11BucketedJoin _))
+    "f11_bucketed_join" -> (f11BucketedJoin _),
+    "f12_gzip_jsonl" -> (f12GzipJsonl _))
 
   val oracles: Map[String, String] = Map(
     "f01_jsonl_roundtrip" -> f01Sql,
@@ -552,5 +575,6 @@ object Interchange {
     "f08_schema_evolution" -> f08Sql,
     "f09_codec_matrix" -> f09Sql,
     "f10_partition_overwrite" -> f10Sql,
-    "f11_bucketed_join" -> f11Sql)
+    "f11_bucketed_join" -> f11Sql,
+    "f12_gzip_jsonl" -> f12Sql)
 }

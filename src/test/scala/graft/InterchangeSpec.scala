@@ -283,4 +283,40 @@ class InterchangeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceed fixed-field widths"))
   }
+
+  test("f12 gzip jsonl round-trips verbatim; a single .gz archive " +
+    "reads as ONE partition (non-splittable) and repartition is the " +
+    "remedy") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    roundTripEquals(
+      dir => docs.write.mode("overwrite")
+        .option("compression", "gzip").json(dir),
+      dir => spark.read.schema(docs.schema)
+        .option("mode", "FAILFAST").json(dir))
+    // the scale hazard, pinned: ONE gzip archive = ONE task no matter
+    // how many cores — coalesce(1) forces a single .gz, and the read
+    // back cannot parallelize it
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gz_hazard").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").json(dir)
+    val one = spark.read.schema(docs.schema).json(dir)
+    assert(one.rdd.getNumPartitions == 1,
+      s"expected the non-splittable archive to read as 1 partition, " +
+        s"got ${one.rdd.getNumPartitions}")
+    // the remedy: repartition immediately after ingest so downstream
+    // stages never inherit archive-count parallelism
+    assert(one.repartition(8).rdd.getNumPartitions == 8)
+    // and the multi-archive writer (f12's form) parallelizes the read
+    val multi = spark.read.schema(docs.schema)
+      .json(java.nio.file.Files
+        .createTempDirectory("graft_gz_multi").toString match {
+          case d =>
+            docs.repartition(4).write.mode("overwrite")
+              .option("compression", "gzip").json(d)
+            d
+        })
+    assert(multi.rdd.getNumPartitions > 1)
+  }
 }

@@ -113,6 +113,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(mtimes() == m0, "repeat search rebuilt the PQ index")
   }
 
+  test("d81 incremental update: the delta build never touches the " +
+    "base tree, never retrains, and search covers base and delta") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val basePath = Similarity.ensureBaseIvfIndex(spark, sf)
+    val f = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(root: String): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val baseBefore = state(basePath)
+    val deltaPath = Similarity.ensureIvfDelta(spark, sf)
+    // O(delta) contract: the base tree is byte-identical after the
+    // delta build — no retrain, no base-posting rewrite
+    assert(state(basePath) == baseBefore)
+    // the delta postings hold exactly the DeltaMod slice, disjoint
+    // from the base postings, all assigned to existing cells
+    val spark2 = spark; import spark2.implicits._
+    val baseIds = spark.read
+      .option("basePath", s"$basePath/postings")
+      .parquet(s"$basePath/postings").select("vec_id")
+      .as[Long].collect().toSet
+    val deltaIds = spark.read
+      .option("basePath", s"$deltaPath/postings")
+      .parquet(s"$deltaPath/postings").select("vec_id")
+      .as[Long].collect().toSet
+    assert(deltaIds.nonEmpty)
+    assert(baseIds.intersect(deltaIds).isEmpty)
+    assert(deltaIds.forall(id =>
+      id % Similarity.DeltaMod == 0 &&
+        id >= Similarity.NumQueries + Similarity.IvfCells))
+    // search sees the union: every returned vec_id is in one of the
+    // two trees, and results are non-empty per query
+    val res = Similarity.d81IncrementalIvf(spark, sf)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf(baseIds ++ deltaIds))
+    assert(res.groupBy("q_id").count().filter(
+      col("count") =!= Similarity.TopK).count() == 0)
+  }
+
   test("IVF recall@10 climbs with nprobe and clears 0.9 at nprobe=4") {
     // the quality contract at PARTIAL probe — the only regime a 100 TB
     // user actually runs (full probe is d25's exactness pin above).
