@@ -281,14 +281,86 @@ object Relational8 {
       .orderBy(col("event_type"))
   }
 
+  // ---- q88: winsorized robust aggregation ---------------------------
+
+  /** q88: winsorized (outlier-clamped) robust aggregation — the
+    * standard treatment when a mean must survive heavy tails (sensor
+    * glitches, price fat-fingers, crawl-size outliers): clamp each
+    * value to its group's [p5, p95] band, then aggregate. Exactness
+    * discipline: values move to integer CENTS (decimal ×100, exact),
+    * cuts come from `percentile_disc` — the SQL-standard discrete
+    * percentile, an ACTUAL data value, so clamping and the sums stay
+    * pure int64 and the report is engine-exact (interpolated
+    * percentiles would inject engine-specific float division into
+    * every clamped value). Plan: one pass builds the |groups|-row cut
+    * relation, which broadcasts back onto the fact scan (the q63
+    * per-group-medians pattern, gate-allowlisted) — the fact table
+    * never shuffles for the clamp; the final aggregate
+    * partial-combines. The means are ONE double division at the end.
+    * percentile_disc buffers a group's values in one aggregator like
+    * q16 (same [[Relational.Q16MaxGroupRows]] envelope); past that,
+    * q47's sketch cuts are the drop-in. */
+  def q88Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    val cuts = li.groupBy(col("rf")).agg(
+      expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("lo"),
+      expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("hi"))
+    li.join(broadcast(cuts), Seq("rf"))
+      .select(col("rf"), col("cents"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("w"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        sum(col("w")).cast("long").as("sum_wins_cents"))
+      .withColumn("mean_raw",
+        round(col("sum_cents").cast("double") / col("n") / 100, 4)
+          + lit(0.0))
+      .withColumn("mean_wins",
+        round(col("sum_wins_cents").cast("double") / col("n") / 100, 4)
+          + lit(0.0))
+      .orderBy(col("rf"))
+  }
+
+  val q88Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |cuts AS (
+      |  SELECT rf,
+      |    CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+      |    CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+      |  FROM v GROUP BY rf)
+      |SELECT v.rf, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(lo) AS lo_cents, MAX(hi) AS hi_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT)
+      |    AS sum_wins_cents,
+      |  ROUND(CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+      |    / COUNT(*) / 100, 4) + 0.0 AS mean_raw,
+      |  ROUND(CAST(CAST(SUM(GREATEST(lo, LEAST(hi, cents)))
+      |    AS BIGINT) AS DOUBLE) / COUNT(*) / 100, 4) + 0.0
+      |    AS mean_wins
+      |FROM v JOIN cuts USING (rf)
+      |GROUP BY v.rf ORDER BY v.rf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bloom_prune" -> (q84BloomPrune _),
     "q85_asof_nearest" -> (q85AsofNearest _),
     "q86_exists_decorrelated" -> (q86ExistsDecorrelated _),
-    "q87_hll_merge" -> (q87HllMerge _))
+    "q87_hll_merge" -> (q87HllMerge _),
+    "q88_winsorize" -> (q88Winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q84_bloom_prune" -> q84Sql,
     "q85_asof_nearest" -> q85Sql,
-    "q86_exists_decorrelated" -> q86Sql)
+    "q86_exists_decorrelated" -> q86Sql,
+    "q88_winsorize" -> q88Sql)
 }

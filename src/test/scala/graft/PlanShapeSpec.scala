@@ -232,7 +232,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "t32_source_kl" ->
         ("two bounded stats relations: per-source token totals " +
           "(|sources| rows) and the 1-row corpus total (the t12 " +
-          "scalar pattern), both explicit broadcast()"))
+          "scalar pattern), both explicit broadcast()"),
+      "q88_winsorize" ->
+        ("per-group winsor cuts: |l_returnflag| rows, explicit " +
+          "broadcast() — the q63 per-group-medians precedent"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
