@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1596,6 +1596,85 @@ object Similarity {
     adcScan(qz, codes, book, TopK)
   }
 
+  // ---- d82: persisted PRODUCTION index (residual IVF+PQ + rerank) --
+
+  /** Durable home of the committed production (d47-config) index. */
+  def prodIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_prod_idx_v$AnnIndexV" +
+      s"_c${IvfCells}s${PqSubspaces}p${PqCodes}i$KmIters" +
+      s"_${Integer.toHexString(dir.hashCode)}"
+
+  /** Build-if-absent the persisted PRODUCTION index — what FAISS
+    * serializes for IndexIVFPQ(+RefineFlat), the d47 configuration as
+    * a durable artifact: `centroids/` (the coarse quantizer),
+    * `book/` (the four residual sub-quantizers), and `codes/` — every
+    * vector's (cell, 4 residual code ids), hive-PARTITIONED BY cell
+    * so the probe reads only its nprobe cells' code files: the
+    * on-disk scan moves ~4 code bytes per vector of the probed cells
+    * and nothing else. Same committed contract as d79/d80/d81. */
+  def ensureProdIndex(spark: SparkSession, dir: String): String =
+    prodIndexPath(dir).intern.synchronized {
+      val path = prodIndexPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val cands = qz.filter(col("vec_id") >= NumQueries)
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + IvfCells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val cents = kmeansQuantized(
+            qz.filter(col("vec_id") >= NumQueries + IvfCells), init,
+            KmIters)
+          val resid = cellResiduals(cands, cents)
+          val book = trainResidualBook(resid, NumQueries + PqCodes)
+          cents.coalesce(1).write.parquet(s"$tmp/centroids")
+          book.coalesce(1).write.parquet(s"$tmp/book")
+          residualCellCodes(resid, book)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/codes")
+        })
+      path
+    }
+
+  /** d82: the PRODUCTION search over the persisted index — load
+    * centroids + residual books + cell-partitioned codes, run the
+    * residual ADC scan to a [[RerankR]] shortlist, then d30's exact
+    * re-rank against the live full-precision vectors. Zero training,
+    * residual-formation, or assignment jobs at query time — d47's
+    * result from d47's oracle (same SQL verbatim), reloaded instead
+    * of rebuilt. The rerank leg touching live vectors is the
+    * IndexRefineFlat contract: the index holds codes; full vectors
+    * stay in the table. */
+  def d82PersistedProd(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureProdIndex(spark, dir)
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val cents = spark.read
+      .parquet(files.filter(_.contains("/centroids/")): _*)
+    val book = spark.read
+      .parquet(files.filter(_.contains("/book/")): _*)
+    val cellCodes = spark.read.option("basePath", s"$root/codes")
+      .parquet(files.filter(_.contains("/codes/")): _*)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("sub"), col("code"))
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val shortlist = residualAdcScanCoded(queries, cellCodes, cents,
+      book, NProbe, RerankR).select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, qz, queries, TopK)
+  }
+
+  /** DELETE the durable production index (see [[resetIvfIndex]]). */
+  def resetProdIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(prodIndexPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   // ---- d81: incremental index update (freshness without retrain) ---
 
   /** Every DeltaMod-th corpus vector is the "newly arrived" slice for
@@ -1694,6 +1773,109 @@ object Similarity {
         quantizeVec(col("embedding")).as("q_qv"))
     ivfProbeRank(queries, postings, cents, NProbe, TopK)
   }
+
+  // ---- s21: streaming NN enrichment against the persisted index ----
+
+  /** A vector arriving on the ingest stream (s10's convention plus
+    * the quantized payload). */
+  case class VecArrival(vec_id: Long, qv: Seq[Long],
+      ts: java.sql.Timestamp)
+
+  /** Stateless argmin-cell expression over LITERAL centroids (the
+    * bounded k×dim collect, d22's adjudicated pattern): an arriving
+    * vector learns its cell with zero joins and zero state — 16
+    * codegen'd struct comparisons per row. */
+  def argminCellExpr(cents: Seq[(Long, Seq[Long])],
+      qv: Column): Column =
+    array_min(array(cents.map { case (id, qc) =>
+      struct(qDist(qv, lit(qc.toArray)).as("dist"),
+        lit(id).as("cell"))
+    }: _*)).getField("cell")
+
+  /** The committed base centroids as a local (bounded k×dim) seq. */
+  def baseCentroidsLocal(spark: SparkSession, dir: String)
+      : Seq[(Long, Seq[Long])] = {
+    val basePath = ensureBaseIvfIndex(spark, dir)
+    loadIndexPart(spark, basePath, "centroids").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+  }
+
+  /** s21: nearest-neighbor ENRICHMENT at ingest — each newly arrived
+    * vector (the [[DeltaMod]] slice, d81's convention) is tagged with
+    * its closest BASE vector, the join a production ingest runs to
+    * attach provenance/label/cluster metadata from the indexed corpus
+    * to incoming data. Plan: the arrival's cell is a stateless
+    * literal-centroid argmin ([[argminCellExpr]] — no join), then ONE
+    * stream-static-shaped equi-join against the committed
+    * cell-partitioned base postings (candidates = one cell's members,
+    * the IVF contract; cell-local NN is the standard nprobe=1
+    * approximation, documented), one partial-aggregable struct-min.
+    * Batch registered form below; [[nnEnrichStream]] is the
+    * ingest-time path, spec-pinned equal across micro-batches. */
+  def s21StreamNnEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = ensureBaseIvfIndex(spark, dir)
+    val postings = loadIndexPart(spark, basePath, "postings")
+    val cents = baseCentroidsLocal(spark, dir)
+    val arrivals = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+      .filter(col("vec_id") >= NumQueries + IvfCells &&
+        col("vec_id") % DeltaMod === 0)
+    arrivals
+      .withColumn("cell", argminCellExpr(cents, col("qv")))
+      .withColumnRenamed("qv", "a_qv")
+      .join(postings.select(col("vec_id").as("nn_id"), col("cell"),
+        col("qv")).hint("shuffle_hash"), Seq("cell"))
+      .withColumn("dist", qDist(col("a_qv"), col("qv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("nn_id"))).as("best"))
+      .select(col("vec_id"), col("best.nn_id").as("nn_id"),
+        col("best.dist").as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s21's ingest-time form: stateless cell tag → stream-static
+    * equi-join on cell → watermark-bounded windowed struct-min (the
+    * only stateful stage). */
+  def nnEnrichStream(arrivals: Dataset[VecArrival],
+      cents: Seq[(Long, Seq[Long])], postings: DataFrame): DataFrame =
+    arrivals.toDF()
+      .withColumn("cell", argminCellExpr(cents, col("qv")))
+      .withColumnRenamed("qv", "a_qv")
+      .join(postings.select(col("vec_id").as("nn_id"), col("cell"),
+        col("qv")), Seq("cell"))
+      .withColumn("dist", qDist(col("a_qv"), col("qv")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("vec_id"))
+      .agg(min(struct(col("dist"), col("nn_id"))).as("best"))
+      .select(col("vec_id"), col("best.nn_id").as("nn_id"),
+        col("best.dist").as("dist"))
+
+  /** DuckDB oracle for s21: base-trained chain (d81's), base posting
+    * assignment, arrival argmin cell, cell-member argmin neighbor. */
+  val s21Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells} AND vec_id % $DeltaMod <> 0")},
+       |cand AS (
+       |  SELECT vec_id, qv FROM q
+       |  WHERE vec_id >= $NumQueries AND
+       |    (vec_id < ${NumQueries + IvfCells} OR vec_id % $DeltaMod <> 0)),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id FROM sa WHERE rn = 1),
+       |arr AS (
+       |  SELECT vec_id, qv FROM q
+       |  WHERE vec_id >= ${NumQueries + IvfCells}
+       |    AND vec_id % $DeltaMod = 0),
+       |${assignCte("aa", "arr", s"c$KmIters")},
+       |ac AS (SELECT vec_id, qv, cent_id FROM aa WHERE rn = 1),
+       |nn AS (
+       |  SELECT a.vec_id, b.vec_id AS nn_id,
+       |    ${qDistSql("a.qv", "b.qv")} AS dist,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${qDistSql("a.qv", "b.qv")}, b.vec_id) AS rn
+       |  FROM ac a JOIN asg b ON b.cent_id = a.cent_id)
+       |SELECT vec_id, nn_id, dist FROM nn WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
 
   /** DuckDB oracle for d81: the one-shot chain d81's incremental
     * lifecycle must equal — centroids trained on the BASE slice only,
@@ -2252,9 +2434,14 @@ object Similarity {
     * residual tables, cell-keyed ADC scan. */
   def residualAdcScan(queries: DataFrame, resid: DataFrame,
       cents: DataFrame, book: DataFrame, nprobe: Int, k: Int)
-      : DataFrame = {
-    val cellSide = broadcast(cents
-      .select(col("cent_id").as("cell"), col("qc").as("cell_qc")))
+      : DataFrame =
+    residualAdcScanCoded(queries, residualCellCodes(resid, book),
+      cents, book, nprobe, k)
+
+  /** (vec_id, cell, sub, code) for every candidate — the residual-PQ
+    * compressed corpus representation; also what the persisted
+    * production index (d82) stores under `codes/`. */
+  def residualCellCodes(resid: DataFrame, book: DataFrame): DataFrame = {
     val codes = pqSlices(resid.select(col("vec_id"), col("qv")),
       Seq("vec_id"))
       .join(broadcast(book), Seq("grp"))
@@ -2263,6 +2450,18 @@ object Similarity {
       .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
       .select(col("vec_id"), col("grp").as("sub"),
         col("best.cent_id").as("code"))
+    resid.select(col("vec_id"), col("cell")).join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+  }
+
+  /** The residual ADC scan over an ALREADY-CODED corpus — the piece
+    * the persisted production index reuses with zero training,
+    * residual-formation, or assignment jobs. */
+  def residualAdcScanCoded(queries: DataFrame, cellCodes: DataFrame,
+      cents: DataFrame, book: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val cellSide = broadcast(cents
+      .select(col("cent_id").as("cell"), col("qc").as("cell_qc")))
     // probes, then the query residual PER PROBED CELL
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("dist"), col("cent_id"))
@@ -2287,8 +2486,7 @@ object Similarity {
     // the residual vectors themselves never reach the search join
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col("vec_id"))
-    resid.select(col("vec_id"), col("cell"))
-      .join(codes, Seq("vec_id"))
+    cellCodes
       .join(broadcast(table), Seq("cell", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qd")).cast("long").as("adc_dist"))

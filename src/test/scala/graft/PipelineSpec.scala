@@ -161,6 +161,75 @@ class PipelineSpec extends AnyFunSuite {
       col("count") =!= Similarity.TopK).count() == 0)
   }
 
+  test("d82 persisted production index: search equals the retrained " +
+    "d47 chain and repeat searches never rebuild") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensureProdIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Seq[(String, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val persisted = Similarity.d82PersistedProd(spark, sf).collect().toSeq
+    val memory = Similarity.d47ResidualRerank(spark, sf).collect().toSeq
+    assert(persisted == memory)
+    assert(persisted.nonEmpty)
+    val m0 = mtimes()
+    Similarity.d82PersistedProd(spark, sf).collect()
+    assert(mtimes() == m0, "repeat search rebuilt the production index")
+  }
+
+  test("s21 streamed NN enrichment equals the batch form across " +
+    "multi-batch arrival, probing the COMMITTED base index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val basePath = Similarity.ensureBaseIvfIndex(spark, sf)
+    val cents = Similarity.baseCentroidsLocal(spark, sf)
+    val postings = spark.read
+      .option("basePath", s"$basePath/postings")
+      .parquet(s"$basePath/postings")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("qv"))
+    val base = 1700000040000L
+    val arrivals = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizeVec(col("embedding")).as("qv"))
+      .filter(col("vec_id") >= Similarity.NumQueries +
+        Similarity.IvfCells &&
+        col("vec_id") % Similarity.DeltaMod === 0)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      .map { case (id, qv) => Similarity.VecArrival(id, qv,
+        new java.sql.Timestamp(base)) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Similarity.VecArrival]
+    val q = Similarity.nnEnrichStream(input.toDS(), cents, postings)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nnenrich").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("nnenrich")
+        .select(col("vec_id"), col("nn_id"), col("dist"))
+      val batch = Similarity.s21StreamNnEnrich(spark, sf)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed NN enrichment differs from the batch form")
+      assert(batch.count() > 0)
+      // enrichment is non-trivial: arrivals never match themselves
+      // (the base index excludes the delta slice)
+      assert(batch.filter(col("vec_id") === col("nn_id")).count() == 0)
+    } finally q.stop()
+  }
+
   test("IVF recall@10 climbs with nprobe and clears 0.9 at nprobe=4") {
     // the quality contract at PARTIAL probe — the only regime a 100 TB
     // user actually runs (full probe is d25's exactness pin above).

@@ -235,7 +235,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "scalar pattern), both explicit broadcast()"),
       "q88_winsorize" ->
         ("per-group winsor cuts: |l_returnflag| rows, explicit " +
-          "broadcast() — the q63 per-group-medians precedent"))
+          "broadcast() — the q63 per-group-medians precedent"),
+      "d82_persisted_prod" ->
+        ("d30/d47's bounded shortlist re-rank (queries x RerankR " +
+          "rows) + the bounded per-(query, probed cell) residual " +
+          "distance table — both explicit broadcast(), same " +
+          "adjudication as d47"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

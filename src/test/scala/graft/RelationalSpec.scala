@@ -235,10 +235,12 @@ class RelationalSpec extends AnyFunSuite {
       // t12/t15 scalar pattern) — a 1-row build side, nothing
       // quadratic; its vocabulary-sized term join is shuffle_hash
       "t32_source_kl",
-      // d79/d81 are d25's probe leg over the LOADED index: the same
-      // bounded 16-row centroid relation broadcasts against the
-      // queries (scan-fed now — it comes off the committed parquet)
-      "d79_persisted_ivf", "d81_incremental_ivf")
+      // d79/d81/d82 are d25/d29's probe leg over the LOADED index:
+      // the same bounded 16-row centroid relation broadcasts against
+      // the queries (scan-fed now — off the committed parquet); d82
+      // adds d30's bounded shortlist re-rank (queries×R broadcast)
+      "d79_persisted_ivf", "d81_incremental_ivf",
+      "d82_persisted_prod")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
