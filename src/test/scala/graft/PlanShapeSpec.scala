@@ -338,6 +338,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"$q no longer has a single-partition window — drop its entry"))
   }
 
+  test("d79 persisted-index probe DYNAMICALLY PRUNES the postings " +
+    "partitions (the on-disk IVF contract)") {
+    // the posting files are hive-partitioned by cell precisely so an
+    // nprobe probe reads only those cells' bytes; this pin asserts
+    // Catalyst actually plants the runtime partition filter on the
+    // scan — without it the layout is decoration and the scan reads
+    // all K cells at 100 TB
+    val p = plan("d79_persisted_ivf")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the postings scan:\n$p")
+  }
+
   test("skew drill: salted join shuffles on (key, salt)") {
     // the zipf-drill contract (round-4 verdict #6): Skew.saltedJoin
     // must scatter the hot key across salt sub-partitions — i.e. the
