@@ -1153,6 +1153,91 @@ object Dedup {
   val AuditBands = 4
   val AuditRows = CalibK / AuditBands
 
+  /** The (bands, rows-per-band) grid d83 tunes over — every divisor
+    * split of the [[CalibK]]-slot signature. */
+  val TuneConfigs: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** d83: LSH BANDING TUNING TABLE — the decision every LSH dedup
+    * deployment makes before running (d02 hard-codes (4, 4); this is
+    * where that choice comes from): for each (b, r) split of the
+    * signature budget, the S-curve's EXPECTED recall over this
+    * corpus's own planted-pair Jaccard distribution — mean of
+    * p = 1 − (1 − J^r)^b over the pairs' exact Jaccards — next to
+    * the MEASURED candidacy rate (≥1 of the b bands matches in the
+    * actual signatures), so the formula is checked against ground
+    * truth at every config, not just d42's single one. More bands →
+    * higher recall and more candidate volume; the table is how a
+    * target recall picks its knob. Exactness discipline: powers
+    * unroll to literal multiplication chains (identical IEEE op
+    * sequence in both engines — `pow` is not cross-engine
+    * bit-stable), each pair's p quantizes to the 10⁶ grid BEFORE the
+    * sum (t15's rule: integer sums, one division at the end), and
+    * the measured rate is a pure integer count. Pair relation is the
+    * bounded planted set ([[calibPairs]]). */
+  def d83LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = calibPairs(spark, dir)
+      .select(col("a_id"), col("sa"), col("sb"),
+        round(graft.functions.MinHash.sortedJaccard(
+          col("ha"), col("hb")), 6).as("j"))
+    def pw(base: Column, n: Int): Column =
+      (1 to n).map(_ => base).reduce(_ * _)
+    TuneConfigs.map { case (b, r) =>
+      val p = lit(1.0) - pw(lit(1.0) - pw(col("j"), r), b)
+      val cand = (0 until b).map { i =>
+        (0 until r).map(k =>
+          col("sa").getItem(i * r + k) === col("sb").getItem(i * r + k))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      pairs
+        .select(round(p * 1e6, 0).cast("long").as("pq"),
+          when(cand, 1L).otherwise(0L).as("cand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("pq")).cast("long").as("sp"),
+          sum(col("cand")).cast("long").as("sc"))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"), col("n_pairs"),
+          (round(col("sp").cast("double") / col("n_pairs") / 1e6, 6)
+            + lit(0.0)).as("expected_recall"),
+          (round(col("sc").cast("double") / col("n_pairs"), 6)
+            + lit(0.0)).as("measured_recall"))
+    }.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  /** DuckDB oracle for d83: calibration signatures + exact Jaccards,
+    * per-config band-match flags, the same unrolled-multiplication
+    * S-curve on the 10⁶ grid. */
+  lazy val d83Sql: String = {
+    def pwSql(base: String, n: Int): String =
+      Seq.fill(n)(s"($base)").mkString(" * ")
+    val pcs = TuneConfigs.map { case (b, r) =>
+      s"""pc_${b}_$r AS (
+         |  SELECT tru.a_id, tru.jaccard AS j, bb.cand
+         |  FROM tru JOIN (
+         |    SELECT a_id, MAX(bm) AS cand FROM (
+         |      SELECT a.doc_id AS a_id, a.k // $r AS band,
+         |        MIN(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS bm
+         |      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+         |        AND b.k = a.k
+         |      WHERE a.doc_id < 1000000
+         |      GROUP BY 1, 2) bandm GROUP BY a_id) bb
+         |    ON bb.a_id = tru.a_id)""".stripMargin
+    }.mkString(",\n")
+    val cfgs = TuneConfigs.map { case (b, r) =>
+      val p = s"1.0 - ${pwSql(s"1.0 - ${pwSql("j", r)}", b)}"
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(CAST(SUM(CAST(ROUND(($p) * 1000000, 0)
+         |      AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*) / 1000000, 6) + 0.0 AS expected_recall,
+         |  ROUND(CAST(CAST(SUM(cand) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*), 6) + 0.0 AS measured_recall
+         |FROM pc_${b}_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $calibCtes,\n$pcs\n$cfgs\nORDER BY bands DESC"
+  }
+
   /** d42: LSH recall audit — for every planted near-dup pair, does
     * banded LSH actually PROPOSE it? Reports shared-band count,
     * candidacy, and the pair's exact Jaccard, so the S-curve the
