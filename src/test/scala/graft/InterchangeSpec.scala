@@ -284,6 +284,53 @@ class InterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exceed fixed-field widths"))
   }
 
+  test("publishCommitted: concurrent builders race safely — exactly " +
+    "one whole tree publishes, losers discard, stale fp rebuilds") {
+    import graft.sources.AtomicCommit
+    import org.apache.hadoop.fs.Path
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_race_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val f = new Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def build(payload: String)(tmp: String): Unit = {
+      val out = f.create(new Path(tmp, "part-000"), true)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      // eight concurrent builders, one fingerprint: the d56 contract
+      // says whoever wins publishes a WHOLE tree and every loser
+      // discards its attempt and reuses the winner's
+      val payloads = (0 until 8).map(i => s"builder-$i-" + ("x" * i))
+      val threads = payloads.map { p =>
+        new Thread(() =>
+          AtomicCommit.publishCommitted(spark, dst, "fp1", build(p)))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(AtomicCommit.isCommittedFor(spark, dst, "fp1"))
+      val files = AtomicCommit.committedFiles(spark, dst)
+      assert(files.size == 1)
+      val in = f.open(new Path(files.head))
+      val content = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+      // the tree is exactly ONE builder's — never an interleaving
+      assert(payloads.contains(content), s"torn tree: $content")
+      // no leftover .build- temp trees
+      val parent = new Path(dst).getParent
+      val leftovers = f.listStatus(parent).map(_.getPath.getName)
+        .filter(_.startsWith(new Path(dst).getName + ".build-"))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+      // a changed fingerprint rebuilds in place
+      AtomicCommit.publishCommitted(spark, dst, "fp2", build("fresh"))
+      assert(AtomicCommit.isCommittedFor(spark, dst, "fp2"))
+      assert(!AtomicCommit.isCommittedFor(spark, dst, "fp1"))
+    } finally f.delete(new Path(dst), true)
+  }
+
   test("f12 gzip jsonl round-trips verbatim; a single .gz archive " +
     "reads as ONE partition (non-splittable) and repartition is the " +
     "remedy") {
