@@ -124,10 +124,28 @@ object ScaleCurve {
           val pb = t(
             graft.operators.Similarity.resetPqIndex(spark, d),
             graft.operators.Similarity.ensurePqIndex(spark, d))
+          // d81's base-vs-delta pair is the O(delta) claim, measured
+          // per sweep (r12 manual numbers: 23.9/1.6 s at sf1,
+          // 129.3/4.6 s at sf10)
+          val bb = t({
+              val p = new org.apache.hadoop.fs.Path(
+                graft.operators.Similarity.annBasePath(d))
+              val fs = p.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(p)) fs.delete(p, true)
+              val pd = new org.apache.hadoop.fs.Path(
+                graft.operators.Similarity.annDeltaPath(d))
+              if (fs.exists(pd)) fs.delete(pd, true)
+            },
+            graft.operators.Similarity.ensureBaseIvfIndex(spark, d))
+          val db = t((),
+            graft.operators.Similarity.ensureIvfDelta(spark, d))
           println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
-            s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s")
+            s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s," +
+            s" d81 base ${fmt(bb)} s, d81 delta ${fmt(db)} s")
           tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib,
-            "d80_index_build" -> pb)
+            "d80_index_build" -> pb, "d81_base_build" -> bb,
+            "d81_delta_update" -> db)
         }
 
     def time(key: String, dir: String): Double = {
