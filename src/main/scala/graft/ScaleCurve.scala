@@ -275,12 +275,23 @@ object ScaleCurve {
         val key = "\"2e_streaming_throughput\":"
         val i = cur.indexOf(key)
         if (i >= 0) {
-          // scan the balanced value object after the key
+          // scan the balanced value object after the key — string-
+          // aware (ADVICE r12): a '{'/'}' inside a JSON string value
+          // (e.g. a tag or the execution field) must not move the
+          // brace depth, and escaped quotes must not end the string
           var j = i + key.length
           var depth = 0
           var end = -1
+          var inStr = false
+          var esc = false
           while (end < 0 && j < cur.length) {
-            cur(j) match {
+            val c = cur(j)
+            if (inStr) {
+              if (esc) esc = false
+              else if (c == '\\') esc = true
+              else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
               case '{' => depth += 1
               case '}' => depth -= 1; if (depth == 0) end = j
               case _ =>
@@ -290,8 +301,15 @@ object ScaleCurve {
           if (end > 0) {
             val patched = cur.substring(0, i + key.length) +
               streamJson + cur.substring(end + 1)
-            java.nio.file.Files.write(p, patched.getBytes(
+            // write-to-temp + atomic rename: a crash mid-write must
+            // not corrupt the committed artifact (ADVICE r12)
+            val tmp = java.nio.file.Paths.get(
+              "scale_curve.json.tmp-" + ProcessHandle.current().pid())
+            java.nio.file.Files.write(tmp, patched.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             println("patched 2e_streaming_throughput in scale_curve.json")
           }
         }

@@ -1463,7 +1463,7 @@ object Similarity {
   def annIndexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_v$AnnIndexV" +
       s"_c${IvfCells}i$KmIters" +
-      s"_${Integer.toHexString(dir.hashCode)}"
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   /** Build-if-absent the persisted IVF index — the lifecycle gap the
     * r11 verdict named (#4): d22/d25 retrained per run; a production
@@ -1542,7 +1542,7 @@ object Similarity {
   def pqIndexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_pq_idx_v$AnnIndexV" +
       s"_s${PqSubspaces}c${PqCodes}i$KmIters" +
-      s"_${Integer.toHexString(dir.hashCode)}"
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   /** Build-if-absent the persisted PQ index — the compressed-corpus
     * half of the index lifecycle (d79 persists the IVF partitioner;
@@ -1602,7 +1602,7 @@ object Similarity {
   def prodIndexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_prod_idx_v$AnnIndexV" +
       s"_c${IvfCells}s${PqSubspaces}p${PqCodes}i$KmIters" +
-      s"_${Integer.toHexString(dir.hashCode)}"
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   /** Build-if-absent the persisted PRODUCTION index — what FAISS
     * serializes for IndexIVFPQ(+RefineFlat), the d47 configuration as
@@ -1684,7 +1684,7 @@ object Similarity {
   def annBasePath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_ivf_base_v$AnnIndexV" +
       s"_c${IvfCells}i$KmIters" +
-      s"_${Integer.toHexString(dir.hashCode)}"
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   def annDeltaPath(dir: String): String = annBasePath(dir) + "_delta"
 

@@ -183,13 +183,36 @@ object AtomicCommit {
       fp: String): Boolean =
     isCommitted(spark, path) && readSrcFp(spark, path).contains(fp)
 
+  /** Collision-free key for durable per-dataset artifact paths:
+    * SHA-256 of the ABSOLUTE dataset dir (ADVICE r12: the previous
+    * `Integer.toHexString(dir.hashCode)` key is 32-bit and
+    * collision-prone — two aliasing dataset dirs would thrash
+    * rebuilds or cross-serve one dataset's artifact for another; the
+    * same adjudication moved d56's fingerprint index to SHA-256 in
+    * round 9). The digest is the identity; staleness of data AT the
+    * path is handled separately by [[tableFingerprint]]. */
+  def dirKey(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Build-once / reuse-everywhere publish of a derived artifact —
     * the d56 persisted-index contract (ADVICE r9), factored out so
     * every durable artifact (bucketed layout, ANN index) shares one
     * adjudicated implementation:
     *
     *  - a committed tree whose fingerprint matches `fp` is reused
-    *    as-is and NEVER deleted out from under a concurrent reader;
+    *    as-is and never DESTROYED: stale-tree removal moves the tree
+    *    ASIDE atomically and re-checks its fingerprint before
+    *    deleting the aside copy, so a matching tree published by a
+    *    peer in the check→remove window (the r12-advice TOCTOU) is
+    *    restored whole instead of deleted. Residual window: a reader
+    *    that resolved [[committedFiles]] paths under `dst` before the
+    *    move sees its files vanish mid-read and fails LOUDLY on the
+    *    manifest existence/size checks — never a silent partial read
+    *    — and succeeds on retry against the equivalently-republished
+    *    tree (same fp, deterministic build);
     *  - otherwise `build(tmp)` writes a complete tree into a
     *    process-private temp dir, the fp stamp lands BEFORE the
     *    commit marker (a torn build can never present a marker
@@ -197,9 +220,7 @@ object AtomicCommit {
     *    point;
     *  - losing the rename race is fine — the winner's artifact is
     *    equivalent (same source, deterministic build) — the loser
-    *    discards its attempt and requires the winner's tree whole;
-    *  - a stale or torn tree at `dst` (wrong/missing fp) is deleted
-    *    right before the rename, then rebuilt by whoever wins.
+    *    discards its attempt and requires the winner's tree whole.
     *
     * Returns after `dst` holds a committed, fp-matching artifact. */
   def publishCommitted(spark: SparkSession, dst: String, fp: String,
@@ -216,8 +237,22 @@ object AtomicCommit {
       val out = f.create(new Path(tmp, SrcFpName), true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
       commit(spark, tmp.toString)
-      if (f.exists(dstPath) && !isCommittedFor(spark, dst, fp))
-        f.delete(dstPath, true) // stale or torn, wrong fingerprint
+      if (f.exists(dstPath) && !isCommittedFor(spark, dst, fp)) {
+        // Stale or torn tree (wrong/missing fp): move it ASIDE with
+        // an atomic rename instead of deleting in place, then
+        // re-check the aside copy — if a peer published a MATCHING
+        // tree between the check above and the rename (ADVICE r12
+        // TOCTOU), it is restored whole here, never destroyed.
+        val aside = new Path(dst + ".stale-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        if (f.rename(dstPath, aside)) {
+          if (isCommittedFor(spark, aside.toString, fp) &&
+              !f.exists(dstPath) && f.rename(aside, dstPath)) {
+            // we had raced a matching publish: restored, nothing to
+            // do — fall through, the lost-race check below passes
+          } else if (f.exists(aside)) f.delete(aside, true)
+        }
+      }
       // Hadoop rename(tmp, dst) with dst an EXISTING directory moves
       // tmp INSIDE dst instead of returning false — re-check dst
       // right before the rename and treat any dst-existence as a

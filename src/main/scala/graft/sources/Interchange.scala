@@ -27,7 +27,7 @@ object Interchange {
     // (Verify alongside Bench, parallel test forks) must not race each
     // other's mode("overwrite") writes or flap f05's file-count pins
     val p = s"${sys.props("java.io.tmpdir")}/graft_$fmt" +
-      s"_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      s"_${AtomicCommit.dirKey(dir)}_p${ProcessHandle.current().pid()}"
     cleanupOnExit(p)
     p
   }
@@ -470,13 +470,13 @@ object Interchange {
     * build-to-temp + atomic-rename publish in [[bucketedTable]]. */
   def bucketedName(dir: String, table: String): String =
     s"graft_${table}_b${Buckets}v${BucketLayoutV}_" +
-      Integer.toHexString(dir.hashCode)
+      AtomicCommit.dirKey(dir)
 
   /** Durable (pid-free, NOT cleanup-registered) home of the bucketed
     * files: the one-time layout build amortizes across processes. */
   private def bucketedPath(dir: String, table: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_bucket_${table}" +
-      s"_b${Buckets}v${BucketLayoutV}_${Integer.toHexString(dir.hashCode)}"
+      s"_b${Buckets}v${BucketLayoutV}_${AtomicCommit.dirKey(dir)}"
 
   /** Register (building if absent) the bucketed external table.
     *
@@ -497,9 +497,17 @@ object Interchange {
   def bucketedTable(spark: SparkSession, dir: String, table: String,
       key: String): Unit = bucketedName(dir, table).intern.synchronized {
     val name = bucketedName(dir, table)
-    if (spark.catalog.tableExists(name)) return
     val path = bucketedPath(dir, table)
     val fp = AtomicCommit.tableFingerprint(spark, dir, table)
+    // The catalog entry alone is not freshness (ADVICE r12): a
+    // dataset regenerated at the same path mid-session would keep
+    // serving the stale layout. Re-validate the committed tree's
+    // source fingerprint on every call (a metadata-only listing —
+    // the same per-call probe the ANN/dedup index paths run) and
+    // drop + rebuild + re-register on mismatch.
+    if (spark.catalog.tableExists(name) &&
+        AtomicCommit.isCommittedFor(spark, path, fp)) return
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     AtomicCommit.publishCommitted(spark, path, fp, { tmp =>
       val tmpTable = name + s"_build_p${ProcessHandle.current().pid()}"
       Tables.load(spark, dir, table)

@@ -17,6 +17,7 @@ Usage:
 queries defaults to the SQL-expressible bench headline set.
 """
 import json
+import statistics
 import sys
 import time
 
@@ -77,8 +78,10 @@ def main():
                    "spark bench gc-quiesced min-of-2 full-plan noop, "
                    "same parquet inputs"),
         "queries": report,
+        # round-12 verdict: ratios[len//2] is the upper-middle element,
+        # not the median, for even n — use the true even/odd median.
         "median_spark_over_duckdb":
-            (ratios[len(ratios) // 2] if ratios else None),
+            (round(statistics.median(ratios), 2) if ratios else None),
     }
     json.dump(out, open(dst, "w"), indent=1)
     print(json.dumps(out["queries"], indent=1))
