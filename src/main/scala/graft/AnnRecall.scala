@@ -19,9 +19,17 @@ object AnnRecall {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val a = operators.AnnQuality
-    val curve = a.recallCurve(spark)
     def curveJson(c: Seq[(Int, Double)]) =
       c.map { case (np, r) => s""""$np":${fmt(r)}""" }.mkString(",")
+    // `nav` arg: print only the d84 curve (knob-tuning loop) without
+    // touching the committed artifact
+    if (args.contains("nav")) {
+      println(s"""{"nav_recall_by_beam":{${
+        curveJson(a.navRecallCurve(spark))}}}""")
+      spark.stop()
+      return
+    }
+    val curve = a.recallCurve(spark)
     val pqByCodes = a.BookSizes.map { n =>
       s""""$n":{${curveJson(a.ivfpqRecallCurve(spark, nCodes = n))}}"""
     }.mkString(",")
@@ -57,14 +65,16 @@ object AnnRecall {
         },"mrl_rerank_by_R_at_width16":{$mrlByR
         },"mrl_rerank_by_width_at_R50":{$mrlByWidth
         },"residual_rerank_by_nprobe_codes_R":{$rerankByCodes
-        },"banding_edge_recall":{${
+        },"nav_recall_by_beam_at_hops${operators.Similarity.NavHops}":{${
+          curveJson(a.navRecallCurve(spark))
+        }},"banding_edge_recall":{${
           a.bandingRecall(spark).map { case (k, v) =>
             s""""$k":${fmt(v)}""" }.mkString(",")
         }},"candidate_volume":{${
           a.candidateVolumes(spark).map { case (k, v) =>
             s""""$k":$v""" }.mkString(",")
         }},"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
-          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking. banding_edge_recall/candidate_volume pair the trade per candidate scheme: d66's trained-cell blocking (16 cells, 2 probes) proposes ~1.8x the true edges of d59's data-blind multi-probe at ~39% of its candidate volume — a trained coarse quantizer spends buckets where the data is"}"""
+          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking. banding_edge_recall/candidate_volume pair the trade per candidate scheme: d66's trained-cell blocking (16 cells, 2 probes) proposes ~1.8x the true edges of d59's data-blind multi-probe at ~39% of its candidate volume — a trained coarse quantizer spends buckets where the data is. nav_recall_by_beam is the d84 graph-navigable serving leg (entry medoid + beam walk over the NavK-out-degree trained-cell graph): beam width is the recall knob, monotone by construction, each step costing O(beam x NavK) scored candidates per hop independent of corpus size"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -223,8 +223,10 @@ object ScaleCurve {
     // there: the hot key then holds ~18M rows and the straggler
     // dwarfs job overhead (at sf1 the two are comparable and the
     // strategy ordering drowns in noise — Bench keeps sf1 for budget)
-    val skewDir =
-      if (new java.io.File(sf10).isDirectory) sf10 else sf1
+    // SPARK_GRAFT_SKEW_DIR overrides for isolated adjudication runs
+    // (e.g. re-measuring the sf1 drill the Bench budget keeps)
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
+      if (new java.io.File(sf10).isDirectory) sf10 else sf1)
     println(s"skew drill (${skewDir.split('/').last}):")
     val skew =
       if (streamOnly) Nil

@@ -1,0 +1,107 @@
+package graft.functions
+
+/** Header-only WAV (RIFF) metadata probe — the audio arm of the
+  * multimodal family (r12 verdict item 6; map2db has no audio
+  * surface — this is the training-data-pipeline extension SURVEY §2d
+  * specifies). Same design as [[ImageCodec.pngDims]] (m09): a 100 TB
+  * media corpus's first pass is metadata extraction (duration/rate
+  * gates, shard budgeting) and must never pay a sample decode per
+  * blob — the probe is a bounded walk of the RIFF chunk list (public
+  * container spec: "RIFF" + size + "WAVE", then (id, little-endian
+  * u32 size) chunks; `fmt ` carries channels/rate/bits, `data`
+  * carries the payload byte length), pure byte peeks, -1 on anything
+  * that is not a well-formed WAV. The RIFF magic is ASCII, but the
+  * full gate requires BOTH the "RIFF"/"WAVE" tags and a complete,
+  * in-bounds chunk walk ending in valid fmt+data chunks — a text
+  * payload cannot satisfy that by accident.
+  */
+object AudioCodec {
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+
+  private def le32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+  private def tag(p: Array[Byte], o: Int, s: String): Boolean =
+    p(o) == s.charAt(0).toByte && p(o + 1) == s.charAt(1).toByte &&
+      p(o + 2) == s.charAt(2).toByte && p(o + 3) == s.charAt(3).toByte
+
+  /** Walk the chunk list: Some((sampleRate, channels, bitsPerSample,
+    * dataBytes)) for a well-formed WAV, None otherwise. Bounded by
+    * the payload length; never allocates, never reads samples. */
+  def parseWav(p: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    // 44 = the minimal canonical header (RIFF hdr + PCM fmt + data hdr)
+    if (p.length < 44) return None
+    if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
+    var off = 12
+    var rate = -1L
+    var ch = -1
+    var bits = -1
+    var dataLen = -1L
+    while (off + 8 <= p.length && (rate < 0 || dataLen < 0)) {
+      val sz = le32(p, off + 4)
+      if (sz < 0 || sz > Int.MaxValue.toLong) return None
+      if (tag(p, off, "fmt ") && off + 8 + 16 <= p.length) {
+        ch = le16(p, off + 10)
+        rate = le32(p, off + 12)
+        bits = le16(p, off + 22)
+      } else if (tag(p, off, "data")) dataLen = sz
+      // chunks are word-aligned: odd sizes pad one byte (RIFF spec)
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 ||
+      dataLen < 0) None
+    else Some((rate, ch, bits, dataLen))
+  }
+
+  /** Field probe for the Catalyst expression: 0 = sample rate (Hz),
+    * 1 = channels, 2 = bits/sample, 3 = duration in MICROSECONDS
+    * (dataBytes · 10⁶ / (rate · ch · bits/8), integer floor — exact
+    * and engine-portable). -1 for non-WAV / malformed payloads. */
+  def wavField(p: Array[Byte], idx: Int): Long = parseWav(p) match {
+    case None => -1L
+    case Some((rate, ch, bits, dataLen)) => idx match {
+      case 0 => rate
+      case 1 => ch.toLong
+      case 2 => bits.toLong
+      case 3 =>
+        val bytesPerSec = rate * ch * (bits / 8)
+        if (bytesPerSec <= 0) -1L else dataLen * 1000000L / bytesPerSec
+      case _ => -1L
+    }
+  }
+
+  /** Spec helper: REAL deterministic PCM WAV bytes — `sample(frame,
+    * channel)` returns the 16-bit sample value. Canonical 44-byte
+    * header + interleaved little-endian PCM, so the spec's planted
+    * payloads exercise the exact container layout a production blob
+    * carries. */
+  def wavBytes(rate: Int, channels: Int, frames: Int)(
+      sample: (Int, Int) => Int): Array[Byte] = {
+    val bits = 16
+    val dataLen = frames * channels * (bits / 8)
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    tag("RIFF"); w32(36L + dataLen); tag("WAVE")
+    tag("fmt "); w32(16L); w16(1) // PCM
+    w16(channels); w32(rate.toLong)
+    w32(rate.toLong * channels * (bits / 8)) // byte rate
+    w16(channels * (bits / 8)) // block align
+    w16(bits)
+    tag("data"); w32(dataLen.toLong)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) { w16(sample(f, c) & 0xffff); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -140,6 +140,25 @@ case class PngDims(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `wav_field(payload, idx)` — header-only WAV metadata probe
+  * (m10): idx 0 = sample rate, 1 = channels, 2 = bits/sample,
+  * 3 = duration in microseconds; -1 for non-WAV payloads. Same
+  * no-decode contract as [[PngDims]], audio arm. */
+case class WavField(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 3, s"wav_field idx must be 0..3, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    AudioCodec.wavField(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AudioCodec.wavField($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
 case class AHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -166,4 +185,13 @@ object Multimedia {
 
   def pngDims(payload: Column): Column =
     GraftShim.column(PngDims(GraftShim.expression(payload)))
+
+  def wavSampleRate(payload: Column): Column =
+    GraftShim.column(WavField(GraftShim.expression(payload), 0))
+  def wavChannels(payload: Column): Column =
+    GraftShim.column(WavField(GraftShim.expression(payload), 1))
+  def wavBits(payload: Column): Column =
+    GraftShim.column(WavField(GraftShim.expression(payload), 2))
+  def wavDurationMicros(payload: Column): Column =
+    GraftShim.column(WavField(GraftShim.expression(payload), 3))
 }

@@ -116,6 +116,40 @@ object AnnQuality {
     }
   }
 
+  /** Beam widths for the d84 nav-graph sweep. */
+  val NavBeams = Seq(2, 4, 8, 16, 32)
+
+  /** recall@[[RecallK]] of the GRAPH-NAVIGABLE beam walk (d84) vs
+    * exact brute force, per beam width: train the coarse router once,
+    * build the nav graph once ([[Similarity.navGraphParts]] —
+    * checkpointed so the sweep re-walks, never re-builds), sweep the
+    * beam over [[Similarity.navBeamWalk]]. Monotone in beam by
+    * construction (a wider beam's frontier is a superset hop by
+    * hop), so the curve reads as the serving knob it is: beam width
+    * buys recall at O(beam · NavK) scored candidates per hop. */
+  def navRecallCurve(spark: SparkSession,
+      beams: Seq[Int] = NavBeams): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(
+      corp, init, Similarity.KmIters)
+    val (edges, entries) = Similarity.navGraphParts(corp, cents)
+    val edgesC = edges.localCheckpoint()
+    val entriesC = entries.localCheckpoint()
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    try beams.map { b =>
+      val hits = Similarity.navBeamWalk(qs, corp, cents, edgesC,
+        entriesC, b, Similarity.NavHops, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (b, hits / denom)
+    } finally { edgesC.unpersist(); entriesC.unpersist() }
+  }
+
   private def pqSliced(df: DataFrame, idCol: String): DataFrame = df
     .select(col(idCol),
       explode(sequence(lit(0L), lit(Similarity.PqSubspaces - 1L)))

@@ -138,34 +138,63 @@ object Bpe {
   def t23BpeEncode(spark: SparkSession, dir: String): DataFrame =
     t23EncodeWith(spark, dir, trainMerges(spark, dir))
 
+  /** Rules fused per expression step of the iterative encode: the
+    * replace chain nests at most this deep, so PLAN depth is bounded
+    * by the batch — the rule COUNT becomes a free knob (r12 verdict
+    * item 4: a 32k-merge production vocabulary cannot be one nested
+    * expression; Catalyst analysis is super-linear in tree depth and
+    * the single-expression form stops being viable long before 1k). */
+  val EncodeBatch = 16
+
   /** The encode leg under an explicit rule table — the shippable
     * form (rules from any prior training run, any rounds).
     *
-    * Scale shape: encoding is per-word DETERMINISTIC, so the
-    * R-replace chain runs over the DISTINCT word relation only —
-    * Zipf makes |vocab| orders of magnitude smaller than corpus
-    * occurrences — and the resulting (word → n_tok) table equi-joins
-    * back to per-doc word counts. Cost drops from R string replaces ×
-    * every corpus occurrence to R replaces × |vocab| plus two hash
+    * Scale shape: encoding is per-word DETERMINISTIC, so the merge
+    * chain runs over the DISTINCT word relation only — Zipf makes
+    * |vocab| orders of magnitude smaller than corpus occurrences —
+    * and the resulting (word → n_tok) table equi-joins back to
+    * per-doc word counts. Cost drops from R string replaces × every
+    * corpus occurrence to R replaces × |vocab| plus two hash
     * shuffles (word, then doc) the per-occurrence form already paid
     * one of. Results are bit-identical to the per-occurrence chain
-    * (measured sf10: 86 s → join-back class). The vocab side is an
-    * aggregate output with no stats — the join stays shuffled
-    * (AQE may still elect broadcast from observed runtime size,
-    * which is the safe direction). */
+    * (measured sf10: 86 s → join-back class).
+    *
+    * Rule application is ITERATIVE pair-merge over the vocabulary
+    * relation, [[EncodeBatch]] replaces fused per step and the
+    * relation LOCAL-CHECKPOINTED between steps (the trainMerges
+    * lineage discipline): plan depth stays bounded by the batch no
+    * matter how many rules ship, so the rule count is a production
+    * knob (64 live in t33, 1k+ viable) instead of an expression-tree
+    * limit. Replaces apply in training order within and across
+    * batches — bit-identical to the fused single-expression chain.
+    * The vocab side is an aggregate output with no stats — the join
+    * stays shuffled (AQE may still elect broadcast from observed
+    * runtime size, which is the safe direction). */
   def t23EncodeWith(spark: SparkSession, dir: String,
       rules: Seq[Rule]): DataFrame = {
-    val applied = rules.foldLeft(Seq0) { (e, ru) =>
-      s"replace($e, '${ru.pair}', '${ru.merged}')"
-    }
     val perDocWord = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("n_occ"))
-    val vocabTok = perDocWord.select(col("word")).distinct()
-      .withColumn("enc", expr(applied))
+    val batches = rules.grouped(EncodeBatch).toSeq
+    val first = batches.headOption.getOrElse(Nil)
+      .foldLeft(Seq0) { (e, ru) =>
+        s"replace($e, '${ru.pair}', '${ru.merged}')"
+      }
+    var enc = perDocWord.select(col("word")).distinct()
+      .withColumn("enc", expr(first))
+    for (batch <- batches.drop(1)) {
+      // truncate lineage so the next batch's plan is one replace-chain
+      // deep over materialized blocks, not (rules/batch) chains deep
+      enc = enc.localCheckpoint()
+      val applied = batch.foldLeft("enc") { (e, ru) =>
+        s"replace($e, '${ru.pair}', '${ru.merged}')"
+      }
+      enc = enc.withColumn("enc", expr(applied))
+    }
+    val vocabTok = enc
       .select(col("word"),
         (length(col("enc")) - length(expr("replace(enc, ' ', '')")) + 1)
           .as("n_tok"))
@@ -178,11 +207,25 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Rounds of the PRODUCTION-DEPTH encode key (t33): the committed
+    * 64-round training artifact's vocabulary size, applied live. */
+  val Rounds64 = 64
+
+  /** t33: the t23 report under 64 trained rules — proves the
+    * iterative encode holds at the committed bpe_train64 depth with
+    * the full 64-round chain hash-verified against the oracle (r12
+    * verdict item 4's "≥64 rules live" bar). Same output schema as
+    * t23. */
+  def t33BpeEncode64(spark: SparkSession, dir: String): DataFrame =
+    t23EncodeWith(spark, dir, trainMerges(spark, dir, Rounds64))
+
   /** Oracle CTE chain: w0 (vocab) then per round r the pair totals
     * (p_r), the winning rule (t_r), and the merged vocabulary (w_r).
     * Runs under Verify's MATERIALIZED rewrite, so each CTE evaluates
     * once. */
-  private def chain: String = {
+  private def chain: String = chainN(Rounds)
+
+  private def chainN(rounds: Int): String = {
     val w0 =
       s"""w0 AS (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -193,7 +236,7 @@ object Bpe {
          |          '[^a-z]+')) AS word FROM documents)
          |  WHERE length(word) BETWEEN $MinLen AND $MaxLen
          |  GROUP BY word)""".stripMargin
-    val rounds = (1 to Rounds).map { r =>
+    val roundsCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT pair, CAST(SUM(freq * cnt) AS BIGINT) AS total
          |  FROM (
@@ -216,7 +259,7 @@ object Bpe {
          |      (SELECT merged FROM t$r)) AS seq
          |  FROM w${r - 1})""".stripMargin
     }
-    (w0 +: rounds).mkString(",\n")
+    (w0 +: roundsCtes).mkString(",\n")
   }
 
   val d43Sql: String = {
@@ -246,5 +289,40 @@ object Bpe {
        |  CAST(SUM(length(enc) - length(replace(enc, ' ', '')) + 1)
        |    AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for t33: the 64-round training chain, then the
+    * encode applied ITERATIVELY — one CTE stage per rule over the
+    * DISTINCT word relation (mirroring the Spark side's vocab-only
+    * merge loop; a 64-deep nested replace expression would stress the
+    * parser the same way a 64-deep Catalyst tree does). Occurrence
+    * counts re-attach by word at the end, exactly like the engine. */
+  lazy val t33Sql: String = {
+    val seq0 =
+      """array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> '|' || substring(word, i, 1) || '|'), ' ')"""
+        .stripMargin
+    val stages = (1 to Rounds64).map { r =>
+      s"""e$r AS (
+         |  SELECT word, replace(enc, (SELECT pair FROM t$r),
+         |    (SELECT merged FROM t$r)) AS enc FROM e${r - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${chainN(Rounds64)},
+       |words AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text),
+       |          '[^a-z]+')) AS word FROM documents)
+       |  WHERE length(word) >= 1),
+       |e0 AS (SELECT DISTINCT word, $seq0 AS enc FROM words),
+       |$stages,
+       |wt AS (
+       |  SELECT word,
+       |    length(enc) - length(replace(enc, ' ', '')) + 1 AS n_tok
+       |  FROM e$Rounds64)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM words JOIN wt USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

@@ -1905,6 +1905,296 @@ object Similarity {
        |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---- d84: graph-navigable ANN search (HNSW-class serving leg) ----
+
+  /** Out-degree of the navigable graph (bounded, so the committed
+    * edge relation is O(N·NavK) — graph-sized, never pair-sized). */
+  val NavK = 8
+
+  /** Beam width of the walk (must be ≥ [[TopK]] so the final cut can
+    * fill k results) and walk depth. Both are knobs a production
+    * deployment tunes against the recall curve ([[graft.AnnRecall]]
+    * commits recall-vs-beam next to the IVF numbers). Depth matters
+    * more than width on a flat kNN graph: with no HNSW-style
+    * long-range layer, the walk advances ~one graph step per hop, so
+    * hops must cover the cell diameter (measured on the planted
+    * corpus: 3 hops × out-degree 4 plateaued at 0.31 recall@10
+    * regardless of beam; 8 hops × out-degree 8 with 2 entry cells
+    * reaches 0.64/0.77/0.86 at beam 8/16/32 — the committed curve.
+    * The flat-graph gap to IVF's 0.92 at nprobe=4 on the same
+    * overlapping clusters is the price of O(beam·NavK·hops) scored
+    * candidates per query vs the probe's O(N·nprobe/K) scan — the
+    * hierarchy layer real HNSW adds is what buys the rest, noted as
+    * future work in SURVEY). */
+  val NavBeam = 16
+  val NavHops = 8
+
+  /** Entry fan: the walk starts from the medoids of the query's
+    * [[NavEntryCells]] nearest cells (the multi-probe idea applied to
+    * entry points — cluster overlap means the true neighborhood often
+    * sits in the 2nd cell). */
+  val NavEntryCells = 2
+
+  /** Durable home of the committed navigable-graph index. */
+  def navIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_nav_idx_v$AnnIndexV" +
+      s"_c${IvfCells}k${NavK}i$KmIters" +
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
+
+  /** The navigable-graph structures over an assigned corpus: bounded
+    * out-degree kNN EDGES (d66's trained-cell candidate generator —
+    * primary-cell postings probed from each vector's [[CellProbes]]
+    * nearest cells, capped at [[NearDupMaxBucket]], exact quantized-L2
+    * rank cut at [[NavK]]) and per-cell ENTRY points (the cell
+    * medoid: the member nearest its trained centroid, ties to the
+    * smaller vec_id). Everything on the integer grid so the oracle
+    * replays the build bit-for-bit.
+    *
+    * Returns (edges (vec_id, nbr_id), entries (cell, entry_id)). */
+  def navGraphParts(corpus: DataFrame, cents: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ranked = corpus.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cent_id"))))
+    val posted = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("dist"))
+    val entries = posted.groupBy(col("cell"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("best"))
+      .select(col("cell"), col("best.vec_id").as("entry_id"))
+    val capped = posted.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupMaxBucket)
+      .select(col("cell"))
+    // posted/probes are window outputs (statless, corpus-scaling) —
+    // forced shuffles throughout, the d12 lesson (see cellKnnEdges)
+    val postedC = posted.select(col("vec_id"), col("cell"))
+      .join(capped.hint("shuffle_hash"), Seq("cell"))
+    val probes = ranked.filter(col("rn") <= CellProbes)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cand = probes.as("a")
+      .join(postedC.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"))
+      .distinct()
+    // re-attach vectors BY ID to the narrow candidate relation, exact
+    // quantized L2, bounded per-vector top-NavK cut (the
+    // rankKnnCandidates shape on the integer grid)
+    val we = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("nbr_id"))
+    val edges = cand.hint("merge")
+      .join(corpus.select(col("vec_id"), col("qv").as("qa")),
+        Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("nbr_id"),
+        col("qv").as("qb")), Seq("nbr_id"))
+      .withColumn("dist", qDist(col("qa"), col("qb")))
+      .select(col("vec_id"), col("nbr_id"), col("dist"))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= NavK)
+      .select(col("vec_id"), col("nbr_id"))
+    (edges, entries)
+  }
+
+  /** Build-if-absent the persisted NAVIGABLE-GRAPH index — the
+    * serving structure HNSW-class systems walk (r12 verdict item 3:
+    * the repo built kNN graphs three ways but never SEARCHED them).
+    * Composes the two artifacts the persisted-index trilogy already
+    * commits: the d79-convention trained coarse quantizer routes each
+    * query to an entry point, and the d66-convention trained-cell kNN
+    * graph (restricted to the corpus split) is the structure the
+    * query then walks. Layout, one committed tree (the d79 contract,
+    * [[graft.sources.AtomicCommit.publishCommitted]]):
+    *  - `centroids/` — the trained (cent_id, qc) router (k×dim, KiB);
+    *  - `edges/`     — the bounded-out-degree graph, O(N·[[NavK]]);
+    *  - `entries/`   — one medoid per cell (≤ [[IvfCells]] rows). */
+  def ensureNavIndex(spark: SparkSession, dir: String): String =
+    navIndexPath(dir).intern.synchronized {
+      val path = navIndexPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val corpus = qz.filter(col("vec_id") >= NumQueries)
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + IvfCells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+          val cents = kmeansQuantized(train, init, KmIters)
+          cents.coalesce(1).write.parquet(s"$tmp/centroids")
+          val (edges, entries) = navGraphParts(corpus, cents)
+          edges.write.parquet(s"$tmp/edges")
+          entries.coalesce(1).write.parquet(s"$tmp/entries")
+        })
+      path
+    }
+
+  /** DELETE the durable nav index (see [[resetIvfIndex]]). */
+  def resetNavIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(navIndexPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** The deterministic BEAM WALK over a navigable graph — the greedy
+    * search HNSW-class systems serve with, in declarative form: the
+    * query routes to its nearest cell's medoid (entry), then `hops`
+    * rounds of expand-neighbors → union-with-beam → exact-score →
+    * keep-best-`beamW` (ties (dist, vec_id)), and the final round's
+    * candidates cut to top-`k`. Each hop is ONE bounded equi-join of
+    * the tiny frontier (queries × beam rows, broadcast explicitly)
+    * against the graph-sized edge relation plus one re-attach join
+    * and a per-query window — O(hops) passes, nothing quadratic,
+    * nothing corpus-broadcast. A query whose entry cell is empty (no
+    * corpus member) or whose entry node has no edges keeps walking
+    * with what it has — same drop-out contract as every capped
+    * generator, and the oracle replays it identically. */
+  def navBeamWalk(queries: DataFrame, corpus: DataFrame,
+      cents: DataFrame, edges: DataFrame, entries: DataFrame,
+      beamW: Int, hops: Int, k: Int): DataFrame = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val entry = queries.join(broadcast(cents))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NavEntryCells)
+      .select(col("q_id"), col("cent_id").as("cell"))
+      .join(broadcast(entries), Seq("cell"))
+      .select(col("q_id"), col("entry_id").as("vec_id"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    def score(cand: DataFrame): DataFrame =
+      broadcast(cand)
+        .join(corpus.select(col("vec_id"), col("qv")), Seq("vec_id"))
+        .join(queries, Seq("q_id"))
+        .withColumn("dist", qDist(col("q_qv"), col("qv")))
+        .select(col("q_id"), col("vec_id"), col("dist"))
+        .withColumn("rn", row_number().over(wr))
+    // the frontier is LOCAL-CHECKPOINTED each hop (the trainMerges /
+    // kmeans lineage discipline): `beam` appears twice per hop (as
+    // itself and under the expansion join), so without truncation the
+    // logical plan DOUBLES per hop — 2^hops copies of the base scan
+    // (measured: 3× the walk's wall at 8 hops). Checkpoint blocks are
+    // queries × beam rows (KBs); all but the one the returned plan
+    // reads are unpersisted before return.
+    var beam = entry.localCheckpoint()
+    var scored = score(beam)
+    for (h <- 1 to hops) {
+      val expanded = broadcast(beam)
+        .join(edges, Seq("vec_id"))
+        .select(col("q_id"), col("nbr_id").as("vec_id"))
+      val cand = beam.unionByName(expanded).distinct()
+      scored = score(cand)
+      if (h < hops) {
+        val next = scored.filter(col("rn") <= beamW)
+          .select(col("q_id"), col("vec_id"))
+          .localCheckpoint()
+        beam.unpersist()
+        beam = next
+      }
+    }
+    scored.filter(col("rn") <= k)
+      .withColumnRenamed("rn", "rank")
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** d84: graph-navigable search over the PERSISTED nav index — load
+    * the committed router + graph + entry points and run the beam
+    * walk with NO training, assignment, or graph-construction jobs at
+    * query time. At 100 TB the walk touches O(queries · beam · NavK)
+    * edge rows per hop — independent of corpus size given the graph,
+    * which is the whole point of graph serving; the graph build
+    * itself amortizes across every later query (the d79 lifecycle).
+    * Everything stays on the quantized integer grid, so the DuckDB
+    * oracle replays the ENTIRE chain — training, assignment, edge
+    * construction, medoid election, entry routing, and every hop of
+    * the walk — bit-for-bit. */
+  def d84GraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureNavIndex(spark, dir)
+    val cents = loadIndexPart(spark, root, "centroids")
+    val edges = loadIndexPart(spark, root, "edges")
+    val entries = loadIndexPart(spark, root, "entries")
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val corpus = qz.filter(col("vec_id") >= NumQueries)
+    navBeamWalk(queries, corpus, cents, edges, entries,
+      NavBeam, NavHops, TopK)
+  }
+
+  /** DuckDB oracle for d84: the full replay — d79's k-means chain,
+    * corpus assignment, capped trained-cell edge construction, medoid
+    * election, query entry routing, and [[NavHops]] unrolled beam
+    * hops (UNION dedups the (q_id, vec_id) frontier exactly like the
+    * Spark side's distinct). */
+  lazy val d84Sql: String = {
+    val hops = (1 to NavHops).map { h =>
+      s"""u$h AS (
+         |  SELECT q_id, vec_id FROM b${h - 1}
+         |  UNION
+         |  SELECT p.q_id, e.nbr_id AS vec_id
+         |  FROM b${h - 1} p JOIN edges e ON e.vec_id = p.vec_id),
+         |s$h AS (
+         |  SELECT u.q_id, u.vec_id,
+         |    ${qDistSql("qs.qqv", "cv.qv")} AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY u.q_id
+         |      ORDER BY ${qDistSql("qs.qqv", "cv.qv")}, u.vec_id) AS rn
+         |  FROM u$h u JOIN qs ON qs.q_id = u.q_id
+         |  JOIN corpus cv ON cv.vec_id = u.vec_id),
+         |b$h AS (SELECT q_id, vec_id FROM s$h WHERE rn <= $NavBeam)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells}")},
+       |corpus AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |${assignCte("ca", "corpus", s"c$KmIters")},
+       |posted AS (SELECT vec_id, cent_id AS cell, dist
+       |           FROM ca WHERE rn = 1),
+       |medoid AS (
+       |  SELECT cell, vec_id AS entry_id FROM (
+       |    SELECT cell, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cell ORDER BY dist, vec_id) AS rn
+       |    FROM posted) WHERE rn = 1),
+       |capped AS (SELECT cell FROM posted GROUP BY cell
+       |           HAVING COUNT(*) <= $NearDupMaxBucket),
+       |postedc AS (SELECT p.vec_id, p.cell FROM posted p
+       |            JOIN capped USING (cell)),
+       |probes AS (SELECT vec_id, cent_id AS cell FROM ca
+       |           WHERE rn <= $CellProbes),
+       |gcand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM probes a JOIN postedc b
+       |    ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+       |edges AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT g.vec_id, g.nbr_id, ROW_NUMBER() OVER (
+       |      PARTITION BY g.vec_id
+       |      ORDER BY ${qDistSql("x.qv", "y.qv")}, g.nbr_id) AS rn
+       |    FROM gcand g JOIN corpus x ON x.vec_id = g.vec_id
+       |    JOIN corpus y ON y.vec_id = g.nbr_id)
+       |  WHERE rn <= $NavK),
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |qe AS (
+       |  SELECT q_id, cent_id AS cell FROM (
+       |    SELECT qs.q_id, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qs.q_id
+       |      ORDER BY ${qDistSql("qs.qqv", "c.qc")}, c.cent_id) AS rn
+       |    FROM qs CROSS JOIN c$KmIters c) WHERE rn <= $NavEntryCells),
+       |b0 AS (SELECT qe.q_id, m.entry_id AS vec_id
+       |       FROM qe JOIN medoid m USING (cell)),
+       |$hops
+       |SELECT q_id, vec_id, dist, rn AS rank FROM s$NavHops
+       |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** d75: FILTERED vector search — the metadata-predicate ANN
     * problem every production vector store faces (top-k among
     * vectors satisfying a predicate; here: candidates sharing the

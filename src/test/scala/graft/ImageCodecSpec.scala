@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{ImageCodec, Multimedia, MultimediaKernel}
+import graft.functions.{AudioCodec, ImageCodec, Multimedia, MultimediaKernel}
 
 /** The de-stubbed REAL image path (r9): planted actual PNGs — encoded
   * and decoded by the JDK codec — must flow through the m04/m06
@@ -117,6 +117,49 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got(1L) == ((640L << 32) | 480L) && got(2L) == -1L)
     assert(((got(1L) >> 32) & 0xffffffffL) == 640L)
     assert((got(1L) & 0xffffffffL) == 480L)
+  }
+
+  test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
+      "duration without sample decode") {
+    import spark.implicits._
+    // 44.1 kHz stereo, 22050 frames = exactly 0.5 s
+    val wav = AudioCodec.wavBytes(44100, 2, 22050)((f, c) => f + c)
+    assert(AudioCodec.wavField(wav, 0) == 44100L)
+    assert(AudioCodec.wavField(wav, 1) == 2L)
+    assert(AudioCodec.wavField(wav, 2) == 16L)
+    assert(AudioCodec.wavField(wav, 3) == 500000L) // microseconds
+    // mono 8 kHz, 8000 frames = 1 s exactly
+    val mono = AudioCodec.wavBytes(8000, 1, 8000)((f, _) => f)
+    assert(AudioCodec.wavField(mono, 3) == 1000000L)
+    // non-WAV payloads hit the -1 sentinel: text, truncation, RIFF
+    // magic with a corrupted WAVE tag
+    assert(AudioCodec.wavField("not audio".getBytes("UTF-8"), 0) == -1L)
+    assert(AudioCodec.wavField(wav.take(30), 0) == -1L)
+    val rogue = wav.clone(); rogue(8) = 'J'
+    assert(AudioCodec.wavField(rogue, 0) == -1L)
+    // a WAV with a leading LIST chunk before fmt/data still parses
+    // (the chunk walk, not fixed offsets)
+    val listed = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(wav, 0, 12) // RIFF + size + WAVE
+      out.write("LIST".getBytes("US-ASCII")); out.write(Array[Byte](4, 0, 0, 0))
+      out.write("INFO".getBytes("US-ASCII"))
+      out.write(wav, 12, wav.length - 12) // fmt + data as-is
+      out.toByteArray
+    }
+    assert(AudioCodec.wavField(listed, 0) == 44100L)
+    assert(AudioCodec.wavField(listed, 3) == 500000L)
+    // the codegen'd expression path, mixed payloads in one plan
+    val got = Seq((1L, wav), (2L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Multimedia.wavSampleRate(col("payload")).as("r"),
+        Multimedia.wavChannels(col("payload")).as("c"),
+        Multimedia.wavDurationMicros(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((44100L, 2L, 500000L)))
+    assert(got(2L) == ((-1L, -1L, -1L)))
   }
 
   test("m01 decodeFeatures: a real PNG row reports PIXEL statistics") {

@@ -113,6 +113,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(mtimes() == m0, "repeat search rebuilt the PQ index")
   }
 
+  test("d84 nav index: beam walk is deterministic, repeat searches " +
+    "reload (never rebuild), and the committed tree has all parts") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensureNavIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Seq[(String, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val r1 = Similarity.d84GraphSearch(spark, sf).collect().toSeq
+    assert(r1.nonEmpty)
+    // every query that reached an entry point returns TopK ranked rows
+    val byQ = r1.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq ==
+        (1 to Similarity.TopK), s"query $q ranks broken") }
+    val m0 = mtimes()
+    val r2 = Similarity.d84GraphSearch(spark, sf).collect().toSeq
+    assert(r2 == r1, "beam walk is not deterministic")
+    assert(mtimes() == m0, "repeat search rebuilt the nav index")
+    // the committed tree carries all three parts
+    Seq("centroids", "edges", "entries").foreach(p =>
+      assert(f.exists(new Path(root, p)), s"missing $p/"))
+  }
+
   test("d81 incremental update: the delta build never touches the " +
     "base tree, never retrains, and search covers base and delta") {
     import org.apache.spark.sql.functions._
@@ -245,6 +277,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(byProbe(4) >= 0.9, s"recall@10 at nprobe=4: ${byProbe(4)}")
     assert(byProbe(16) == 1.0,
       s"full probe must equal brute force: ${byProbe(16)}")
+  }
+
+  test("d84 nav-graph beam walk: recall monotone in beam width and " +
+    "useful at the default beam") {
+    // the committed ann_recall.json nav_recall_by_beam curve's
+    // contract: a wider beam's frontier is a SUPERSET hop by hop
+    // (same deterministic expansion and ordering), so recall is
+    // provably monotone — a drop means the walk broke. The floor at
+    // the registered default (NavBeam = 8) pins the graph+entry
+    // composition as a usable serving leg on the planted overlapping
+    // clusters (not a 1.0 pin: a 3-hop walk over a NavK=4 graph
+    // legitimately misses cross-cluster spill — that residual is the
+    // beam knob's job, visible in the committed curve).
+    val curve = graft.operators.AnnQuality.navRecallCurve(spark)
+    curve.zip(curve.tail).foreach { case ((b0, r0), (b1, r1)) =>
+      assert(r1 >= r0 - 1e-9, s"nav recall fell $b0:$r0 -> $b1:$r1") }
+    val byBeam = curve.toMap
+    assert(byBeam(graft.operators.Similarity.NavBeam) >= 0.7,
+      s"nav recall@10 at default beam: ${
+        byBeam(graft.operators.Similarity.NavBeam)}")
   }
 
   test("banding edge recall: d59's 20-bit multi-probe beats d55's " +

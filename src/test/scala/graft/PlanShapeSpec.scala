@@ -240,7 +240,13 @@ class PlanShapeSpec extends AnyFunSuite {
         ("d30/d47's bounded shortlist re-rank (queries x RerankR " +
           "rows) + the bounded per-(query, probed cell) residual " +
           "distance table — both explicit broadcast(), same " +
-          "adjudication as d47"))
+          "adjudication as d47"),
+      "d84_graph_search" ->
+        ("the beam-walk frontier and its hop expansion: queries x " +
+          "NavBeam and queries x NavBeam x (NavK+1) rows, explicit " +
+          "broadcast() and LOCAL-CHECKPOINTED per hop — bounded by " +
+          "the walk knobs, never corpus-scaling (the d30/d82 " +
+          "bounded-shortlist adjudication applied to graph serving)"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -27,6 +27,11 @@ DEFAULT_QUERIES = [
     "q01_pricing_summary", "q05_topk_revenue", "d02_minhash_lsh",
     "d20_dedup_corpus", "d21_pipeline_e2e", "t11_boiler_strip",
     "s01_window_agg",
+    # r13 (r12 verdict item 2): the artifact-backed search legs — the
+    # Spark side RELOADS a committed index while DuckDB re-derives the
+    # whole chain, so these rows read as the lifecycle's payoff
+    "d79_persisted_ivf", "d80_persisted_pq", "d82_persisted_prod",
+    "d84_graph_search",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
