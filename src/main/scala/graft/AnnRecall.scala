@@ -67,6 +67,8 @@ object AnnRecall {
         },"residual_rerank_by_nprobe_codes_R":{$rerankByCodes
         },"nav_recall_by_beam_at_hops${operators.Similarity.NavHops}":{${
           curveJson(a.navRecallCurve(spark))
+        }},"hnsw_recall_by_beam_at_hops${operators.Similarity.NavHops}":{${
+          curveJson(a.hnswRecallCurve(spark))
         }},"banding_edge_recall":{${
           a.bandingRecall(spark).map { case (k, v) =>
             s""""$k":${fmt(v)}""" }.mkString(",")
@@ -74,7 +76,7 @@ object AnnRecall {
           a.candidateVolumes(spark).map { case (k, v) =>
             s""""$k":$v""" }.mkString(",")
         }},"geometry":"centers U[0,${a.CentScale}) per dim, jitter U[0,${
-          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking. banding_edge_recall/candidate_volume pair the trade per candidate scheme: d66's trained-cell blocking (16 cells, 2 probes) proposes ~1.8x the true edges of d59's data-blind multi-probe at ~39% of its candidate volume — a trained coarse quantizer spends buckets where the data is. nav_recall_by_beam is the d84 graph-navigable serving leg (entry medoid + beam walk over the NavK-out-degree trained-cell graph): beam width is the recall knob, monotone by construction, each step costing O(beam x NavK) scored candidates per hop independent of corpus size"}"""
+          a.Jitter}) — overlapping by design","note":"ivfpq keys are codes/subspace; 16 codes collapse onto the 16 planted clusters (no within-cluster ranking — the small-book failure mode), recall climbs with book size; residual encoding (d29) spends the same codes on within-cell structure — the measured fix. projected_rerank keys are shortlist R (d45, 16 dims) / projection dims (at R=50): JL distortion at 4x compression cannot rank within-cluster structure, so recall climbs with BOTH levers — the projection buys a cheap shortlist, not a ranking. banding_edge_recall/candidate_volume pair the trade per candidate scheme: d66's trained-cell blocking (16 cells, 2 probes) proposes ~1.8x the true edges of d59's data-blind multi-probe at ~39% of its candidate volume — a trained coarse quantizer spends buckets where the data is. nav_recall_by_beam is the d84 graph-navigable serving leg (entry medoid + beam walk over the NavK-out-degree trained-cell graph): beam width is the recall knob, monotone by construction, each step costing O(beam x NavK) scored candidates per hop independent of corpus size. hnsw_recall_by_beam is d86's layer-descent entry over the same layer-0 graph at the same beams: it TRAILS the medoid entries on this corpus (0.51 vs 0.64 at beam 8) — a trained router already provides query-specific entry, which is what the hierarchy's global-entry descent re-derives; the pair of curves is the measured form of the published flat-graph-with-good-entries ~= HNSW observation"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_recall.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

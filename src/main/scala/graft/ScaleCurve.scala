@@ -59,7 +59,10 @@ object ScaleCurve {
     // builds are timed separately in artifact_builds, like f11's
     // layout)
     "2d_pipeline_ann_idx" -> "d79_persisted_ivf",
-    "2d_pipeline_pq_idx" -> "d80_persisted_pq")
+    "2d_pipeline_pq_idx" -> "d80_persisted_pq",
+    // r13: the graph-navigable serving leg — read path over the
+    // committed nav index (its one-time build is an artifact column)
+    "2d_pipeline_nav_idx" -> "d84_graph_search")
 
   private def fmt(v: Double): String = {
     val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -140,12 +143,16 @@ object ScaleCurve {
             graft.operators.Similarity.ensureBaseIvfIndex(spark, d))
           val db = t((),
             graft.operators.Similarity.ensureIvfDelta(spark, d))
+          val nb = t(
+            graft.operators.Similarity.resetNavIndex(spark, d),
+            graft.operators.Similarity.ensureNavIndex(spark, d))
           println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
             s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s," +
-            s" d81 base ${fmt(bb)} s, d81 delta ${fmt(db)} s")
+            s" d81 base ${fmt(bb)} s, d81 delta ${fmt(db)} s," +
+            s" d84 nav index ${fmt(nb)} s")
           tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib,
             "d80_index_build" -> pb, "d81_base_build" -> bb,
-            "d81_delta_update" -> db)
+            "d81_delta_update" -> db, "d84_nav_build" -> nb)
         }
 
     def time(key: String, dir: String): Double = {

@@ -150,6 +150,31 @@ object AnnQuality {
     } finally { edgesC.unpersist(); entriesC.unpersist() }
   }
 
+  /** recall@[[RecallK]] of the HIERARCHICAL walk (d86) per beam
+    * width: same trained router and truth as [[navRecallCurve]], the
+    * entry replaced by the HNSW-style layer descent — the committed
+    * pair of curves reads as "what the hierarchy buys over medoid
+    * entries at equal beam". */
+  def hnswRecallCurve(spark: SparkSession,
+      beams: Seq[Int] = NavBeams): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val init = corp.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(
+      corp, init, Similarity.KmIters)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    beams.map { b =>
+      val hits = Similarity.hnswWalk(qs, corp, cents, b,
+        Similarity.NavHops, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (b, hits / denom)
+    }
+  }
+
   private def pqSliced(df: DataFrame, idCol: String): DataFrame = df
     .select(col(idCol),
       explode(sequence(lit(0L), lit(Similarity.PqSubspaces - 1L)))

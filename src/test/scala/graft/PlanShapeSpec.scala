@@ -246,7 +246,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "NavBeam and queries x NavBeam x (NavK+1) rows, explicit " +
           "broadcast() and LOCAL-CHECKPOINTED per hop — bounded by " +
           "the walk knobs, never corpus-scaling (the d30/d82 " +
-          "bounded-shortlist adjudication applied to graph serving)"))
+          "bounded-shortlist adjudication applied to graph serving)"),
+      "d86_hnsw_search" ->
+        ("d84's bounded frontier broadcasts (per layer + layer 0) " +
+          "plus the 1-row global-entry reduce every query starts " +
+          "from (the t12 scalar pattern) — all explicit broadcast(), " +
+          "all bounded by the walk knobs"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
