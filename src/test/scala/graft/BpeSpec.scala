@@ -74,6 +74,38 @@ class BpeSpec extends AnyFunSuite {
     assert(a eq b, "second call must hand back the cached rules")
   }
 
+  test("iterative batched encode equals the result of applying every " +
+    "rule in training order — across EncodeBatch boundaries") {
+    // the r13 re-base's contract: t23EncodeWith fuses EncodeBatch
+    // replaces per plan step with checkpoints between steps; the
+    // result must be bit-identical to one sequential pass of all
+    // rules. Train past one batch (EncodeBatch + 4 rounds) on the
+    // testdata and check a hand-replayed per-word merge agrees.
+    val rules = Bpe.trainMerges(spark, sf, Bpe.EncodeBatch + 4)
+    assert(rules.size > Bpe.EncodeBatch,
+      s"need >${Bpe.EncodeBatch} rules to cross a batch boundary")
+    val got = Bpe.t23EncodeWith(spark, sf, rules)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // reference: apply the same replaces sequentially per word on the
+    // driver (the definitionally-correct single chain)
+    def encTokens(word: String): Long = {
+      var seq = word.map(c => s"|$c|").mkString(" ")
+      rules.foreach(r => seq = seq.replace(r.pair, r.merged))
+      seq.count(_ == ' ') + 1L
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.take(50).foreach { case (id, text) =>
+      val words = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val expected = (words.length.toLong,
+        words.map(encTokens).sum)
+      assert(got(id) == expected,
+        s"doc $id: got ${got(id)}, hand-replayed $expected")
+    }
+  }
+
   test("a deeper run extends the default run — same rule prefix") {
     // 12-round training's first 8 rules == the 8-round rules: the
     // configurable depth changes vocabulary size, never the sequence

@@ -26,7 +26,8 @@ import duckdb
 DEFAULT_QUERIES = [
     "q01_pricing_summary", "q05_topk_revenue", "d02_minhash_lsh",
     "d20_dedup_corpus", "d21_pipeline_e2e", "t11_boiler_strip",
-    "s01_window_agg",
+    "s01_window_agg", "d68_cdc_chunks", "q80_profile", "t13_bm25",
+    "d14_clusters_scale", "t07_normalize",
     # r13 (r12 verdict item 2): the artifact-backed search legs — the
     # Spark side RELOADS a committed index while DuckDB re-derives the
     # whole chain, so these rows read as the lifecycle's payoff
