@@ -31,7 +31,13 @@ object AudioCodec {
   /** Walk the chunk list: Some((sampleRate, channels, bitsPerSample,
     * dataBytes)) for a well-formed WAV, None otherwise. Bounded by
     * the payload length; never allocates, never reads samples. */
-  def parseWav(p: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+  def parseWav(p: Array[Byte]): Option[(Long, Int, Int, Long)] =
+    parseWavData(p).map { case (r, c, b, _, n) => (r, c, b, n) }
+
+  /** Full parse including the data-chunk byte OFFSET — the feature
+    * kernels (m11) need to address samples; the header probes don't. */
+  def parseWavData(p: Array[Byte])
+      : Option[(Long, Int, Int, Int, Long)] = {
     // 44 = the minimal canonical header (RIFF hdr + PCM fmt + data hdr)
     if (p.length < 44) return None
     if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
@@ -39,6 +45,7 @@ object AudioCodec {
     var rate = -1L
     var ch = -1
     var bits = -1
+    var dataOff = -1
     var dataLen = -1L
     while (off + 8 <= p.length && (rate < 0 || dataLen < 0)) {
       val sz = le32(p, off + 4)
@@ -47,14 +54,77 @@ object AudioCodec {
         ch = le16(p, off + 10)
         rate = le32(p, off + 12)
         bits = le16(p, off + 22)
-      } else if (tag(p, off, "data")) dataLen = sz
+      } else if (tag(p, off, "data")) {
+        dataOff = off + 8
+        dataLen = sz
+      }
       // chunks are word-aligned: odd sizes pad one byte (RIFF spec)
       off += 8 + sz.toInt + (sz.toInt & 1)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 ||
       dataLen < 0) None
-    else Some((rate, ch, bits, dataLen))
+    else Some((rate, ch, bits, dataOff,
+      math.min(dataLen, (p.length - dataOff).toLong)))
   }
+
+  /** 16-bit LE sample of channel 0, frame i. */
+  private def sample(p: Array[Byte], dataOff: Int, frameBytes: Int,
+      i: Int): Int = {
+    val o = dataOff + i * frameBytes
+    ((p(o) & 0xff) | (p(o + 1) << 8)).toShort.toInt
+  }
+
+  /** m11: PCM BLOCK FEATURES without any codec — 16-bit PCM samples
+    * sit raw in the data chunk, so frame-level audio features are
+    * integer byte-walks (the same no-library contract as the m04/m06
+    * byte kernels, applied to REAL audio payload layout): channel 0
+    * is split into `nBlocks` equal sample ranges and each block
+    * reports floor-RMS energy (⌊√(Σs²/n)⌋ — Σs² ≤ n·2³⁰ stays exact
+    * in a long, the sqrt is exact in a double below 2⁵²) and the
+    * zero-crossing count (sign flips between consecutive samples,
+    * zero counted non-negative) — the two classic cheap gates a
+    * media-ingest pipeline runs first (silence/clipping detection,
+    * voiced-vs-noise screen). None for non-WAV / non-16-bit
+    * payloads. */
+  def blockFeatures(p: Array[Byte], nBlocks: Int)
+      : Option[(Seq[Long], Seq[Long])] =
+    parseWavData(p).flatMap { case (_, ch, bits, dataOff, dataLen) =>
+      if (bits != 16) None
+      else {
+        val frameBytes = ch * 2
+        val n = (dataLen / frameBytes).toInt
+        if (n <= 0) None
+        else {
+          val rms = new Array[Long](nBlocks)
+          val zcr = new Array[Long](nBlocks)
+          var b = 0
+          while (b < nBlocks) {
+            val s0 = (b.toLong * n / nBlocks).toInt
+            val s1 = math.max(s0 + 1,
+              ((b + 1).toLong * n / nBlocks).toInt)
+            val end = math.min(n, s1)
+            var sum = 0L
+            var zc = 0L
+            var i = s0
+            var prevNeg = sample(p, dataOff, frameBytes,
+              math.max(0, s0)) < 0
+            while (i < end) {
+              val s = sample(p, dataOff, frameBytes, i)
+              sum += s.toLong * s
+              val neg = s < 0
+              if (i > s0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            val cnt = math.max(1, end - s0)
+            rms(b) = math.floor(math.sqrt(sum.toDouble / cnt)).toLong
+            zcr(b) = zc
+            b += 1
+          }
+          Some((rms.toSeq, zcr.toSeq))
+        }
+      }
+    }
 
   /** Field probe for the Catalyst expression: 0 = sample rate (Hz),
     * 1 = channels, 2 = bits/sample, 3 = duration in MICROSECONDS

@@ -78,6 +78,44 @@ object Multimodal {
     decodeFeatures(attachPayload(spark, dir)).toDF()
       .orderBy(col("doc_id"))
 
+  case class AudioFeatures(doc_id: Long, is_wav: Boolean,
+      sample_rate: Long, channels: Long, duration_us: Long,
+      block_rms: Seq[Long], block_zcr: Seq[Long])
+
+  /** Blocks per payload for the m11 feature pass. */
+  val AudioBlocks = 8
+
+  /** m11: the AUDIO feature arm (m01's decode shape on the WAV
+    * container): real WAV payloads report header metadata plus
+    * per-block PCM features — floor-RMS energy and zero-crossing
+    * counts over [[AudioBlocks]] equal sample ranges of channel 0
+    * ([[graft.functions.AudioCodec.blockFeatures]] — the silence /
+    * clipping / voiced-vs-noise gates a media-ingest pipeline runs
+    * before any model); non-WAV payloads take the -1/empty fallback
+    * arm (a text payload can never satisfy the RIFF chunk-walk gate,
+    * so the arms cannot alias — m01's contract). Spark-side plumbing
+    * is the batched per-partition map over the typed binary rows,
+    * exactly m01's; ImageCodecSpec pins hand-computed features on
+    * planted PCM payloads through this path. */
+  def audioFeatures(rows: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val meta = graft.functions.AudioCodec.parseWav(r.payload)
+        val feats = graft.functions.AudioCodec
+          .blockFeatures(r.payload, AudioBlocks)
+        AudioFeatures(r.doc_id,
+          is_wav = meta.isDefined,
+          sample_rate = meta.map(_._1).getOrElse(-1L),
+          channels = meta.map(_._2.toLong).getOrElse(-1L),
+          duration_us = graft.functions.AudioCodec
+            .wavField(r.payload, 3),
+          block_rms = feats.map(_._1).getOrElse(Nil),
+          block_zcr = feats.map(_._2).getOrElse(Nil))
+      }
+    }
+  }
+
   /** m02: frame sampling — the video-style access pattern: each
     * payload splits into fixed-size "frames" and every k-th frame is
     * emitted as its own row with its byte offset, ready for a decode

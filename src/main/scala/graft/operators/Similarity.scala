@@ -1774,6 +1774,66 @@ object Similarity {
     ivfProbeRank(queries, postings, cents, NProbe, TopK)
   }
 
+  // ---- d87: index COMPACTION (merge base + delta generations) ------
+
+  /** Durable home of the compacted index generation. */
+  def annCompactPath(dir: String): String = annBasePath(dir) + "_compact"
+
+  /** Build-if-absent the COMPACTED index: the third phase of the
+    * index lifecycle (d79 builds, d81 updates incrementally, this
+    * merges). Daily deltas fragment the posting layout — every search
+    * unions k small committed trees and the per-file open cost grows
+    * with the number of generations; compaction rewrites base ∪ delta
+    * into ONE new committed tree (same centroids — compaction never
+    * retrains — postings re-partitioned BY CELL into the d79 layout)
+    * under its own generation path, leaving the source trees
+    * byte-identical (spec-pinned): readers mid-search on the old
+    * generations are undisturbed, and the swap to the new generation
+    * is the atomic-commit publish, exactly how LSM stores and FAISS
+    * deployments retire delta segments. Cost is one read + one write
+    * of the postings — no k-means, no distance computation. */
+  def ensureCompactIndex(spark: SparkSession, dir: String): String =
+    annCompactPath(dir).intern.synchronized {
+      val path = annCompactPath(dir)
+      val basePath = ensureBaseIvfIndex(spark, dir)
+      val deltaPath = ensureIvfDelta(spark, dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          loadIndexPart(spark, basePath, "centroids")
+            .coalesce(1).write.parquet(s"$tmp/centroids")
+          loadIndexPart(spark, basePath, "postings")
+            .unionByName(loadIndexPart(spark, deltaPath, "postings"))
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** DELETE the compacted generation (see [[resetIvfIndex]]). */
+  def resetCompactIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(annCompactPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** d87: search over the COMPACTED generation — ONE committed tree,
+    * one manifest, one cell-pruned scan, zero unions. The result must
+    * be IDENTICAL to d81's base∪delta search (the oracle is d81's SQL
+    * verbatim), which is the compaction correctness contract: merging
+    * generations changes file layout, never results. */
+  def d87CompactedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureCompactIndex(spark, dir)
+    val cents = loadIndexPart(spark, root, "centroids")
+    val postings = loadIndexPart(spark, root, "postings")
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    ivfProbeRank(queries, postings, cents, NProbe, TopK)
+  }
+
   // ---- s21: streaming NN enrichment against the persisted index ----
 
   /** A vector arriving on the ingest stream (s10's convention plus

@@ -162,6 +162,51 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got(2L) == ((-1L, -1L, -1L)))
   }
 
+  test("m11 audioFeatures: planted PCM payloads report hand-computed " +
+      "block RMS and zero-crossings; text payloads take the fallback") {
+    import spark.implicits._
+    val blocks = graft.operators.Multimodal.AudioBlocks
+    // constant amplitude 1000, mono: every block RMS = 1000, zcr = 0
+    val flat = AudioCodec.wavBytes(8000, 1, 800)((_, _) => 1000)
+    // alternating ±1000: RMS = 1000, zcr = samples-per-block - 1
+    val alt = AudioCodec.wavBytes(8000, 1, 800)((f, _) =>
+      if (f % 2 == 0) 1000 else -1000)
+    // silence: RMS = 0, zcr = 0
+    val silent = AudioCodec.wavBytes(8000, 1, 800)((_, _) => 0)
+    val rows = Seq(
+      graft.operators.Multimodal.MediaRow(1L,
+        graft.operators.Multimodal.MediaMeta("wav", flat.length.toLong, 8000),
+        flat),
+      graft.operators.Multimodal.MediaRow(2L,
+        graft.operators.Multimodal.MediaMeta("wav", alt.length.toLong, 8000),
+        alt),
+      graft.operators.Multimodal.MediaRow(3L,
+        graft.operators.Multimodal.MediaMeta("wav", silent.length.toLong, 8000),
+        silent),
+      graft.operators.Multimodal.MediaRow(4L,
+        graft.operators.Multimodal.MediaMeta("txt", 4L, 0),
+        "text".getBytes("UTF-8")))
+    val got = graft.operators.Multimodal.audioFeatures(rows.toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).is_wav && got(1L).sample_rate == 8000L &&
+      got(1L).channels == 1L && got(1L).duration_us == 100000L)
+    assert(got(1L).block_rms == Seq.fill(blocks)(1000L))
+    assert(got(1L).block_zcr == Seq.fill(blocks)(0L))
+    assert(got(2L).block_rms == Seq.fill(blocks)(1000L))
+    // 100 samples per block, 99 consecutive pairs, every pair flips
+    assert(got(2L).block_zcr == Seq.fill(blocks)(99L))
+    assert(got(3L).block_rms == Seq.fill(blocks)(0L))
+    assert(got(3L).block_zcr == Seq.fill(blocks)(0L))
+    assert(!got(4L).is_wav && got(4L).sample_rate == -1L &&
+      got(4L).duration_us == -1L && got(4L).block_rms.isEmpty)
+    // kernel-level: a stereo payload reads CHANNEL 0 only (left
+    // constant 500, right noisy) — RMS pins to the left channel
+    val stereo = AudioCodec.wavBytes(8000, 2, 160)((f, c) =>
+      if (c == 0) 500 else (f * 31 % 1997) - 998)
+    val (rms, zcr) = AudioCodec.blockFeatures(stereo, 4).get
+    assert(rms == Seq.fill(4)(500L) && zcr == Seq.fill(4)(0L))
+  }
+
   test("m01 decodeFeatures: a real PNG row reports PIXEL statistics") {
     import spark.implicits._
     val png = ImageCodec.pngBytes(10, 10)((_, _) => 0xFFFFFF)

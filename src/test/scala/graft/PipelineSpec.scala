@@ -193,6 +193,54 @@ class PipelineSpec extends AnyFunSuite {
       col("count") =!= Similarity.TopK).count() == 0)
   }
 
+  test("d87 compaction: merged generation serves the exact base∪delta " +
+    "result from ONE tree, sources byte-identical, no retrain") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val basePath = Similarity.ensureBaseIvfIndex(spark, sf)
+    val deltaPath = Similarity.ensureIvfDelta(spark, sf)
+    val f = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(root: String): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val baseBefore = state(basePath)
+    val deltaBefore = state(deltaPath)
+    val incremental = Similarity.d81IncrementalIvf(spark, sf)
+      .collect().toSeq
+    val compactPath = Similarity.ensureCompactIndex(spark, sf)
+    // compaction result == the two-generation search, row for row
+    val compacted = Similarity.d87CompactedSearch(spark, sf)
+      .collect().toSeq
+    assert(compacted == incremental)
+    assert(compacted.nonEmpty)
+    // the source generations are byte-identical after compaction:
+    // readers mid-search on them were never disturbed
+    assert(state(basePath) == baseBefore)
+    assert(state(deltaPath) == deltaBefore)
+    // the compacted generation's centroids equal the base's (never
+    // retrained) and its postings are exactly base ∪ delta
+    val spark2 = spark; import spark2.implicits._
+    def ids(root: String): Set[Long] = spark.read
+      .option("basePath", s"$root/postings")
+      .parquet(s"$root/postings").select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids(compactPath) == ids(basePath) ++ ids(deltaPath))
+    // one tree serves: a repeat search touches neither source tree
+    // nor rewrites the compacted one
+    val compactBefore = state(compactPath)
+    Similarity.d87CompactedSearch(spark, sf).collect()
+    assert(state(compactPath) == compactBefore)
+  }
+
   test("d82 persisted production index: search equals the retrained " +
     "d47 chain and repeat searches never rebuild") {
     import org.apache.hadoop.fs.Path

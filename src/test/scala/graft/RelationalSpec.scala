@@ -240,7 +240,15 @@ class RelationalSpec extends AnyFunSuite {
       // the queries (scan-fed now — off the committed parquet); d82
       // adds d30's bounded shortlist re-rank (queries×R broadcast)
       "d79_persisted_ivf", "d81_incremental_ivf",
-      "d82_persisted_prod")
+      "d82_persisted_prod",
+      // d86's registered plan embeds the layer-0 graph construction
+      // (the per-hop frontiers are checkpointed, the edge relation is
+      // built in-plan like d66's): the d22 literal 16-row centroid
+      // broadcast appears for assignment/probing — same adjudication
+      // as d66/d25; every data-scaling join is a capped equi-join.
+      // d87 is d81's probe leg over the COMPACTED committed tree —
+      // the same bounded scan-fed centroid broadcast as d79/d81.
+      "d86_hnsw_search", "d87_index_compaction")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
