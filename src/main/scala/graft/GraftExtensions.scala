@@ -91,6 +91,10 @@ object GraftExtensions {
       "graft_png_dims(bin) - (width << 32) | height from a PNG" +
         " header, -1 for non-PNG; no pixel decode",
       e => PngDims(e.head)),
+    fn("graft_image_dims",
+      "graft_image_dims(bin) - (width << 32) | height from a PNG/" +
+        "JPEG/GIF header by magic dispatch, -1 otherwise; no decode",
+      e => ImageDims(e.head)),
     fn("graft_shingle_hashes_all",
       "graft_shingle_hashes_all(text, n) - one hash per shingle" +
         " occurrence (multiset; feed graft_simhash)",

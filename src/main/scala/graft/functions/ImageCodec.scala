@@ -132,11 +132,85 @@ object ImageCodec {
     (be32(16) << 32) | be32(20)
   }
 
+  /** m12: JPEG dimension probe — walks the public JFIF marker list to
+    * the first frame header (SOF0–SOF15, excluding the non-frame
+    * markers DHT/JPG/DAC that share the range) and reads the
+    * big-endian height/width fields at fixed offsets inside it, per
+    * the public JPEG spec (ITU T.81 §B.2.2). No entropy decode, no
+    * pixel pass — the same metadata-gate contract as [[pngDims]], on
+    * the format most of a crawled media corpus actually lands in.
+    * Returns (width << 32) | height, or -1 for non-JPEG / truncated /
+    * non-conforming payloads. The walk is bounded (segment lengths
+    * are u16 and the scan stops at SOS/EOI or 256 segments), so a
+    * hostile header can't loop or over-read. */
+  def jpegDims(p: Array[Byte]): Long = {
+    if (p.length < 4 || p(0) != 0xFF.toByte || p(1) != 0xD8.toByte ||
+      p(2) != 0xFF.toByte) return -1L
+    def u8(o: Int): Int = p(o) & 0xff
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    var i = 2
+    var segs = 0
+    while (i + 3 < p.length && segs < 256) {
+      if (u8(i) != 0xFF) return -1L
+      // fill bytes: any number of 0xFF may pad before a marker
+      while (i + 3 < p.length && u8(i + 1) == 0xFF) i += 1
+      val m = u8(i + 1)
+      if (m == 0xD9 || m == 0xDA) return -1L // EOI/SOS before any SOF
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+          m != 0xCC) {
+        // SOF: len(2) precision(1) height(2) width(2)
+        if (i + 8 >= p.length) return -1L
+        val h = be16(i + 5).toLong
+        val w = be16(i + 7).toLong
+        return (w << 32) | h
+      }
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+      else {
+        val len = be16(i + 2)
+        if (len < 2) return -1L
+        i += 2 + len
+      }
+      segs += 1
+    }
+    -1L
+  }
+
+  /** m12: GIF dimension probe — the logical-screen width/height are
+    * little-endian u16 at fixed offsets 6/8 after the "GIF87a"/
+    * "GIF89a" magic (public GIF89a spec §18). Same packed-long /
+    * -1-sentinel contract as [[pngDims]]/[[jpegDims]]. */
+  def gifDims(p: Array[Byte]): Long = {
+    if (p.length < 10 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != '8' || (p(4) != '7' && p(4) != '9') || p(5) != 'a')
+      return -1L
+    def le16(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8)
+    (le16(6) << 32) | le16(8)
+  }
+
+  /** m12: format-dispatching dimension probe — PNG, JPEG, or GIF by
+    * magic bytes, -1 for everything else. ONE gate expression for the
+    * size/aspect admission pass over a mixed-format media corpus,
+    * composing the three header walks; never decodes pixels. */
+  def imageDims(p: Array[Byte]): Long = {
+    if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P') pngDims(p)
+    else if (p.length >= 4 && p(0) == 0xFF.toByte &&
+      p(1) == 0xD8.toByte) jpegDims(p)
+    else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I') gifDims(p)
+    else -1L
+  }
+
   /** Spec helper: REAL deterministic PNG bytes for a synthetic scene
     * (`f(x, y)` returns the 0xRRGGBB pixel). Pure-JDK encode, so the
     * spec's planted images exercise the same codec a production
     * payload would. */
-  def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+  def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    imageBytes("png", w, h)(f)
+
+  /** Spec helper: REAL encoded bytes in any JDK-writable container
+    * (`png`/`jpg`/`gif`) — the m12 probes are pinned on genuine
+    * encoder output, not hand-forged headers. */
+  def imageBytes(fmt: String, w: Int, h: Int)(
+      f: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -145,7 +219,7 @@ object ImageCodec {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
 }

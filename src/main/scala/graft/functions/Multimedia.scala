@@ -140,6 +140,24 @@ case class PngDims(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `image_dims(payload)` — format-dispatching header-only
+  * (width << 32 | height) probe: PNG IHDR, JPEG SOF marker walk, or
+  * GIF logical screen by magic bytes; -1 for anything else (m12).
+  * One gate expression for a mixed-format media corpus — same
+  * no-decode contract as [[PngDims]]. */
+case class ImageDims(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ImageCodec.imageDims(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageCodec.imageDims($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `wav_field(payload, idx)` — header-only WAV metadata probe
   * (m10): idx 0 = sample rate, 1 = channels, 2 = bits/sample,
   * 3 = duration in microseconds; -1 for non-WAV payloads. Same
@@ -185,6 +203,9 @@ object Multimedia {
 
   def pngDims(payload: Column): Column =
     GraftShim.column(PngDims(GraftShim.expression(payload)))
+
+  def imageDims(payload: Column): Column =
+    GraftShim.column(ImageDims(GraftShim.expression(payload)))
 
   def wavSampleRate(payload: Column): Column =
     GraftShim.column(WavField(GraftShim.expression(payload), 0))

@@ -3844,4 +3844,120 @@ object Similarity {
        |FROM q CROSS JOIN pw p
        |ORDER BY vec_id, plane""".stripMargin
   }
+
+  // ---- d88: binary (1-bit) quantization + Hamming rerank ------------
+
+  /** d88: BINARY quantization + Hamming shortlist + exact re-rank —
+    * the third production vector-compression leg next to PQ (d19/d26)
+    * and SQ8 (d31), and the most aggressive: ONE BIT per dimension
+    * (FAISS IndexBinaryFlat / the 1-bit "binary quantization" modern
+    * vector stores ship), a 64× cut over float32 that turns the whole
+    * 64-dim vector into a single packed LONG. Thresholds are TRAINED
+    * per dimension — the candidate-corpus mean, kept exact as
+    * (sum, count) so the bit test is the cross-multiplied integer
+    * compare x·n > Σ (no division, no float drift, oracle-replayable).
+    * The shortlist scan is the point at 100 TB: per candidate it reads
+    * 8 BYTES and runs XOR + POPCOUNT (both single codegen'd integer
+    * instructions) against each broadcast query word — a 64×-narrower
+    * corpus scan than d05's exact pass and 4× narrower than d67's
+    * 16-dim prefix — and only queries×[[RerankR]] shortlisted rows
+    * re-meet the full vectors (one broadcast-shortlist join back to
+    * the corpus, then the bounded exact ranking). Same two-stage
+    * contract as d30/d45/d67, so the recall price of 1-bit codes reads
+    * directly against those committed curves. Output keeps the Hamming
+    * distance next to the exact distance so the shortlist metric
+    * itself is hash-verified, not just the final ranking. */
+  def d88BinaryRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val dims = qz.select(col("vec_id"),
+      posexplode(col("qv")).as(Seq("pos", "x")))
+    // trained thresholds: per-dimension (sum, count) over CANDIDATES
+    // only (queries held out, the d31 stats shape) — dim-bounded rows
+    val stats = dims.filter(col("vec_id") >= NumQueries)
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    // one packed word per vector: bit d set iff x·n > Σ (strict);
+    // bit_or of distinct single-bit words — no carries, exact
+    val bits = dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("w", when(col("x") * col("n") > col("s"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+      .groupBy(col("vec_id"))
+      .agg(expr("bit_or(w)").as("bits"))
+    val qBits = bits.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val cBits = bits.filter(col("vec_id") >= NumQueries)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val shortlist = cBits.crossJoin(broadcast(qBits))
+      .withColumn("hamming",
+        expr("bit_count(bits ^ q_bits)").cast("long"))
+      .withColumn("hrank", row_number().over(wShort))
+      .filter(col("hrank") <= RerankR)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    // re-rank: only queries×R rows re-meet the full vectors
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    broadcast(shortlist)
+      .join(qz, Seq("vec_id"))
+      .join(broadcast(qz.select(col("vec_id").as("q_id"),
+        col("qv").as("q_qv"))), Seq("q_id"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("dist"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle for d88: quantize → candidate-mean thresholds (exact
+    * cross-multiplied compare) → per-dimension bit lists → Hamming as
+    * the differing-bit count → shortlist at [[RerankR]] → exact
+    * full-width re-rank at [[TopK]]. The bit-list form is the same
+    * integer per pair as the engine's packed XOR+popcount. */
+  lazy val d88Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, unnest(qv) AS x,
+       |    unnest(generate_series(1, len(qv))) AS pos
+       |  FROM q),
+       |st AS (
+       |  SELECT pos, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM e WHERE vec_id >= $NumQueries GROUP BY 1),
+       |bv AS (
+       |  SELECT e.vec_id,
+       |    list(CASE WHEN e.x * st.n > st.s THEN 1 ELSE 0 END
+       |         ORDER BY e.pos) AS bl
+       |  FROM e JOIN st USING (pos) GROUP BY 1),
+       |ham AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      d -> CASE WHEN a.bl[d] <> b.bl[d] THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS hamming
+       |  FROM bv a JOIN bv b
+       |    ON a.vec_id < $NumQueries AND b.vec_id >= $NumQueries),
+       |short AS (
+       |  SELECT q_id, vec_id, hamming FROM (
+       |    SELECT q_id, vec_id, hamming, ROW_NUMBER() OVER (
+       |        PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank
+       |    FROM ham) s
+       |  WHERE hrank <= $RerankR),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id, s.hamming,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      d -> (qq.qv[d] - vv.qv[d]) * (qq.qv[d] - vv.qv[d])))
+       |      AS BIGINT) AS dist
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.q_id
+       |  JOIN q vv ON vv.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, hamming, dist, rank FROM (
+       |  SELECT q_id, vec_id, hamming, dist, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr) f
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 }

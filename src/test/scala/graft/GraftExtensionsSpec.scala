@@ -143,6 +143,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.ImageCodec.thumbK(png, 48).get))
     assert(row.getLong(1) == ((32L << 32) | 24L))
     assert(row.getLong(2) == -1L)
+    // m12: the format-dispatching probe routes each container to its
+    // header walk in one SQL expression; JPEG-magic-but-no-SOF → -1
+    val jpg = graft.functions.ImageCodec.imageBytes("jpg", 48, 16)(
+      (x, y) => ((x + y) & 0xff) * 0x010101)
+    val r2 = spark.sql(
+      s"""SELECT graft_image_dims(payload) AS j,
+         |  graft_image_dims(X'FFD8FFD9') AS bad,
+         |  graft_image_dims(CAST('words' AS BINARY)) AS nd
+         |FROM VALUES (X'${jpg.map("%02X".format(_)).mkString}')
+         |  AS t(payload)""".stripMargin).head()
+    assert(r2.getLong(0) == ((48L << 32) | 16L))
+    assert(r2.getLong(1) == -1L && r2.getLong(2) == -1L)
   }
 
   test("extensions injector applies cleanly") {

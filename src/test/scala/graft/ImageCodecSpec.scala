@@ -119,6 +119,48 @@ class ImageCodecSpec extends AnyFunSuite {
     assert((got(1L) & 0xffffffffL) == 480L)
   }
 
+  test("m12 image_dims: JPEG SOF walk + GIF screen + PNG dispatch — " +
+      "mixed-format header probe, no decode") {
+    import spark.implicits._
+    // REAL encoder output for all three containers, not forged bytes
+    val png = ImageCodec.pngBytes(640, 480)((_, _) => 0x123456)
+    val jpg = ImageCodec.imageBytes("jpg", 321, 123)((x, y) =>
+      ((x * 7 + y * 13) & 0xff) * 0x010101)
+    val gif = ImageCodec.imageBytes("gif", 77, 55)((x, _) =>
+      if (x % 2 == 0) 0xFF0000 else 0x0000FF)
+    assert(ImageCodec.jpegDims(jpg) == ((321L << 32) | 123L))
+    assert(ImageCodec.gifDims(gif) == ((77L << 32) | 55L))
+    assert(ImageCodec.imageDims(png) == ((640L << 32) | 480L))
+    assert(ImageCodec.imageDims(jpg) == ((321L << 32) | 123L))
+    assert(ImageCodec.imageDims(gif) == ((77L << 32) | 55L))
+    // non-image / truncated / cross-format payloads hit -1
+    assert(ImageCodec.imageDims("not an image".getBytes("UTF-8")) == -1L)
+    assert(ImageCodec.jpegDims(png) == -1L)
+    assert(ImageCodec.gifDims(jpg) == -1L)
+    assert(ImageCodec.jpegDims(jpg.take(12)) == -1L) // truncated pre-SOF
+    // JPEG with no SOF before EOI (headers only) must hit the
+    // sentinel, not walk off the marker list
+    val noSof = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xD9.toByte)
+    assert(ImageCodec.jpegDims(noSof) == -1L)
+    // a hostile segment length of 0/1 can't loop the walk
+    val badLen = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte, 0, 1, 0, 0)
+    assert(ImageCodec.jpegDims(badLen) == -1L)
+    // the codegen'd expression path, all four payload kinds one plan
+    val got = Seq((1L, png), (2L, jpg), (3L, gif),
+        (4L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"), Multimedia.imageDims(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ((640L << 32) | 480L))
+    assert(got(2L) == ((321L << 32) | 123L))
+    assert(got(3L) == ((77L << 32) | 55L))
+    assert(got(4L) == -1L)
+    // (the graft_image_dims SQL surface is pinned in
+    // GraftExtensionsSpec, whose session carries the extensions)
+  }
+
   test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
       "duration without sample decode") {
     import spark.implicits._

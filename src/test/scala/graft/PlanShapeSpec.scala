@@ -251,7 +251,13 @@ class PlanShapeSpec extends AnyFunSuite {
         ("d84's bounded frontier broadcasts (per layer + layer 0) " +
           "plus the 1-row global-entry reduce every query starts " +
           "from (the t12 scalar pattern) — all explicit broadcast(), " +
-          "all bounded by the walk knobs"))
+          "all bounded by the walk knobs"),
+      "d88_binary_rerank" ->
+        ("all explicit broadcast(), all bounded: per-dimension " +
+          "threshold stats (dim rows, d31's contract), the packed " +
+          "query words (NumQueries rows), and the Hamming shortlist " +
+          "(queries x RerankR rows — the d30/d47 bounded-shortlist " +
+          "adjudication); the corpus side never broadcasts"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
