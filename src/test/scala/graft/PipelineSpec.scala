@@ -113,6 +113,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(mtimes() == m0, "repeat search rebuilt the PQ index")
   }
 
+  test("d89 provisioning rule: floor regime covers verify scales, " +
+    "per-cell postings band holds until the cap, monotone, pow2") {
+    import Similarity.{navCellsFor, ProvTarget, ProvCap, IvfCells}
+    // floor regime: every n ≤ target·floor provisions the committed
+    // 16-cell geometry — the invariant that keeps the static parts of
+    // the search oracles valid at all driver-verified SFs
+    Seq(0L, 1L, 492L, 1992L, 4992L, ProvTarget * IvfCells).foreach(n =>
+      assert(navCellsFor(n) == IvfCells,
+        s"n=$n must sit in the floor regime"))
+    assert(navCellsFor(ProvTarget * IvfCells + 1) == 2L * IvfCells)
+    // band: in the uncapped, unfloored regime per-cell postings land
+    // in (target/2, target] — the pow2ceil guarantee
+    Seq(100000L, 1000000L, 123456789L, 999999999L).foreach { n =>
+      val c = navCellsFor(n)
+      val per = (n + c - 1) / c
+      assert(per <= ProvTarget && per * 2 > ProvTarget,
+        s"n=$n cells=$c postings=$per outside the band")
+    }
+    // cap: past cap·target the rule pins cells and the band breaks —
+    // d89's report shows that row as the shard-the-index signal
+    assert(navCellsFor(ProvCap * ProvTarget) == ProvCap)
+    assert(navCellsFor(Long.MaxValue / 4) == ProvCap)
+    // monotone non-decreasing and always a power of two (or the floor)
+    var prev = 0L
+    Seq(1L, 100L, 20000L, 300000L, 5000000L, 1L << 35, 1L << 45)
+      .foreach { n =>
+        val c = navCellsFor(n)
+        assert(c >= prev, s"rule not monotone at n=$n")
+        assert((c & (c - 1)) == 0, s"cells=$c not a power of two")
+        prev = c
+      }
+  }
+
   test("d84 nav index: beam walk is deterministic, repeat searches " +
     "reload (never rebuild), and the committed tree has all parts") {
     import org.apache.hadoop.fs.Path

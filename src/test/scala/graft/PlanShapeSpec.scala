@@ -257,7 +257,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "threshold stats (dim rows, d31's contract), the packed " +
           "query words (NumQueries rows), and the Hamming shortlist " +
           "(queries x RerankR rows — the d30/d47 bounded-shortlist " +
-          "adjudication); the corpus side never broadcasts"))
+          "adjudication); the corpus side never broadcasts"),
+      "d89_index_provisioning" ->
+        ("two literal-bounded relations: the 10-point scale ladder " +
+          "plus a 1-row corpus count (the t12 scalar pattern) joined " +
+          "against 41 powers of two — ≤11x41 rows total, nothing " +
+          "corpus-scaling"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
