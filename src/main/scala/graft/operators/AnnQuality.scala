@@ -401,6 +401,31 @@ object AnnQuality {
     }
   }
 
+  /** d88 recall curve: recall@[[RecallK]] of the 1-bit Hamming
+    * shortlist → exact re-rank serving config vs shortlist R — the
+    * same R-tuning read as d45/d67's curves, at 64× compression (one
+    * sign bit per dimension, the most aggressive leg). Expectation on
+    * the planted corpus: mean-threshold sign bits keep cluster
+    * membership (centers differ per dimension) but rank
+    * within-cluster structure poorly (jitter around the center flips
+    * few bits), so recall climbs with R like the other cheap
+    * shortlists — the committed curve quantifies where 8-byte
+    * signatures stop being free. */
+  def binaryRerankCurve(spark: SparkSession,
+      rs: Seq[Int] = RerankRs): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    rs.map { r =>
+      val hits = Similarity.binaryRerank(qs, corp, r, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (r, hits / denom)
+    }
+  }
+
   /** BANDING recall on the planted corpus — the d55-vs-d59 trade as
     * a committed measurement: of each vector's exact
     * top-[[RecallK]] neighbor edges, the share each

@@ -3997,44 +3997,200 @@ object Similarity {
   def d88BinaryRerank(spark: SparkSession, dir: String): DataFrame = {
     val qz = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
-    val dims = qz.select(col("vec_id"),
-      posexplode(col("qv")).as(Seq("pos", "x")))
+    binaryRerank(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+      qz.filter(col("vec_id") >= NumQueries),
+      RerankR, TopK)
+  }
+
+  /** d88's core on already-quantized relations — reused by
+    * AnnQuality's binary-recall sweep on the planted corpus.
+    * `queries` = (q_id, q_qv), `cands` = (vec_id, qv). */
+  def binaryRerank(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int): DataFrame = {
     // trained thresholds: per-dimension (sum, count) over CANDIDATES
     // only (queries held out, the d31 stats shape) — dim-bounded rows
-    val stats = dims.filter(col("vec_id") >= NumQueries)
+    val stats = cands
+      .select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
     // one packed word per vector: bit d set iff x·n > Σ (strict);
     // bit_or of distinct single-bit words — no carries, exact
-    val bits = dims.join(broadcast(stats), Seq("pos"))
-      .withColumn("w", when(col("x") * col("n") > col("s"),
-        expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
-      .groupBy(col("vec_id"))
-      .agg(expr("bit_or(w)").as("bits"))
-    val qBits = bits.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
-    val cBits = bits.filter(col("vec_id") >= NumQueries)
+    def pack(rel: DataFrame, idCol: String, vCol: String): DataFrame =
+      rel.select(col(idCol),
+        posexplode(col(vCol)).as(Seq("pos", "x")))
+        .join(broadcast(stats), Seq("pos"))
+        .withColumn("w", when(col("x") * col("n") > col("s"),
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+        .groupBy(col(idCol))
+        .agg(expr("bit_or(w)").as("bits"))
+    val qBits = pack(queries, "q_id", "q_qv")
+      .withColumnRenamed("bits", "q_bits")
+    val cBits = pack(cands, "vec_id", "qv")
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val shortlist = cBits.crossJoin(broadcast(qBits))
       .withColumn("hamming",
         expr("bit_count(bits ^ q_bits)").cast("long"))
       .withColumn("hrank", row_number().over(wShort))
-      .filter(col("hrank") <= RerankR)
+      .filter(col("hrank") <= r)
       .select(col("q_id"), col("vec_id"), col("hamming"))
     // re-rank: only queries×R rows re-meet the full vectors
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("dist"), col("vec_id"))
     broadcast(shortlist)
-      .join(qz, Seq("vec_id"))
-      .join(broadcast(qz.select(col("vec_id").as("q_id"),
-        col("qv").as("q_qv"))), Seq("q_id"))
+      .join(cands.select(col("vec_id"), col("qv")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .withColumn("dist", qDist(col("q_qv"), col("qv")))
       .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("hamming"), col("dist"),
         col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---- d90: MMR diversified top-k (maximal marginal relevance) -----
+
+  /** MMR weights: score = RelW·dist(q,d) − DivW·min_{s∈S} dist(d,s),
+    * minimized — the integer-exact form of Carbonell–Goldstein MMR
+    * at λ = RelW/(RelW+DivW) = 2/3 with squared-L2 dissimilarity. */
+  val MmrRelW = 2L
+  val MmrDivW = 1L
+
+  /** d90: DIVERSIFIED top-k — maximal marginal relevance (Carbonell &
+    * Goldstein '98, public): the serving-side fix for redundant
+    * result sets (near-duplicate passages crowding a RAG context
+    * window, k near-identical products in a carousel). Greedy: seed
+    * with the nearest candidate, then [[TopK]]−1 rounds each pick the
+    * candidate minimizing RelW·dist(query) − DivW·min-dist-to-
+    * already-selected — relevance traded against redundancy. Runs
+    * over the exact top-[[RerankR]] shortlist (composes behind any
+    * shortlist generator: d30/d45/d67/d88 all emit the same (q_id,
+    * vec_id) relation), so every round touches only queries×R rows
+    * and the R×R pairwise-distance relation — all bounded, computed
+    * ONCE and local-checkpointed (the beam-walk lineage discipline:
+    * the selected set re-enters each round's plan). Exact integer
+    * arithmetic throughout; deterministic ties (score, vec_id); the
+    * oracle unrolls all selection rounds as CTEs, bit-for-bit. */
+  def d90MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    mmrSelect(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+      qz.filter(col("vec_id") >= NumQueries),
+      RerankR, TopK)
+  }
+
+  /** d90's core on already-quantized relations. `queries` = (q_id,
+    * q_qv), `cands` = (vec_id, qv). Returns (q_id, pick ∈ 1..k,
+    * vec_id, dist). */
+  def mmrSelect(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int): DataFrame = {
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("dq"), col("vec_id"))
+    val sl = cands.crossJoin(broadcast(queries))
+      .withColumn("dq", qDist(col("q_qv"), col("qv")))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= r)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("dq"))
+      .localCheckpoint()
+    // the R×R per-query pairwise distances, once — queries×R×(R−1)
+    // rows, bounded by construction
+    val pairs = sl.select(col("q_id"), col("vec_id"), col("qv"))
+      .join(sl.select(col("q_id"), col("vec_id").as("sel_id"),
+        col("qv").as("qb")), Seq("q_id"))
+      .filter(col("vec_id") =!= col("sel_id"))
+      .withColumn("dp", qDist(col("qv"), col("qb")))
+      .select(col("q_id"), col("vec_id"), col("sel_id"), col("dp"))
+      .localCheckpoint()
+    val slim = sl.select(col("q_id"), col("vec_id"), col("dq"))
+    var selected = slim.groupBy(col("q_id"))
+      .agg(min(struct(col("dq"), col("vec_id"))).as("b"))
+      .select(col("q_id"), col("b.vec_id").as("vec_id"),
+        col("b.dq").as("dq"), lit(1).as("pick"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val selIds = selected
+        .select(col("q_id"), col("vec_id").as("sel_id"))
+      val minSel = pairs.join(broadcast(selIds), Seq("q_id", "sel_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("dp")).as("msel"))
+      val next = slim
+        .join(broadcast(selected.select(col("q_id"), col("vec_id"))),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(minSel, Seq("q_id", "vec_id"))
+        .withColumn("score",
+          col("dq") * MmrRelW - col("msel") * MmrDivW)
+        .groupBy(col("q_id"))
+        .agg(min(struct(col("score"), col("vec_id"), col("dq")))
+          .as("b"))
+        .select(col("q_id"), col("b.vec_id").as("vec_id"),
+          col("b.dq").as("dq"), lit(t).as("pick"))
+      val grown = selected.unionByName(next).localCheckpoint()
+      selected.unpersist()
+      selected = grown
+    }
+    selected
+      .select(col("q_id"), col("pick"), col("vec_id"),
+        col("dq").as("dist"))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** Oracle for d90: exact shortlist, R×R pairs, and every greedy
+    * round unrolled as CTEs — NOT EXISTS excludes the selected set,
+    * the same (score, vec_id) tiebreak picks the round winner. */
+  lazy val d90Sql: String = {
+    val rounds = (2 to TopK).map { t =>
+      s"""r$t AS (
+         |  SELECT q_id, vec_id, dq, $t AS pick FROM (
+         |    SELECT c.q_id, c.vec_id, c.dq,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY c.dq * $MmrRelW - m.msel * $MmrDivW,
+         |          c.vec_id) AS rn
+         |    FROM sl c
+         |    JOIN (SELECT p.q_id, p.vec_id, min(p.dp) AS msel
+         |          FROM pairs p JOIN sel${t - 1} s
+         |            ON s.q_id = p.q_id AND s.vec_id = p.sel_id
+         |          GROUP BY 1, 2) m
+         |      ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT q_id, vec_id, dq, pick FROM sel${t - 1}
+         |          UNION ALL SELECT q_id, vec_id, dq, pick FROM r$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
+       |sl AS (
+       |  SELECT q_id, vec_id, dq, qv FROM (
+       |    SELECT qs.q_id, cv.vec_id,
+       |      ${qDistSql("qs.qqv", "cv.qv")} AS dq, cv.qv,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${qDistSql("qs.qqv", "cv.qv")},
+       |          cv.vec_id) AS rn
+       |    FROM qs CROSS JOIN cv) WHERE rn <= $RerankR),
+       |pairs AS (
+       |  SELECT a.q_id, a.vec_id, b.vec_id AS sel_id,
+       |    ${qDistSql("a.qv", "b.qv")} AS dp
+       |  FROM sl a JOIN sl b
+       |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, dq, 1 AS pick FROM (
+       |    SELECT q_id, vec_id, dq, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dq, vec_id) AS rn FROM sl)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, pick, vec_id, dq AS dist FROM sel$TopK
+       |ORDER BY q_id, pick""".stripMargin
   }
 
   /** Oracle for d88: quantize → candidate-mean thresholds (exact

@@ -146,6 +146,51 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("d90 MMR: seed is the exact nearest, picks distinct, and the " +
+    "selected set is strictly more spread than plain top-k") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnQuality
+    import Similarity.{mmrSelect, RerankR, TopK}
+    val corp = AnnQuality.corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = AnnQuality.queries(spark)
+    val mmr = mmrSelect(qs, corp, RerankR, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val plain = AnnQuality.bruteTopK(qs, corp, TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pick 1 is exactly the brute rank-1 (relevance seeds the set)
+    val brute1 = AnnQuality.bruteTopK(qs, corp, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mmr.filter(_._2 == 1).foreach { case (q, _, v) =>
+      assert(brute1(q) == v, s"query $q seed is not the nearest") }
+    // every query has TopK distinct picks
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to TopK),
+        s"query $q pick sequence broken")
+      assert(rows.map(_._3).distinct.length == TopK,
+        s"query $q picked a duplicate") }
+    // diversification: summed min-pairwise distance within the
+    // selected set strictly beats plain top-k's (deterministic
+    // planted corpus, so this is a pin, not a flaky expectation)
+    def spread(sel: Map[Long, Seq[Long]]): Long = {
+      val ids = sel.values.flatten.toSeq.distinct
+      val vecs = corp.filter(col("vec_id").isin(ids: _*))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Long](1).toArray).toMap
+      def d(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      sel.map { case (_, vs) =>
+        (for (a <- vs; b <- vs if a < b) yield d(vecs(a), vecs(b)))
+          .min
+      }.sum
+    }
+    val mmrSel = mmr.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._3).toSeq }
+    val plainSel = plain.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._2).toSeq }
+    assert(spread(mmrSel) > spread(plainSel),
+      "MMR did not increase the min-pairwise spread over plain top-k")
+  }
+
   test("d84 nav index: beam walk is deterministic, repeat searches " +
     "reload (never rebuild), and the committed tree has all parts") {
     import org.apache.hadoop.fs.Path

@@ -262,7 +262,14 @@ class PlanShapeSpec extends AnyFunSuite {
         ("two literal-bounded relations: the 10-point scale ladder " +
           "plus a 1-row corpus count (the t12 scalar pattern) joined " +
           "against 41 powers of two — ≤11x41 rows total, nothing " +
-          "corpus-scaling"))
+          "corpus-scaling"),
+      "d90_mmr_rerank" ->
+        ("the greedy selection loop's broadcasts: the selected set " +
+          "(queries x pick rows, grows to queries x TopK) and the " +
+          "queries relation — all bounded by the serving knobs and " +
+          "local-checkpointed per round (the beam-walk discipline); " +
+          "the shortlist/pairs relations are queries x R / x R(R-1) " +
+          "rows, the d30/d47 bounded-shortlist adjudication"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
