@@ -95,6 +95,11 @@ object GraftExtensions {
       "graft_image_dims(bin) - (width << 32) | height from a PNG/" +
         "JPEG/GIF header by magic dispatch, -1 otherwise; no decode",
       e => ImageDims(e.head)),
+    fn("graft_mp4_field",
+      "graft_mp4_field(bin, idx) - ISO-BMFF moov/mvhd probe: idx 0 " +
+        "= timescale, 1 = duration ticks, 2 = duration micros; -1 " +
+        "for non-MP4; no demux",
+      e => Mp4Field(e.head, intArg(e(1), "graft_mp4_field"))),
     fn("graft_shingle_hashes_all",
       "graft_shingle_hashes_all(text, n) - one hash per shingle" +
         " occurrence (multiset; feed graft_simhash)",

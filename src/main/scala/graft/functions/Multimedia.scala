@@ -177,6 +177,25 @@ case class WavField(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `mp4_field(payload, idx)` — header-only MP4 metadata probe
+  * (m13): idx 0 = movie timescale, 1 = duration ticks, 2 = duration
+  * in microseconds; -1 for non-MP4 payloads. Same no-decode contract
+  * as [[PngDims]]/[[WavField]], video arm. */
+case class Mp4Field(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 2, s"mp4_field idx must be 0..2, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VideoCodec.mp4Field(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VideoCodec.mp4Field($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
 case class AHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -206,6 +225,13 @@ object Multimedia {
 
   def imageDims(payload: Column): Column =
     GraftShim.column(ImageDims(GraftShim.expression(payload)))
+
+  def mp4Timescale(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 0))
+  def mp4DurationTicks(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 1))
+  def mp4DurationMicros(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 2))
 
   def wavSampleRate(payload: Column): Column =
     GraftShim.column(WavField(GraftShim.expression(payload), 0))

@@ -1,0 +1,128 @@
+package graft.functions
+
+/** Header-only MP4 (ISO BMFF) metadata probe — the VIDEO arm of the
+  * multimodal family, completing the m09/m12 (image) and m10 (audio)
+  * byte-peek symmetry (map2db has no media surface; this is the
+  * training-data-pipeline extension SURVEY §2d specifies). Same
+  * contract as [[AudioCodec]]: a media-ingest pipeline's first pass
+  * is metadata gating (duration caps, shard budgeting) and must never
+  * pay a demux/decode per blob — the probe is a bounded walk of the
+  * public ISO base-media box structure (ISO/IEC 14496-12: big-endian
+  * (u32 size, 4cc type) boxes, size==1 → u64 largesize follows) down
+  * exactly one level: top-level boxes to `moov`, `moov` children to
+  * `mvhd`, whose fixed layout carries the movie timescale and
+  * duration (version 0: u32s at +12/+16 after the version/flags word;
+  * version 1: u64 times, timescale u32 at +20, duration u64 at +24).
+  * -1 for anything that is not a well-formed MP4 — the gate requires
+  * the leading `ftyp` box AND a complete in-bounds walk to a sane
+  * mvhd, which no text payload satisfies by accident.
+  */
+object VideoCodec {
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+  private def be64(p: Array[Byte], o: Int): Long =
+    (be32(p, o) << 32) | be32(p, o + 4)
+
+  private def tag(p: Array[Byte], o: Int, s: String): Boolean =
+    o + 4 <= p.length &&
+      p(o) == s.charAt(0).toByte && p(o + 1) == s.charAt(1).toByte &&
+      p(o + 2) == s.charAt(2).toByte && p(o + 3) == s.charAt(3).toByte
+
+  /** Walk one box level [from, to): returns the (payloadStart,
+    * payloadEnd) of the first box named `name`, or None. Bounded at
+    * 64 boxes; any non-positive / out-of-bounds size aborts (hostile
+    * or truncated payloads cannot loop or over-read). */
+  private def findBox(p: Array[Byte], from: Int, to: Int,
+      name: String): Option[(Int, Int)] = {
+    var off = from
+    var boxes = 0
+    while (off + 8 <= to && boxes < 64) {
+      val sz32 = be32(p, off)
+      val (hdr, sz) =
+        if (sz32 == 1L) {
+          if (off + 16 > to) return None
+          (16, be64(p, off + 8))
+        } else (8, sz32)
+      if (sz < hdr || off + sz > to) return None
+      if (tag(p, off + 4, name))
+        return Some((off + hdr, off + sz.toInt))
+      off += sz.toInt
+      boxes += 1
+    }
+    None
+  }
+
+  /** Some((timescale, durationTicks)) from moov/mvhd, None for
+    * non-MP4 / malformed payloads. */
+  def parseMvhd(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 16) return None
+    // the first box must be ftyp (ISO 14496-12 §4.3: "should be
+    // placed as early as possible" — in practice first, and requiring
+    // it makes the magic gate unambiguous)
+    if (!tag(p, 4, "ftyp")) return None
+    for {
+      (ms, me) <- findBox(p, 0, p.length, "moov")
+      (hs, he) <- findBox(p, ms, me, "mvhd")
+      out <- {
+        if (hs + 4 > he) None
+        else {
+          val version = p(hs) & 0xff
+          if (version == 0 && hs + 20 <= he)
+            Some((be32(p, hs + 12), be32(p, hs + 16)))
+          else if (version == 1 && hs + 32 <= he)
+            Some((be32(p, hs + 20), be64(p, hs + 24)))
+          else None
+        }
+      }
+    } yield out
+  }
+
+  /** Field probe for the Catalyst expression: 0 = movie timescale
+    * (ticks/second), 1 = duration in timescale ticks, 2 = duration in
+    * MICROSECONDS (ticks · 10⁶ / timescale, integer floor — exact and
+    * engine-portable). -1 for non-MP4 / malformed payloads. */
+  def mp4Field(p: Array[Byte], idx: Int): Long = parseMvhd(p) match {
+    case None => -1L
+    case Some((ts, dur)) => idx match {
+      case 0 => ts
+      case 1 => dur
+      case 2 => if (ts <= 0) -1L else dur * 1000000L / ts
+      case _ => -1L
+    }
+  }
+
+  /** Spec helper: minimal well-formed MP4 metadata bytes (ftyp +
+    * moov/mvhd at the given version) per the public ISO BMFF layout —
+    * the probes are pinned on the exact box/field offsets a real
+    * muxer writes. */
+  def mp4Bytes(timescale: Long, durationTicks: Long,
+      version: Int = 0, leadingFree: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    // ftyp: major brand isom, minor 0, one compatible brand
+    w32(20); tag("ftyp"); tag("isom"); w32(0); tag("isom")
+    if (leadingFree) { w32(8); tag("free") } // skipped-box coverage
+    val mvhdLen = if (version == 0) 8 + 100 else 8 + 112
+    w32(8L + mvhdLen); tag("moov")
+    w32(mvhdLen.toLong); tag("mvhd")
+    out.write(version); out.write(0); out.write(0); out.write(0)
+    if (version == 0) {
+      w32(0); w32(0) // ctime, mtime
+      w32(timescale); w32(durationTicks)
+      (0 until 100 - 20).foreach(_ => out.write(0)) // rate..next_track
+    } else {
+      w64(0); w64(0)
+      w32(timescale); w64(durationTicks)
+      (0 until 112 - 32).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+}

@@ -426,6 +426,45 @@ object AnnQuality {
     }
   }
 
+  /** d91 fusion evidence: recall@[[RecallK]] of the BORDA-FUSED
+    * ranking vs each single retriever's raw top-k — the fusion
+    * claim measured. `hamming_only`/`prefix_only` are R-independent
+    * (top-k of one ranking); the fused curve sweeps list depth R.
+    * Returns (hammingOnly, prefixOnly, fusedByR). */
+  def fusionRecallCurve(spark: SparkSession,
+      rs: Seq[Int] = RerankRs): (Double, Double, Seq[(Int, Double)]) = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    def recallOf(sel: org.apache.spark.sql.DataFrame): Double =
+      sel.select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count() / denom
+    val (qBits, cBits) = Similarity.binarySignatures(qs, corp)
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val hammingOnly = recallOf(cBits.crossJoin(broadcast(qBits))
+      .withColumn("hamming",
+        expr("bit_count(bits ^ q_bits)").cast("long"))
+      .withColumn("rnk", row_number().over(wH))
+      .filter(col("rnk") <= RecallK))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdist"), col("vec_id"))
+    val prefixOnly = recallOf(corp
+      .withColumn("pv", slice(col("qv"), 1, Similarity.MrlWidth))
+      .crossJoin(broadcast(qs
+        .withColumn("q_pv", slice(col("q_qv"), 1, Similarity.MrlWidth))
+        .select(col("q_id"), col("q_pv"))))
+      .withColumn("pdist", Similarity.qDist(col("q_pv"), col("pv")))
+      .withColumn("rnk", row_number().over(wP))
+      .filter(col("rnk") <= RecallK))
+    val fused = rs.map { r =>
+      (r, recallOf(Similarity.rankFusion(qs, corp, r, RecallK)))
+    }
+    (hammingOnly, prefixOnly, fused)
+  }
+
   /** BANDING recall on the planted corpus — the d55-vs-d59 trade as
     * a committed measurement: of each vector's exact
     * top-[[RecallK]] neighbor edges, the share each

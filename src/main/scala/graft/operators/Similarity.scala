@@ -4004,19 +4004,19 @@ object Similarity {
       RerankR, TopK)
   }
 
-  /** d88's core on already-quantized relations — reused by
-    * AnnQuality's binary-recall sweep on the planted corpus.
-    * `queries` = (q_id, q_qv), `cands` = (vec_id, qv). */
-  def binaryRerank(queries: DataFrame, cands: DataFrame,
-      r: Int, k: Int): DataFrame = {
-    // trained thresholds: per-dimension (sum, count) over CANDIDATES
-    // only (queries held out, the d31 stats shape) — dim-bounded rows
+  /** d88's packed-signature front end, shared with d91's fusion leg:
+    * per-dimension thresholds trained over CANDIDATES only (queries
+    * held out, the d31 stats shape — dim-bounded rows), then one
+    * packed word per vector (bit d set iff x·n > Σ, strict —
+    * cross-multiplied exact integer compare; bit_or of distinct
+    * single-bit words, no carries). Returns ((q_id, q_bits),
+    * (vec_id, bits)). */
+  def binarySignatures(queries: DataFrame, cands: DataFrame)
+      : (DataFrame, DataFrame) = {
     val stats = cands
       .select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    // one packed word per vector: bit d set iff x·n > Σ (strict);
-    // bit_or of distinct single-bit words — no carries, exact
     def pack(rel: DataFrame, idCol: String, vCol: String): DataFrame =
       rel.select(col(idCol),
         posexplode(col(vCol)).as(Seq("pos", "x")))
@@ -4025,9 +4025,16 @@ object Similarity {
           expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
         .groupBy(col(idCol))
         .agg(expr("bit_or(w)").as("bits"))
-    val qBits = pack(queries, "q_id", "q_qv")
-      .withColumnRenamed("bits", "q_bits")
-    val cBits = pack(cands, "vec_id", "qv")
+    (pack(queries, "q_id", "q_qv").withColumnRenamed("bits", "q_bits"),
+      pack(cands, "vec_id", "qv"))
+  }
+
+  /** d88's core on already-quantized relations — reused by
+    * AnnQuality's binary-recall sweep on the planted corpus.
+    * `queries` = (q_id, q_qv), `cands` = (vec_id, qv). */
+  def binaryRerank(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int): DataFrame = {
+    val (qBits, cBits) = binarySignatures(queries, cands)
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val shortlist = cBits.crossJoin(broadcast(qBits))
@@ -4192,6 +4199,130 @@ object Similarity {
        |SELECT q_id, pick, vec_id, dq AS dist FROM sel$TopK
        |ORDER BY q_id, pick""".stripMargin
   }
+
+  // ---- d91: hybrid rank fusion (Borda / RRF-family) ----------------
+
+  /** d91: HYBRID RANK FUSION — the op every hybrid-search stack runs:
+    * two independent cheap retrievers rank the corpus, and a rank-
+    * only fusion merges the lists without ever comparing their
+    * incomparable scores (Hamming distance vs prefix-L2 here; BM25 vs
+    * cosine in the classic lexical+dense pairing — the fusion is the
+    * same relation either way). Retriever A = d88's 1-bit Hamming
+    * ranking, retriever B = d67's MRL-prefix ranking — deliberately
+    * the two CHEAP front ends, since fusion's value is recovering
+    * quality from shortlists that are individually weak. Scoring is
+    * BORDA (candidate in list at rank r earns R+1−r points, absent
+    * earns 0; fused order by total DESC, vec_id ties) — the integer-
+    * exact member of the RRF family (reciprocal 1/(60+r) weights are
+    * the common default but float-sum order would break cross-engine
+    * bit-equality; Borda keeps the same monotone-in-rank fusion with
+    * exact arithmetic, and the committed recall curve shows the
+    * fusion effect, which is rank-driven, not weight-driven). Output
+    * carries the fused score AND the lists-hit count so the oracle
+    * verifies the fusion arithmetic itself. At scale both rankings
+    * scan narrow relations (8-byte signatures / 16-dim prefixes) and
+    * the fusion is one groupBy over 2×queries×R rows. */
+  def d91RankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val qz = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    rankFusion(
+      qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv")),
+      qz.filter(col("vec_id") >= NumQueries),
+      RerankR, TopK)
+  }
+
+  /** d91's core on already-quantized relations; returns (q_id,
+    * vec_id, score, lists, rank ≤ k). */
+  def rankFusion(queries: DataFrame, cands: DataFrame,
+      r: Int, k: Int): DataFrame = {
+    val (qBits, cBits) = binarySignatures(queries, cands)
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val hPts = cBits.crossJoin(broadcast(qBits))
+      .withColumn("hamming",
+        expr("bit_count(bits ^ q_bits)").cast("long"))
+      .withColumn("rnk", row_number().over(wH))
+      .filter(col("rnk") <= r)
+      .select(col("q_id"), col("vec_id"),
+        (lit(r + 1L) - col("rnk")).as("pts"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdist"), col("vec_id"))
+    val pPts = cands
+      .withColumn("pv", slice(col("qv"), 1, MrlWidth))
+      .crossJoin(broadcast(queries
+        .withColumn("q_pv", slice(col("q_qv"), 1, MrlWidth))
+        .select(col("q_id"), col("q_pv"))))
+      .withColumn("pdist", qDist(col("q_pv"), col("pv")))
+      .withColumn("rnk", row_number().over(wP))
+      .filter(col("rnk") <= r)
+      .select(col("q_id"), col("vec_id"),
+        (lit(r + 1L) - col("rnk")).as("pts"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    hPts.unionByName(pPts)
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pts")).as("score"), count(lit(1)).as("lists"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("lists"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle for d91: d88's threshold/bit chain for the Hamming
+    * ranking, d67's prefix-L2 ranking, Borda points per list, one
+    * fused GROUP BY — every step BIGINT. */
+  lazy val d91Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, unnest(qv) AS x,
+       |    unnest(generate_series(1, len(qv))) AS pos
+       |  FROM q),
+       |st AS (
+       |  SELECT pos, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM e WHERE vec_id >= $NumQueries GROUP BY 1),
+       |bv AS (
+       |  SELECT e.vec_id,
+       |    list(CASE WHEN e.x * st.n > st.s THEN 1 ELSE 0 END
+       |         ORDER BY e.pos) AS bl
+       |  FROM e JOIN st USING (pos) GROUP BY 1),
+       |hr AS (
+       |  SELECT q_id, vec_id, $RerankR + 1 - rnk AS pts FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 64),
+       |          d -> CASE WHEN a.bl[d] <> b.bl[d] THEN 1 ELSE 0 END))
+       |          AS BIGINT), b.vec_id) AS rnk
+       |    FROM bv a JOIN bv b
+       |      ON a.vec_id < $NumQueries AND b.vec_id >= $NumQueries) s
+       |  WHERE rnk <= $RerankR),
+       |pr AS (
+       |  SELECT q_id, vec_id, $RerankR + 1 - rnk AS pts FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(
+       |          generate_series(1, $MrlWidth),
+       |          d -> (a.qv[d] - b.qv[d]) * (a.qv[d] - b.qv[d])))
+       |          AS BIGINT), b.vec_id) AS rnk
+       |    FROM q a JOIN q b
+       |      ON a.vec_id < $NumQueries AND b.vec_id >= $NumQueries) s
+       |  WHERE rnk <= $RerankR),
+       |fused AS (
+       |  SELECT q_id, vec_id, CAST(sum(pts) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS lists
+       |  FROM (SELECT * FROM hr UNION ALL SELECT * FROM pr)
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, score, lists, rank FROM (
+       |  SELECT q_id, vec_id, score, lists, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM fused) f
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** Oracle for d88: quantize → candidate-mean thresholds (exact
     * cross-multiplied compare) → per-dimension bit lists → Hamming as

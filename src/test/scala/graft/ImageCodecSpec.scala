@@ -161,6 +161,42 @@ class ImageCodecSpec extends AnyFunSuite {
     // GraftExtensionsSpec, whose session carries the extensions)
   }
 
+  test("m13 mp4_field: header-only ISO-BMFF probe — timescale/" +
+      "duration without demux, v0 and v1 mvhd, skipped boxes") {
+    import spark.implicits._
+    import graft.functions.VideoCodec
+    // 90 kHz movie timescale, 45000 ticks = exactly 0.5 s
+    val v0 = VideoCodec.mp4Bytes(90000L, 45000L)
+    assert(VideoCodec.mp4Field(v0, 0) == 90000L)
+    assert(VideoCodec.mp4Field(v0, 1) == 45000L)
+    assert(VideoCodec.mp4Field(v0, 2) == 500000L)
+    // version-1 mvhd (64-bit duration) parses the wide layout
+    val v1 = VideoCodec.mp4Bytes(600L, 3600L, version = 1)
+    assert(VideoCodec.mp4Field(v1, 2) == 6000000L) // 6 s
+    // a leading free box between ftyp and moov is walked over, not
+    // assumed away (the box walk, not fixed offsets)
+    val freed = VideoCodec.mp4Bytes(1000L, 1500L, leadingFree = true)
+    assert(VideoCodec.mp4Field(freed, 2) == 1500000L)
+    // non-MP4 / truncated / corrupted payloads hit the -1 sentinel
+    assert(VideoCodec.mp4Field("not a video".getBytes("UTF-8"), 0) == -1L)
+    assert(VideoCodec.mp4Field(v0.take(30), 0) == -1L)
+    val rogue = v0.clone(); rogue(4) = 'J' // break the ftyp tag
+    assert(VideoCodec.mp4Field(rogue, 0) == -1L)
+    // hostile box size (0) cannot loop the walk
+    val badSz = v0.clone()
+    badSz(20) = 0; badSz(21) = 0; badSz(22) = 0; badSz(23) = 0
+    assert(VideoCodec.mp4Field(badSz, 0) == -1L)
+    // the codegen'd expression path, mixed payloads in one plan
+    val got = Seq((1L, v0), (2L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Multimedia.mp4Timescale(col("payload")).as("t"),
+        Multimedia.mp4DurationMicros(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((90000L, 500000L)) && got(2L) == ((-1L, -1L)))
+  }
+
   test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
       "duration without sample decode") {
     import spark.implicits._

@@ -269,7 +269,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "queries relation — all bounded by the serving knobs and " +
           "local-checkpointed per round (the beam-walk discipline); " +
           "the shortlist/pairs relations are queries x R / x R(R-1) " +
-          "rows, the d30/d47 bounded-shortlist adjudication"))
+          "rows, the d30/d47 bounded-shortlist adjudication"),
+      "d91_rank_fusion" ->
+        ("d88's bounded signature broadcasts (dim-row stats + " +
+          "NumQueries packed words) twice over — once per fused " +
+          "retriever; the fusion groupBy runs on 2 x queries x R " +
+          "rows, never corpus-scaling"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
