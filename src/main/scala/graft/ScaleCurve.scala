@@ -62,7 +62,11 @@ object ScaleCurve {
     "2d_pipeline_pq_idx" -> "d80_persisted_pq",
     // r13: the graph-navigable serving leg — read path over the
     // committed nav index (its one-time build is an artifact column)
-    "2d_pipeline_nav_idx" -> "d84_graph_search")
+    "2d_pipeline_nav_idx" -> "d84_graph_search",
+    // r13 (cont.): the 1-bit compression leg — the shortlist scan
+    // reads 8 bytes/candidate, so its curve is the purest probe of
+    // scan-bound scaling in the ANN family
+    "2d_pipeline_binary" -> "d88_binary_rerank")
 
   private def fmt(v: Double): String = {
     val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

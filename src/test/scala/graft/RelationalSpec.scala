@@ -248,7 +248,19 @@ class RelationalSpec extends AnyFunSuite {
       // as d66/d25; every data-scaling join is a capped equi-join.
       // d87 is d81's probe leg over the COMPACTED committed tree —
       // the same bounded scan-fed centroid broadcast as d79/d81.
-      "d86_hnsw_search", "d87_index_compaction")
+      "d86_hnsw_search", "d87_index_compaction",
+      // d88 broadcasts the 8 packed query WORDS against the
+      // signature scan (the d05/d45 8-row-query-set shape, but the
+      // probe side is 8 bytes/row); d90's shortlist stage is the
+      // same shape, and its greedy rounds broadcast the bounded
+      // selected set (queries×pick rows); d91 runs d88's signature
+      // scan twice (once per fused retriever) plus d67's prefix
+      // shortlist — all bounded build sides, nothing quadratic
+      "d88_binary_rerank", "d90_mmr_rerank", "d91_rank_fusion",
+      // d89 joins the 11-point scale ladder against 41 literal
+      // powers of two on an inequality (≤451 rows total — the whole
+      // relation is smaller than one shuffle header)
+      "d89_index_provisioning")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
