@@ -44,6 +44,28 @@ object VectorKernel {
     math.sqrt(s)
   }
 
+  /** Exact squared L2 between two ALREADY-QUANTIZED long vectors —
+    * the value `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L,
+    * _+_)` computes, without the per-row intermediate array or the
+    * lambda dispatch: integer adds commute, so the tight loop is
+    * bit-identical to the fold on any element order. This is the
+    * kernel behind [[graft.operators.Similarity.qDist]] — the single
+    * hottest expression in the ANN family (every corpus×centroid
+    * assignment, every shortlist scan, every k-means round).
+    * Lengths are assumed equal (callers pass same-width vectors or
+    * same-width slices; the quantize step fixes dim). */
+  def quantizedL2(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Integer-quantized squared L2 distance over one subvector:
     * elements [sub*subDim, (sub+1)*subDim) of both arrays are
     * quantized to floor(x·10⁶) longs before differencing, so the
@@ -96,6 +118,24 @@ case class L2Norm(child: Expression)
     copy(child = c)
 }
 
+/** `quantized_l2(a, b)` over two long arrays as a codegen'd
+  * expression — see [[VectorKernel.quantizedL2]]. */
+case class QuantizedL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.quantizedL2(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernel.quantizedL2($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** `quantized_sub_l2(vec, code, sub)` — exact integer squared L2 over
   * subspace `sub` (product-quantization inner loop), codegen'd. */
 case class QuantizedSubL2(first: Expression, second: Expression,
@@ -122,6 +162,9 @@ object Vectors {
       GraftShim.expression(b)))
   def l2Norm(a: Column): Column =
     GraftShim.column(L2Norm(GraftShim.expression(a)))
+  def quantizedL2(a: Column, b: Column): Column =
+    GraftShim.column(QuantizedL2(GraftShim.expression(a),
+      GraftShim.expression(b)))
   def quantizedSubL2(vec: Column, code: Column, sub: Column,
       subDim: Int): Column =
     GraftShim.column(QuantizedSubL2(GraftShim.expression(vec),

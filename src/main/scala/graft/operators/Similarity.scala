@@ -1141,14 +1141,16 @@ object Similarity {
   def quantizeVec(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1e6).cast("long"))
 
-  /** Exact squared L2 between two quantized vectors. HOF fold — fine
-    * here because training touches k×N distance pairs per round on a
-    * TRAINING SAMPLE (codebooks are trained on a bounded sample even
-    * at 100 TB; assignment over the full corpus is d10/d19's codegen
-    * kernel, not this). */
+  /** Exact squared L2 between two quantized vectors — the codegen'd
+    * [[graft.functions.VectorKernel.quantizedL2]] tight loop
+    * (bit-identical to the HOF fold `aggregate(zip_with(a, b,
+    * (x,y) => (x-y)²), 0L, +)` this was until r13: integer adds
+    * commute, so the value is the same; the per-row zip_with
+    * intermediate array and lambda dispatch are not — this is the
+    * hottest expression in the ANN family, on every corpus×centroid
+    * assignment, shortlist scan, and k-means round). */
   def qDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.Vectors.quantizedL2(a, b)
 
   val KmIters = 3
 
@@ -2099,7 +2101,18 @@ object Similarity {
           val init = qz.filter(col("vec_id") >= NumQueries &&
               col("vec_id") < NumQueries + cells)
             .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
-          val train = qz.filter(col("vec_id") >= NumQueries + cells)
+          // training is SAMPLE-BOUNDED at ProvTrainPerCell vectors
+          // per centroid (the FAISS-convention band) — without the
+          // bound, provisioned cells make training cost cells×corpus
+          // (measured: the sf10 nav build blew 170 s → 3459 s when
+          // 256 cells trained on the full 200k corpus; the bound
+          // makes it O(cells² · perCell), corpus-independent — the
+          // 100 TB contract every codebook scaladoc asserts, now
+          // wired). Deterministic prefix sample, so the oracle's
+          // prov CTE replays the exact same bound.
+          val train = qz.filter(col("vec_id") >= NumQueries + cells &&
+            col("vec_id") < NumQueries + cells +
+              ProvTrainPerCell * cells)
           val cents = kmeansQuantized(train, init, KmIters)
           cents.coalesce(1).write.parquet(s"$tmp/centroids")
           val (edges, entries) = navGraphParts(corpus, cents)
@@ -2250,7 +2263,9 @@ object Similarity {
        |${kmeansCtes(
         s"vec_id >= $NumQueries AND vec_id < $NumQueries + " +
           "(SELECT cells FROM prov)",
-        s"vec_id >= $NumQueries + (SELECT cells FROM prov)")},
+        s"vec_id >= $NumQueries + (SELECT cells FROM prov) AND " +
+          s"vec_id < $NumQueries + (SELECT cells FROM prov) + " +
+          s"$ProvTrainPerCell * (SELECT cells FROM prov)")},
        |corpus AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
        |${assignCte("ca", "corpus", s"c$KmIters")},
        |posted AS (SELECT vec_id, cent_id AS cell, dist
@@ -2307,6 +2322,16 @@ object Similarity {
     * per-cell postings band breaking at the cap on purpose: that row
     * IS the "shard the index / hierarchical router" decision point. */
   val ProvCap = 1L << 20
+
+  /** Training-sample width per centroid: k-means trains on a bounded
+    * DETERMINISTIC PREFIX of ProvTrainPerCell·cells corpus vectors
+    * (the FAISS 30-256-points-per-centroid convention), so training
+    * cost is O(cells²·perCell) — independent of corpus size. Without
+    * it, provisioned cells make training cells×corpus (measured:
+    * sf10 nav build 170 s at 16 fixed cells → 3459 s at 256
+    * provisioned cells trained full-corpus → bounded-sample restores
+    * the build; numbers in SURVEY §4). */
+  val ProvTrainPerCell = 64L
 
   /** The provisioning rule: cells(N) = clamp(pow2ceil(N / target),
     * floor = [[IvfCells]], cap = [[ProvCap]]). Power-of-two so
