@@ -95,6 +95,11 @@ object GraftExtensions {
       "graft_image_dims(bin) - (width << 32) | height from a PNG/" +
         "JPEG/GIF header by magic dispatch, -1 otherwise; no decode",
       e => ImageDims(e.head)),
+    fn("graft_image_stats",
+      "graft_image_stats(bin, idx) - decoded luminance stats: idx 0" +
+        " = floor mean luma, 1 = range, 2 = floor variance; -1 for" +
+        " non-image (the blank/flat admission gate)",
+      e => ImageStats(e.head, intArg(e(1), "graft_image_stats"))),
     fn("graft_mp4_field",
       "graft_mp4_field(bin, idx) - ISO-BMFF moov/mvhd probe: idx 0 " +
         "= timescale, 1 = duration ticks, 2 = duration micros; -1 " +

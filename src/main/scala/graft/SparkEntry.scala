@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{MapOps, PipelineExtras, PipelineOps, Relational,
   Relational2, Relational3, Relational4, Relational5, Relational6,
-  Relational7, Relational8, TopK}
+  Relational7, Relational8, Relational9, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -16,8 +16,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
-      Relational7.queries ++ Relational8.queries ++
+      Relational7.queries ++ Relational8.queries ++ Relational9.queries ++
       PipelineExtras.queries ++ MapOps.queries ++ PipelineOps.queries ++
+      graft.operators.DataSelection.queries ++
       graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
 
@@ -26,8 +27,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++ Relational5.oracles ++ Relational6.oracles ++
-      Relational7.oracles ++ Relational8.oracles ++
+      Relational7.oracles ++ Relational8.oracles ++ Relational9.oracles ++
       PipelineExtras.oracles ++ MapOps.oracles ++ PipelineOps.oracles ++
+      graft.operators.DataSelection.oracles ++
       graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)
 }

@@ -199,6 +199,42 @@ object ImageCodec {
     else -1L
   }
 
+  /** m14: decoded-pixel luminance statistics — the blank/flat/
+    * low-contrast admission gate a media-ingest pipeline runs after
+    * the header probes pass (a solid-color or near-blank frame is
+    * worthless training data however valid its container): one pixel
+    * pass accumulates exact integer sums over the BT.601 luma plane
+    * ([[decodeGray]]); idx 0 = floor mean luma, 1 = luma range
+    * (max − min, 0 for a solid color), 2 = floor population variance
+    * ((n·Σx² − (Σx)²)/n², the final division done in BigInt so no
+    * image size can overflow the intermediate). -1 for non-image /
+    * undecodable payloads — the [[pngDims]] sentinel contract. */
+  def grayStats(p: Array[Byte], idx: Int): Long =
+    decodeGray(p) match {
+      case Some((_, _, px)) if px.length > 0 =>
+        var s = 0L
+        var s2 = 0L
+        var mn = 255L
+        var mx = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = (px(i) & 0xff).toLong
+          s += v
+          s2 += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val n = px.length.toLong
+        idx match {
+          case 0 => s / n
+          case 1 => mx - mn
+          case _ =>
+            ((BigInt(n) * s2 - BigInt(s) * s) / (BigInt(n) * n)).toLong
+        }
+      case _ => -1L
+    }
+
   /** Spec helper: REAL deterministic PNG bytes for a synthetic scene
     * (`f(x, y)` returns the 0xRRGGBB pixel). Pure-JDK encode, so the
     * spec's planted images exercise the same codec a production

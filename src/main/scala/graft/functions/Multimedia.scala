@@ -196,6 +196,28 @@ case class Mp4Field(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `image_stats(payload, idx)` — DECODED-pixel luminance statistics
+  * (m14): idx 0 = floor mean luma, 1 = luma range, 2 = floor
+  * population variance; -1 for non-image payloads. The blank/flat
+  * admission gate behind the header probes — the one media op here
+  * that pays a real decode, so it runs AFTER [[ImageDims]] filters
+  * by size/format. */
+case class ImageStats(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 2,
+    s"image_stats idx must be 0..2, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ImageCodec.grayStats(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageCodec.grayStats($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
 case class AHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -225,6 +247,13 @@ object Multimedia {
 
   def imageDims(payload: Column): Column =
     GraftShim.column(ImageDims(GraftShim.expression(payload)))
+
+  def imageMeanLuma(payload: Column): Column =
+    GraftShim.column(ImageStats(GraftShim.expression(payload), 0))
+  def imageLumaRange(payload: Column): Column =
+    GraftShim.column(ImageStats(GraftShim.expression(payload), 1))
+  def imageLumaVariance(payload: Column): Column =
+    GraftShim.column(ImageStats(GraftShim.expression(payload), 2))
 
   def mp4Timescale(payload: Column): Column =
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 0))

@@ -135,7 +135,7 @@ object AnnQuality {
       .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
     val cents = Similarity.kmeansQuantized(
       corp, init, Similarity.KmIters)
-    val (edges, entries) = Similarity.navGraphParts(corp, cents)
+    val (edges, entries, _) = Similarity.navGraphParts(corp, cents)
     val edgesC = edges.localCheckpoint()
     val entriesC = entries.localCheckpoint()
     val truth = bruteTopK(qs, corp, RecallK)

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational surface, ninth installment (SURVEY.md §2a):
+  * time-series LINEAR interpolation (q89) and sequence-pattern
+  * matching over per-user event journeys (q90). */
+object Relational9 {
+
+  /** q89: time-series linear interpolation — the numeric sibling of
+    * q48's forward fill: per-supplier daily shipped quantity over a
+    * dense day spine, with missing days LINEARLY interpolated between
+    * the last and next observed values (the feature-store default for
+    * sampled sensor/metric series, where a step function biases any
+    * downstream rate-of-change feature).
+    *
+    * One key shuffle: the spine joins observations on
+    * (suppkey, day), then a single window partitioned by supplier
+    * carries last/next observed (value, day) via IGNORE NULLS frames
+    * in both directions. The spine spans min..max observed per
+    * series, so both anchors always exist and the interpolation
+    * formula has no null branches. Per-series window partitioning
+    * means parallelism grows with the number of series — there is no
+    * low-cardinality sort anywhere, the same scale contract as q48.
+    * Quantities ride as exact longs; the only float op is the final
+    * prev + (next-prev)*dd/DD, whose operands are exact in a double,
+    * identically ordered in both engines, then rounded. */
+  def q89Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val daily = li
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val spine = daily.groupBy(col("l_suppkey"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("l_suppkey"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    // both sides are aggregate-derived (no stats) and corpus-scaling;
+    // force the shuffled build so Catalyst never guesses-small and
+    // broadcasts a per-series relation (the t11/d16 bug class)
+    val joined = spine
+      .join(daily.hint("shuffle_hash"), Seq("l_suppkey", "day"), "left")
+      .withColumn("obs_day", when(col("qty").isNotNull, col("day")))
+    val back = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pq", last(col("qty"), ignoreNulls = true).over(back))
+      .withColumn("pd",
+        last(col("obs_day"), ignoreNulls = true).over(back))
+      .withColumn("nq",
+        first(col("qty"), ignoreNulls = true).over(fwd))
+      .withColumn("nd",
+        first(col("obs_day"), ignoreNulls = true).over(fwd))
+      .withColumn("qty_interp",
+        round(col("pq").cast("double")
+          + (col("nq") - col("pq")).cast("double")
+            * datediff(col("day"), col("pd")).cast("double")
+            / greatest(datediff(col("nd"), col("pd")), lit(1))
+              .cast("double"), 6) + lit(0.0))
+      .withColumn("is_gap",
+        when(col("qty").isNotNull, lit(0L)).otherwise(lit(1L)))
+      .select(col("l_suppkey"),
+        col("day").cast("string").as("day"),
+        col("qty_interp"), col("is_gap"))
+      .orderBy(col("l_suppkey"), col("day"))
+  }
+
+  val q89Sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT l_suppkey,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM (SELECT l_suppkey, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1)),
+      |j AS (
+      |  SELECT s.l_suppkey, s.day, d.qty,
+      |    CASE WHEN d.qty IS NOT NULL THEN s.day END AS obs_day
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.l_suppkey = d.l_suppkey AND s.day = d.day),
+      |w AS (
+      |  SELECT l_suppkey, day, qty,
+      |    last_value(qty IGNORE NULLS) OVER
+      |      (PARTITION BY l_suppkey ORDER BY day
+      |       ROWS UNBOUNDED PRECEDING) AS pq,
+      |    last_value(obs_day IGNORE NULLS) OVER
+      |      (PARTITION BY l_suppkey ORDER BY day
+      |       ROWS UNBOUNDED PRECEDING) AS pd,
+      |    first_value(qty IGNORE NULLS) OVER
+      |      (PARTITION BY l_suppkey ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nq,
+      |    first_value(obs_day IGNORE NULLS) OVER
+      |      (PARTITION BY l_suppkey ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT l_suppkey, CAST(day AS VARCHAR) AS day,
+      |  ROUND(CAST(pq AS DOUBLE)
+      |    + CAST(nq - pq AS DOUBLE)
+      |      * CAST(date_diff('day', pd, day) AS DOUBLE)
+      |      / CAST(GREATEST(date_diff('day', pd, nd), 1) AS DOUBLE),
+      |    6) + 0.0 AS qty_interp,
+      |  CASE WHEN qty IS NOT NULL THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(1 AS BIGINT) END AS is_gap
+      |FROM w ORDER BY l_suppkey, day""".stripMargin
+
+  /** The conversion journey q90 counts: a view, any run of further
+    * views/clicks, then a purchase. RE2-compatible (no lookaround)
+    * so both engines run the identical pattern, and non-overlapping
+    * match semantics agree. */
+  val ConversionRe = "v[vc]*p"
+
+  /** The abandonment journey: a view-led run that dies in an error. */
+  val AbandonRe = "v[vc]*e"
+
+  /** q90: sequence-pattern matching over event journeys — the
+    * MATCH_RECOGNIZE-lite every product-analytics stack runs: encode
+    * each user's event history as one ordered string (one char per
+    * event type; the five types have distinct initials) and count
+    * regex matches per user — here view→(view|click)*→purchase
+    * conversions and the same run ending in an error.
+    *
+    * Unlike q51's fixed-stage funnel or q72's adjacent transitions,
+    * the pattern here is an arbitrary regular expression over the
+    * whole journey. One groupBy(user) shuffle builds the journey from
+    * partial-aggregable pieces (collect_list of a (ts, event_id,
+    * letter) struct → sort_array → transform → concat) — journey
+    * length is bounded by per-user activity, so state per key stays
+    * small while user count scales out; the regex scan is linear in
+    * the journey. Ties inside one timestamp break on event_id, so the
+    * string is deterministic. */
+  def q90SeqMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("letter"))
+    ev.groupBy(col("user_id"))
+      .agg(concat_ws("",
+        transform(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("letter")))),
+          x => x.getField("letter"))).as("journey"))
+      .select(col("user_id"),
+        length(col("journey")).cast("long").as("seq_len"),
+        regexp_count(col("journey"), lit(ConversionRe)).cast("long")
+          .as("n_conversions"),
+        regexp_count(col("journey"), lit(AbandonRe)).cast("long")
+          .as("n_abandoned"))
+      .filter(col("n_conversions") + col("n_abandoned") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val q90Sql: String =
+    s"""WITH j AS (
+       |  SELECT user_id,
+       |    string_agg(substring(event_type, 1, 1), ''
+       |      ORDER BY ts, event_id) AS journey
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT user_id,
+       |    CAST(length(journey) AS BIGINT) AS seq_len,
+       |    CAST(len(regexp_extract_all(journey, '$ConversionRe'))
+       |      AS BIGINT) AS n_conversions,
+       |    CAST(len(regexp_extract_all(journey, '$AbandonRe'))
+       |      AS BIGINT) AS n_abandoned
+       |  FROM j)
+       |SELECT user_id, seq_len, n_conversions, n_abandoned
+       |FROM m WHERE n_conversions + n_abandoned > 0
+       |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_interpolate" -> (q89Interpolate _),
+    "q90_seq_match" -> (q90SeqMatch _))
+
+  val oracles: Map[String, String] = Map(
+    "q89_interpolate" -> q89Sql,
+    "q90_seq_match" -> q90Sql)
+}

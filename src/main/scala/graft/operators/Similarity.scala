@@ -2020,16 +2020,20 @@ object Similarity {
     * smaller vec_id). Everything on the integer grid so the oracle
     * replays the build bit-for-bit.
     *
-    * Returns (edges (vec_id, nbr_id), entries (cell, entry_id)). */
+    * Returns (edges (vec_id, nbr_id), entries (cell, entry_id),
+    * posted (vec_id, cell, qv) — the primary-cell assignment, which
+    * d94's base build persists as `postings/` so a later INSERT can
+    * read just its probed cells' members). */
   def navGraphParts(corpus: DataFrame, cents: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val ranked = corpus.join(broadcast(cents))
       .withColumn("dist", qDist(col("qv"), col("qc")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("cent_id"))))
     val posted = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("dist"))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("dist"),
+        col("qv"))
     val entries = posted.groupBy(col("cell"))
       .agg(min(struct(col("dist"), col("vec_id"))).as("best"))
       .select(col("cell"), col("best.vec_id").as("entry_id"))
@@ -2065,7 +2069,8 @@ object Similarity {
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") <= NavK)
       .select(col("vec_id"), col("nbr_id"))
-    (edges, entries)
+    (edges, entries, posted.select(col("vec_id"), col("cell"),
+      col("qv")))
   }
 
   /** Build-if-absent the persisted NAVIGABLE-GRAPH index — the
@@ -2115,7 +2120,7 @@ object Similarity {
               ProvTrainPerCell * cells)
           val cents = kmeansQuantized(train, init, KmIters)
           cents.coalesce(1).write.parquet(s"$tmp/centroids")
-          val (edges, entries) = navGraphParts(corpus, cents)
+          val (edges, entries, _) = navGraphParts(corpus, cents)
           edges.write.parquet(s"$tmp/edges")
           entries.coalesce(1).write.parquet(s"$tmp/entries")
         })
@@ -2421,6 +2426,326 @@ object Similarity {
        |FROM cl ORDER BY n, scale""".stripMargin
   }
 
+  // ---- d94: incremental nav-graph INSERT (serving-graph freshness) -
+
+  /** Durable homes of the base/delta generations of the navigable
+    * graph (the d81 base/delta convention applied to d84's index). */
+  def navBasePath(dir: String): String = navIndexPath(dir) + "_base"
+  def navDeltaPath(dir: String): String = navIndexPath(dir) + "_delta"
+
+  /** d94's BASE nav index: the d84 build restricted to the base
+    * slice (d81's convention — the provisioned init range is always
+    * base; the [[DeltaMod]] slice past it "has not arrived yet"),
+    * trained WITHOUT the delta, plus a cell-partitioned `postings/`
+    * part so a later INSERT reads just its probed cells' members
+    * instead of re-assigning the base corpus — the layout detail
+    * that keeps the insert O(delta). */
+  def ensureNavBase(spark: SparkSession, dir: String): String =
+    navBasePath(dir).intern.synchronized {
+      val path = navBasePath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          // provisioned from the FULL corpus (the geometry plans for
+          // eventual size, so base and delta agree on the boundary)
+          val cells = navCellsFor(
+            qz.filter(col("vec_id") >= NumQueries).count())
+          val base = qz.filter(col("vec_id") >= NumQueries &&
+            (col("vec_id") < NumQueries + cells ||
+              col("vec_id") % DeltaMod =!= 0))
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + cells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val train = qz.filter(col("vec_id") >= NumQueries + cells &&
+            col("vec_id") < NumQueries + cells +
+              ProvTrainPerCell * cells &&
+            col("vec_id") % DeltaMod =!= 0)
+          val cents = kmeansQuantized(train, init, KmIters)
+          cents.coalesce(1).write.parquet(s"$tmp/centroids")
+          val (edges, entries, posted) = navGraphParts(base, cents)
+          edges.write.parquet(s"$tmp/edges")
+          entries.coalesce(1).write.parquet(s"$tmp/entries")
+          posted.repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** d94: INSERT the delta slice into the committed nav graph — the
+    * HNSW insert operation (Malkov–Yashunin §4 alg. 1, public),
+    * batched: each arriving vector routes to its [[CellProbes]]
+    * nearest trained cells (no retrain — d81's contract), meets ONLY
+    * those cells' members (base postings read cell-pruned + the
+    * delta's own assignments; hot cells capped — the build's bucket
+    * discipline), keeps its top-[[NavK]] as out-edges, and each
+    * CHOSEN neighbor re-ranks its adjacency over (its current edges ∪
+    * the deltas that chose it), truncating back to NavK — the
+    * paper's bidirectional-link + shrink step, made insertion-order-
+    * free by batching (every touched node re-ranks ONCE over all its
+    * suitors; a sequential HNSW would depend on arrival order, which
+    * no oracle could replay). Base tree: byte-identical after
+    * (spec-pinned). Entry medoids stay the base ones — an inserted
+    * vector becomes reachable through edges, not an entry, until the
+    * next full rebuild (the serving trade real HNSW makes too: entry
+    * updates only on level promotion).
+    *
+    * Published as its own committed tree: `edges/` (delta
+    * out-edges), `redges/` (replacement adjacency for touched
+    * nodes), `postings/` (delta assignments, cell-partitioned). */
+  def ensureNavDelta(spark: SparkSession, dir: String): String =
+    navDeltaPath(dir).intern.synchronized {
+      val basePath = ensureNavBase(spark, dir)
+      val path = navDeltaPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val cents = loadIndexPart(spark, basePath, "centroids")
+          val basePost = loadIndexPart(spark, basePath, "postings")
+          val baseEdges = loadIndexPart(spark, basePath, "edges")
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val cells = navCellsFor(
+            qz.filter(col("vec_id") >= NumQueries).count())
+          val delta = qz.filter(col("vec_id") >= NumQueries + cells &&
+            col("vec_id") % DeltaMod === 0)
+          val ranked = delta.join(broadcast(cents))
+            .withColumn("dist", qDist(col("qv"), col("qc")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("vec_id"))
+                .orderBy(col("dist"), col("cent_id"))))
+          val dPosted = ranked.filter(col("rn") === 1)
+            .select(col("vec_id"), col("cent_id").as("cell"), col("qv"))
+          // candidate pool: capped base cells + capped delta cells
+          // (the build's NearDupMaxBucket discipline on both
+          // generations)
+          def capped(m: DataFrame): DataFrame =
+            m.select(col("vec_id"), col("cell"))
+              .join(m.groupBy(col("cell"))
+                .agg(count(lit(1)).as("n"))
+                .filter(col("n") <= NearDupMaxBucket)
+                .select(col("cell")).hint("shuffle_hash"), Seq("cell"))
+          val members = capped(basePost).unionByName(capped(dPosted))
+          val probes = ranked.filter(col("rn") <= CellProbes)
+            .select(col("vec_id"), col("cent_id").as("cell"))
+          val cand = probes.as("a")
+            .join(members.as("b").hint("merge"),
+              col("a.cell") === col("b.cell") &&
+                col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("vec_id"),
+              col("b.vec_id").as("nbr_id"))
+            .distinct()
+          val we = Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("nbr_id"))
+          def rankCut(c: DataFrame): DataFrame = c.hint("merge")
+            .join(qz.select(col("vec_id"), col("qv").as("qa")),
+              Seq("vec_id"))
+            .join(qz.select(col("vec_id").as("nbr_id"),
+              col("qv").as("qb")), Seq("nbr_id"))
+            .withColumn("dist", qDist(col("qa"), col("qb")))
+            .select(col("vec_id"), col("nbr_id"), col("dist"))
+            .withColumn("rn", row_number().over(we))
+            .filter(col("rn") <= NavK)
+            .select(col("vec_id"), col("nbr_id"))
+          // checkpointed (bounded: delta × NavK rows) AND re-rooted
+          // constraint-free: the checkpoint's LogicalRDD preserves
+          // rankCut's window-filter constraint (rn ≤ NavK) whose rn
+          // attribute the projection pruned, and any later Union
+          // over such a child dies in Catalyst's constraint rewrite
+          // (AttributeMap key-not-found) — createDataFrame over the
+          // materialized rows drops the stale constraints
+          val dEdgesCk = rankCut(cand).localCheckpoint()
+          val dEdges = spark.createDataFrame(dEdgesCk.rdd,
+            dEdgesCk.schema)
+          // bidirectional link + shrink: every touched node re-ranks
+          // (current edges ∪ suitors) once
+          val touched = dEdges.select(col("nbr_id").as("vec_id"))
+            .distinct()
+          val existing = baseEdges.unionByName(dEdges)
+            .join(touched.hint("shuffle_hash"), Seq("vec_id"))
+          val suitors = dEdges.select(col("nbr_id").as("vec_id"),
+            col("vec_id").as("nbr_id"))
+          val redges = rankCut(
+            existing.unionByName(suitors).distinct())
+          dEdges.write.parquet(s"$tmp/edges")
+          redges.write.parquet(s"$tmp/redges")
+          dPosted.repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** DELETE the base+delta nav generations (see [[resetIvfIndex]]). */
+  def resetNavInsert(spark: SparkSession, dir: String): Unit =
+    Seq(navBasePath(dir), navDeltaPath(dir)).foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+
+  /** d94: search the UPDATED graph — base edges for untouched nodes,
+    * replacement adjacency for touched ones, delta out-edges, entry
+    * medoids from the base generation, full corpus for scoring. The
+    * oracle replays base build → delta routing → edge election →
+    * bidirectional shrink → the merged-graph walk bit-for-bit; the
+    * hash match is the proof that the O(delta) insert produced
+    * exactly the graph the replayed batch insert defines, and the
+    * walk's reachability of delta vectors is spec-pinned. */
+  def d94NavInsert(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = ensureNavBase(spark, dir)
+    val deltaPath = ensureNavDelta(spark, dir)
+    val cents = loadIndexPart(spark, basePath, "centroids")
+    val entries = loadIndexPart(spark, basePath, "entries")
+    val baseEdges = loadIndexPart(spark, basePath, "edges")
+    val dEdges = loadIndexPart(spark, deltaPath, "edges")
+    val redges = loadIndexPart(spark, deltaPath, "redges")
+    val touched = redges.select(col("vec_id")).distinct()
+    val merged = baseEdges.unionByName(dEdges)
+      .join(touched.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+      .unionByName(redges)
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val corpus = qz.filter(col("vec_id") >= NumQueries)
+    navBeamWalk(queries, corpus, cents, merged, entries,
+      NavBeam, NavHops, TopK)
+  }
+
+  /** DuckDB oracle for d94: the d84 replay with the base/delta split
+    * — base-trained router, base graph, delta routing + edge
+    * election, the bidirectional shrink, and the walk over the
+    * merged graph against the full corpus. */
+  lazy val d94Sql: String = {
+    val hops = (1 to NavHops).map { h =>
+      s"""u$h AS (
+         |  SELECT q_id, vec_id FROM b${h - 1}
+         |  UNION
+         |  SELECT p.q_id, e.nbr_id AS vec_id
+         |  FROM b${h - 1} p JOIN merged e ON e.vec_id = p.vec_id),
+         |s$h AS (
+         |  SELECT u.q_id, u.vec_id,
+         |    ${qDistSql("qs.qqv", "cv.qv")} AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY u.q_id
+         |      ORDER BY ${qDistSql("qs.qqv", "cv.qv")}, u.vec_id) AS rn
+         |  FROM u$h u JOIN qs ON qs.q_id = u.q_id
+         |  JOIN fullc cv ON cv.vec_id = u.vec_id),
+         |b$h AS (SELECT q_id, vec_id FROM s$h WHERE rn <= $NavBeam)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cellsSub = "(SELECT cells FROM prov)"
+    s"""WITH prov AS (
+       |  SELECT LEAST($ProvCap, GREATEST($IvfCells, (
+       |    SELECT min(CAST(1 AS BIGINT) << i)
+       |    FROM (SELECT unnest(generate_series(0, 40)) AS i)
+       |    WHERE (CAST(1 AS BIGINT) << i) * $ProvTarget >=
+       |      (SELECT count(*) FROM embeddings
+       |       WHERE vec_id >= $NumQueries)))) AS cells),
+       |${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < $NumQueries + $cellsSub",
+        s"vec_id >= $NumQueries + $cellsSub AND " +
+          s"vec_id < $NumQueries + $cellsSub + " +
+          s"$ProvTrainPerCell * $cellsSub AND " +
+          s"vec_id % $DeltaMod <> 0")},
+       |base AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries
+       |  AND (vec_id < $NumQueries + $cellsSub
+       |       OR vec_id % $DeltaMod <> 0)),
+       |fullc AS (SELECT vec_id, qv FROM q
+       |          WHERE vec_id >= $NumQueries),
+       |${assignCte("ca", "base", s"c$KmIters")},
+       |posted AS (SELECT vec_id, cent_id AS cell, dist
+       |           FROM ca WHERE rn = 1),
+       |medoid AS (
+       |  SELECT cell, vec_id AS entry_id FROM (
+       |    SELECT cell, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cell ORDER BY dist, vec_id) AS rn
+       |    FROM posted) WHERE rn = 1),
+       |capped AS (SELECT cell FROM posted GROUP BY cell
+       |           HAVING COUNT(*) <= $NearDupMaxBucket),
+       |postedc AS (SELECT p.vec_id, p.cell FROM posted p
+       |            JOIN capped USING (cell)),
+       |probes AS (SELECT vec_id, cent_id AS cell FROM ca
+       |           WHERE rn <= $CellProbes),
+       |gcand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM probes a JOIN postedc b
+       |    ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+       |edges AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT g.vec_id, g.nbr_id, ROW_NUMBER() OVER (
+       |      PARTITION BY g.vec_id
+       |      ORDER BY ${qDistSql("x.qv", "y.qv")}, g.nbr_id) AS rn
+       |    FROM gcand g JOIN base x ON x.vec_id = g.vec_id
+       |    JOIN base y ON y.vec_id = g.nbr_id)
+       |  WHERE rn <= $NavK),
+       |delta AS (SELECT vec_id, qv FROM q
+       |  WHERE vec_id >= $NumQueries + $cellsSub
+       |    AND vec_id % $DeltaMod = 0),
+       |${assignCte("da", "delta", s"c$KmIters")},
+       |dposted AS (SELECT vec_id, cent_id AS cell FROM da
+       |            WHERE rn = 1),
+       |dcapped AS (SELECT cell FROM dposted GROUP BY cell
+       |            HAVING COUNT(*) <= $NearDupMaxBucket),
+       |members AS (
+       |  SELECT vec_id, cell FROM postedc
+       |  UNION ALL
+       |  SELECT p.vec_id, p.cell FROM dposted p
+       |  JOIN dcapped USING (cell)),
+       |dprobes AS (SELECT vec_id, cent_id AS cell FROM da
+       |            WHERE rn <= $CellProbes),
+       |dcand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM dprobes a JOIN members b
+       |    ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+       |dedges AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT g.vec_id, g.nbr_id, ROW_NUMBER() OVER (
+       |      PARTITION BY g.vec_id
+       |      ORDER BY ${qDistSql("x.qv", "y.qv")}, g.nbr_id) AS rn
+       |    FROM dcand g JOIN fullc x ON x.vec_id = g.vec_id
+       |    JOIN fullc y ON y.vec_id = g.nbr_id)
+       |  WHERE rn <= $NavK),
+       |touched AS (SELECT DISTINCT nbr_id AS vec_id FROM dedges),
+       |rcand AS (
+       |  SELECT e.vec_id, e.nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM edges
+       |    UNION ALL SELECT vec_id, nbr_id FROM dedges) e
+       |  JOIN touched t ON t.vec_id = e.vec_id
+       |  UNION
+       |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM dedges),
+       |redges AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT g.vec_id, g.nbr_id, ROW_NUMBER() OVER (
+       |      PARTITION BY g.vec_id
+       |      ORDER BY ${qDistSql("x.qv", "y.qv")}, g.nbr_id) AS rn
+       |    FROM rcand g JOIN fullc x ON x.vec_id = g.vec_id
+       |    JOIN fullc y ON y.vec_id = g.nbr_id)
+       |  WHERE rn <= $NavK),
+       |merged AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM edges
+       |    UNION ALL SELECT vec_id, nbr_id FROM dedges) u
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM touched)
+       |  UNION ALL
+       |  SELECT vec_id, nbr_id FROM redges),
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |qe AS (
+       |  SELECT q_id, cent_id AS cell FROM (
+       |    SELECT qs.q_id, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qs.q_id
+       |      ORDER BY ${qDistSql("qs.qqv", "c.qc")}, c.cent_id) AS rn
+       |    FROM qs CROSS JOIN c$KmIters c) WHERE rn <= $NavEntryCells),
+       |b0 AS (SELECT qe.q_id, m.entry_id AS vec_id
+       |       FROM qe JOIN medoid m USING (cell)),
+       |$hops
+       |SELECT q_id, vec_id, dist, rn AS rank FROM s$NavHops
+       |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- d86: HIERARCHICAL navigable search (HNSW-style layers) ------
 
   /** Max layer of the d86 hierarchy; P(level ≥ l) = 4^-l via the low
@@ -2512,12 +2837,12 @@ object Similarity {
     for (l <- HnswMaxLvl to 1 by -1) {
       val members = leveled.filter(col("lvl") >= l)
         .select(col("vec_id"), col("qv"))
-      val (edgesL, _) = navGraphParts(members, cents)
+      val (edgesL, _, _) = navGraphParts(members, cents)
       seed = beamWalkFrom(queries, corpus, edgesL, seed,
         HnswDescentBeam, HnswDescentHops, 1)
         .select(col("q_id"), col("vec_id"))
     }
-    val (edges0, _) = navGraphParts(corpus, cents)
+    val (edges0, _, _) = navGraphParts(corpus, cents)
     beamWalkFrom(queries, corpus, edges0, seed, beamW, hops, k)
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1271,4 +1271,91 @@ object EventStreams {
        |FROM (SELECT doc_id, h FROM d WHERE doc_id % 10 = 0) delta
        |LEFT JOIN base b ON b.h = delta.h
        |GROUP BY 1 ORDER BY wnd""".stripMargin
+
+  // ---- s22: stream anomaly gate against static baseline bounds ----
+
+  /** An event row carrying a value, for the s22 memory stream. */
+  case class ValuedEvent(event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
+  /** The baseline/live split for s22: even event_ids are the
+    * historical feed the bounds are trained on, odd ids are the live
+    * traffic gated against them (the d54 delta convention). */
+  private def valueMicro(c: Column): Column =
+    round(c * 1000000d, 0).cast("long")
+
+  /** Per-type robust bounds from the baseline half: exact discrete
+    * 1st/99th percentiles over integer micro-values — percentile
+    * bounds instead of mean±3σ so the gate itself is integer-exact
+    * and immune to the float-sum ordering a distributed moment
+    * computation would introduce. Bounded by construction: one row
+    * per event type. */
+  def anomalyBounds(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 2 === 0)
+      .select(col("event_type"), valueMicro(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY v)" +
+          " AS BIGINT)").as("lo"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v)" +
+          " AS BIGINT)").as("hi"))
+
+  /** s22: streaming anomaly gate — the monitoring shape every ingest
+    * pipeline runs in front of a model: per-type robust bounds
+    * ([[anomalyBounds]], trained on the historical half) gate the
+    * live half, and a windowed count reports traffic vs anomalies
+    * per (window, type). Registered batch form; [[anomalyStream]] is
+    * the ingest-time twin — the bounds relation is tiny and static
+    * (broadcast), the gate is a stateless projection, and the ONLY
+    * stateful stage is the watermark-bounded window count, so state
+    * is bounded at any feed size. Spec pins stream == batch. */
+  def s22StreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val live = ev.filter(col("event_id") % 2 === 1)
+      .select(col("ts"), col("event_type"),
+        valueMicro(col("value")).as("v"))
+    live.join(broadcast(anomalyBounds(ev)), Seq("event_type"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L)
+          .otherwise(0L)).cast("long").as("n_anom"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n"), col("n_anom"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** s22's ingest-time form: static bounds broadcast against the
+    * live stream, stateless gate, watermarked window count. */
+  def anomalyStream(live: Dataset[ValuedEvent], bounds: DataFrame)
+      : DataFrame =
+    live.toDF()
+      .select(col("ts"), col("event_type"),
+        valueMicro(col("value")).as("v"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L)
+          .otherwise(0L)).cast("long").as("n_anom"))
+
+  val s22Sql: String =
+    """WITH v AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type,
+      |    CAST(quantile_disc(v, 0.01) AS BIGINT) AS lo,
+      |    CAST(quantile_disc(v, 0.99) AS BIGINT) AS hi
+      |  FROM v WHERE event_id % 2 = 0 GROUP BY event_type)
+      |SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR)
+      |    AS w_start,
+      |  v.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN v.v < lo OR v.v > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anom
+      |FROM v JOIN bounds ON v.event_type = bounds.event_type
+      |WHERE event_id % 2 = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

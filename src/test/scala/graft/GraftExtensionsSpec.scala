@@ -155,6 +155,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
          |  AS t(payload)""".stripMargin).head()
     assert(r2.getLong(0) == ((48L << 32) | 16L))
     assert(r2.getLong(1) == -1L && r2.getLong(2) == -1L)
+    // m14: the decoded-luminance gate through the SQL surface
+    val solid = graft.functions.ImageCodec.pngBytes(16, 16)(
+      (_, _) => 0x808080)
+    val r3 = spark.sql(
+      s"""SELECT graft_image_stats(payload, 0) AS mean,
+         |  graft_image_stats(payload, 1) AS rng,
+         |  graft_image_stats(payload, 2) AS vr,
+         |  graft_image_stats(CAST('words' AS BINARY), 0) AS nd
+         |FROM VALUES (X'${solid.map("%02X".format(_)).mkString}')
+         |  AS t(payload)""".stripMargin).head()
+    assert(r3.getLong(0) == 128L && r3.getLong(1) == 0L
+      && r3.getLong(2) == 0L && r3.getLong(3) == -1L)
   }
 
   test("extensions injector applies cleanly") {

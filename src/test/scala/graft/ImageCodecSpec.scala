@@ -161,6 +161,47 @@ class ImageCodecSpec extends AnyFunSuite {
     // GraftExtensionsSpec, whose session carries the extensions)
   }
 
+  test("m14 image_stats: decoded luminance mean/range/variance — " +
+      "the blank/flat admission gate, exact on planted scenes") {
+    import spark.implicits._
+    // solid mid-gray: luma = (77+150+29)·128 >> 8 = 128 exactly —
+    // mean 128, range 0, variance 0 (the blank-frame signature)
+    val solid = ImageCodec.pngBytes(64, 48)((_, _) => 0x808080)
+    assert(ImageCodec.grayStats(solid, 0) == 128L)
+    assert(ImageCodec.grayStats(solid, 1) == 0L)
+    assert(ImageCodec.grayStats(solid, 2) == 0L)
+    // half black / half white: luma 0 and 255, so mean floor 127,
+    // range 255, variance floor(255²/4) = 16256
+    val split = ImageCodec.pngBytes(64, 48)((x, _) =>
+      if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(ImageCodec.grayStats(split, 0) == 127L)
+    assert(ImageCodec.grayStats(split, 1) == 255L)
+    assert(ImageCodec.grayStats(split, 2) == 16256L)
+    // a real scene has contrast; a JPEG of a solid color stays
+    // near-flat through the lossy roundtrip
+    val scene = ImageCodec.pngBytes(64, 48)((x, y) =>
+      (((x * 3 + y * 5) & 0xff) * 0x010101))
+    assert(ImageCodec.grayStats(scene, 1) > 64L)
+    val flatJpg = ImageCodec.imageBytes("jpg", 64, 48)((_, _) => 0x808080)
+    assert(ImageCodec.grayStats(flatJpg, 1) <= 8L)
+    // non-image / truncated payloads hit the -1 sentinel
+    assert(ImageCodec.grayStats("words".getBytes("UTF-8"), 0) == -1L)
+    assert(ImageCodec.grayStats(solid.take(20), 2) == -1L)
+    // the codegen'd expression path: gate a mixed batch in one plan
+    val rows = Seq((1L, solid), (2L, split),
+        (3L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Multimedia.imageMeanLuma(col("payload")).as("mean"),
+        Multimedia.imageLumaRange(col("payload")).as("rng"),
+        Multimedia.imageLumaVariance(col("payload")).as("vr"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((128L, 0L, 0L)))
+    assert(rows(2L) == ((127L, 255L, 16256L)))
+    assert(rows(3L) == ((-1L, -1L, -1L)))
+  }
+
   test("m13 mp4_field: header-only ISO-BMFF probe — timescale/" +
       "duration without demux, v0 and v1 mvhd, skipped boxes") {
     import spark.implicits._

@@ -2111,6 +2111,131 @@ class PipelineSpec extends AnyFunSuite {
         && batch.exceptAll(streamed).count() == 0)
     } finally q.stop()
   }
+
+  test("s22 streamed anomaly gate equals the batch form across " +
+    "multi-batch arrival") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, sf, "events")
+    val bounds = EventStreams.anomalyBounds(ev)
+    val arrivals = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[(Long, Timestamp, String, Double)]
+      .collect().sortBy(_._2.getTime)
+      .map { case (id, ts, et, v) =>
+        EventStreams.ValuedEvent(id, ts, et, v) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.anomalyStream(input.toDS(), bounds)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anomaly_stream").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("anomaly_stream")
+        .select(col("w.start").cast("string").as("w_start"),
+          col("event_type"), col("n"), col("n_anom"))
+      val batch = EventStreams.s22StreamAnomaly(spark, sf)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed anomaly windows differ from the batch form")
+      // the gate actually fires: p1/p99 bounds leave ~2% outside
+      assert(EventStreams.s22StreamAnomaly(spark, sf)
+        .agg(org.apache.spark.sql.functions.sum(col("n_anom")))
+        .as[Long].head > 0)
+    } finally q.stop()
+  }
+
+  test("d93 winnowing realizes its detection guarantee on every " +
+    "planted near-dup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every plant (original minus its tail word) shares a long exact
+    // substring with its source, far beyond k+w-1 chars — winnowing
+    // GUARANTEES a shared fingerprint, and the containment gate must
+    // keep the pair
+    val out = graft.operators.DataSelection.d93Winnowing(spark, sf)
+    val plants = out.filter(col("doc_id") >= 1000000L)
+    assert(plants.count() > 0)
+    assert(plants.filter(col("n_candidates") === 0).count() == 0,
+      "a planted near-dup produced no candidate pair")
+    // and the gate is a gate: most unrelated docs stay quiet
+    val base = out.filter(col("doc_id") < 1000000L)
+    val quiet = base.filter(col("n_candidates") === 0).count().toDouble
+    assert(quiet / base.count() > 0.5,
+      "containment gate passes most of the unrelated corpus")
+  }
+
+  test("d94 nav insert: the delta build never touches the base tree " +
+    "and inserted vectors become reachable through the graph") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val spark2 = spark; import spark2.implicits._
+    val basePath = Similarity.ensureNavBase(spark, sf)
+    val f = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(root: String): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val baseBefore = state(basePath)
+    val deltaPath = Similarity.ensureNavDelta(spark, sf)
+    // O(delta) contract: the base generation is byte-identical after
+    // the insert — no retrain, no base edge/posting rewrite
+    assert(state(basePath) == baseBefore)
+    val dEdges = spark.read.parquet(s"$deltaPath/edges")
+    val redges = spark.read.parquet(s"$deltaPath/redges")
+    assert(dEdges.count() > 0, "no delta out-edges elected")
+    // the bidirectional shrink actually fired: touched nodes had
+    // their adjacency replaced, and some replacement points AT a
+    // delta vector — the in-link that makes the insert reachable
+    val deltaIds = spark.read
+      .option("basePath", s"$deltaPath/postings")
+      .parquet(s"$deltaPath/postings")
+      .select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty)
+    assert(deltaIds.forall(_ % Similarity.DeltaMod == 0))
+    val inLinks = redges.select(col("nbr_id")).as[Long].collect()
+      .count(deltaIds)
+    assert(inLinks > 0,
+      "no replacement adjacency points at an inserted vector")
+    // search over the merged graph: full per-query result sets
+    val res = Similarity.d94NavInsert(spark, sf)
+    assert(res.groupBy("q_id").count().filter(
+      col("count") =!= Similarity.TopK).count() == 0)
+    // repeat search serves from the committed trees — no rebuild
+    val m0 = (state(basePath), state(deltaPath))
+    Similarity.d94NavInsert(spark, sf).collect()
+    assert((state(basePath), state(deltaPath)) == m0,
+      "repeat search rebuilt a nav generation")
+  }
+
+  test("d92 DSIR scores rank the target domain above the rest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scored = graft.operators.DataSelection.d92Dsir(spark, sf)
+      .join(Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val mean = scored.groupBy(col("lang") === "en")
+      .agg(avg(col("spw_micro"))).as[(Boolean, Double)]
+      .collect().toMap
+    assert(mean(true) > mean(false),
+      s"target-domain docs do not outscore the rest: $mean")
+    // selection is a real split, not all-or-nothing
+    val sel = scored.agg(
+      sum(col("selected")), count(lit(1))).as[(Long, Long)].head
+    assert(sel._1 > 0 && sel._1 < sel._2)
+  }
 }
 
 /** Counting KeyedStore for the checkpoint-restart spec: reuses

@@ -274,7 +274,23 @@ class PlanShapeSpec extends AnyFunSuite {
         ("d88's bounded signature broadcasts (dim-row stats + " +
           "NumQueries packed words) twice over — once per fused " +
           "retriever; the fusion groupBy runs on 2 x queries x R " +
-          "rows, never corpus-scaling"))
+          "rows, never corpus-scaling"),
+      "d94_nav_insert" ->
+        ("d84's walk over the inserted graph: the same bounded " +
+          "queries x NavBeam frontier and hop-expansion broadcasts, " +
+          "explicit broadcast() and local-checkpointed per hop — the " +
+          "d84 adjudication verbatim; the graph/posting relations " +
+          "and the merged-edge union never broadcast (anti-join and " +
+          "member joins are hinted shuffles)"),
+      "d92_dsir" ->
+        ("two literal-bounded relations, both explicit broadcast(): " +
+          "the per-bucket log-ratio table (≤ DsirBuckets = 512 rows " +
+          "by construction) and the 1-row corpus-totals scalar (the " +
+          "t12 pattern); the corpus side never broadcasts"),
+      "s22_stream_anomaly" ->
+        ("per-event-type robust bounds: |event_type| rows, explicit " +
+          "broadcast() — the q63 per-group precedent; the live feed " +
+          "side never broadcasts"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -260,7 +260,18 @@ class RelationalSpec extends AnyFunSuite {
       // d89 joins the 11-point scale ladder against 41 literal
       // powers of two on an inequality (≤451 rows total — the whole
       // relation is smaller than one shuffle header)
-      "d89_index_provisioning")
+      "d89_index_provisioning",
+      // d92 cross-joins the 1-row corpus-totals scalar and the 1-row
+      // selection-threshold scalar by broadcast (the t12/d58
+      // pattern) — 1-row build sides, nothing quadratic
+      "d92_dsir",
+      // d94 is d84's walk over the inserted graph: the bounded
+      // scan-fed centroid broadcast (d79's shape) for delta routing
+      // and query entry, plus the walk's bounded queries×beam
+      // frontier broadcasts — every data-scaling join (postings
+      // members, edge re-attach, merged-graph expansion) is a capped
+      // equi-join
+      "d94_nav_insert")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
