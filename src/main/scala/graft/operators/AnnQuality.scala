@@ -150,6 +150,47 @@ object AnnQuality {
     } finally { edgesC.unpersist(); entriesC.unpersist() }
   }
 
+  /** recall@[[RecallK]] of the beam walk over the INSERTED graph
+    * (d94) per beam width: the base graph is built WITHOUT the
+    * delta slice (every 10th corpus vector), the delta is then
+    * batch-inserted via [[Similarity.navInsertParts]] (bidirectional
+    * link + shrink), and the walk runs over the merged graph with
+    * the BASE medoid entries — recall measured against the
+    * FULL-corpus brute truth. Read NEXT TO [[navRecallCurve]] (the
+    * full rebuild at the same beams): the gap is the quality price
+    * of freshness-by-insert, which is the number an operator needs
+    * before trusting d94 between rebuilds. */
+  def insertRecallCurve(spark: SparkSession,
+      beams: Seq[Int] = NavBeams): Seq[(Int, Double)] = {
+    val corp = corpus(spark).select(col("vec_id"), col("qv"))
+    val qs = queries(spark)
+    val base = corp.filter(col("vec_id") < Clusters.toLong ||
+      col("vec_id") % Similarity.DeltaMod =!= 0)
+    val delta = corp.filter(col("vec_id") >= Clusters.toLong &&
+      col("vec_id") % Similarity.DeltaMod === 0)
+    val init = base.filter(col("vec_id") < Clusters.toLong)
+      .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+    val cents = Similarity.kmeansQuantized(
+      base, init, Similarity.KmIters)
+    val (bEdges, bEntries, bPosted) =
+      Similarity.navGraphParts(base, cents)
+    val (dEdges, redges, _) = Similarity.navInsertParts(
+      corp, cents, bPosted, bEdges, delta)
+    val merged = Similarity.mergeNavEdges(bEdges, dEdges, redges)
+      .localCheckpoint()
+    val entriesC = bEntries.localCheckpoint()
+    val truth = bruteTopK(qs, corp, RecallK)
+    val denom = (QueryN * RecallK).toDouble
+    try beams.map { b =>
+      val hits = Similarity.navBeamWalk(qs, corp, cents, merged,
+        entriesC, b, Similarity.NavHops, RecallK)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .count()
+      (b, hits / denom)
+    } finally { merged.unpersist(); entriesC.unpersist() }
+  }
+
   /** recall@[[RecallK]] of the HIERARCHICAL walk (d86) per beam
     * width: same trained router and truth as [[navRecallCurve]], the
     * entry replaced by the HNSW-style layer descent — the committed

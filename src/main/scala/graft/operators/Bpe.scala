@@ -178,12 +178,27 @@ object Bpe {
       .filter(length(col("word")) >= 1)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("n_occ"))
+    perDocWord
+      .join(vocabTokens(perDocWord, rules).hint("shuffle_hash"),
+        Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).cast("long").as("n_words"),
+        sum(col("n_tok") * col("n_occ")).cast("long")
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The vocabulary-only iterative merge loop shared by t23/t33/t34:
+    * distinct words of `words` encoded under `rules` → (word, n_tok).
+    * See [[t23EncodeWith]]'s scaladoc for the scale shape. */
+  private def vocabTokens(words: DataFrame, rules: Seq[Rule])
+      : DataFrame = {
     val batches = rules.grouped(EncodeBatch).toSeq
     val first = batches.headOption.getOrElse(Nil)
       .foldLeft(Seq0) { (e, ru) =>
         s"replace($e, '${ru.pair}', '${ru.merged}')"
       }
-    var enc = perDocWord.select(col("word")).distinct()
+    var enc = words.select(col("word")).distinct()
       .withColumn("enc", expr(first))
     for (batch <- batches.drop(1)) {
       // truncate lineage so the next batch's plan is one replace-chain
@@ -194,17 +209,48 @@ object Bpe {
       }
       enc = enc.withColumn("enc", expr(applied))
     }
-    val vocabTok = enc
-      .select(col("word"),
-        (length(col("enc")) - length(expr("replace(enc, ' ', '')")) + 1)
-          .as("n_tok"))
+    enc.select(col("word"),
+      (length(col("enc")) - length(expr("replace(enc, ' ', '')")) + 1)
+        .as("n_tok"))
+  }
+
+  /** t34: tokenizer FERTILITY per language — the multilingual-equity
+    * report every shared-vocabulary tokenizer owes its corpus: under
+    * the 64 trained rules, tokens-per-word (fertility) and
+    * chars-per-token per language. A vocabulary trained on a
+    * mixed-language corpus merges the dominant language's pairs
+    * first, so under-represented languages encode at higher
+    * fertility — this report is how that bias is measured (and how a
+    * per-language token BUDGET is priced). Same vocabulary-only
+    * merge loop as t23/t33 (one extra column in the per-doc
+    * relation); ratios ship as floor(1e6·a/b) integer micro units —
+    * both engines evaluate the identical double expression on exact
+    * long operands. */
+  def t34Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainMerges(spark, dir, Rounds64)
+    val perDocWord = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
     perDocWord
-      .join(vocabTok.hint("shuffle_hash"), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_occ")).cast("long").as("n_words"),
+      .join(vocabTokens(perDocWord, rules).hint("shuffle_hash"),
+        Seq("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_occ")).cast("long").as("n_words"),
+        sum(length(col("word")) * col("n_occ")).cast("long")
+          .as("n_chars"),
         sum(col("n_tok") * col("n_occ")).cast("long")
           .as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
+      .withColumn("fertility_micro",
+        floor(lit(1000000d) * col("n_bpe_tokens") / col("n_words"))
+          .cast("long"))
+      .withColumn("chars_per_token_micro",
+        floor(lit(1000000d) * col("n_chars") / col("n_bpe_tokens"))
+          .cast("long"))
+      .orderBy(col("lang"))
   }
 
   /** Rounds of the PRODUCTION-DEPTH encode key (t33): the committed
@@ -324,5 +370,47 @@ object Bpe {
        |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
        |FROM words JOIN wt USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for t34: t33's 64-round chain + iterative encode,
+    * re-aggregated per language with the micro-ratio columns. */
+  lazy val t34Sql: String = {
+    val seq0 =
+      """array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> '|' || substring(word, i, 1) || '|'), ' ')"""
+        .stripMargin
+    val stages = (1 to Rounds64).map { r =>
+      s"""e$r AS (
+         |  SELECT word, replace(enc, (SELECT pair FROM t$r),
+         |    (SELECT merged FROM t$r)) AS enc FROM e${r - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${chainN(Rounds64)},
+       |words AS (
+       |  SELECT doc_id, lang, word
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split_regex(lower(text),
+       |          '[^a-z]+')) AS word FROM documents)
+       |  WHERE length(word) >= 1),
+       |e0 AS (SELECT DISTINCT word, $seq0 AS enc FROM words),
+       |$stages,
+       |wt AS (
+       |  SELECT word,
+       |    length(enc) - length(replace(enc, ' ', '')) + 1 AS n_tok
+       |  FROM e$Rounds64),
+       |agg AS (
+       |  SELECT lang,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+       |  FROM words JOIN wt USING (word)
+       |  GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       |  CAST(FLOOR(1000000.0 * n_bpe_tokens / n_words) AS BIGINT)
+       |    AS fertility_micro,
+       |  CAST(FLOOR(1000000.0 * n_chars / n_bpe_tokens) AS BIGINT)
+       |    AS chars_per_token_micro
+       |FROM agg ORDER BY lang""".stripMargin
   }
 }

@@ -2512,64 +2512,8 @@ object Similarity {
             qz.filter(col("vec_id") >= NumQueries).count())
           val delta = qz.filter(col("vec_id") >= NumQueries + cells &&
             col("vec_id") % DeltaMod === 0)
-          val ranked = delta.join(broadcast(cents))
-            .withColumn("dist", qDist(col("qv"), col("qc")))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("vec_id"))
-                .orderBy(col("dist"), col("cent_id"))))
-          val dPosted = ranked.filter(col("rn") === 1)
-            .select(col("vec_id"), col("cent_id").as("cell"), col("qv"))
-          // candidate pool: capped base cells + capped delta cells
-          // (the build's NearDupMaxBucket discipline on both
-          // generations)
-          def capped(m: DataFrame): DataFrame =
-            m.select(col("vec_id"), col("cell"))
-              .join(m.groupBy(col("cell"))
-                .agg(count(lit(1)).as("n"))
-                .filter(col("n") <= NearDupMaxBucket)
-                .select(col("cell")).hint("shuffle_hash"), Seq("cell"))
-          val members = capped(basePost).unionByName(capped(dPosted))
-          val probes = ranked.filter(col("rn") <= CellProbes)
-            .select(col("vec_id"), col("cent_id").as("cell"))
-          val cand = probes.as("a")
-            .join(members.as("b").hint("merge"),
-              col("a.cell") === col("b.cell") &&
-                col("a.vec_id") =!= col("b.vec_id"))
-            .select(col("a.vec_id").as("vec_id"),
-              col("b.vec_id").as("nbr_id"))
-            .distinct()
-          val we = Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist"), col("nbr_id"))
-          def rankCut(c: DataFrame): DataFrame = c.hint("merge")
-            .join(qz.select(col("vec_id"), col("qv").as("qa")),
-              Seq("vec_id"))
-            .join(qz.select(col("vec_id").as("nbr_id"),
-              col("qv").as("qb")), Seq("nbr_id"))
-            .withColumn("dist", qDist(col("qa"), col("qb")))
-            .select(col("vec_id"), col("nbr_id"), col("dist"))
-            .withColumn("rn", row_number().over(we))
-            .filter(col("rn") <= NavK)
-            .select(col("vec_id"), col("nbr_id"))
-          // checkpointed (bounded: delta × NavK rows) AND re-rooted
-          // constraint-free: the checkpoint's LogicalRDD preserves
-          // rankCut's window-filter constraint (rn ≤ NavK) whose rn
-          // attribute the projection pruned, and any later Union
-          // over such a child dies in Catalyst's constraint rewrite
-          // (AttributeMap key-not-found) — createDataFrame over the
-          // materialized rows drops the stale constraints
-          val dEdgesCk = rankCut(cand).localCheckpoint()
-          val dEdges = spark.createDataFrame(dEdgesCk.rdd,
-            dEdgesCk.schema)
-          // bidirectional link + shrink: every touched node re-ranks
-          // (current edges ∪ suitors) once
-          val touched = dEdges.select(col("nbr_id").as("vec_id"))
-            .distinct()
-          val existing = baseEdges.unionByName(dEdges)
-            .join(touched.hint("shuffle_hash"), Seq("vec_id"))
-          val suitors = dEdges.select(col("nbr_id").as("vec_id"),
-            col("vec_id").as("nbr_id"))
-          val redges = rankCut(
-            existing.unionByName(suitors).distinct())
+          val (dEdges, redges, dPosted) =
+            navInsertParts(qz, cents, basePost, baseEdges, delta)
           dEdges.write.parquet(s"$tmp/edges")
           redges.write.parquet(s"$tmp/redges")
           dPosted.repartition(col("cell"))
@@ -2577,6 +2521,91 @@ object Similarity {
         })
       path
     }
+
+  /** The batched HNSW insert itself (see [[ensureNavDelta]]'s
+    * scaladoc): route `delta` against the trained `cents`, elect
+    * top-[[NavK]] out-edges among the probed cells' members (base
+    * postings + delta assignments, hot cells capped), then the
+    * bidirectional link + shrink. `qz` is the full (vec_id, qv)
+    * relation for exact re-attach. Returns (dEdges, redges, dPosted);
+    * the edge relations come back checkpointed (bounded: delta ×
+    * NavK rows) and constraint-severed so downstream unions are safe.
+    * Shared by the committed lifecycle and the recall-curve drill. */
+  def navInsertParts(qz: DataFrame, cents: DataFrame,
+      basePost: DataFrame, baseEdges: DataFrame, delta: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = qz.sparkSession
+    val ranked = delta.join(broadcast(cents))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cent_id"))))
+    val dPosted = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("qv"))
+    // candidate pool: capped base cells + capped delta cells (the
+    // build's NearDupMaxBucket discipline on both generations)
+    def capped(m: DataFrame): DataFrame =
+      m.select(col("vec_id"), col("cell"))
+        .join(m.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= NearDupMaxBucket)
+          .select(col("cell")).hint("shuffle_hash"), Seq("cell"))
+    val members = capped(basePost).unionByName(capped(dPosted))
+    val probes = ranked.filter(col("rn") <= CellProbes)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cand = probes.as("a")
+      .join(members.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val we = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("nbr_id"))
+    def rankCut(c: DataFrame): DataFrame = c.hint("merge")
+      .join(qz.select(col("vec_id"), col("qv").as("qa")),
+        Seq("vec_id"))
+      .join(qz.select(col("vec_id").as("nbr_id"),
+        col("qv").as("qb")), Seq("nbr_id"))
+      .withColumn("dist", qDist(col("qa"), col("qb")))
+      .select(col("vec_id"), col("nbr_id"), col("dist"))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= NavK)
+      .select(col("vec_id"), col("nbr_id"))
+    // checkpointed (bounded: delta × NavK rows) AND re-rooted
+    // constraint-free: the checkpoint's LogicalRDD preserves
+    // rankCut's window-filter constraint (rn ≤ NavK) whose rn
+    // attribute the projection pruned, and any later Union over such
+    // a child dies in Catalyst's constraint rewrite (AttributeMap
+    // key-not-found) — createDataFrame over the materialized rows
+    // drops the stale constraints
+    def sever(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val dEdges = sever(rankCut(cand))
+    // bidirectional link + shrink: every touched node re-ranks
+    // (current edges ∪ suitors) once
+    val touched = dEdges.select(col("nbr_id").as("vec_id"))
+      .distinct()
+    val existing = baseEdges.unionByName(dEdges)
+      .join(touched.hint("shuffle_hash"), Seq("vec_id"))
+    val suitors = dEdges.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"))
+    val redges = sever(rankCut(
+      existing.unionByName(suitors).distinct()))
+    (dEdges, redges, dPosted)
+  }
+
+  /** The updated graph: base edges for untouched nodes, replacement
+    * adjacency for touched ones, delta out-edges. */
+  def mergeNavEdges(baseEdges: DataFrame, dEdges: DataFrame,
+      redges: DataFrame): DataFrame = {
+    val touched = redges.select(col("vec_id")).distinct()
+    baseEdges.unionByName(dEdges)
+      .join(touched.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+      .unionByName(redges)
+  }
 
   /** DELETE the base+delta nav generations (see [[resetIvfIndex]]). */
   def resetNavInsert(spark: SparkSession, dir: String): Unit =
@@ -2602,10 +2631,7 @@ object Similarity {
     val baseEdges = loadIndexPart(spark, basePath, "edges")
     val dEdges = loadIndexPart(spark, deltaPath, "edges")
     val redges = loadIndexPart(spark, deltaPath, "redges")
-    val touched = redges.select(col("vec_id")).distinct()
-    val merged = baseEdges.unionByName(dEdges)
-      .join(touched.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-      .unionByName(redges)
+    val merged = mergeNavEdges(baseEdges, dEdges, redges)
     val qz = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
     val queries = qz.filter(col("vec_id") < NumQueries)
