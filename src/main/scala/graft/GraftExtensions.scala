@@ -95,6 +95,10 @@ object GraftExtensions {
       "graft_image_dims(bin) - (width << 32) | height from a PNG/" +
         "JPEG/GIF header by magic dispatch, -1 otherwise; no decode",
       e => ImageDims(e.head)),
+    fn("graft_exif_orientation",
+      "graft_exif_orientation(bin) - EXIF orientation (1-8) from the" +
+        " JPEG APP1 TIFF IFD0, -1 for non-JPEG/no-EXIF; no decode",
+      e => ExifOrientation(e.head)),
     fn("graft_image_stats",
       "graft_image_stats(bin, idx) - decoded luminance stats: idx 0" +
         " = floor mean luma, 1 = range, 2 = floor variance; -1 for" +

@@ -199,6 +199,108 @@ object ImageCodec {
     else -1L
   }
 
+  /** m15: EXIF orientation probe — the one metadata field an image
+    * pipeline MUST read before any geometric op (a phone photo's
+    * pixels are stored unrotated; thumbnails/aHash/crops that ignore
+    * orientation silently mis-process a third of a mobile corpus):
+    * walks the JPEG marker list (the [[jpegDims]] bounds discipline)
+    * to the APP1 "Exif  " segment, parses the public TIFF
+    * header it wraps (II/MM byte order, magic 42, IFD0 offset — TIFF
+    * 6.0 / EXIF 2.3 specs) and scans IFD0's 12-byte entries for tag
+    * 0x0112 (Orientation, SHORT). Returns 1-8, or -1 for non-JPEG /
+    * no-EXIF / malformed payloads. Header-only — entry count capped
+    * at 256, every read bounds-checked, no sub-IFD recursion, so a
+    * hostile header can't loop or over-read. */
+  def exifOrientation(p: Array[Byte]): Long = {
+    if (p.length < 4 || p(0) != 0xFF.toByte || p(1) != 0xD8.toByte ||
+      p(2) != 0xFF.toByte) return -1L
+    def u8(o: Int): Int = p(o) & 0xff
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    var i = 2
+    var segs = 0
+    var app1 = -1
+    var app1Len = 0
+    while (app1 < 0 && i + 3 < p.length && segs < 256) {
+      if (u8(i) != 0xFF) return -1L
+      while (i + 3 < p.length && u8(i + 1) == 0xFF) i += 1
+      val m = u8(i + 1)
+      if (m == 0xD9 || m == 0xDA) return -1L // EOI/SOS: no EXIF seen
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+      else {
+        val len = be16(i + 2)
+        if (len < 2) return -1L
+        if (m == 0xE1 && i + 2 + len <= p.length && len >= 16 &&
+          p(i + 4) == 'E' && p(i + 5) == 'x' && p(i + 6) == 'i' &&
+          p(i + 7) == 'f' && p(i + 8) == 0 && p(i + 9) == 0) {
+          app1 = i + 10 // TIFF header base
+          app1Len = i + 2 + len // segment end (exclusive)
+        }
+        i += 2 + len
+      }
+      segs += 1
+    }
+    if (app1 < 0) return -1L
+    val base = app1
+    if (base + 8 > app1Len) return -1L
+    val little =
+      if (p(base) == 'I' && p(base + 1) == 'I') true
+      else if (p(base) == 'M' && p(base + 1) == 'M') false
+      else return -1L
+    def tu16(o: Int): Int =
+      if (little) u8(o) | (u8(o + 1) << 8)
+      else (u8(o) << 8) | u8(o + 1)
+    def tu32(o: Int): Long =
+      if (little)
+        u8(o).toLong | (u8(o + 1).toLong << 8) |
+          (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+      else
+        (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+          (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+    if (tu16(base + 2) != 42) return -1L
+    val ifdOff = tu32(base + 4)
+    if (ifdOff < 8 || base + ifdOff + 2 > app1Len) return -1L
+    val ifd = base + ifdOff.toInt
+    val n = math.min(tu16(ifd), 256)
+    var e = ifd + 2
+    var k = 0
+    while (k < n && e + 12 <= app1Len) {
+      if (tu16(e) == 0x0112 && tu16(e + 2) == 3 && tu32(e + 4) == 1L) {
+        val v = tu16(e + 8).toLong
+        return if (v >= 1 && v <= 8) v else -1L
+      }
+      e += 12
+      k += 1
+    }
+    -1L
+  }
+
+  /** Spec helper: a minimal JPEG byte stream carrying ONLY an EXIF
+    * APP1 with the given orientation (SOI + APP1 + EOI) — the probe
+    * never decodes, so the stream needs no scan data; `little`
+    * selects the TIFF byte order so both arms are pinned. */
+  def exifBytes(orientation: Int, little: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(b: Int): Unit = bos.write(b & 0xff)
+    def w16(v: Int, le: Boolean): Unit =
+      if (le) { w(v); w(v >> 8) } else { w(v >> 8); w(v) }
+    def w32(v: Int, le: Boolean): Unit =
+      if (le) { w(v); w(v >> 8); w(v >> 16); w(v >> 24) }
+      else { w(v >> 24); w(v >> 16); w(v >> 8); w(v) }
+    w(0xFF); w(0xD8) // SOI
+    // APP1: len(2) + "Exif\0\0"(6) + TIFF(8) + count(2) + entry(12)
+    //       + next-IFD(4) = 34
+    w(0xFF); w(0xE1); w(0); w(34)
+    bos.write("Exif".getBytes("US-ASCII")); w(0); w(0)
+    if (little) { w('I'); w('I') } else { w('M'); w('M') }
+    w16(42, little); w32(8, little)
+    w16(1, little) // one IFD0 entry
+    w16(0x0112, little); w16(3, little); w32(1, little)
+    w16(orientation, little); w16(0, little) // SHORT value, padded
+    w32(0, little) // no next IFD
+    w(0xFF); w(0xD9) // EOI
+    bos.toByteArray
+  }
+
   /** m14: decoded-pixel luminance statistics — the blank/flat/
     * low-contrast admission gate a media-ingest pipeline runs after
     * the header probes pass (a solid-color or near-blank frame is

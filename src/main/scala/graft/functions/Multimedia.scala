@@ -218,6 +218,23 @@ case class ImageStats(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `exif_orientation(payload)` — header-only EXIF orientation probe
+  * (m15): 1-8 from the JPEG APP1 TIFF IFD0, -1 for non-JPEG /
+  * no-EXIF / malformed. The pre-geometry gate of a mobile-photo
+  * corpus — same no-decode contract as [[PngDims]]. */
+case class ExifOrientation(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ImageCodec.exifOrientation(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageCodec.exifOrientation($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `ahash(thumb)` — average-hash bit pack of a thumbnail. */
 case class AHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -247,6 +264,9 @@ object Multimedia {
 
   def imageDims(payload: Column): Column =
     GraftShim.column(ImageDims(GraftShim.expression(payload)))
+
+  def exifOrientation(payload: Column): Column =
+    GraftShim.column(ExifOrientation(GraftShim.expression(payload)))
 
   def imageMeanLuma(payload: Column): Column =
     GraftShim.column(ImageStats(GraftShim.expression(payload), 0))

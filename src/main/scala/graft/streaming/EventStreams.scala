@@ -1358,4 +1358,54 @@ object EventStreams {
       |FROM v JOIN bounds ON v.event_type = bounds.event_type
       |WHERE event_id % 2 = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- s23: streaming windowed exact quantiles (latency report) ----
+
+  /** s23: per-window exact percentiles — the p50/p95/p99 latency
+    * report every operations dashboard runs on a metric stream:
+    * tumbling 5-minute windows over the value feed, DISCRETE
+    * percentiles on exact integer micro-values (actual data values —
+    * the q88 discipline, so both engines and the streaming twin agree
+    * bit-for-bit; a mean hides exactly the tail this report exists
+    * to show). Registered batch form; [[quantileStream]] is the
+    * ingest twin — Spark's exact percentile aggregates stream
+    * per-window buffers in the state store, and the watermark bounds
+    * how long a window's buffer lives, so state is bounded by the
+    * per-window event volume, not the feed length. Spec pins
+    * stream == batch across micro-batch arrivals. */
+  def s23WindowQuantiles(spark: SparkSession, dir: String): DataFrame =
+    windowQuantiles(Tables.load(spark, dir, "events"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("n"), col("p50"), col("p95"), col("p99"))
+      .orderBy(col("w_start"))
+
+  private def windowQuantiles(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"),
+        round(col("value") * 1000000d, 0).cast("long").as("v"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)" +
+          " AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v)" +
+          " AS BIGINT)").as("p95"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v)" +
+          " AS BIGINT)").as("p99"))
+
+  /** s23's ingest-time form: watermark + the same windowed exact
+    * percentile aggregation. */
+  def quantileStream(live: Dataset[ValuedEvent]): DataFrame =
+    windowQuantiles(live.toDF().withWatermark("ts", "10 minutes"))
+
+  val s23Sql: String =
+    """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR)
+      |    AS w_start,
+      |  COUNT(*) AS n,
+      |  CAST(quantile_disc(CAST(ROUND(value * 1000000, 0) AS BIGINT),
+      |    0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(CAST(ROUND(value * 1000000, 0) AS BIGINT),
+      |    0.95) AS BIGINT) AS p95,
+      |  CAST(quantile_disc(CAST(ROUND(value * 1000000, 0) AS BIGINT),
+      |    0.99) AS BIGINT) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -202,6 +202,44 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(rows(3L) == ((-1L, -1L, -1L)))
   }
 
+  test("m15 exif_orientation: APP1 TIFF IFD0 walk, both byte orders, " +
+      "no decode") {
+    import spark.implicits._
+    // every orientation, both TIFF byte orders
+    (1 to 8).foreach { o =>
+      assert(ImageCodec.exifOrientation(
+        ImageCodec.exifBytes(o, little = true)) == o.toLong)
+      assert(ImageCodec.exifOrientation(
+        ImageCodec.exifBytes(o, little = false)) == o.toLong)
+    }
+    // a REAL JDK-encoded JPEG carries no EXIF → -1 (not a crash);
+    // non-JPEG and truncated payloads → -1
+    val jpg = ImageCodec.imageBytes("jpg", 32, 16)((x, y) =>
+      ((x * 5 + y) & 0xff) * 0x010101)
+    assert(ImageCodec.exifOrientation(jpg) == -1L)
+    assert(ImageCodec.exifOrientation(
+      "not an image".getBytes("UTF-8")) == -1L)
+    val full = ImageCodec.exifBytes(6, little = true)
+    assert(ImageCodec.exifOrientation(full.take(14)) == -1L)
+    // out-of-range orientation value and a corrupt TIFF magic → -1
+    val bad = ImageCodec.exifBytes(6, little = true)
+    bad(30) = 9 // the SHORT value byte (LE): orientation 9 is invalid
+    assert(ImageCodec.exifOrientation(bad) == -1L)
+    val badMagic = ImageCodec.exifBytes(3, little = true)
+    badMagic(14) = 0 // TIFF magic 42 → 0
+    assert(ImageCodec.exifOrientation(badMagic) == -1L)
+    // the codegen'd expression path over a mixed batch
+    val rows = Seq(
+        (1L, ImageCodec.exifBytes(6, little = true)),
+        (2L, ImageCodec.exifBytes(8, little = false)),
+        (3L, jpg), (4L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Multimedia.exifOrientation(col("payload")).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 6L, 2L -> 8L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("m13 mp4_field: header-only ISO-BMFF probe — timescale/" +
       "duration without demux, v0 and v1 mvhd, skipped boxes") {
     import spark.implicits._

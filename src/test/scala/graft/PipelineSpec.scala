@@ -2149,6 +2149,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s23 streamed exact window quantiles equal the batch form " +
+    "across multi-batch arrival") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[(Long, Timestamp, String, Double)]
+      .collect().sortBy(_._2.getTime)
+      .map { case (id, ts, et, v) =>
+        EventStreams.ValuedEvent(id, ts, et, v) }
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 3 + 1)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.quantileStream(input.toDS())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("quantile_stream").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("quantile_stream")
+        .select(col("w.start").cast("string").as("w_start"),
+          col("n"), col("p50"), col("p95"), col("p99"))
+      val batch = EventStreams.s23WindowQuantiles(spark, sf)
+      assert(streamed.exceptAll(batch).count() == 0
+        && batch.exceptAll(streamed).count() == 0,
+        "streamed window quantiles differ from the batch form")
+      // the report is a real tail report: p99 strictly above p50
+      // somewhere
+      assert(batch.filter(col("p99") > col("p50")).count() > 0)
+    } finally q.stop()
+  }
+
   test("d93 winnowing realizes its detection guarantee on every " +
     "planted near-dup") {
     import org.apache.spark.sql.functions._
