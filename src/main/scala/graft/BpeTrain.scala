@@ -28,8 +28,10 @@ object BpeTrain {
       s"""{"sf_dir":"$sfDir","rounds":${rules.size},"secs":${
         String.format(java.util.Locale.ROOT, "%.1f",
           Double.box(secs))},"rules":[$body]}"""
+    // artifact name carries the depth (bpe_train64.json stays the
+    // oracle-replayed default; r14 adds the 1k-rule bpe_train1000.json)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bpe_train64.json"),
+      java.nio.file.Paths.get(s"bpe_train$rounds.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()

@@ -106,9 +106,15 @@ object GraftExtensions {
       e => ImageStats(e.head, intArg(e(1), "graft_image_stats"))),
     fn("graft_mp4_field",
       "graft_mp4_field(bin, idx) - ISO-BMFF moov/mvhd probe: idx 0 " +
-        "= timescale, 1 = duration ticks, 2 = duration micros; -1 " +
+        "= timescale, 1 = duration ticks, 2 = duration micros, 3 = " +
+        "track count, 4 = video tracks, 5 = audio tracks; -1 " +
         "for non-MP4; no demux",
       e => Mp4Field(e.head, intArg(e(1), "graft_mp4_field"))),
+    fn("graft_mp4_tracks",
+      "graft_mp4_tracks(bin) - ISO-BMFF trak walk: handler/codec " +
+        "4CC pairs comma-joined in file order (hdlr + stsd), '' for " +
+        "track-less MP4, '-' for non-MP4; no demux",
+      e => graft.functions.Mp4Tracks(e.head)),
     fn("graft_shingle_hashes_all",
       "graft_shingle_hashes_all(text, n) - one hash per shingle" +
         " occurrence (multiset; feed graft_simhash)",

@@ -164,15 +164,22 @@ object ScaleCurve {
             graft.operators.Similarity.ensureNavBase(spark, d))
           val nbi = t((),
             graft.operators.Similarity.ensureNavDelta(spark, d))
+          // r14: d86's layered graphs moved behind the same committed
+          // lifecycle (verdict item 2) — its one-time build is now an
+          // artifact column like the others
+          val hb = t(
+            graft.operators.Similarity.resetHnswIndex(spark, d),
+            graft.operators.Similarity.ensureHnswIndex(spark, d))
           println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
             s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s," +
             s" d81 base ${fmt(bb)} s, d81 delta ${fmt(db)} s," +
             s" d84 nav index ${fmt(nb)} s, d94 nav base ${fmt(nbb)} s," +
-            s" d94 nav insert ${fmt(nbi)} s")
+            s" d94 nav insert ${fmt(nbi)} s, d86 hnsw ${fmt(hb)} s")
           tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib,
             "d80_index_build" -> pb, "d81_base_build" -> bb,
             "d81_delta_update" -> db, "d84_nav_build" -> nb,
-            "d94_navbase_build" -> nbb, "d94_nav_insert" -> nbi)
+            "d94_navbase_build" -> nbb, "d94_nav_insert" -> nbi,
+            "d86_hnsw_build" -> hb)
         }
 
     def time(key: String, dir: String): Double = {
@@ -323,7 +330,15 @@ object ScaleCurve {
           k -> (JDecimal(BigDecimal(fmt(v))): JValue) }.toList)
       }.toList)
       val navJ = navRetime.toMap
+      // merge per scale tag (ADVICE r13): a builds run that skipped a
+      // scale directory (e.g. sf10 replica absent) must not silently
+      // drop that tag's previously committed numbers
+      val measuredTags = builds.map(_._1).toSet
       val patched = cur.mapField {
+        case ("artifact_builds", JObject(old)) =>
+          ("artifact_builds", JObject(
+            old.filterNot { case (t, _) => measuredTags.contains(t) } ++
+              buildsJ.asInstanceOf[JObject].obj))
         case ("artifact_builds", _) => ("artifact_builds", buildsJ)
         case (tag, JObject(fields)) if navJ.contains(tag) =>
           (tag, JObject(fields.map {

@@ -154,6 +154,9 @@ object ImageCodec {
       if (u8(i) != 0xFF) return -1L
       // fill bytes: any number of 0xFF may pad before a marker
       while (i + 3 < p.length && u8(i + 1) == 0xFF) i += 1
+      // the skip loop may exit on the length bound with i+3 == length;
+      // a length-bearing marker would then read be16(i+2) past the end
+      if (i + 3 >= p.length) return -1L
       val m = u8(i + 1)
       if (m == 0xD9 || m == 0xDA) return -1L // EOI/SOS before any SOF
       if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
@@ -223,6 +226,9 @@ object ImageCodec {
     while (app1 < 0 && i + 3 < p.length && segs < 256) {
       if (u8(i) != 0xFF) return -1L
       while (i + 3 < p.length && u8(i + 1) == 0xFF) i += 1
+      // same truncation guard as jpegDims: the skip loop can exit with
+      // i+3 == length, where be16(i+2) below would over-read
+      if (i + 3 >= p.length) return -1L
       val m = u8(i + 1)
       if (m == 0xD9 || m == 0xDA) return -1L // EOI/SOS: no EXIF seen
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2

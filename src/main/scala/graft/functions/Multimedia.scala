@@ -178,12 +178,13 @@ case class WavField(child: Expression, idx: Int)
 }
 
 /** `mp4_field(payload, idx)` — header-only MP4 metadata probe
-  * (m13): idx 0 = movie timescale, 1 = duration ticks, 2 = duration
-  * in microseconds; -1 for non-MP4 payloads. Same no-decode contract
-  * as [[PngDims]]/[[WavField]], video arm. */
+  * (m13/m16): idx 0 = movie timescale, 1 = duration ticks, 2 =
+  * duration in microseconds, 3 = track count, 4 = video (`vide`)
+  * tracks, 5 = audio (`soun`) tracks; -1 for non-MP4 payloads. Same
+  * no-decode contract as [[PngDims]]/[[WavField]], video arm. */
 case class Mp4Field(child: Expression, idx: Int)
     extends UnaryExpression {
-  require(idx >= 0 && idx <= 2, s"mp4_field idx must be 0..2, got $idx")
+  require(idx >= 0 && idx <= 5, s"mp4_field idx must be 0..5, got $idx")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -192,6 +193,26 @@ case class Mp4Field(child: Expression, idx: Int)
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.VideoCodec.mp4Field($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `mp4_tracks(payload)` — the m16 track table: `handler/codec`
+  * 4CC pairs per moov/trak, comma-joined in file order (e.g.
+  * "vide/avc1,soun/mp4a"); "" for a track-less MP4, "-" for non-MP4.
+  * Header-only (trak/mdia/hdlr + stbl/stsd box walk, hostile sizes
+  * bounded) — the codec-gating arm of [[Mp4Field]]. */
+case class Mp4Tracks(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      VideoCodec.mp4Tracks(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.VideoCodec.mp4Tracks($c))")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -281,6 +302,14 @@ object Multimedia {
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 1))
   def mp4DurationMicros(payload: Column): Column =
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 2))
+  def mp4TrackCount(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 3))
+  def mp4VideoTracks(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 4))
+  def mp4AudioTracks(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 5))
+  def mp4Tracks(payload: Column): Column =
+    GraftShim.column(Mp4Tracks(GraftShim.expression(payload)))
 
   def wavSampleRate(payload: Column): Column =
     GraftShim.column(WavField(GraftShim.expression(payload), 0))

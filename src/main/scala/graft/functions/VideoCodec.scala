@@ -55,6 +55,39 @@ object VideoCodec {
     None
   }
 
+  /** Every box named `name` at one level [from, to) in file order —
+    * the plural [[findBox]] (trak enumeration needs all matches, not
+    * the first). Same 64-box / in-bounds-size discipline: a hostile
+    * size aborts the walk, returning what was found so far. */
+  private def findBoxes(p: Array[Byte], from: Int, to: Int,
+      name: String): List[(Int, Int)] = {
+    val out = List.newBuilder[(Int, Int)]
+    var off = from
+    var boxes = 0
+    while (off + 8 <= to && boxes < 64) {
+      val sz32 = be32(p, off)
+      val (hdr, sz) =
+        if (sz32 == 1L) {
+          if (off + 16 > to) return out.result()
+          (16, be64(p, off + 8))
+        } else (8, sz32)
+      if (sz < hdr || off + sz > to) return out.result()
+      if (tag(p, off + 4, name)) out += ((off + hdr, off + sz.toInt))
+      off += sz.toInt
+      boxes += 1
+    }
+    out.result()
+  }
+
+  /** A 4CC as text, non-printable bytes masked to '?' so a hostile
+    * header can't smuggle control bytes into a string column. */
+  private def fourcc(p: Array[Byte], o: Int): String =
+    if (o + 4 > p.length) "????"
+    else (0 until 4).map { i =>
+      val c = p(o + i) & 0xff
+      if (c >= 0x20 && c < 0x7f) c.toChar else '?'
+    }.mkString
+
   /** Some((timescale, durationTicks)) from moov/mvhd, None for
     * non-MP4 / malformed payloads. */
   def parseMvhd(p: Array[Byte]): Option[(Long, Long)] = {
@@ -80,26 +113,85 @@ object VideoCodec {
     } yield out
   }
 
+  /** m16: the TRACK table — (handler 4CC, codec 4CC) per moov/trak
+    * in file order. Handler comes from trak/mdia/hdlr (handler_type
+    * at payload +8 after version/flags + pre_defined — ISO 14496-12
+    * §8.4.3: `vide`/`soun`/`text`/...), codec from trak/mdia/minf/
+    * stbl/stsd's FIRST sample entry (format 4CC at payload +12 after
+    * version/flags + entry_count + entry size — §8.5.2: `avc1`/
+    * `mp4a`/...). This pair is what a media-ingest filter actually
+    * gates on (m13 reads only duration — r13 verdict near-gap 4).
+    * A trak whose sub-boxes are missing/truncated contributes
+    * "????" parts instead of failing the probe — the per-record
+    * fault-tolerance contract of every header probe here. None for
+    * non-MP4 (no ftyp, no moov). Header-only: the walk touches four
+    * nesting levels of (size, 4cc) headers, never sample data. */
+  def trackEntries(p: Array[Byte]): Option[List[(String, String)]] = {
+    if (p.length < 16 || !tag(p, 4, "ftyp")) return None
+    findBox(p, 0, p.length, "moov").map { case (ms, me) =>
+      findBoxes(p, ms, me, "trak").map { case (ts, te) =>
+        findBox(p, ts, te, "mdia") match {
+          case None => ("????", "????")
+          case Some((ds, de)) =>
+            val handler = findBox(p, ds, de, "hdlr") match {
+              case Some((hs, he)) if hs + 12 <= he => fourcc(p, hs + 8)
+              case _ => "????"
+            }
+            val codec = (for {
+              (ns, ne) <- findBox(p, ds, de, "minf")
+              (bs, be) <- findBox(p, ns, ne, "stbl")
+              (es, ee) <- findBox(p, bs, be, "stsd")
+              if es + 16 <= ee && be32(p, es + 4) >= 1
+            } yield fourcc(p, es + 12)).getOrElse("????")
+            (handler, codec)
+        }
+      }
+    }
+  }
+
+  /** m16's string probe: the track table as `handler/codec` parts
+    * comma-joined in file order (e.g. "vide/avc1,soun/mp4a"); "" for
+    * a track-less MP4 and the "-" sentinel for non-MP4 payloads (the
+    * string sibling of the family's -1 convention — keeps the
+    * expression codegen null-free). */
+  def mp4Tracks(p: Array[Byte]): String = trackEntries(p) match {
+    case None => "-"
+    case Some(ts) => ts.map { case (h, c) => s"$h/$c" }.mkString(",")
+  }
+
   /** Field probe for the Catalyst expression: 0 = movie timescale
     * (ticks/second), 1 = duration in timescale ticks, 2 = duration in
     * MICROSECONDS (ticks · 10⁶ / timescale, integer floor — exact and
-    * engine-portable). -1 for non-MP4 / malformed payloads. */
-  def mp4Field(p: Array[Byte], idx: Int): Long = parseMvhd(p) match {
-    case None => -1L
-    case Some((ts, dur)) => idx match {
-      case 0 => ts
-      case 1 => dur
-      case 2 => if (ts <= 0) -1L else dur * 1000000L / ts
-      case _ => -1L
+    * engine-portable); m16 widens it with the track-walk counters:
+    * 3 = track count, 4 = video (`vide`) tracks, 5 = audio (`soun`)
+    * tracks. -1 for non-MP4 / malformed payloads. */
+  def mp4Field(p: Array[Byte], idx: Int): Long =
+    if (idx >= 3) trackEntries(p) match {
+      case None => -1L
+      case Some(ts) => idx match {
+        case 3 => ts.size.toLong
+        case 4 => ts.count(_._1 == "vide").toLong
+        case 5 => ts.count(_._1 == "soun").toLong
+        case _ => -1L
+      }
     }
-  }
+    else parseMvhd(p) match {
+      case None => -1L
+      case Some((ts, dur)) => idx match {
+        case 0 => ts
+        case 1 => dur
+        case 2 => if (ts <= 0) -1L else dur * 1000000L / ts
+        case _ => -1L
+      }
+    }
 
   /** Spec helper: minimal well-formed MP4 metadata bytes (ftyp +
     * moov/mvhd at the given version) per the public ISO BMFF layout —
     * the probes are pinned on the exact box/field offsets a real
     * muxer writes. */
   def mp4Bytes(timescale: Long, durationTicks: Long,
-      version: Int = 0, leadingFree: Boolean = false): Array[Byte] = {
+      version: Int = 0, leadingFree: Boolean = false,
+      tracks: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -111,7 +203,17 @@ object VideoCodec {
     w32(20); tag("ftyp"); tag("isom"); w32(0); tag("isom")
     if (leadingFree) { w32(8); tag("free") } // skipped-box coverage
     val mvhdLen = if (version == 0) 8 + 100 else 8 + 112
-    w32(8L + mvhdLen); tag("moov")
+    // trak = mdia(hdlr(version/flags + pre_defined + 4cc + 12
+    // reserved) + minf(stbl(stsd(version/flags + entry_count + one
+    // 16-byte sample entry)))) — the minimal canonical nesting the
+    // m16 walk reads (ISO 14496-12 §8.3-8.5 layouts)
+    val hdlrLen = 8 + 4 + 4 + 4 + 12
+    val stsdLen = 8 + 4 + 4 + 16
+    val stblLen = 8 + stsdLen
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + hdlrLen + minfLen
+    val trakLen = 8 + mdiaLen
+    w32(8L + mvhdLen + trakLen.toLong * tracks.size); tag("moov")
     w32(mvhdLen.toLong); tag("mvhd")
     out.write(version); out.write(0); out.write(0); out.write(0)
     if (version == 0) {
@@ -122,6 +224,19 @@ object VideoCodec {
       w64(0); w64(0)
       w32(timescale); w64(durationTicks)
       (0 until 112 - 32).foreach(_ => out.write(0))
+    }
+    tracks.foreach { case (handler, codec) =>
+      w32(trakLen.toLong); tag("trak")
+      w32(mdiaLen.toLong); tag("mdia")
+      w32(hdlrLen.toLong); tag("hdlr")
+      w32(0); w32(0); tag(handler) // version/flags, pre_defined, 4cc
+      (0 until 12).foreach(_ => out.write(0)) // reserved
+      w32(minfLen.toLong); tag("minf")
+      w32(stblLen.toLong); tag("stbl")
+      w32(stsdLen.toLong); tag("stsd")
+      w32(0); w32(1) // version/flags, entry_count
+      w32(16); tag(codec) // sample entry: size + format 4cc
+      (0 until 8).foreach(_ => out.write(0)) // entry reserved tail
     }
     out.toByteArray
   }

@@ -174,10 +174,12 @@ object AnnQuality {
       base, init, Similarity.KmIters)
     val (bEdges, bEntries, bPosted) =
       Similarity.navGraphParts(base, cents)
+    val cks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (dEdges, redges, _) = Similarity.navInsertParts(
-      corp, cents, bPosted, bEdges, delta)
+      corp, cents, bPosted, bEdges, delta, cks)
     val merged = Similarity.mergeNavEdges(bEdges, dEdges, redges)
       .localCheckpoint()
+    cks.foreach(_.unpersist()) // merged is materialized past them
     val entriesC = bEntries.localCheckpoint()
     val truth = bruteTopK(qs, corp, RecallK)
     val denom = (QueryN * RecallK).toDouble

@@ -1770,9 +1770,9 @@ object Dedup {
     * anyone wires quality-weighted dedup (d46) into production: docs
     * bucket into quality deciles and each decile reports its
     * exact-duplicate rate. Decile CUTS come from the value-histogram
-    * prefix sums (the q71/q74 machinery — the quality score lives on
-    * a bounded integer grid of ≤1e6+1 values, so the global cum
-    * window is domain-bounded, gate-allowlisted); the 9 cut values
+    * prefix sums (the q71/q74 machinery on the ≤1e6+1-value quality
+    * grid), computed with the d23 bin-parallel two-level prefix sum
+    * (r14: no single-partition window anywhere); the 9 cut values
     * reduce to ONE row INSIDE the returned plan and broadcast onto
     * the corpus via a 1-row cross join, so the whole computation —
     * including the bounded cum window — is visible to the
@@ -1799,13 +1799,34 @@ object Dedup {
             .otherwise(0.0)) * 1e6, 0).cast("long"))
       .select(col("doc_id"), col("qmic"),
         md5(col("text").cast("binary")).as("h"))
-    val wCum = Window.orderBy(col("qmic"))
+    // r14 (verdict item 8): the cum window over the qmic histogram
+    // was the suite's last DOMAIN-bounded (≤1e6+1 row)
+    // single-partition window — retired with the d23 two-level
+    // distributed prefix sum. Bins come from the LITERAL qmic grid
+    // bound (qmic = round(score·1e6), score ∈ [0,1] by construction
+    // — no collected scalar needed); the per-bin offsets come from a
+    // triangular self-join over the |bins|-row totals (no top-level
+    // window at all — d58 leaves the window-gate allowlist); the
+    // corpus-scaling cum runs in windows PARTITIONED by bin. The
+    // grand total rides the 1-row t12 scalar pattern. Semantics are
+    // identical to the naive global cumsum the oracle replays.
+    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val binOf = least(lit(bins - 1),
+      (col("qmic") * bins / lit(1000001L)).cast("int"))
+    val hist = q.groupBy(col("qmic")).agg(count(lit(1)).as("c"))
+      .withColumn("bin", binOf)
+    val binTotals = hist.groupBy(col("bin")).agg(sum(col("c")).as("bc"))
+    val offsets = binTotals.as("a")
+      .join(binTotals.as("b"), col("b.bin") < col("a.bin"), "left")
+      .select(col("a.bin").as("bin"), col("b.bc").as("prev_bc"))
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("prev_bc")), lit(0L)).as("offset"))
+    val tot = binTotals.agg(sum(col("bc")).as("n"))
+    val wRow = Window.partitionBy(col("bin")).orderBy(col("qmic"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = q.groupBy(col("qmic")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("n", sum(col("c")).over(wAll))
+    val cum = hist.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum", col("offset") + sum(col("c")).over(wRow))
+      .crossJoin(broadcast(tot))
     val cutCols = (1 to 9).map(i => expr(
       s"min(CASE WHEN cum >= (n * $i) div 10 THEN qmic END)")
       .as(s"c$i"))

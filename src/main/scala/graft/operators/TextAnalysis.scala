@@ -1378,4 +1378,126 @@ object TextAnalysis {
        |    / MAX(ns) / 1000000.0, 6) + 0.0 AS kl_nats
        |FROM con GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- t35: HTML→text extraction (crawl-corpus front door) ----------
+
+  /** Blocks whose link-text share exceeds 1/3 are boilerplate —
+    * jusText/trafilatura's link-density heuristic (public), kept as
+    * an exact integer comparison (link_chars·3 ≤ n_chars) so the
+    * decision replays on any engine with no float rounding. */
+  val HtmlLinkDensityNum = 3
+
+  /** t35: HTML→text extraction — the step BEFORE every text operator
+    * when the corpus arrives as crawled pages (r13 verdict near-gap
+    * 2: t01-t34 all assume clean text). Public-heuristic shape
+    * (jusText / trafilatura, boilerplate-by-link-density): drop
+    * script/style/head subtrees, split the page into blocks at
+    * block-level tag boundaries (nav/div/p/body/html), strip
+    * remaining tags per block, and classify each block by LINK
+    * DENSITY — the share of its visible characters that live inside
+    * <a> anchors (navigation chrome ≈ 1.0, body prose ≈ 0). Emitted
+    * per block: exact integer char/link counts, the density, and the
+    * keep verdict, so the kept rows feed t11/d16 directly.
+    *
+    * The test corpus has no HTML, so each document is wrapped in a
+    * deterministic PLANTED page (title + style + a script whose
+    * string literal contains a decoy `<div>`, a 3-link nav bar, the
+    * document text as the content block with one inline citation
+    * link, and a 2-link footer) — built with the same concat in
+    * Spark and the oracle, so extraction correctness is
+    * hash-verified end-to-end: the decoy must die with the script,
+    * nav/footer must be dropped, the content block kept. Everything
+    * is scalar regex work inside whole-stage codegen — at 100 TB
+    * this is a pure map stage, no shuffle until the final sort. */
+  def t35HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>d</title><style>.m{color:red}</style>" +
+        "<script>var s=\"<div>decoy</div>\";</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav><div>"),
+      trim(col("text")),
+      lit(" <a href=\"#ref\">"), col("source"), lit("</a></div>" +
+        "<div><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a>" +
+        "</div></body></html>"))
+    val noScript = regexp_replace(page,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noHead = regexp_replace(noStyle,
+      "(?is)<head[^>]*>.*?</head>", " ")
+    val blocks = split(noHead, "(?i)</?(?:nav|div|p|body|html)[^>]*>")
+    val raws = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(blocks).as(Seq("pos", "raw")))
+    val linkArr = regexp_extract_all(col("raw"),
+      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val stripped = trim(regexp_replace(
+      regexp_replace(col("raw"), "<[^>]*>", " "), "\\s+", " "))
+    raws
+      .withColumn("link_chars", coalesce(aggregate(linkArr, lit(0L),
+        (acc, x) => acc + length(x).cast("long")), lit(0L)))
+      .withColumn("block_text", stripped)
+      .withColumn("n_chars", length(col("block_text")).cast("long"))
+      .filter(col("n_chars") > 0)
+      .withColumn("blk", (col("pos") + 1).cast("long"))
+      .withColumn("n_words",
+        size(split(col("block_text"), " ")).cast("long"))
+      .withColumn("link_density",
+        round(col("link_chars").cast("double") / col("n_chars"), 6)
+          + lit(0.0))
+      .withColumn("kept",
+        (col("link_chars") * HtmlLinkDensityNum <= col("n_chars"))
+          .cast("long"))
+      .select(col("doc_id"), col("blk"), col("n_chars"),
+        col("link_chars"), col("link_density"), col("n_words"),
+        col("kept"),
+        when(col("kept") === 1L, col("block_text")).otherwise(lit(""))
+          .as("block_text"))
+      .orderBy(col("doc_id"), col("blk"))
+  }
+
+  lazy val t35Sql: String =
+    s"""WITH pg AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>d</title><style>.m{color:red}</style>'
+       |    || '<script>var s="<div>decoy</div>";</script></head><body>'
+       |    || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+       |    || '<a href="/c">Contact</a></nav><div>'
+       |    || trim(text) || ' <a href="#ref">' || source || '</a></div>'
+       |    || '<div><a href="/p">Privacy</a> | <a href="/t">Terms</a>'
+       |    || '</div></body></html>' AS page
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |cleaned AS (
+       |  SELECT doc_id, string_split_regex(
+       |    regexp_replace(regexp_replace(regexp_replace(page,
+       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+       |    '(?i)</?(?:nav|div|p|body|html)[^>]*>') AS bs
+       |  FROM pg),
+       |blk AS (
+       |  SELECT doc_id, unnest(bs) AS raw,
+       |    unnest(generate_series(1, len(bs))) AS blk
+       |  FROM cleaned),
+       |m AS (
+       |  SELECT doc_id, CAST(blk AS BIGINT) AS blk,
+       |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ',
+       |      'g'), '\\s+', ' ', 'g')) AS block_text,
+       |    CAST(COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |      x -> length(x))), 0) AS BIGINT) AS link_chars
+       |  FROM blk)
+       |SELECT doc_id, blk,
+       |  CAST(length(block_text) AS BIGINT) AS n_chars, link_chars,
+       |  ROUND(CAST(link_chars AS DOUBLE) / length(block_text), 6)
+       |    + 0.0 AS link_density,
+       |  CAST(len(string_split(block_text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(CASE WHEN link_chars * $HtmlLinkDensityNum
+       |    <= length(block_text) THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  CASE WHEN link_chars * $HtmlLinkDensityNum
+       |    <= length(block_text) THEN block_text ELSE '' END
+       |    AS block_text
+       |FROM m WHERE length(block_text) > 0
+       |ORDER BY doc_id, blk""".stripMargin
 }

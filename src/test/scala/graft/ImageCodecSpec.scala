@@ -276,6 +276,79 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got(1L) == ((90000L, 500000L)) && got(2L) == ((-1L, -1L)))
   }
 
+  test("m16 mp4 track walk: stream counts + codec 4CCs from " +
+      "trak/hdlr/stsd on canonical boxes, hostile sizes bounded") {
+    import spark.implicits._
+    import graft.functions.VideoCodec
+    // the canonical A/V mux: one avc1 video track, one mp4a audio
+    val av = VideoCodec.mp4Bytes(90000L, 45000L,
+      tracks = Seq("vide" -> "avc1", "soun" -> "mp4a"))
+    assert(VideoCodec.mp4Tracks(av) == "vide/avc1,soun/mp4a")
+    assert(VideoCodec.mp4Field(av, 3) == 2L)
+    assert(VideoCodec.mp4Field(av, 4) == 1L)
+    assert(VideoCodec.mp4Field(av, 5) == 1L)
+    // the mvhd fields still read through the widened moov
+    assert(VideoCodec.mp4Field(av, 2) == 500000L)
+    // audio-only and multi-track orders preserve file order
+    val audio = VideoCodec.mp4Bytes(600L, 600L,
+      tracks = Seq("soun" -> "mp4a"))
+    assert(VideoCodec.mp4Tracks(audio) == "soun/mp4a")
+    assert((VideoCodec.mp4Field(audio, 4), VideoCodec.mp4Field(audio, 5))
+      == ((0L, 1L)))
+    val multi = VideoCodec.mp4Bytes(600L, 600L, tracks =
+      Seq("soun" -> "mp4a", "vide" -> "hvc1", "text" -> "tx3g"))
+    assert(VideoCodec.mp4Tracks(multi) == "soun/mp4a,vide/hvc1,text/tx3g")
+    assert(VideoCodec.mp4Field(multi, 3) == 3L)
+    // track-less MP4: empty table, zero counts (not the sentinel)
+    val bare = VideoCodec.mp4Bytes(1000L, 1500L)
+    assert(VideoCodec.mp4Tracks(bare) == "" &&
+      VideoCodec.mp4Field(bare, 3) == 0L)
+    // non-MP4 payloads: "-" / -1 sentinels
+    assert(VideoCodec.mp4Tracks("not video".getBytes("UTF-8")) == "-")
+    assert(VideoCodec.mp4Field("not video".getBytes("UTF-8"), 3) == -1L)
+    // a trak whose mdia is truncated degrades to ???? parts, never
+    // throws (per-record fault tolerance on hostile headers)
+    val torn = av.clone()
+    // break the first trak's mdia tag so its sub-walk finds nothing
+    val mdiaOff = {
+      def find(tag: String, from: Int): Int = {
+        val b = tag.getBytes("US-ASCII")
+        (from until torn.length - 4).find(i => torn(i) == b(0) &&
+          torn(i + 1) == b(1) && torn(i + 2) == b(2) &&
+          torn(i + 3) == b(3)).get
+      }
+      find("mdia", 0)
+    }
+    torn(mdiaOff) = 'X'
+    assert(VideoCodec.mp4Tracks(torn).startsWith("????/????"))
+    // hostile zero box size inside moov cannot loop the trak walk
+    val badSz = av.clone()
+    // zero the first trak's size word (trak tag found, back up 4)
+    val trakOff = (0 until badSz.length - 4).find(i =>
+      badSz(i) == 't' && badSz(i + 1) == 'r' && badSz(i + 2) == 'a' &&
+        badSz(i + 3) == 'k').get - 4
+    badSz(trakOff) = 0; badSz(trakOff + 1) = 0
+    badSz(trakOff + 2) = 0; badSz(trakOff + 3) = 0
+    assert(VideoCodec.mp4Field(badSz, 3) == 0L) // bounded abort
+    // the codegen'd expression path over mixed payloads
+    val got = Seq((1L, av), (2L, "txt".getBytes("UTF-8")), (3L, bare))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.Multimedia.mp4Tracks(col("payload")).as("t"),
+        graft.functions.Multimedia.mp4VideoTracks(col("payload")).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("vide/avc1,soun/mp4a", 1L)))
+    assert(got(2L) == (("-", -1L)) && got(3L) == (("", 0L)))
+    // the SQL surface (spark.sql callable like the other probes; the
+    // shared test session has no extensions — retrofit-register)
+    GraftExtensions.register(spark)
+    val sq = spark.sql(
+      "SELECT graft_mp4_tracks(X'00') AS t, graft_mp4_field(X'00', 3) AS n")
+      .collect()(0)
+    assert(sq.getString(0) == "-" && sq.getLong(1) == -1L)
+  }
+
   test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
       "duration without sample decode") {
     import spark.implicits._

@@ -223,6 +223,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.exists(new Path(root, p)), s"missing $p/"))
   }
 
+  test("d86 hnsw index: the layered graphs live in a committed tree, " +
+    "repeat searches reload (never retrain or rebuild), determinism") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensureHnswIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Seq[(String, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    // every part the query path loads is in the committed tree:
+    // router (build provenance), global entry, one edge relation per
+    // layer down to 0
+    (Seq("centroids", "entry") ++
+      (0 to Similarity.HnswMaxLvl).map(l => s"edges_l$l")).foreach(p =>
+      assert(f.exists(new Path(root, p)), s"missing $p/"))
+    val m0 = mtimes()
+    val r1 = Similarity.d86HnswSearch(spark, sf).collect().toSeq
+    assert(r1.nonEmpty)
+    val r2 = Similarity.d86HnswSearch(spark, sf).collect().toSeq
+    assert(r2 == r1, "hierarchical walk is not deterministic")
+    assert(mtimes() == m0,
+      "repeat d86 search rebuilt the committed hnsw tree (the r13 " +
+        "inline-retrain weak flag must stay fixed)")
+  }
+
   test("d81 incremental update: the delta build never touches the " +
     "base tree, never retrains, and search covers base and delta") {
     import org.apache.spark.sql.functions._

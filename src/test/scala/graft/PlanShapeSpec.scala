@@ -282,6 +282,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "d84 adjudication verbatim; the graph/posting relations " +
           "and the merged-edge union never broadcast (anti-join and " +
           "member joins are hinted shuffles)"),
+      "d95_two_level_route" ->
+        ("the two-level descent's bounded broadcasts: the 4-row L2 " +
+          "group centroids and |cells|-row cell→group relation " +
+          "(both k×dim literals / literal-derived, the d22/d25 " +
+          "adjudication), and the queries x NProbe probe relation " +
+          "(the d25 probe shape); the corpus side never broadcasts"),
       "d92_dsir" ->
         ("two literal-bounded relations, both explicit broadcast(): " +
           "the per-bucket log-ratio table (≤ DsirBuckets = 512 rows " +
@@ -361,10 +367,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "apportionment windows over the source aggregate: |sources| rows",
       "d62_epoch_shuffle" ->
         "per-bin offset window: 256 rows (hash-byte bins)",
-      "d58_quality_calibration" ->
-        ("cum window over the bounded qmic value histogram: <=1e6+1 " +
-          "rows (folded into the registered plan r9 — previously an " +
-          "eager side-job the sweep could not see)"),
+      // d58 left this allowlist in r14: its domain-bounded cum window
+      // over the qmic histogram was retired with the d23 two-level
+      // prefix sum (per-bin offsets via a triangular |bins|-row
+      // self-join, within-bin windows partitioned by bin)
       "d78_sequence_pack" ->
         ("prefix-offset window over the per-bin sequence counts: " +
           "|bins| rows — d23/m07's allowlisted bounded-prefix-offset " +

@@ -231,6 +231,11 @@ class RelationalSpec extends AnyFunSuite {
       // d75 composes d25's literal centroid broadcast for its
       // assignment and probe legs (same adjudication as d25)
       "d75_filtered_ivf",
+      // d95 composes d25's literal centroid broadcasts at BOTH
+      // router levels (L1 cells and the 4-row L2 groups — each a
+      // collected k×dim literal) plus the bounded |cells|-row
+      // cell→group relation; the postings join is the d25 equi-join
+      "d95_two_level_route",
       // t32 cross-joins ONE corpus-token-total row by broadcast (the
       // t12/t15 scalar pattern) — a 1-row build side, nothing
       // quadratic; its vocabulary-sized term join is shuffle_hash
@@ -241,11 +246,10 @@ class RelationalSpec extends AnyFunSuite {
       // adds d30's bounded shortlist re-rank (queries×R broadcast)
       "d79_persisted_ivf", "d81_incremental_ivf",
       "d82_persisted_prod",
-      // d86's registered plan embeds the layer-0 graph construction
-      // (the per-hop frontiers are checkpointed, the edge relation is
-      // built in-plan like d66's): the d22 literal 16-row centroid
-      // broadcast appears for assignment/probing — same adjudication
-      // as d66/d25; every data-scaling join is a capped equi-join.
+      // d86's registered plan (r14: loads the COMMITTED layer tree,
+      // no in-plan graph build) cross-joins the 1-row global entry
+      // by broadcast (the t12 scalar pattern); the walk joins are
+      // bounded frontier broadcasts — same adjudication as d84.
       // d87 is d81's probe leg over the COMPACTED committed tree —
       // the same bounded scan-fed centroid broadcast as d79/d81.
       "d86_hnsw_search", "d87_index_compaction",
