@@ -24,8 +24,15 @@ object BpeTrain {
       s"""{"rnd":${r.rnd},"pair":"${r.pair}","merged":"${r.merged
         }","yield":${r.freq}}"""
     }.mkString(",")
+    // rounds < requested ⇒ the corpus's vocabulary CLOSED: every
+    // word fully merged, training terminated with nothing left to
+    // learn (the sf0.1 synthetic corpus has 30 distinct words and
+    // closes at 89 merges — the honest depth bound of this corpus,
+    // not of the loop; BpeSpec proves the encode at 1000+ live rules
+    // on a planted wide-vocabulary corpus)
     val json =
-      s"""{"sf_dir":"$sfDir","rounds":${rules.size},"secs":${
+      s"""{"sf_dir":"$sfDir","requested":$rounds,"rounds":${
+        rules.size},"secs":${
         String.format(java.util.Locale.ROOT, "%.1f",
           Double.box(secs))},"rules":[$body]}"""
     // artifact name carries the depth (bpe_train64.json stays the
