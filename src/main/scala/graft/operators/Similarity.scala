@@ -2593,6 +2593,111 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Durable (pid-free) home of the committed two-level router. */
+  def routerIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_router_idx_v$AnnIndexV" +
+      s"_g${L2Groups}p${L2Probe}i$KmIters" +
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
+
+  /** Build-if-absent the persisted TWO-LEVEL router — d95's routing
+    * as a committed artifact (the d79 lifecycle applied to the
+    * sharded router): `l2cents/` (the only layer a 10⁹-cell
+    * deployment broadcasts), `cellgroups/` (cell → group + cell
+    * centroid, read group-pruned at scale), `postings/`
+    * (cell-partitioned assignments — the same hive layout whose
+    * dynamic pruning d79 plan-pins). Build arithmetic identical to
+    * d95's inline chain, so the committed d95 oracle verifies the
+    * loaded index too. */
+  def ensureRouterIndex(spark: SparkSession, dir: String): String =
+    routerIndexPath(dir).intern.synchronized {
+      val path = routerIndexPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val qz = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+          val cands = qz.filter(col("vec_id") >= NumQueries)
+          val init = qz.filter(col("vec_id") >= NumQueries &&
+              col("vec_id") < NumQueries + IvfCells)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+          val cents = kmeansQuantized(train, init, KmIters)
+          val cellVecs = cents.select(col("cent_id").as("vec_id"),
+            col("qc").as("qv"))
+          val l2init = cellVecs
+            .filter(col("vec_id") < NumQueries + L2Groups)
+            .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
+          val l2cents = kmeansQuantized(cellVecs, l2init, KmIters)
+          l2cents.coalesce(1).write.parquet(s"$tmp/l2cents")
+          ivfAssign(cellVecs, l2cents)
+            .select(col("vec_id").as("cell"), col("cell").as("grp"),
+              col("qv").as("cqc"))
+            .coalesce(1).write.parquet(s"$tmp/cellgroups")
+          ivfAssign(cands, cents)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** DELETE the durable two-level router (see [[resetIvfIndex]]). */
+  def resetRouterIndex(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(routerIndexPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** d96: the two-level routed search over the PERSISTED router —
+    * load `l2cents` + `cellgroups` + cell-partitioned `postings` and
+    * run d95's descent with ZERO training/assignment jobs at query
+    * time. The two-level economics land on disk too: only the L2
+    * layer broadcasts, the cell→group relation reads group-pruned,
+    * and the postings scan is dynamically partition-pruned to the
+    * probed cells (the d79 contract one level down). Results are
+    * bit-identical to d95's inline chain (the build is
+    * deterministic), so d95's oracle verifies this key unchanged. */
+  def d96PersistedRouter(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureRouterIndex(spark, dir)
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val l2cents = spark.read
+      .parquet(files.filter(_.contains("/l2cents/")): _*)
+    val cellGroups = spark.read
+      .parquet(files.filter(_.contains("/cellgroups/")): _*)
+    val assigned = spark.read.option("basePath", s"$root/postings")
+      .parquet(files.filter(_.contains("/postings/")): _*)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("qv"))
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    val wg = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("grp"))
+    val gprobes = queries.join(broadcast(l2cents))
+      .withColumn("grp", col("cent_id"))
+      .withColumn("dist", qDist(col("q_qv"), col("qc")))
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= L2Probe)
+      .select(col("q_id"), col("q_qv"), col("grp"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probes = gprobes
+      .join(broadcast(cellGroups), Seq("grp"))
+      .withColumn("dist", qDist(col("q_qv"), col("cqc")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_qv"), col("cell"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- d94: incremental nav-graph INSERT (serving-graph freshness) -
 
   /** Durable homes of the base/delta generations of the navigable

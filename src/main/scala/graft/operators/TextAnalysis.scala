@@ -1500,4 +1500,130 @@ object TextAnalysis {
        |    AS block_text
        |FROM m WHERE length(block_text) > 0
        |ORDER BY doc_id, blk""".stripMargin
+
+  // ---- t36: URL canonicalization + dedup by canonical URL -----------
+
+  /** t36: URL canonicalization — the OTHER crawl-corpus front door
+    * next to t35 (a crawler's frontier and its dedup both key on the
+    * canonical URL; without it the same page is fetched and kept
+    * once per tracking-link variant): lowercase scheme and host,
+    * strip the scheme's default port (http:80 / https:443), strip a
+    * leading `www.`, drop the fragment, drop `utm_*` tracking
+    * params, sort the surviving query params, collapse duplicate
+    * and trailing slashes — the public canonicalization core every
+    * crawler ships (RFC 3986 §6 normalization + the conventional
+    * tracking-param strip). Path CASE is preserved (paths are
+    * case-sensitive per the RFC; only scheme/host fold).
+    *
+    * The corpus has no URL column, so each doc plants a
+    * deterministic raw URL (doc_id%4 picks among: uppercased
+    * host + default port + utm + fragment + doubled slashes; plain
+    * http with default port; doubled slashes + unsorted params +
+    * utm; already-canonical) — variants 2 and 3 collapse to the
+    * SAME canonical per source, so the dedup verdict is planted and
+    * hash-verified. Emits (doc_id, canon_url, rep_doc_id = min doc
+    * per canonical, n_dups, is_dup) — the frontier-dedup relation.
+    * All scalar string/regex work (codegen'd map stage) plus one
+    * canonical-URL aggregate; at 100 TB the aggregate shuffles on
+    * the canonical key exactly like d01's hash dedup. */
+  def t36UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".COM:443//news//Item/?utm_source=rss&z=9&a=1#top")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://"), col("source"),
+            lit(".com:80/news/item")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), upper(col("source")),
+            lit(".COM/news//item//?b=2&a=1&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), col("source"),
+          lit(".com/news/item?a=1&b=2"))))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw_url"))
+    val scheme = lower(regexp_extract(col("raw_url"),
+      "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(col("raw_url"),
+      "^[A-Za-z]+://([^/?#]*)", 1))
+    val host0 = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(host0, "^www\\.", "")
+    val pqf = regexp_extract(col("raw_url"),
+      "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+    val pq = regexp_replace(pqf, "#.*$", "")
+    val path0 = regexp_extract(pq, "^([^?]*)", 1)
+    val path = regexp_replace(regexp_replace(path0, "/+", "/"),
+      "/$", "")
+    val query0 = regexp_extract(pq, "\\?(.*)$", 1)
+    val query = array_join(array_sort(filter(split(query0, "&"),
+      x => !x.startsWith("utm_") && x =!= "")), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query))
+        .otherwise(lit("")))
+    val canoned = docs.withColumn("canon_url", canon)
+    val groups = canoned.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_dups"))
+    canoned
+      .join(groups.hint("shuffle_hash"), Seq("canon_url"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("rep_doc_id")).cast("long"))
+      .select(col("doc_id"), col("canon_url"), col("rep_doc_id"),
+        col("n_dups"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t36Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, CASE doc_id % 4
+       |    WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+       |      || '.COM:443//news//Item/?utm_source=rss&z=9&a=1#top'
+       |    WHEN 1 THEN 'http://' || source || '.com:80/news/item'
+       |    WHEN 2 THEN 'https://' || upper(source)
+       |      || '.COM/news//item//?b=2&a=1&utm_campaign=x'
+       |    ELSE 'https://www.' || source || '.com/news/item?a=1&b=2'
+       |    END AS raw_url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]*)', 1))
+       |      AS hostport,
+       |    regexp_replace(
+       |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*(.*)$$', 1),
+       |      '#.*$$', '') AS pq
+       |  FROM raw),
+       |comp AS (
+       |  SELECT doc_id, scheme,
+       |    regexp_replace(CASE
+       |      WHEN scheme = 'http'
+       |        THEN regexp_replace(hostport, ':80$$', '')
+       |      WHEN scheme = 'https'
+       |        THEN regexp_replace(hostport, ':443$$', '')
+       |      ELSE hostport END, '^www\\.', '') AS host,
+       |    regexp_replace(regexp_replace(
+       |      regexp_extract(pq, '^([^?]*)', 1), '/+', '/', 'g'),
+       |      '/$$', '') AS path,
+       |    array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(pq, '\\?(.*)$$', 1), '&'),
+       |      x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+       |      AS query
+       |  FROM parts),
+       |canon AS (
+       |  SELECT doc_id, scheme || '://' || host || path ||
+       |    CASE WHEN length(query) > 0 THEN '?' || query ELSE '' END
+       |      AS canon_url
+       |  FROM comp),
+       |g AS (
+       |  SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_dups
+       |  FROM canon GROUP BY 1)
+       |SELECT c.doc_id, c.canon_url, g.rep_doc_id, g.n_dups,
+       |  CAST(CASE WHEN c.doc_id <> g.rep_doc_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_dup
+       |FROM canon c JOIN g USING (canon_url)
+       |ORDER BY c.doc_id""".stripMargin
 }

@@ -223,6 +223,36 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.exists(new Path(root, p)), s"missing $p/"))
   }
 
+  test("d96 persisted router: the two-level tree commits once, " +
+    "repeat searches reload, and results equal d95's inline chain") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensureRouterIndex(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Seq[(String, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    Seq("l2cents", "cellgroups", "postings").foreach(p =>
+      assert(f.exists(new Path(root, p)), s"missing $p/"))
+    val m0 = mtimes()
+    val r1 = Similarity.d96PersistedRouter(spark, sf).collect().toSeq
+    assert(r1.nonEmpty)
+    val r2 = Similarity.d96PersistedRouter(spark, sf).collect().toSeq
+    assert(r2 == r1, "persisted-router search is not deterministic")
+    assert(mtimes() == m0, "repeat search rebuilt the router tree")
+    // the loaded tree serves EXACTLY the inline d95 chain's answers
+    val inline = Similarity.d95TwoLevelRoute(spark, sf).collect().toSeq
+    assert(r1 == inline,
+      "persisted-router results diverge from the inline d95 chain")
+  }
+
   test("d86 hnsw index: the layered graphs live in a committed tree, " +
     "repeat searches reload (never retrain or rebuild), determinism") {
     import org.apache.hadoop.fs.Path

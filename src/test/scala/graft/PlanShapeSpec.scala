@@ -288,6 +288,11 @@ class PlanShapeSpec extends AnyFunSuite {
           "(both k×dim literals / literal-derived, the d22/d25 " +
           "adjudication), and the queries x NProbe probe relation " +
           "(the d25 probe shape); the corpus side never broadcasts"),
+      "d96_persisted_router" ->
+        ("d95's descent over the committed tree: the scan-fed 4-row " +
+          "l2cents and |cells|-row cellgroups broadcasts (the d79 " +
+          "loaded-index shape) plus the bounded probe relation; the " +
+          "postings side never broadcasts"),
       "d92_dsir" ->
         ("two literal-bounded relations, both explicit broadcast(): " +
           "the per-bucket log-ratio table (≤ DsirBuckets = 512 rows " +

@@ -234,8 +234,11 @@ class RelationalSpec extends AnyFunSuite {
       // d95 composes d25's literal centroid broadcasts at BOTH
       // router levels (L1 cells and the 4-row L2 groups — each a
       // collected k×dim literal) plus the bounded |cells|-row
-      // cell→group relation; the postings join is the d25 equi-join
-      "d95_two_level_route",
+      // cell→group relation; the postings join is the d25 equi-join.
+      // d96 is the same descent over the LOADED router tree (the
+      // d79 scan-fed shape: 4-row l2cents + |cells|-row cellgroups
+      // off committed parquet)
+      "d95_two_level_route", "d96_persisted_router",
       // t32 cross-joins ONE corpus-token-total row by broadcast (the
       // t12/t15 scalar pattern) — a 1-row build side, nothing
       // quadratic; its vocabulary-sized term join is shuffle_hash
