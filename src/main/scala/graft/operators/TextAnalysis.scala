@@ -1526,7 +1526,10 @@ object TextAnalysis {
     * All scalar string/regex work (codegen'd map stage) plus one
     * canonical-URL aggregate; at 100 TB the aggregate shuffles on
     * the canonical key exactly like d01's hash dedup. */
-  def t36UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared canonicalization relation (doc_id, host, canon_url)
+    * over the planted URLs — t36's core, reused by t38's per-domain
+    * report. See [[t36UrlCanon]] for the rules. */
+  private def canonUrls(spark: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       when(pmod(col("doc_id"), lit(4)) === 0,
         concat(lit("HTTPS://WWW."), upper(col("source")),
@@ -1562,7 +1565,12 @@ object TextAnalysis {
     val canon = concat(scheme, lit("://"), host, path,
       when(length(query) > 0, concat(lit("?"), query))
         .otherwise(lit("")))
-    val canoned = docs.withColumn("canon_url", canon)
+    docs.withColumn("host", host).withColumn("canon_url", canon)
+  }
+
+  def t36UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val canoned = canonUrls(spark, dir)
+      .select(col("doc_id"), col("canon_url"))
     val groups = canoned.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("rep_doc_id"),
         count(lit(1)).as("n_dups"))
@@ -1575,8 +1583,10 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  lazy val t36Sql: String =
-    s"""WITH raw AS (
+  /** Shared canonicalization CTE chain (raw → parts → comp → canon
+    * with (doc_id, host, canon_url)) — t36/t38's common prefix. */
+  private lazy val urlCanonCtes: String =
+    s"""raw AS (
        |  SELECT doc_id, CASE doc_id % 4
        |    WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
        |      || '.COM:443//news//Item/?utm_source=rss&z=9&a=1#top'
@@ -1613,10 +1623,13 @@ object TextAnalysis {
        |      AS query
        |  FROM parts),
        |canon AS (
-       |  SELECT doc_id, scheme || '://' || host || path ||
+       |  SELECT doc_id, host, scheme || '://' || host || path ||
        |    CASE WHEN length(query) > 0 THEN '?' || query ELSE '' END
        |      AS canon_url
-       |  FROM comp),
+       |  FROM comp)"""
+
+  lazy val t36Sql: String =
+    s"""WITH $urlCanonCtes,
        |g AS (
        |  SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_dups
@@ -1626,4 +1639,175 @@ object TextAnalysis {
        |    AS BIGINT) AS is_dup
        |FROM canon c JOIN g USING (canon_url)
        |ORDER BY c.doc_id""".stripMargin
+
+  // ---- t38: per-domain corpus governance report ---------------------
+
+  /** t38: per-DOMAIN corpus report — the governance table a crawl
+    * corpus is administered by (crawl budgets, block decisions —
+    * t29's blocklist input — and dedup audits are all per-domain,
+    * not per-page): group t36's canonical relation by the
+    * REGISTRABLE domain (last two dot-labels of the canonical host —
+    * the no-lookup heuristic; a public-suffix list refines
+    * multi-label TLDs and is a documented divergence, not a
+    * different shape) and report docs, unique pages (distinct
+    * canonical URLs), the duplicate-fetch rate in exact micro units,
+    * and total corpus chars hosted there. One canonical-key-derived
+    * aggregate — shuffles on domain exactly like any keyed report
+    * at 100 TB. */
+  def t38DomainReport(spark: SparkSession, dir: String): DataFrame = {
+    val canoned = canonUrls(spark, dir)
+      .withColumn("domain",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+    val chars = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    canoned.join(chars.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_pages"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .withColumn("dup_rate_micro",
+        floor(lit(1000000d) * (col("n_docs") - col("n_pages"))
+          / col("n_docs")).cast("long"))
+      .select(col("domain"), col("n_docs"), col("n_pages"),
+        col("dup_rate_micro"), col("total_chars"))
+      .orderBy(col("domain"))
+  }
+
+  lazy val t38Sql: String =
+    s"""WITH $urlCanonCtes,
+       |d AS (
+       |  SELECT c.doc_id,
+       |    regexp_extract(c.host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |    c.canon_url, doc.n_chars
+       |  FROM canon c JOIN documents doc USING (doc_id))
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_pages,
+       |  CAST(FLOOR(1000000.0 * (COUNT(*) - COUNT(DISTINCT canon_url))
+       |    / COUNT(*)) AS BIGINT) AS dup_rate_micro,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ---- t37: HTML entity decode (the step between t35 and t07) ------
+
+  /** t37: HTML entity decoding — extracted crawl text still carries
+    * `&amp;`-family escapes (t35 strips tags, not entities; hashing
+    * or deduping undecoded text splits identical documents by their
+    * escaping), so this is the step between extraction and t07
+    * normalization. Handles the XML named set (amp/lt/gt/quot/apos)
+    * + nbsp, decimal `&#NN;` and hex `&#xNN;` numeric references in
+    * the printable-ASCII range; unknown names and out-of-range codes
+    * are PRESERVED verbatim (the lossless-on-doubt contract — a
+    * decoder that guesses corrupts). Set-based and order-exact: the
+    * text splits at a planted \\u0001 sentinel before each `&` (RE2
+    * has no lookahead, so the portable split is replace-then-split),
+    * each piece decodes as a scalar CASE / char(conv(...)) chain,
+    * and the document REASSEMBLES via the q62 partial-aggregable
+    * ordered concat (sort_array of (pos, piece) structs — no
+    * single-partition window, combines map-side). The corpus has no
+    * entities, so each doc plants a deterministic escaped prefix
+    * (named + decimal + hex + an unknown `&bogus;` that must
+    * survive) ahead of its text — decode correctness, entity counts,
+    * and the unknown-preservation contract are all hash-verified. */
+  def t37EntityDecode(spark: SparkSession, dir: String): DataFrame = {
+    val esc = concat(
+      lit("Tom &amp; Jerry &lt;tag&gt; &quot;"), col("source"),
+      lit("&quot; &#39;ok&#39; A&#66;C &#x21; &bogus; "),
+      trim(col("text")))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), esc.as("esc"))
+    val pieces = docs.select(col("doc_id"),
+      posexplode(split(regexp_replace(col("esc"), "&", "&"),
+        "")).as(Seq("pos", "piece")))
+      .filter(col("piece") =!= "")
+    val named = regexp_extract(col("piece"), "^&([a-zA-Z]+);", 1)
+    val dec = regexp_extract(col("piece"), "^&#([0-9]+);", 1)
+    val hex = regexp_extract(col("piece"), "^&#[xX]([0-9a-fA-F]+);", 1)
+    val rest = regexp_replace(col("piece"),
+      "^&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);", "")
+    val namedChar = when(named === "amp", "&")
+      .when(named === "lt", "<").when(named === "gt", ">")
+      .when(named === "quot", "\"").when(named === "apos", "'")
+      .when(named === "nbsp", " ")
+    val decCode = when(dec =!= "", dec.cast("long"))
+      .when(hex =!= "", expr("conv(lower(h), 16, 10)").cast("long"))
+    val withCode = pieces
+      .withColumn("h", hex)
+      .withColumn("nc", namedChar)
+      .withColumn("code", decCode)
+    val decoded = withCode
+      .withColumn("dc",
+        when(col("nc").isNotNull, concat(col("nc"), rest))
+          .when(col("code").between(32L, 126L),
+            concat(expr("char(code)"), rest))
+          .otherwise(col("piece")))
+      .withColumn("hit",
+        when(col("nc").isNotNull ||
+          col("code").between(32L, 126L), 1L).otherwise(0L))
+      .withColumn("unknown",
+        when(col("piece").startsWith("&") && col("hit") === 0L, 1L)
+          .otherwise(0L))
+    decoded.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("dc")))),
+          x => x.getField("dc")), "").as("decoded"),
+        sum(col("hit")).cast("long").as("n_entities"),
+        sum(col("unknown")).cast("long").as("n_unknown"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t37Sql: String = {
+    val hexVal =
+      """CAST(list_sum(list_transform(generate_series(1, length(h)),
+        |  p -> (CAST(strpos('0123456789abcdef',
+        |          substring(lower(h), p, 1)) AS BIGINT) - 1)
+        |       * power(16, length(h) - p))) AS BIGINT)"""
+        .stripMargin
+    s"""WITH esc AS (
+       |  SELECT doc_id, 'Tom &amp; Jerry &lt;tag&gt; &quot;'
+       |    || source || '&quot; &#39;ok&#39; A&#66;C &#x21; '
+       |    || '&bogus; ' || trim(text) AS esc
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sp AS (
+       |  SELECT doc_id,
+       |    string_split(replace(esc, '&', chr(1) || '&'), chr(1)) AS ps
+       |  FROM esc),
+       |pieces AS (
+       |  SELECT doc_id, unnest(ps) AS piece,
+       |    unnest(generate_series(1, len(ps))) AS pos
+       |  FROM sp),
+       |m AS (
+       |  SELECT doc_id, pos, piece,
+       |    regexp_extract(piece, '^&([a-zA-Z]+);', 1) AS named,
+       |    regexp_extract(piece, '^&#([0-9]+);', 1) AS dec,
+       |    regexp_extract(piece, '^&#[xX]([0-9a-fA-F]+);', 1) AS h,
+       |    regexp_replace(piece,
+       |      '^&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);', '') AS rest
+       |  FROM pieces WHERE piece <> ''),
+       |coded AS (
+       |  SELECT doc_id, pos, piece, rest,
+       |    CASE named WHEN 'amp' THEN '&' WHEN 'lt' THEN '<'
+       |      WHEN 'gt' THEN '>' WHEN 'quot' THEN '"'
+       |      WHEN 'apos' THEN CHR(39) WHEN 'nbsp' THEN ' ' END AS nc,
+       |    CASE WHEN dec <> '' THEN CAST(dec AS BIGINT)
+       |      WHEN h <> '' THEN $hexVal END AS code
+       |  FROM m),
+       |dc AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN nc IS NOT NULL THEN nc || rest
+       |      WHEN code BETWEEN 32 AND 126 THEN chr(CAST(code AS INTEGER)) || rest
+       |      ELSE piece END AS dc,
+       |    CASE WHEN nc IS NOT NULL
+       |        OR code BETWEEN 32 AND 126 THEN 1 ELSE 0 END AS hit,
+       |    CASE WHEN starts_with(piece, '&') AND nc IS NULL
+       |        AND (code IS NULL OR code NOT BETWEEN 32 AND 126)
+       |      THEN 1 ELSE 0 END AS unknown
+       |  FROM coded)
+       |SELECT doc_id,
+       |  string_agg(dc, '' ORDER BY pos) AS decoded,
+       |  CAST(SUM(hit) AS BIGINT) AS n_entities,
+       |  CAST(SUM(unknown) AS BIGINT) AS n_unknown
+       |FROM dc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }
