@@ -1542,19 +1542,32 @@ object TextAnalysis {
             lit(".COM/news//item//?b=2&a=1&utm_campaign=x")))
         .otherwise(concat(lit("https://www."), col("source"),
           lit(".com/news/item?a=1&b=2"))))
-    val docs = graft.Tables.load(spark, dir, "documents")
+    graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), raw.as("raw_url"))
-    val scheme = lower(regexp_extract(col("raw_url"),
-      "^([A-Za-z]+)://", 1))
-    val hostport = lower(regexp_extract(col("raw_url"),
+      .withColumn("host", canonicalHost(col("raw_url")))
+      .withColumn("canon_url", canonicalUrl(col("raw_url")))
+  }
+
+  /** The canonical HOST of a raw URL (folded, default port and
+    * leading www. stripped) — shared by [[canonicalUrl]] and t38's
+    * domain key. */
+  def canonicalHost(raw: Column): Column = {
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(raw,
       "^[A-Za-z]+://([^/?#]*)", 1))
     val host0 = when(scheme === "http",
         regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    val host = regexp_replace(host0, "^www\\.", "")
-    val pqf = regexp_extract(col("raw_url"),
-      "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+    regexp_replace(host0, "^www\\.", "")
+  }
+
+  /** The full canonicalization as ONE scalar column function (see
+    * [[t36UrlCanon]] for the rules) — usable identically on a batch
+    * relation and a streaming arrival feed (s24). */
+  def canonicalUrl(raw: Column): Column = {
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z]+)://", 1))
+    val pqf = regexp_extract(raw, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
     val pq = regexp_replace(pqf, "#.*$", "")
     val path0 = regexp_extract(pq, "^([^?]*)", 1)
     val path = regexp_replace(regexp_replace(path0, "/+", "/"),
@@ -1562,10 +1575,9 @@ object TextAnalysis {
     val query0 = regexp_extract(pq, "\\?(.*)$", 1)
     val query = array_join(array_sort(filter(split(query0, "&"),
       x => !x.startsWith("utm_") && x =!= "")), "&")
-    val canon = concat(scheme, lit("://"), host, path,
+    concat(scheme, lit("://"), canonicalHost(raw), path,
       when(length(query) > 0, concat(lit("?"), query))
         .otherwise(lit("")))
-    docs.withColumn("host", host).withColumn("canon_url", canon)
   }
 
   def t36UrlCanon(spark: SparkSession, dir: String): DataFrame = {
@@ -1639,6 +1651,54 @@ object TextAnalysis {
        |    AS BIGINT) AS is_dup
        |FROM canon c JOIN g USING (canon_url)
        |ORDER BY c.doc_id""".stripMargin
+
+  // ---- s24: streaming URL-frontier admission ------------------------
+
+  /** Arrival micro-batch width for s24's deterministic window view
+    * (doc_id ranges stand in for arrival time — the s10 convention). */
+  val FrontierBatch = 128L
+
+  /** s24: URL-FRONTIER admission — t36's canonical-URL dedup AT
+    * INGEST (what a crawler's frontier actually runs: admit a fetch
+    * only if its canonical URL was never admitted before): first
+    * arrival per canonical URL wins (ties by doc_id — the arrival
+    * order stand-in), later spellings of the same canonical are
+    * frontier duplicates. Registered as the window report
+    * (n_arrivals / n_admitted / n_dup_frontier per arrival window);
+    * the true streaming form ([[graft.streaming.EventStreams
+    * .frontierAdmitStream]]) canonicalizes in-stream with the SAME
+    * [[canonicalUrl]] expression and admits via
+    * dropDuplicatesWithinWatermark — state keyed on the canonical
+    * URL, watermark-aged, spec-pinned stream == batch. */
+  def s24StreamFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val c = canonUrls(spark, dir)
+      .select(col("doc_id"), col("canon_url"))
+      .withColumn("wnd", (col("doc_id") / FrontierBatch).cast("long"))
+    val first = c.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    c.join(first.hint("shuffle_hash"), Seq("canon_url"))
+      .groupBy(col("wnd"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when(col("doc_id") === col("first_doc"), 1L)
+          .otherwise(0L)).cast("long").as("n_admitted"))
+      .withColumn("n_dup_frontier",
+        (col("n_arrivals") - col("n_admitted")).cast("long"))
+      .orderBy(col("wnd"))
+  }
+
+  lazy val s24Sql: String =
+    s"""WITH $urlCanonCtes,
+       |f AS (
+       |  SELECT canon_url, MIN(doc_id) AS first_doc
+       |  FROM canon GROUP BY 1)
+       |SELECT CAST(c.doc_id // $FrontierBatch AS BIGINT) AS wnd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       |  CAST(SUM(CASE WHEN c.doc_id = f.first_doc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_admitted,
+       |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = f.first_doc
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frontier
+       |FROM canon c JOIN f USING (canon_url)
+       |GROUP BY 1 ORDER BY wnd""".stripMargin
 
   // ---- t38: per-domain corpus governance report ---------------------
 

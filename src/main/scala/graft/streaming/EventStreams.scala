@@ -829,6 +829,28 @@ object EventStreams {
 
   case class DocArrival(doc_id: Long, text: String, ts: Timestamp)
 
+  /** A crawl-frontier arrival for s24's streaming form. */
+  case class UrlArrival(doc_id: Long, ts: Timestamp, raw_url: String)
+
+  /** s24's ingest-time form: canonicalize in-stream (the SAME
+    * codegen'd [[graft.operators.TextAnalysis.canonicalUrl]]
+    * expression as the batch report) and admit only the FIRST
+    * arrival per canonical URL via dropDuplicatesWithinWatermark —
+    * state keyed on the canonical URL and AGED OUT past the
+    * watermark, so frontier state is bounded by the duplicate-
+    * arrival horizon instead of the crawl's lifetime (the documented
+    * trade: a duplicate later than the watermark re-admits — at that
+    * point the persisted-index path (s20's shape, keyed on the
+    * canonical hash) takes over). Emits the admitted (doc_id,
+    * canon_url) feed a fetcher consumes. */
+  def frontierAdmitStream(urls: Dataset[UrlArrival]): DataFrame =
+    urls.toDF()
+      .withColumn("canon_url",
+        graft.operators.TextAnalysis.canonicalUrl(col("raw_url")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"))
+
   /** s11's ingest-time form: each arriving document checks its word
     * n-grams against the (bounded, task-local) eval-gram set in a
     * stateless typed map — NO state and NO shuffle until the

@@ -223,6 +223,62 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.exists(new Path(root, p)), s"missing $p/"))
   }
 
+  test("s24 streaming frontier: in-stream canonicalization admits " +
+    "first arrival per canonical URL, later spellings rejected " +
+    "across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.UrlArrival]
+    val q = EventStreams.frontierAdmitStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier").start()
+    try {
+      def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+      // batch 1: two distinct canonicals, one in-batch dup spelling
+      input.addData(
+        EventStreams.UrlArrival(1L, ts(0),
+          "HTTPS://WWW.Ex.com:443//a//b/?utm_s=x&b=2&a=1#f"),
+        EventStreams.UrlArrival(2L, ts(1),
+          "https://ex.com/other"),
+        EventStreams.UrlArrival(3L, ts(2),
+          "https://ex.com/a/b?a=1&b=2")) // same canonical as doc 1
+      q.processAllAvailable()
+      // batch 2: a third spelling of doc 1's canonical + one new
+      input.addData(
+        EventStreams.UrlArrival(4L, ts(3),
+          "https://www.ex.com/a/b/?b=2&a=1&utm_c=y"),
+        EventStreams.UrlArrival(5L, ts(4),
+          "http://ex.com/a/b?a=1&b=2")) // http ≠ https: NEW canonical
+      q.processAllAvailable()
+      val admitted = spark.table("frontier")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 1 admitted with the fully canonicalized form
+      assert(admitted.get(1L).contains("https://ex.com/a/b?a=1&b=2"))
+      assert(admitted.contains(2L))
+      // in-batch and cross-batch duplicate spellings rejected
+      assert(!admitted.contains(3L) && !admitted.contains(4L))
+      // scheme is identity-bearing: http twin is a different frontier
+      assert(admitted.get(5L).contains("http://ex.com/a/b?a=1&b=2"))
+      // and the batch-registered window report agrees with a direct
+      // first-arrival count on the same planted corpus
+      val rep = graft.operators.TextAnalysis
+        .s24StreamFrontier(spark, sf)
+      val sums = rep.agg(sum(col("n_arrivals")), sum(col("n_admitted")))
+        .collect()(0)
+      val docs = graft.Tables.load(spark, sf, "documents").count()
+      assert(sums.getLong(0) == docs)
+      val distinctCanon = graft.operators.TextAnalysis
+        .t36UrlCanon(spark, sf)
+        .select(col("canon_url")).distinct().count()
+      assert(sums.getLong(1) == distinctCanon,
+        "admitted != distinct canonical URLs")
+    } finally q.stop()
+  }
+
   test("d96 persisted router: the two-level tree commits once, " +
     "repeat searches reload, and results equal d95's inline chain") {
     import org.apache.hadoop.fs.Path
