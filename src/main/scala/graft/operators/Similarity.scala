@@ -2508,7 +2508,12 @@ object Similarity {
     val init = qz.filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + IvfCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
-    val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+    // sample-bounded training (the ensureNavIndex contract — full-
+    // corpus k-means is the measured 100 TB trap); the oracle
+    // replays the same bound
+    val train = qz.filter(col("vec_id") >= NumQueries + IvfCells &&
+      col("vec_id") < NumQueries + IvfCells +
+        ProvTrainPerCell * IvfCells)
     val cents = kmeansQuantized(train, init, KmIters)
     // L2 trains over the L1 centroids AS vectors (k×dim literal —
     // collected between rounds like every codebook here)
@@ -2558,7 +2563,8 @@ object Similarity {
     val l2src = s"(SELECT cent_id AS vec_id, qc AS qv FROM c$KmIters)"
     s"""WITH ${kmeansCtes(
         s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
-        s"vec_id >= ${NumQueries + IvfCells}")},
+        s"vec_id >= ${NumQueries + IvfCells} AND " +
+          s"vec_id < ${NumQueries + IvfCells + ProvTrainPerCell * IvfCells}")},
        |${kmeansCtes(s"vec_id < ${NumQueries + L2Groups}", "TRUE",
           pre = "g", src = l2src)},
        |${assignCte("cga", "gq", s"gc$KmIters")},
@@ -2596,7 +2602,7 @@ object Similarity {
   /** Durable (pid-free) home of the committed two-level router. */
   def routerIndexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_router_idx_v$AnnIndexV" +
-      s"_g${L2Groups}p${L2Probe}i$KmIters" +
+      s"_g${L2Groups}p${L2Probe}i${KmIters}tb$ProvTrainPerCell" +
       s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   /** Build-if-absent the persisted TWO-LEVEL router — d95's routing
@@ -2621,7 +2627,12 @@ object Similarity {
           val init = qz.filter(col("vec_id") >= NumQueries &&
               col("vec_id") < NumQueries + IvfCells)
             .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
-          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+          // sample-bounded training (the ensureNavIndex contract — full-
+          // corpus k-means is the measured 100 TB trap); the oracle
+          // replays the same bound
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells &&
+            col("vec_id") < NumQueries + IvfCells +
+              ProvTrainPerCell * IvfCells)
           val cents = kmeansQuantized(train, init, KmIters)
           val cellVecs = cents.select(col("cent_id").as("vec_id"),
             col("qc").as("qv"))
@@ -3145,7 +3156,7 @@ object Similarity {
     * suite's slowest query; at 100× an hours-long "query"). */
   def hnswIndexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_hnsw_idx_v$AnnIndexV" +
-      s"_L${HnswMaxLvl}k${NavK}i$KmIters" +
+      s"_L${HnswMaxLvl}k${NavK}i${KmIters}tb$ProvTrainPerCell" +
       s"_${graft.sources.AtomicCommit.dirKey(dir)}"
 
   /** Build-if-absent the persisted HIERARCHICAL nav index: the d86
@@ -3169,7 +3180,12 @@ object Similarity {
           val init = qz.filter(col("vec_id") >= NumQueries &&
               col("vec_id") < NumQueries + IvfCells)
             .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
-          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells)
+          // sample-bounded training (the ensureNavIndex contract — full-
+          // corpus k-means is the measured 100 TB trap); the oracle
+          // replays the same bound
+          val train = qz.filter(col("vec_id") >= NumQueries + IvfCells &&
+            col("vec_id") < NumQueries + IvfCells +
+              ProvTrainPerCell * IvfCells)
           val cents = kmeansQuantized(train, init, KmIters)
           cents.coalesce(1).write.parquet(s"$tmp/centroids")
           val leveled = corpus.withColumn("lvl",
@@ -3315,7 +3331,8 @@ object Similarity {
     }.mkString(",\n")
     s"""WITH ${kmeansCtes(
         s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
-        s"vec_id >= ${NumQueries + IvfCells}")},
+        s"vec_id >= ${NumQueries + IvfCells} AND " +
+          s"vec_id < ${NumQueries + IvfCells + ProvTrainPerCell * IvfCells}")},
        |corpus AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries),
        |${assignCte("ca", "corpus", s"c$KmIters")},
        |posted AS (SELECT vec_id, cent_id AS cell, dist
