@@ -110,6 +110,12 @@ object GraftExtensions {
         "track count, 4 = video tracks, 5 = audio tracks; -1 " +
         "for non-MP4; no demux",
       e => Mp4Field(e.head, intArg(e(1), "graft_mp4_field"))),
+    fn("graft_mp3_field",
+      "graft_mp3_field(bin, idx) - MP3 Layer III frame probe: idx 0" +
+        " = sample rate, 1 = bitrate kbps, 2 = channels, 3 = frame" +
+        " bytes; ID3v2 skipped, -1 for non-MP3; no decode",
+      e => graft.functions.Mp3Field(e.head,
+        intArg(e(1), "graft_mp3_field"))),
     fn("graft_mp4_tracks",
       "graft_mp4_tracks(bin) - ISO-BMFF trak walk: handler/codec " +
         "4CC pairs comma-joined in file order (hdlr + stsd), '' for " +

@@ -174,4 +174,105 @@ object AudioCodec {
     }
     out.toByteArray
   }
+
+  // ---- m17: MP3 frame-header probe (compressed-audio arm) -----------
+
+  /** MPEG-1/2 Layer III bitrate tables, kbit/s; index 0 is "free"
+    * and 15 is invalid (public ISO/IEC 11172-3 / 13818-3 tables). */
+  private val Mp3BitrateV1L3 = Array(-1, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3BitrateV2L3 = Array(-1, 8, 16, 24, 32, 40, 48, 56,
+    64, 80, 96, 112, 128, 144, 160, -1)
+
+  /** Sample rates by version bits (V1 / V2 / V2.5), Hz. */
+  private val Mp3RatesV1 = Array(44100, 48000, 32000, -1)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000, -1)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000, -1)
+
+  /** First valid MP3 frame header as (sampleRate, bitrateKbps,
+    * channels, frameBytes), or None. An ID3v2 tag prefix is skipped
+    * via its syncsafe size (public id3.org spec); past it, the scan
+    * walks at most 4096 bytes looking for the 11-bit sync — a
+    * hostile payload can't loop, and random text can't alias the
+    * gate by accident (sync + valid version/layer/bitrate/rate
+    * indexes must all hold). Layer III only (the corpus format);
+    * other layers return None — the honest scope, documented. */
+  def parseMp3(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (p.length < 4) return None
+    var off = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + sz
+      if (off < 0 || off >= p.length) return None
+    }
+    val limit = math.min(p.length - 4, off + 4096)
+    var i = off
+    while (i <= limit) {
+      if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xe0) == 0xe0) {
+        val verBits = (p(i + 1) >> 3) & 0x3   // 0=V2.5 2=V2 3=V1
+        val layerBits = (p(i + 1) >> 1) & 0x3 // 1 = Layer III
+        val brIdx = (p(i + 2) >> 4) & 0xf
+        val srIdx = (p(i + 2) >> 2) & 0x3
+        val pad = (p(i + 2) >> 1) & 0x1
+        val mono = ((p(i + 3) >> 6) & 0x3) == 3
+        if (verBits != 1 && layerBits == 1) {
+          val rate = verBits match {
+            case 3 => Mp3RatesV1(srIdx)
+            case 2 => Mp3RatesV2(srIdx)
+            case _ => Mp3RatesV25(srIdx)
+          }
+          val kbps =
+            if (verBits == 3) Mp3BitrateV1L3(brIdx)
+            else Mp3BitrateV2L3(brIdx)
+          if (rate > 0 && kbps > 0) {
+            // Layer III frame length: V1 = 144·bps/rate + pad,
+            // V2/V2.5 = 72·bps/rate + pad (public formula)
+            val coef = if (verBits == 3) 144L else 72L
+            val flen = coef * kbps * 1000 / rate + pad
+            return Some((rate.toLong, kbps.toLong,
+              if (mono) 1L else 2L, flen))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Field probe for the Catalyst expression: 0 = sample rate, 1 =
+    * bitrate kbit/s, 2 = channels, 3 = frame length in bytes; -1 for
+    * non-MP3 / unsupported-layer payloads. */
+  def mp3Field(p: Array[Byte], idx: Int): Long = parseMp3(p) match {
+    case None => -1L
+    case Some((rate, kbps, ch, flen)) => idx match {
+      case 0 => rate
+      case 1 => kbps
+      case 2 => ch
+      case 3 => flen
+      case _ => -1L
+    }
+  }
+
+  /** Spec helper: a minimal Layer III frame header (+ zero body) at
+    * the given table indexes, optionally behind an ID3v2 tag — the
+    * probes pin on the exact bit layout a real encoder writes. */
+  def mp3Bytes(verBits: Int, brIdx: Int, srIdx: Int, mono: Boolean,
+      id3Size: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // ver 2.4, flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      (0 until id3Size).foreach(_ => out.write(0))
+    }
+    out.write(0xff)
+    out.write(0xe0 | (verBits << 3) | (1 << 1) | 1) // layer III, no CRC
+    out.write((brIdx << 4) | (srIdx << 2)) // no padding
+    out.write(if (mono) 0xc0 else 0x00)
+    (0 until 16).foreach(_ => out.write(0))
+    out.toByteArray
+  }
 }

@@ -177,6 +177,26 @@ case class WavField(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `mp3_field(payload, idx)` — header-only MP3 (MPEG-1/2 Layer III)
+  * frame probe (m17): idx 0 = sample rate, 1 = bitrate kbit/s, 2 =
+  * channels, 3 = frame bytes; -1 for non-MP3. ID3v2 prefixes are
+  * skipped by their syncsafe size; the sync scan is bounded. The
+  * compressed-audio arm next to [[WavField]]'s PCM container. */
+case class Mp3Field(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 3, s"mp3_field idx must be 0..3, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    AudioCodec.mp3Field(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AudioCodec.mp3Field($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `mp4_field(payload, idx)` — header-only MP4 metadata probe
   * (m13/m16): idx 0 = movie timescale, 1 = duration ticks, 2 =
   * duration in microseconds, 3 = track count, 4 = video (`vide`)
@@ -310,6 +330,15 @@ object Multimedia {
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 5))
   def mp4Tracks(payload: Column): Column =
     GraftShim.column(Mp4Tracks(GraftShim.expression(payload)))
+
+  def mp3SampleRate(payload: Column): Column =
+    GraftShim.column(Mp3Field(GraftShim.expression(payload), 0))
+  def mp3BitrateKbps(payload: Column): Column =
+    GraftShim.column(Mp3Field(GraftShim.expression(payload), 1))
+  def mp3Channels(payload: Column): Column =
+    GraftShim.column(Mp3Field(GraftShim.expression(payload), 2))
+  def mp3FrameBytes(payload: Column): Column =
+    GraftShim.column(Mp3Field(GraftShim.expression(payload), 3))
 
   def wavSampleRate(payload: Column): Column =
     GraftShim.column(WavField(GraftShim.expression(payload), 0))

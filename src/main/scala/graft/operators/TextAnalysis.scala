@@ -1700,6 +1700,85 @@ object TextAnalysis {
        |FROM canon c JOIN f USING (canon_url)
        |GROUP BY 1 ORDER BY wnd""".stripMargin
 
+  // ---- t39: robots.txt rule matching (crawl admission) --------------
+
+  /** t39: robots-exclusion rule matching — the LEGAL admission gate
+    * before s24's frontier even sees a URL (RFC 9309, public): among
+    * all Allow/Disallow rules whose pattern is a PREFIX of the URL
+    * path, the LONGEST match wins; equal lengths prefer Allow; no
+    * match ⇒ allowed. Scope: plain prefix patterns (the `*`/`$`
+    * wildcard extension is a documented next knob, not a different
+    * shape). The corpus has no robots.txt, so a 4-rule group
+    * (Disallow /private, Allow /private/ok, Disallow /tmp, Disallow
+    * /search) and a 5-way planted path per doc exercise every
+    * verdict class — longest-match override (Allow /private/ok
+    * beats Disallow /private), plain block, default-allow. Plan:
+    * docs × the literal rule relation (broadcast — bounded by the
+    * ruleset, never corpus-scaling), prefix filter, one per-doc
+    * window rank (partitioned by doc), left-join back for the
+    * default — at 100 TB this is a map-side broadcast join + one
+    * keyed window, the q15 grouped-top-1 shape. */
+  def t39RobotsRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = when(pmod(col("doc_id"), lit(5)) === 0, "/private/x")
+      .when(pmod(col("doc_id"), lit(5)) === 1, "/private/ok/y")
+      .when(pmod(col("doc_id"), lit(5)) === 2, "/public/a")
+      .when(pmod(col("doc_id"), lit(5)) === 3, "/tmp/z")
+      .otherwise("/")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), path.as("path"))
+    val rules = Seq(
+      ("disallow", "/private"), ("allow", "/private/ok"),
+      ("disallow", "/tmp"), ("disallow", "/search"))
+      .toDF("rtype", "pat")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(length(col("pat")).desc, col("rtype"))
+    val best = docs.crossJoin(broadcast(rules))
+      .filter(col("path").startsWith(col("pat")))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("rtype").as("matched_type"),
+        col("pat").as("matched_rule"))
+    docs.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("path"),
+        coalesce(col("matched_rule"), lit("")).as("matched_rule"),
+        coalesce(col("matched_type"), lit("none")).as("matched_type"),
+        when(coalesce(col("matched_type"), lit("allow")) =!=
+          "disallow", 1L).otherwise(0L).as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t39Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN '/private/x'
+       |    WHEN 1 THEN '/private/ok/y'
+       |    WHEN 2 THEN '/public/a'
+       |    WHEN 3 THEN '/tmp/z'
+       |    ELSE '/' END AS path
+       |  FROM documents),
+       |rules AS (
+       |  SELECT * FROM (VALUES
+       |    ('disallow', '/private'), ('allow', '/private/ok'),
+       |    ('disallow', '/tmp'), ('disallow', '/search'))
+       |    AS t(rtype, pat)),
+       |best AS (
+       |  SELECT doc_id, rtype AS matched_type, pat AS matched_rule
+       |  FROM (
+       |    SELECT d.doc_id, r.rtype, r.pat, ROW_NUMBER() OVER (
+       |      PARTITION BY d.doc_id
+       |      ORDER BY length(r.pat) DESC, r.rtype) AS rn
+       |    FROM docs d JOIN rules r ON starts_with(d.path, r.pat))
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.path,
+       |  COALESCE(b.matched_rule, '') AS matched_rule,
+       |  COALESCE(b.matched_type, 'none') AS matched_type,
+       |  CAST(CASE WHEN COALESCE(b.matched_type, 'allow')
+       |    <> 'disallow' THEN 1 ELSE 0 END AS BIGINT) AS allowed
+       |FROM docs d LEFT JOIN best b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- t38: per-domain corpus governance report ---------------------
 
   /** t38: per-DOMAIN corpus report — the governance table a crawl

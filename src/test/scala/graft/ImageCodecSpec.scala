@@ -349,6 +349,57 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(sq.getString(0) == "-" && sq.getLong(1) == -1L)
   }
 
+  test("m17 mp3_field: Layer III frame probe — tables, ID3v2 skip, " +
+    "hostile scan bounded") {
+    import spark.implicits._
+    // MPEG-1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+    val v1 = AudioCodec.mp3Bytes(3, 9, 0, mono = false)
+    assert(AudioCodec.mp3Field(v1, 0) == 44100L)
+    assert(AudioCodec.mp3Field(v1, 1) == 128L)
+    assert(AudioCodec.mp3Field(v1, 2) == 2L)
+    // V1 frame length: 144*128000/44100 = 417 (floor, no padding)
+    assert(AudioCodec.mp3Field(v1, 3) == 417L)
+    // MPEG-2 table: 64 kbps (idx 8), 22050 Hz (idx 0), mono
+    val v2 = AudioCodec.mp3Bytes(2, 8, 0, mono = true)
+    assert(AudioCodec.mp3Field(v2, 0) == 22050L)
+    assert(AudioCodec.mp3Field(v2, 1) == 64L)
+    assert(AudioCodec.mp3Field(v2, 2) == 1L)
+    assert(AudioCodec.mp3Field(v2, 3) == 72L * 64 * 1000 / 22050)
+    // an ID3v2 tag prefix is skipped by its syncsafe size
+    val tagged = AudioCodec.mp3Bytes(3, 9, 0, mono = false,
+      id3Size = 200)
+    assert(AudioCodec.mp3Field(tagged, 0) == 44100L)
+    // non-audio, truncation, reserved version bits, bad indexes
+    assert(AudioCodec.mp3Field("not audio".getBytes("UTF-8"), 0) == -1L)
+    assert(AudioCodec.mp3Field(v1.take(3), 0) == -1L)
+    assert(AudioCodec.mp3Field(
+      AudioCodec.mp3Bytes(1, 9, 0, mono = false), 0) == -1L) // reserved ver
+    assert(AudioCodec.mp3Field(
+      AudioCodec.mp3Bytes(3, 15, 0, mono = false), 0) == -1L) // bad bitrate
+    assert(AudioCodec.mp3Field(
+      AudioCodec.mp3Bytes(3, 9, 3, mono = false), 0) == -1L) // bad rate
+    // a WAV payload must not alias the MP3 gate
+    val wav = AudioCodec.wavBytes(44100, 2, 100)((f, c) => f + c)
+    assert(AudioCodec.mp3Field(wav, 0) == -1L)
+    // hostile: an ID3 size pointing past the payload is rejected
+    val torn = AudioCodec.mp3Bytes(3, 9, 0, mono = false,
+      id3Size = 100).take(60)
+    assert(AudioCodec.mp3Field(torn, 0) == -1L)
+    // codegen'd expression + SQL surface over mixed payloads
+    GraftExtensions.register(spark)
+    val got = Seq((1L, v1), (2L, "txt".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.Multimedia.mp3SampleRate(col("payload")).as("r"),
+        graft.functions.Multimedia.mp3BitrateKbps(col("payload")).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((44100L, 128L)) && got(2L) == ((-1L, -1L)))
+    val sq = spark.sql("SELECT graft_mp3_field(X'00', 0) AS r")
+      .collect()(0)
+    assert(sq.getLong(0) == -1L)
+  }
+
   test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
       "duration without sample decode") {
     import spark.implicits._
