@@ -239,6 +239,10 @@ class RelationalSpec extends AnyFunSuite {
       // d79 scan-fed shape: 4-row l2cents + |cells|-row cellgroups
       // off committed parquet)
       "d95_two_level_route", "d96_persisted_router",
+      // t39 cross-joins the 4-row LITERAL robots ruleset by
+      // broadcast (prefix match is an inequality — no equi-key);
+      // bounded by the ruleset, never corpus-scaling
+      "t39_robots_rules",
       // t32 cross-joins ONE corpus-token-total row by broadcast (the
       // t12/t15 scalar pattern) — a 1-row build side, nothing
       // quadratic; its vocabulary-sized term join is shuffle_hash
