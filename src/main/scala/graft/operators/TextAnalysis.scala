@@ -1700,6 +1700,86 @@ object TextAnalysis {
        |FROM canon c JOIN f USING (canon_url)
        |GROUP BY 1 ORDER BY wnd""".stripMargin
 
+  // ---- t40: line-wrap / hyphenation repair --------------------------
+
+  /** t40: line-wrap + hyphenation REPAIR — PDF/column-extracted text
+    * arrives with soft line breaks and end-of-line hyphenation
+    * ("exam-\nple"); tokenizers, n-gram dedup, and LM scoring all
+    * fracture on it, so the repair runs right after extraction
+    * (t35/t37's family). Two public-heuristic passes: rejoin
+    * letter–hyphen–newline–letter ("de-hyphenate"), then soft
+    * newlines become spaces. The corpus has no wraps, so each doc
+    * PLANTS them deterministically (every 5th word ≥4 chars splits
+    * as "xx-\nrest", every 6th inter-word gap becomes a newline) —
+    * and because the plant is lossless by construction, repair must
+    * restore trim(text) EXACTLY: the `restored` column is pinned 1
+    * on every row by the oracle hash, which makes this a
+    * self-checking round trip, not a heuristic demo. Counts come
+    * from exact length arithmetic. Pure scalar map work inside
+    * whole-stage codegen. */
+  def t40LinewrapRepair(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .withColumn("ws", split(col("txt"), " "))
+    val pieces = transform(col("ws"), (w, i0) => {
+      val i = i0 + 1
+      val body = when(pmod(i, lit(5)) === 2 && length(w) >= 4,
+        concat(w.substr(lit(1), lit(2)), lit("-\n"),
+          w.substr(lit(3), length(w))))
+        .otherwise(w)
+      val sep = when(i < size(col("ws")),
+        when(pmod(i, lit(6)) === 0, lit("\n")).otherwise(lit(" ")))
+        .otherwise(lit(""))
+      concat(body, sep)
+    })
+    docs.withColumn("planted", array_join(pieces, ""))
+      .withColumn("dehyph", regexp_replace(col("planted"),
+        "([a-z])-\\n([a-z])", "$1$2"))
+      .withColumn("repaired",
+        regexp_replace(col("dehyph"), "\\n", " "))
+      .select(col("doc_id"),
+        ((length(col("planted")) - length(col("dehyph"))) / 2)
+          .cast("long").as("n_hyphen_joins"),
+        (length(col("dehyph")) - length(regexp_replace(col("dehyph"),
+          "\\n", ""))).cast("long").as("n_wraps"),
+        when(col("repaired") === col("txt"), 1L).otherwise(0L)
+          .as("restored"),
+        col("repaired"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t40Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(text) AS txt FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |w AS (
+       |  SELECT doc_id, txt, string_split(txt, ' ') AS ws FROM d),
+       |p AS (
+       |  SELECT doc_id, txt, array_to_string(list_transform(ws,
+       |    (x, i) ->
+       |      (CASE WHEN i % 5 = 2 AND length(x) >= 4
+       |        THEN substr(x, 1, 2) || '-' || chr(10) || substr(x, 3)
+       |        ELSE x END)
+       |      || (CASE WHEN i < len(ws)
+       |        THEN (CASE WHEN i % 6 = 0 THEN chr(10) ELSE ' ' END)
+       |        ELSE '' END)), '') AS planted
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, txt, planted,
+       |    regexp_replace(planted, '([a-z])-\\n([a-z])', '\\1\\2',
+       |      'g') AS dehyph
+       |  FROM p)
+       |SELECT doc_id,
+       |  CAST((length(planted) - length(dehyph)) / 2 AS BIGINT)
+       |    AS n_hyphen_joins,
+       |  CAST(length(dehyph) - length(replace(dehyph, chr(10), ''))
+       |    AS BIGINT) AS n_wraps,
+       |  CAST(CASE WHEN replace(dehyph, chr(10), ' ') = txt
+       |    THEN 1 ELSE 0 END AS BIGINT) AS restored,
+       |  replace(dehyph, chr(10), ' ') AS repaired
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- t39: robots.txt rule matching (crawl admission) --------------
 
   /** t39: robots-exclusion rule matching — the LEGAL admission gate
