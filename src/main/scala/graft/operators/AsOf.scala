@@ -79,11 +79,20 @@ object AsOf {
         lit(null).cast(r.schema("__rval").dataType))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // DESCENDING running frame, not [current, unboundedFollowing]:
+    // Spark's UnboundedFollowingWindowFunctionFrame rescans the
+    // partition tail per row — O(rows²) per key. Reversing the sort
+    // turns "first (ts, side, rval)-tuple at or after me" into "last
+    // non-null in the incremental O(rows) running frame"; tie
+    // semantics are unchanged (at equal ts the right row, side=1,
+    // sorts before the left row under desc, so a simultaneous right
+    // row still matches, and duplicate right rows still resolve to
+    // the smallest __rval — the tuple nearest the current row).
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__rval"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side").desc, col("__rval").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
-      .withColumn("__m", first(col("__rval"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__rval"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
     val rFields = r.schema("__rval").dataType
       .asInstanceOf[StructType].fieldNames

@@ -48,16 +48,26 @@ object Relational9 {
       .withColumn("obs_day", when(col("qty").isNotNull, col("day")))
     val back = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward anchor as a DESCENDING running frame, not a
+    // [current, unboundedFollowing] frame: Spark executes the latter
+    // with UnboundedFollowingWindowFunctionFrame, which rescans the
+    // partition TAIL for every row — O(rows²) per series (measured
+    // 3.1 s isolated at sf0.1; the r14 verdict's 6.5×-DuckDB flag).
+    // last(ignoreNulls) over desc(day) [unboundedPreceding, current]
+    // is the identical value (nearest observation at day' >= day)
+    // via the incremental O(rows) running frame; the second sort it
+    // costs shares the back window's exchange.
+    val fwd = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined
       .withColumn("pq", last(col("qty"), ignoreNulls = true).over(back))
       .withColumn("pd",
         last(col("obs_day"), ignoreNulls = true).over(back))
       .withColumn("nq",
-        first(col("qty"), ignoreNulls = true).over(fwd))
+        last(col("qty"), ignoreNulls = true).over(fwd))
       .withColumn("nd",
-        first(col("obs_day"), ignoreNulls = true).over(fwd))
+        last(col("obs_day"), ignoreNulls = true).over(fwd))
       .withColumn("qty_interp",
         round(col("pq").cast("double")
           + (col("nq") - col("pq")).cast("double")
