@@ -1810,7 +1810,12 @@ object Dedup {
     // corpus-scaling cum runs in windows PARTITIONED by bin. The
     // grand total rides the 1-row t12 scalar pattern. Semantics are
     // identical to the naive global cumsum the oracle replays.
-    val bins = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // FIXED literal bin count (the d62 convention), NOT the runtime
+    // shuffle-partitions conf: the result is invariant for any
+    // positive bin count, but the triangular offsets self-join is
+    // O(bins²) rows, so a deployment-tuned conf (10k+ partitions)
+    // must not silently inflate a ≤1e6-row computation
+    val bins = 256
     val binOf = least(lit(bins - 1),
       (col("qmic") * bins / lit(1000001L)).cast("int"))
     val hist = q.groupBy(col("qmic")).agg(count(lit(1)).as("c"))

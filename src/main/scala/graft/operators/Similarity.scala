@@ -3127,9 +3127,13 @@ object Similarity {
     * r14 (verdict item 2): the layered graphs now live in a COMMITTED
     * tree ([[ensureHnswIndex]], the d84/d79 lifecycle) — the query
     * loads `entry/` + `edges_l{3..0}/` and walks; no k-means, no
-    * graph construction at query time. The build is deterministic on
-    * the integer grid, so persisting changes nothing the oracle can
-    * see — same hash, query-time cost now O(walk) like d84's. */
+    * graph construction at query time. NOTE the same commit also
+    * switched the build's k-means training from full-corpus to
+    * sample-bounded (the 170→3459 s trap), which DOES change the
+    * centroids: the committed hash changed once with that switch and
+    * the oracle was updated in lockstep (see SURVEY §4). Persisting
+    * itself is hash-neutral — the build stays deterministic on the
+    * integer grid — and query-time cost is now O(walk) like d84's. */
   def d86HnswSearch(spark: SparkSession, dir: String): DataFrame = {
     val root = ensureHnswIndex(spark, dir)
     val qz = Tables.load(spark, dir, "embeddings")

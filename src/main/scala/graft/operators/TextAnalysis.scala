@@ -1673,7 +1673,10 @@ object TextAnalysis {
   def s24StreamFrontier(spark: SparkSession, dir: String): DataFrame = {
     val c = canonUrls(spark, dir)
       .select(col("doc_id"), col("canon_url"))
-      .withColumn("wnd", (col("doc_id") / FrontierBatch).cast("long"))
+      // exact integer floor division (`div`), matching the oracle's
+      // `//`: double division truncates toward zero (wrong for
+      // negative ids) and loses integer precision past 2^53
+      .withColumn("wnd", expr(s"doc_id div $FrontierBatch"))
     val first = c.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("first_doc"))
     c.join(first.hint("shuffle_hash"), Seq("canon_url"))
@@ -1709,12 +1712,14 @@ object TextAnalysis {
     * (t35/t37's family). Two public-heuristic passes: rejoin
     * letter–hyphen–newline–letter ("de-hyphenate"), then soft
     * newlines become spaces. The corpus has no wraps, so each doc
-    * PLANTS them deterministically (every 5th word ≥4 chars splits
-    * as "xx-\nrest", every 6th inter-word gap becomes a newline) —
-    * and because the plant is lossless by construction, repair must
-    * restore trim(text) EXACTLY: the `restored` column is pinned 1
-    * on every row by the oracle hash, which makes this a
-    * self-checking round trip, not a heuristic demo. Counts come
+    * PLANTS them deterministically (every 5th word ≥4 chars whose
+    * split characters are both lowercase letters splits as
+    * "xx-\nrest", every 6th inter-word gap becomes a newline). The
+    * lowercase guard mirrors the de-hyphenation regex's own
+    * [a-z]-\n[a-z] condition, so the plant is lossless BY
+    * CONSTRUCTION on any corpus — repair must restore trim(text)
+    * EXACTLY, and the `restored` column is structurally pinned 1 on
+    * every row (a self-checking round trip, not a heuristic demo). Counts come
     * from exact length arithmetic. Pure scalar map work inside
     * whole-stage codegen. */
   def t40LinewrapRepair(spark: SparkSession, dir: String): DataFrame = {
@@ -1724,7 +1729,8 @@ object TextAnalysis {
       .withColumn("ws", split(col("txt"), " "))
     val pieces = transform(col("ws"), (w, i0) => {
       val i = i0 + 1
-      val body = when(pmod(i, lit(5)) === 2 && length(w) >= 4,
+      val body = when(pmod(i, lit(5)) === 2 && length(w) >= 4 &&
+        w.substr(lit(2), lit(2)).rlike("^[a-z]{2}$"),
         concat(w.substr(lit(1), lit(2)), lit("-\n"),
           w.substr(lit(3), length(w))))
         .otherwise(w)
@@ -1759,6 +1765,7 @@ object TextAnalysis {
        |  SELECT doc_id, txt, array_to_string(list_transform(ws,
        |    (x, i) ->
        |      (CASE WHEN i % 5 = 2 AND length(x) >= 4
+       |          AND regexp_matches(substr(x, 2, 2), '^[a-z]{2}$$')
        |        THEN substr(x, 1, 2) || '-' || chr(10) || substr(x, 3)
        |        ELSE x END)
        |      || (CASE WHEN i < len(ws)
@@ -1940,10 +1947,10 @@ object TextAnalysis {
         "")).as(Seq("pos", "piece")))
       .filter(col("piece") =!= "")
     val named = regexp_extract(col("piece"), "^&([a-zA-Z]+);", 1)
-    val dec = regexp_extract(col("piece"), "^&#([0-9]+);", 1)
-    val hex = regexp_extract(col("piece"), "^&#[xX]([0-9a-fA-F]+);", 1)
+    val dec = regexp_extract(col("piece"), "^&#([0-9]{1,7});", 1)
+    val hex = regexp_extract(col("piece"), "^&#[xX]([0-9a-fA-F]{1,6});", 1)
     val rest = regexp_replace(col("piece"),
-      "^&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);", "")
+      "^&([a-zA-Z]+|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});", "")
     val namedChar = when(named === "amp", "&")
       .when(named === "lt", "<").when(named === "gt", ">")
       .when(named === "quot", "\"").when(named === "apos", "'")
@@ -1999,10 +2006,10 @@ object TextAnalysis {
        |m AS (
        |  SELECT doc_id, pos, piece,
        |    regexp_extract(piece, '^&([a-zA-Z]+);', 1) AS named,
-       |    regexp_extract(piece, '^&#([0-9]+);', 1) AS dec,
-       |    regexp_extract(piece, '^&#[xX]([0-9a-fA-F]+);', 1) AS h,
+       |    regexp_extract(piece, '^&#([0-9]{1,7});', 1) AS dec,
+       |    regexp_extract(piece, '^&#[xX]([0-9a-fA-F]{1,6});', 1) AS h,
        |    regexp_replace(piece,
-       |      '^&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);', '') AS rest
+       |      '^&([a-zA-Z]+|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});', '') AS rest
        |  FROM pieces WHERE piece <> ''),
        |coded AS (
        |  SELECT doc_id, pos, piece, rest,
