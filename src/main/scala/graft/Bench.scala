@@ -88,7 +88,22 @@ object Bench {
       (0 until reps).foreach(_ => rep())
       val tripped = times.size >= 2 && times.min > 0.2 &&
         times.max / times.min > 2.0
-      if (tripped) rep()
+      // r15 (verdict item 9): one extra rep is not enough when the
+      // whole window is polluted (r14's g13: 14.65 committed vs 5.06
+      // isolated — every rep landed contended). Re-rep until the MIN
+      // is REPRODUCED — the two fastest reps agree within 30% — so a
+      // kept number is never a single unconfirmed fast outlier nor a
+      // string of contended ones, bounded at 3 extra reps so one
+      // noisy query can't stall the suite.
+      def minStable: Boolean = {
+        val sorted = times.sorted
+        sorted.size >= 2 && sorted(1) / sorted(0) <= 1.3
+      }
+      if (tripped) {
+        var extra = 0
+        do { rep(); extra += 1 }
+        while (extra < 3 && times.nonEmpty && !minStable)
+      }
       val varNote =
         if (!tripped) None
         else Some(times.map(fmt).mkString("reps=[", ",", s"] kept=${
@@ -214,7 +229,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n":${
         results.size},"reps":2$errPart$varJson,"sf":"$sfTag"${
         drillJson("sf1", sf1)}${drillErrJson("sf1", sf1)}${
-        drillJson("sf10", sf10)}${drillErrJson("sf10", sf10)}$skewJson,"sf_dir":"$sfDir","execution":"full-plan noop, gc-quiesced min of 2 reps + >2x variance sentinel (extra rep)"}"""
+        drillJson("sf10", sf10)}${drillErrJson("sf10", sf10)}$skewJson,"sf_dir":"$sfDir","execution":"full-plan noop, gc-quiesced min of 2 reps + >2x variance sentinel (re-rep to stable min, max 3 extra)"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_out.json")),
