@@ -194,7 +194,8 @@ object Bench {
     // bench_out.json.
     val headlineKeys = Seq("q01_pricing_summary", "q05_topk_revenue",
       "d02_minhash_lsh", "d20_dedup_corpus", "d21_pipeline_e2e",
-      "g13_map_pipeline", "t11_boiler_strip", "s01_window_agg")
+      "g13_map_pipeline", "t11_boiler_strip", "s01_window_agg",
+      "t41_crawl_e2e")
     val headline = results.filter(r => headlineKeys.contains(r._1))
     val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
     val errPart = if (results.forall(_._3.isEmpty)) "" else s""","errors":$errs"""

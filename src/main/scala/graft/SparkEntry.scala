@@ -19,6 +19,7 @@ object SparkEntry {
       Relational7.queries ++ Relational8.queries ++ Relational9.queries ++
       PipelineExtras.queries ++ MapOps.queries ++ PipelineOps.queries ++
       graft.operators.DataSelection.queries ++
+      graft.operators.CrawlE2e.queries ++
       graft.sources.Interchange.queries ++
       Map("q15_grouped_topk" -> (TopK.q15GroupedTopk _))
 
@@ -30,6 +31,7 @@ object SparkEntry {
       Relational7.oracles ++ Relational8.oracles ++ Relational9.oracles ++
       PipelineExtras.oracles ++ MapOps.oracles ++ PipelineOps.oracles ++
       graft.operators.DataSelection.oracles ++
+      graft.operators.CrawlE2e.oracles ++
       graft.sources.Interchange.oracles ++
       Map("q15_grouped_topk" -> TopK.q15Sql)
 }

@@ -1,0 +1,476 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** t41: the crawl front door as ONE composed plan (r14 verdict item
+  * 2) — the product a 100 TB crawl user actually runs. The pieces
+  * exist as isolated hash-verified keys (t35 extract, t37 entity
+  * decode, t40 line-wrap repair, t36 canonical-URL dedup, t39 robots
+  * rules); this is their composition in a single DataFrame so
+  * Catalyst shares one scan and one codegen stage across all of them
+  * (the d21 precedent), with a full-composition DuckDB oracle.
+  *
+  * Pipeline per fetched page: planted raw URL → RFC 3986
+  * canonicalization (t36's [[TextAnalysis.canonicalUrl]], the SAME
+  * expression) → robots longest-prefix-match admission on the
+  * canonical path (t39's ruleset) → HTML→text extraction by link
+  * density (t35's heuristic) → entity decode (t37's
+  * lossless-on-doubt contract) → line-wrap + hyphenation repair
+  * (t40) → frontier dedup on the canonical URL (first arrival wins)
+  * → the d01/d02-ready clean text for admitted, first-arrival pages.
+  *
+  * SCALE SHAPE — the reason this beats running the five keys
+  * separately: extraction, decode, and repair are expressed as
+  * higher-order ARRAY functions (transform/filter/aggregate over the
+  * block list and the entity-piece list) instead of the per-key
+  * explode→groupBy reassembly, so the entire text pipeline is ONE
+  * whole-stage-codegen map over the corpus with ZERO shuffles; the
+  * only exchanges in the plan are the frontier window (partitioned
+  * by canonical URL — corpus-scaling key, full-partition O(n)
+  * frames) and the final presentation sort. At 100 TB that is one
+  * pass over the pages plus one URL-keyed shuffle of (id, url,
+  * counters, text) — the minimum any frontier dedup pays. The
+  * per-key forms remain registered for per-block / per-piece
+  * reporting; this is the corpus deliverable.
+  *
+  * PLANT (the corpus has no HTML/URLs): host/scheme spelling variant
+  * hv = (doc_id div 20) % 4 (t36's four spellings) and path class
+  * pv = (doc_id div 80) % 5 (t39's five paths) — div 20 so variants
+  * vary WITHIN a source (source is doc_id%20-determined), div 80 so
+  * each (source, path-group) quad holds exactly one v2/v3 pair that
+  * canonicalizes identically → planted frontier duplicates, plus
+  * exact respellings every 20 ids of the same variant. The page
+  * wraps each document's text — escaped with t37's entity prefix and
+  * line-wrapped with t40's guarded plant — in t35's planted chrome
+  * (script decoy, nav bar, citation link, link footer). Because
+  * every plant is lossless by construction, the final `restored`
+  * column (repaired text == decoded prefix + original text +
+  * citation) is structurally pinned 1 — the whole composition is a
+  * self-checking round trip, hash-verified end to end. */
+object CrawlE2e {
+  import TextAnalysis.HtmlLinkDensityNum
+
+  /** Disallow patterns of the planted ruleset (t39's group). */
+  private val DisallowPats = Seq("/private", "/tmp", "/search")
+  /** Allow patterns (the longest-match override). */
+  private val AllowPats = Seq("/private/ok")
+
+  // ---- per-piece entity decode helpers (t37's contract as column
+  // functions usable inside array lambdas) -------------------------
+  private def namedOf(p: Column): Column =
+    regexp_extract(p, "^&([a-zA-Z]+);", 1)
+  private def decCodeOf(p: Column): Column = {
+    val d = regexp_extract(p, "^&#([0-9]{1,7});", 1)
+    when(d =!= "", d.cast("long"))
+  }
+  private def hexCodeOf(p: Column): Column = {
+    val h = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+    when(h =!= "", conv(lower(h), 16, 10).cast("long"))
+  }
+  private val NamedSet = Seq("amp", "lt", "gt", "quot", "apos", "nbsp")
+  private def namedChar(n: Column): Column =
+    when(n === "amp", "&").when(n === "lt", "<").when(n === "gt", ">")
+      .when(n === "quot", "\"").when(n === "apos", "'")
+      .otherwise(" ") // nbsp (guarded by the IN-set check at use site)
+  // null-safe: decCodeOf/hexCodeOf are NULL for non-numeric pieces,
+  // and false||NULL is NULL in SQL — an unknown entity would vanish
+  // from the n_unknown counter without the coalesce
+  private def isHit(p: Column): Column =
+    namedOf(p).isin(NamedSet: _*) ||
+      coalesce(decCodeOf(p).between(32L, 126L), lit(false)) ||
+      coalesce(hexCodeOf(p).between(32L, 126L), lit(false))
+  private def decodePiece(p: Column): Column =
+    when(namedOf(p).isin(NamedSet: _*),
+      concat(namedChar(namedOf(p)),
+        regexp_replace(p, "^&[a-zA-Z]+;", "")))
+      .when(decCodeOf(p).between(32L, 126L),
+        concat(call_function("char", decCodeOf(p)),
+          regexp_replace(p, "^&#[0-9]{1,7};", "")))
+      .when(hexCodeOf(p).between(32L, 126L),
+        concat(call_function("char", hexCodeOf(p)),
+          regexp_replace(p, "^&#[xX][0-9a-fA-F]{1,6};", "")))
+      .otherwise(p)
+
+  def t41CrawlE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), trim(col("text")).as("txt"))
+      .withColumn("hv", expr("doc_id div 20") % 4)
+      .withColumn("pv", expr("doc_id div 80") % 5)
+      .withColumn("ppath",
+        when(col("pv") === 0, "/private/x")
+          .when(col("pv") === 1, "/private/ok/y")
+          .when(col("pv") === 2, "/public/a")
+          .when(col("pv") === 3, "/tmp/z")
+          .otherwise("/"))
+      .withColumn("raw_url",
+        when(col("hv") === 0, concat(lit("HTTPS://WWW."),
+          upper(col("source")), lit(".COM:443/"), col("ppath"),
+          lit("/?utm_source=rss&z=9&a=1#top")))
+          .when(col("hv") === 1, concat(lit("http://"), col("source"),
+            lit(".com:80"), col("ppath")))
+          .when(col("hv") === 2, concat(lit("https://"),
+            upper(col("source")), lit(".COM"), col("ppath"),
+            lit("//?b=2&a=1&utm_campaign=x")))
+          .otherwise(concat(lit("https://www."), col("source"),
+            lit(".com"), col("ppath"), lit("?a=1&b=2"))))
+      .withColumn("canon_url",
+        TextAnalysis.canonicalUrl(col("raw_url")))
+      .withColumn("cpath",
+        regexp_extract(col("canon_url"), "^[a-z]+://[^/?#]*([^?]*)", 1))
+
+    // robots verdict — scalar longest-match over the LITERAL bounded
+    // ruleset (t39's relational broadcast form generalizes to big
+    // rulesets; composed into the map stage here so the gate costs
+    // zero joins)
+    val disArr = array(DisallowPats.map(lit): _*)
+    val allowArr = array(AllowPats.map(lit): _*)
+    val gated = docs
+      .withColumn("dlen", coalesce(array_max(transform(
+        filter(disArr, p => col("cpath").startsWith(p)),
+        p => length(p))), lit(-1)))
+      .withColumn("alen", coalesce(array_max(transform(
+        filter(allowArr, p => col("cpath").startsWith(p)),
+        p => length(p))), lit(-1)))
+      .withColumn("allowed",
+        (col("alen") >= col("dlen")).cast("long"))
+      .withColumn("matched_rule",
+        when(col("alen") < 0 && col("dlen") < 0, "")
+          .when(col("alen") >= col("dlen"),
+            element_at(filter(allowArr,
+              p => length(p) === col("alen")), 1))
+          .otherwise(element_at(filter(disArr,
+            p => col("cpath").startsWith(p) &&
+              length(p) === col("dlen")), 1)))
+
+    // the planted page: t35 chrome around (t37 escaped prefix +
+    // t40 wrapped text)
+    val ws = split(col("txt"), " ")
+    val wrapped = array_join(transform(ws, (w, i0) => {
+      val i = i0 + 1
+      val body = when(pmod(i, lit(5)) === 2 && length(w) >= 4 &&
+        w.substr(lit(2), lit(2)).rlike("^[a-z]{2}$"),
+        concat(w.substr(lit(1), lit(2)), lit("-\n"),
+          w.substr(lit(3), length(w))))
+        .otherwise(w)
+      val sep = when(i < size(ws),
+        when(pmod(i, lit(6)) === 0, lit("\n")).otherwise(lit(" ")))
+        .otherwise(lit(""))
+      concat(body, sep)
+    }), "")
+    val page = concat(
+      lit("<html><head><title>d</title><style>.m{color:red}</style>" +
+        "<script>var s=\"<div>decoy</div>\";</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav><div>"),
+      lit("Tom &amp; Jerry &lt;tag&gt; &quot;"), col("source"),
+      lit("&quot; &#39;ok&#39; A&#66;C &#x21; &bogus; "), wrapped,
+      lit(" <a href=\"#ref\">"), col("source"), lit("</a></div>" +
+        "<div><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a>" +
+        "</div></body></html>"))
+
+    // t35 extraction as pure array ops (no explode, no reassembly
+    // shuffle): strip script/style/head, split at block tags,
+    // per-block strip + link-density verdict, rejoin kept blocks.
+    // The per-block collapse folds spaces/tabs ONLY — newlines must
+    // survive extraction for t40's repair to see them (the per-key
+    // t35 collapses \s+ because its per-block report has no
+    // downstream repair).
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(page,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?is)<head[^>]*>.*?</head>", " ")
+    val bs = split(cleaned, "(?i)</?(?:nav|div|p|body|html)[^>]*>")
+    val blockStructs = filter(transform(bs, b => struct(
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
+        "[ \\t]+", " ")).as("btxt"),
+      coalesce(aggregate(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        lit(0L), (acc, x) => acc + length(x).cast("long")),
+        lit(0L)).as("lc"))),
+      s => length(s.getField("btxt")) > 0)
+    val extractedDf = gated
+      .withColumn("blocks", blockStructs)
+      .withColumn("n_blocks", size(col("blocks")).cast("long"))
+      .withColumn("keptb", filter(col("blocks"),
+        s => s.getField("lc") * HtmlLinkDensityNum <=
+          length(s.getField("btxt"))))
+      .withColumn("n_kept", size(col("keptb")).cast("long"))
+      .withColumn("extracted", array_join(transform(col("keptb"),
+        s => s.getField("btxt")), " "))
+
+    // t37 entity decode as array ops over the sentinel-split pieces
+    val decodedDf = extractedDf
+      .withColumn("pieces", split(regexp_replace(col("extracted"),
+        "&", "&"), ""))
+      .withColumn("decoded",
+        array_join(transform(col("pieces"), p => decodePiece(p)), ""))
+      .withColumn("n_entities", aggregate(col("pieces"), lit(0L),
+        (acc, p) => acc + when(isHit(p), 1L).otherwise(0L)))
+      .withColumn("n_unknown", aggregate(col("pieces"), lit(0L),
+        (acc, p) => acc + when(p.startsWith("&") && !isHit(p), 1L)
+          .otherwise(0L)))
+
+    // t40 repair + the structural round-trip pin
+    val expected = concat(lit("Tom & Jerry <tag> \""), col("source"),
+      lit("\" 'ok' ABC ! &bogus; "), col("txt"), lit(" "),
+      col("source"))
+    val repairedDf = decodedDf
+      .withColumn("dehyph", regexp_replace(col("decoded"),
+        "([a-z])-\\n([a-z])", "$1$2"))
+      .withColumn("repaired",
+        regexp_replace(col("dehyph"), "\\n", " "))
+      .withColumn("n_hyphen_joins",
+        ((length(col("decoded")) - length(col("dehyph"))) / 2)
+          .cast("long"))
+      .withColumn("n_wraps", (length(col("dehyph")) -
+        length(regexp_replace(col("dehyph"), "\\n", "")))
+        .cast("long"))
+      .withColumn("restored",
+        when(col("repaired") === expected, 1L).otherwise(0L))
+
+    // frontier dedup — the plan's ONE corpus shuffle, keyed on the
+    // canonical URL (full-partition frames, O(n) per canonical)
+    val wc = Window.partitionBy(col("canon_url"))
+    repairedDf
+      .withColumn("first_doc", min(col("doc_id")).over(wc))
+      .withColumn("n_dups", count(lit(1)).over(wc).cast("long"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("first_doc")).cast("long"))
+      .withColumn("admitted",
+        when(col("allowed") === 1L && col("is_dup") === 0L &&
+          col("n_kept") > 0L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("canon_url"), col("cpath"),
+        col("matched_rule"), col("allowed"), col("is_dup"),
+        col("n_dups"), col("n_blocks"), col("n_kept"),
+        col("n_entities"), col("n_unknown"), col("n_hyphen_joins"),
+        col("n_wraps"), col("restored"), col("admitted"),
+        when(col("admitted") === 1L, col("repaired")).otherwise(lit(""))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_crawl_e2e" -> (t41CrawlE2e _))
+
+  def oracles: Map[String, String] = Map(
+    "t41_crawl_e2e" -> t41Sql)
+
+  /** The hex numeric-reference value as a DuckDB expression over a
+    * piece `p` (nested-lambda digit walk — DuckDB has no conv()). */
+  private def hexValSql(p: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1,
+       |  length(regexp_extract($p, '^&#[xX]([0-9a-fA-F]{1,6});', 1))),
+       |  q -> (CAST(strpos('0123456789abcdef', substring(lower(
+       |      regexp_extract($p, '^&#[xX]([0-9a-fA-F]{1,6});', 1)),
+       |      q, 1)) AS BIGINT) - 1)
+       |    * power(16, length(regexp_extract($p,
+       |      '^&#[xX]([0-9a-fA-F]{1,6});', 1)) - q)))
+       |  AS BIGINT)"""
+
+  private def isHitSql(p: String): String =
+    s"""(regexp_extract($p, '^&([a-zA-Z]+);', 1) IN
+       |  ('amp','lt','gt','quot','apos','nbsp')
+       | OR COALESCE(TRY_CAST(regexp_extract($p, '^&#([0-9]{1,7});', 1)
+       |   AS BIGINT) BETWEEN 32 AND 126, false)
+       | OR COALESCE(${hexValSql(p)} BETWEEN 32 AND 126, false))"""
+
+  lazy val t41Sql: String = {
+    val dc =
+      s"""CASE
+         |  WHEN regexp_extract(p, '^&([a-zA-Z]+);', 1) IN
+         |      ('amp','lt','gt','quot','apos','nbsp')
+         |    THEN (CASE regexp_extract(p, '^&([a-zA-Z]+);', 1)
+         |      WHEN 'amp' THEN '&' WHEN 'lt' THEN '<'
+         |      WHEN 'gt' THEN '>' WHEN 'quot' THEN '"'
+         |      WHEN 'apos' THEN chr(39) ELSE ' ' END)
+         |      || regexp_replace(p, '^&[a-zA-Z]+;', '')
+         |  WHEN TRY_CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1)
+         |      AS BIGINT) BETWEEN 32 AND 126
+         |    THEN chr(CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1)
+         |        AS INTEGER))
+         |      || regexp_replace(p, '^&#[0-9]{1,7};', '')
+         |  WHEN ${hexValSql("p")} BETWEEN 32 AND 126
+         |    THEN chr(CAST(${hexValSql("p")} AS INTEGER))
+         |      || regexp_replace(p, '^&#[xX][0-9a-fA-F]{1,6};', '')
+         |  ELSE p END"""
+    s"""WITH d AS (
+       |  SELECT doc_id, source, trim(text) AS txt,
+       |    CAST(doc_id // 20 AS BIGINT) % 4 AS hv,
+       |    CAST(doc_id // 80 AS BIGINT) % 5 AS pv
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |du AS (
+       |  SELECT *, CASE pv
+       |      WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/y'
+       |      WHEN 2 THEN '/public/a' WHEN 3 THEN '/tmp/z'
+       |      ELSE '/' END AS ppath
+       |  FROM d),
+       |raw AS (
+       |  SELECT *, CASE hv
+       |    WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+       |      || '.COM:443/' || ppath || '/?utm_source=rss&z=9&a=1#top'
+       |    WHEN 1 THEN 'http://' || source || '.com:80' || ppath
+       |    WHEN 2 THEN 'https://' || upper(source)
+       |      || '.COM' || ppath || '//?b=2&a=1&utm_campaign=x'
+       |    ELSE 'https://www.' || source || '.com' || ppath
+       |      || '?a=1&b=2'
+       |    END AS raw_url
+       |  FROM du),
+       |parts AS (
+       |  SELECT *,
+       |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]*)', 1))
+       |      AS hostport,
+       |    regexp_replace(
+       |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*(.*)$$', 1),
+       |      '#.*$$', '') AS pq
+       |  FROM raw),
+       |canon AS (
+       |  SELECT doc_id, source, txt, scheme || '://' ||
+       |    regexp_replace(CASE
+       |      WHEN scheme = 'http'
+       |        THEN regexp_replace(hostport, ':80$$', '')
+       |      WHEN scheme = 'https'
+       |        THEN regexp_replace(hostport, ':443$$', '')
+       |      ELSE hostport END, '^www\\.', '')
+       |    || regexp_replace(regexp_replace(
+       |         regexp_extract(pq, '^([^?]*)', 1), '/+', '/', 'g'),
+       |         '/$$', '')
+       |    || CASE WHEN length(array_to_string(list_sort(list_filter(
+       |         string_split(regexp_extract(pq, '\\?(.*)$$', 1), '&'),
+       |         x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'))
+       |         > 0
+       |       THEN '?' || array_to_string(list_sort(list_filter(
+       |         string_split(regexp_extract(pq, '\\?(.*)$$', 1), '&'),
+       |         x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+       |       ELSE '' END AS canon_url
+       |  FROM parts),
+       |rb AS (
+       |  SELECT *, regexp_extract(canon_url,
+       |    '^[a-z]+://[^/?#]*([^?]*)', 1) AS cpath
+       |  FROM canon),
+       |rbv AS (
+       |  SELECT *,
+       |    COALESCE(list_max(list_transform(list_filter(
+       |      ['/private', '/tmp', '/search'],
+       |      pt -> starts_with(cpath, pt)), pt -> length(pt))), -1)
+       |      AS dlen,
+       |    COALESCE(list_max(list_transform(list_filter(
+       |      ['/private/ok'],
+       |      pt -> starts_with(cpath, pt)), pt -> length(pt))), -1)
+       |      AS alen
+       |  FROM rb),
+       |rbw AS (
+       |  SELECT *, CAST(CASE WHEN alen >= dlen THEN 1 ELSE 0 END
+       |      AS BIGINT) AS allowed,
+       |    CASE WHEN alen < 0 AND dlen < 0 THEN ''
+       |      WHEN alen >= dlen THEN
+       |        list_filter(['/private/ok'],
+       |          pt -> length(pt) = alen)[1]
+       |      ELSE list_filter(['/private', '/tmp', '/search'],
+       |        pt -> starts_with(cpath, pt) AND length(pt) = dlen)[1]
+       |      END AS matched_rule
+       |  FROM rbv),
+       |pg AS (
+       |  SELECT *,
+       |    '<html><head><title>d</title><style>.m{color:red}</style>'
+       |    || '<script>var s="<div>decoy</div>";</script></head><body>'
+       |    || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+       |    || '<a href="/c">Contact</a></nav><div>'
+       |    || 'Tom &amp; Jerry &lt;tag&gt; &quot;' || source
+       |    || '&quot; &#39;ok&#39; A&#66;C &#x21; &bogus; '
+       |    || array_to_string(list_transform(string_split(txt, ' '),
+       |        (x, i) ->
+       |          (CASE WHEN i % 5 = 2 AND length(x) >= 4
+       |              AND regexp_matches(substr(x, 2, 2), '^[a-z]{2}$$')
+       |            THEN substr(x, 1, 2) || '-' || chr(10)
+       |              || substr(x, 3)
+       |            ELSE x END)
+       |          || (CASE WHEN i < len(string_split(txt, ' '))
+       |            THEN (CASE WHEN i % 6 = 0 THEN chr(10)
+       |              ELSE ' ' END)
+       |            ELSE '' END)), '')
+       |    || ' <a href="#ref">' || source || '</a></div>'
+       |    || '<div><a href="/p">Privacy</a> | <a href="/t">Terms</a>'
+       |    || '</div></body></html>' AS page
+       |  FROM rbw),
+       |bl AS (
+       |  SELECT *, list_filter(list_transform(
+       |    string_split_regex(
+       |      regexp_replace(regexp_replace(regexp_replace(page,
+       |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+       |      '(?i)</?(?:nav|div|p|body|html)[^>]*>'),
+       |    b -> struct_pack(
+       |      btxt := trim(regexp_replace(regexp_replace(b,
+       |        '<[^>]*>', ' ', 'g'), '[ \\t]+', ' ', 'g')),
+       |      lc := CAST(COALESCE(list_sum(list_transform(
+       |        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |        x -> length(x))), 0) AS BIGINT))),
+       |    s -> length(struct_extract(s, 'btxt')) > 0) AS blocks
+       |  FROM pg),
+       |ex AS (
+       |  SELECT *, CAST(len(blocks) AS BIGINT) AS n_blocks,
+       |    list_filter(blocks, s -> struct_extract(s, 'lc')
+       |      * $HtmlLinkDensityNum
+       |      <= length(struct_extract(s, 'btxt'))) AS keptb
+       |  FROM bl),
+       |ex2 AS (
+       |  SELECT *, CAST(len(keptb) AS BIGINT) AS n_kept,
+       |    array_to_string(list_transform(keptb,
+       |      s -> struct_extract(s, 'btxt')), ' ') AS extracted
+       |  FROM ex),
+       |en AS (
+       |  SELECT *, string_split(replace(extracted, '&',
+       |    chr(1) || '&'), chr(1)) AS pieces
+       |  FROM ex2),
+       |en2 AS (
+       |  SELECT *, array_to_string(list_transform(pieces, p ->
+       |      $dc), '') AS decoded,
+       |    CAST(list_sum(list_transform(pieces, p ->
+       |      CASE WHEN ${isHitSql("p")} THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS n_entities,
+       |    CAST(list_sum(list_transform(pieces, p ->
+       |      CASE WHEN starts_with(p, '&') AND NOT ${isHitSql("p")}
+       |        THEN 1 ELSE 0 END)) AS BIGINT) AS n_unknown
+       |  FROM en),
+       |rp AS (
+       |  SELECT *, regexp_replace(decoded,
+       |    '([a-z])-\\n([a-z])', '\\1\\2', 'g') AS dehyph
+       |  FROM en2),
+       |rp2 AS (
+       |  SELECT *, replace(dehyph, chr(10), ' ') AS repaired,
+       |    CAST((length(decoded) - length(dehyph)) / 2 AS BIGINT)
+       |      AS n_hyphen_joins,
+       |    CAST(length(dehyph) - length(replace(dehyph, chr(10), ''))
+       |      AS BIGINT) AS n_wraps
+       |  FROM rp),
+       |rp3 AS (
+       |  SELECT *, CAST(CASE WHEN repaired =
+       |      'Tom & Jerry <tag> "' || source || '" ' || chr(39)
+       |      || 'ok' || chr(39) || ' ABC ! &bogus; ' || txt || ' '
+       |      || source
+       |    THEN 1 ELSE 0 END AS BIGINT) AS restored
+       |  FROM rp2),
+       |fr AS (
+       |  SELECT *, MIN(doc_id) OVER (PARTITION BY canon_url)
+       |      AS first_doc,
+       |    CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+       |      AS n_dups
+       |  FROM rp3)
+       |SELECT doc_id, canon_url, cpath, matched_rule, allowed,
+       |  CAST(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_dup,
+       |  n_dups, n_blocks, n_kept, n_entities, n_unknown,
+       |  n_hyphen_joins, n_wraps, restored,
+       |  CAST(CASE WHEN allowed = 1 AND doc_id = first_doc
+       |    AND n_kept > 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+       |  CASE WHEN allowed = 1 AND doc_id = first_doc AND n_kept > 0
+       |    THEN repaired ELSE '' END AS clean_text
+       |FROM fr ORDER BY doc_id""".stripMargin
+  }
+}
