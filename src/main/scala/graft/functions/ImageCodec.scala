@@ -190,15 +190,56 @@ object ImageCodec {
     (le16(6) << 32) | le16(8)
   }
 
-  /** m12: format-dispatching dimension probe — PNG, JPEG, or GIF by
-    * magic bytes, -1 for everything else. ONE gate expression for the
-    * size/aspect admission pass over a mixed-format media corpus,
-    * composing the three header walks; never decodes pixels. */
+  /** m12 (r15): WebP dimension probe — a 2025-era crawl corpus is
+    * heavily WebP, which previously fell to the -1 arm. Bounded RIFF
+    * container walk (the [[AudioCodec.wavField]] chunk discipline):
+    * "RIFF" + LE32 size + "WEBP", then the FIRST chunk dispatches by
+    * public bitstream spec — "VP8 " lossy (3-byte frame tag, the
+    * 9D 01 2A start code, 14-bit LE width/height), "VP8L" lossless
+    * (0x2F signature, width-1/height-1 packed in bits 0-13/14-27 of
+    * the next LE32), "VP8X" extended (canvas width-1/height-1 as
+    * LE24 pairs after 4 flag/reserved bytes). Every read is
+    * bounds-checked against both the payload and the declared chunk
+    * size, so a truncated or hostile header returns -1, never
+    * over-reads. Same packed-long contract as [[pngDims]]. */
+  def webpDims(p: Array[Byte]): Long = {
+    if (p.length < 25) return -1L
+    def tag(o: Int, s: String): Boolean =
+      s.indices.forall(i => p(o + i) == s(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WEBP")) return -1L
+    def le16(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8)
+    def le24(o: Int): Long = le16(o) | ((p(o + 2) & 0xffL) << 16)
+    def le32(o: Int): Long = le24(o) | ((p(o + 3) & 0xffL) << 24)
+    val chunkSize = le32(16)
+    if (tag(12, "VP8 ")) {
+      // lossy: payload = 3-byte frame tag, start code, dim words
+      if (p.length < 30 || chunkSize < 10) return -1L
+      if ((p(23) & 0xff) != 0x9D || (p(24) & 0xff) != 0x01 ||
+        (p(25) & 0xff) != 0x2A) return -1L
+      ((le16(26) & 0x3FFF) << 32) | (le16(28) & 0x3FFF)
+    } else if (tag(12, "VP8L")) {
+      if (chunkSize < 5 || (p(20) & 0xff) != 0x2F) return -1L
+      val b = le32(21)
+      (((b & 0x3FFF) + 1) << 32) | (((b >> 14) & 0x3FFF) + 1)
+    } else if (tag(12, "VP8X")) {
+      if (p.length < 30 || chunkSize < 10) return -1L
+      ((le24(24) + 1) << 32) | (le24(27) + 1)
+    } else -1L
+  }
+
+  /** m12: format-dispatching dimension probe — PNG, JPEG, GIF, or
+    * WebP (lossy/lossless/extended) by magic bytes, -1 for everything
+    * else. ONE gate expression for the size/aspect admission pass
+    * over a mixed-format media corpus, composing the four header
+    * walks; never decodes pixels. */
   def imageDims(p: Array[Byte]): Long = {
     if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P') pngDims(p)
     else if (p.length >= 4 && p(0) == 0xFF.toByte &&
       p(1) == 0xD8.toByte) jpegDims(p)
     else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I') gifDims(p)
+    // RIFF is shared with WAV — webpDims' "WEBP" form-type check
+    // sends non-image RIFF containers to the -1 arm
+    else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I') webpDims(p)
     else -1L
   }
 

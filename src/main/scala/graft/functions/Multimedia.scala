@@ -141,8 +141,10 @@ case class PngDims(child: Expression) extends UnaryExpression {
 }
 
 /** `image_dims(payload)` — format-dispatching header-only
-  * (width << 32 | height) probe: PNG IHDR, JPEG SOF marker walk, or
-  * GIF logical screen by magic bytes; -1 for anything else (m12).
+  * (width << 32 | height) probe: PNG IHDR, JPEG SOF marker walk,
+  * GIF logical screen, or WebP RIFF chunk walk (VP8 frame tag /
+  * VP8L signature / VP8X canvas) by magic bytes; -1 for anything
+  * else (m12).
   * One gate expression for a mixed-format media corpus — same
   * no-decode contract as [[PngDims]]. */
 case class ImageDims(child: Expression) extends UnaryExpression {

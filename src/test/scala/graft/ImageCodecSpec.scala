@@ -161,6 +161,71 @@ class ImageCodecSpec extends AnyFunSuite {
     // GraftExtensionsSpec, whose session carries the extensions)
   }
 
+  test("m12 webp_dims: RIFF walk + VP8/VP8L/VP8X arms — spec-exact " +
+      "headers, hostile truncation, WAV cross-format stays -1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le24(v: Int): Seq[Byte] = le16(v & 0xffff) :+
+      ((v >> 16) & 0xff).toByte
+    def le32(v: Int): Seq[Byte] = le24(v & 0xffffff) :+
+      ((v >> 24) & 0xff).toByte
+    def riff(fourcc: String, payload: Seq[Byte]): Array[Byte] =
+      ("RIFF".getBytes("US-ASCII").toSeq ++ le32(4 + 8 + payload.size)
+        ++ "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII")
+        ++ le32(payload.size) ++ payload).toArray
+    // lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit LE dims
+    val vp8 = riff("VP8 ", Seq[Byte](0x30, 0x01, 0x00) ++
+      Seq(0x9D.toByte, 0x01.toByte, 0x2A.toByte) ++
+      le16(160) ++ le16(120))
+    assert(ImageCodec.webpDims(vp8) == ((160L << 32) | 120L))
+    // a 2-bit scale rides the top bits of each dim word — masked off
+    val vp8scaled = riff("VP8 ", Seq[Byte](0x30, 0x01, 0x00) ++
+      Seq(0x9D.toByte, 0x01.toByte, 0x2A.toByte) ++
+      le16(160 | 0x4000) ++ le16(120 | 0x8000))
+    assert(ImageCodec.webpDims(vp8scaled) == ((160L << 32) | 120L))
+    // lossless: 0x2F signature, width-1 bits 0-13, height-1 14-27
+    val bits = (33 - 1) | ((17 - 1) << 14)
+    val vp8l = riff("VP8L", Seq(0x2F.toByte) ++ le32(bits))
+    assert(ImageCodec.webpDims(vp8l) == ((33L << 32) | 17L))
+    // extended: 4 flag/reserved bytes, LE24 canvas-1 pair
+    val vp8x = riff("VP8X", Seq[Byte](0, 0, 0, 0) ++
+      le24(1000 - 1) ++ le24(600 - 1))
+    assert(ImageCodec.webpDims(vp8x) == ((1000L << 32) | 600L))
+    // the dispatch arm routes RIFF payloads through the WEBP check
+    assert(ImageCodec.imageDims(vp8) == ((160L << 32) | 120L))
+    assert(ImageCodec.imageDims(vp8l) == ((33L << 32) | 17L))
+    assert(ImageCodec.imageDims(vp8x) == ((1000L << 32) | 600L))
+    // hostile: truncation at every prefix length can't over-read
+    (0 until vp8.length).foreach { n =>
+      ImageCodec.webpDims(vp8.take(n)); ImageCodec.imageDims(vp8.take(n))
+    }
+    assert(ImageCodec.webpDims(vp8.take(25)) == -1L)
+    // wrong start code / signature
+    val badSig = vp8.clone(); badSig(23) = 0x00
+    assert(ImageCodec.webpDims(badSig) == -1L)
+    // a declared chunk size smaller than the bitstream header
+    val shortChunk = vp8.clone(); shortChunk(16) = 4; shortChunk(17) = 0
+    assert(ImageCodec.webpDims(shortChunk) == -1L)
+    // unknown first chunk
+    assert(ImageCodec.webpDims(riff("ALPH", Seq.fill(12)(0.toByte)))
+      == -1L)
+    // RIFF/WAVE (a real WAV header) is NOT an image: -1 from both
+    val wav = AudioCodec.wavBytes(8000, 1, 16)((_, _) => 0)
+    assert(ImageCodec.webpDims(wav) == -1L)
+    assert(ImageCodec.imageDims(wav) == -1L)
+    // and the codegen'd expression path carries the new arm
+    val got = Seq((1L, vp8), (2L, vp8l), (3L, vp8x), (4L, wav))
+      .toDF("id", "payload")
+      .select(col("id"), Multimedia.imageDims(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ((160L << 32) | 120L))
+    assert(got(2L) == ((33L << 32) | 17L))
+    assert(got(3L) == ((1000L << 32) | 600L))
+    assert(got(4L) == -1L)
+  }
+
   test("m14 image_stats: decoded luminance mean/range/variance — " +
       "the blank/flat admission gate, exact on planted scenes") {
     import spark.implicits._
