@@ -1789,40 +1789,79 @@ object TextAnalysis {
 
   // ---- t39: robots.txt rule matching (crawl admission) --------------
 
+  /** The planted robots ruleset shared by the query and its oracle:
+    * the four plain-prefix rules of the original t39 plus RFC 9309
+    * `*`/`$` wildcard rules (r15, closing the r14 verdict gap 2 — a
+    * prefix-only matcher silently mis-admits against real robots
+    * files). Covered: a leading-`*` rule, a `*`-plus-`$` rule, a
+    * LONGER allow wildcard overriding a disallow wildcard, and a
+    * bare `$` end anchor. */
+  val RobotsRules: Seq[(String, String)] = Seq(
+    ("disallow", "/private"), ("allow", "/private/ok"),
+    ("disallow", "/tmp"), ("disallow", "/search"),
+    ("disallow", "*/download/*"), ("disallow", "/*.pdf$"),
+    ("allow", "/public/*.pdf$"), ("disallow", "/exact$"))
+
+  /** RFC 9309 pattern → anchored RE2-portable regex: `*` matches any
+    * run, a TRAILING `$` anchors the end, everything else is
+    * literal (regex metachars escaped with escapes Java regex and
+    * RE2 both accept). Matching always anchors at the path start —
+    * RFC patterns are begin-anchored prefixes that `*` loosens. */
+  def robotsPatternRe(pat: String): String = {
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.dropRight(1) else pat
+    val body = core.flatMap {
+      case '*' => ".*"
+      case c if ".[]{}()+?^$|\\".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    "^" + body + (if (anchored) "$" else "")
+  }
+
   /** t39: robots-exclusion rule matching — the LEGAL admission gate
     * before s24's frontier even sees a URL (RFC 9309, public): among
-    * all Allow/Disallow rules whose pattern is a PREFIX of the URL
-    * path, the LONGEST match wins; equal lengths prefer Allow; no
-    * match ⇒ allowed. Scope: plain prefix patterns (the `*`/`$`
-    * wildcard extension is a documented next knob, not a different
-    * shape). The corpus has no robots.txt, so a 4-rule group
-    * (Disallow /private, Allow /private/ok, Disallow /tmp, Disallow
-    * /search) and a 5-way planted path per doc exercise every
-    * verdict class — longest-match override (Allow /private/ok
-    * beats Disallow /private), plain block, default-allow. Plan:
-    * docs × the literal rule relation (broadcast — bounded by the
-    * ruleset, never corpus-scaling), prefix filter, one per-doc
-    * window rank (partitioned by doc), left-join back for the
-    * default — at 100 TB this is a map-side broadcast join + one
-    * keyed window, the q15 grouped-top-1 shape. */
+    * all Allow/Disallow rules whose pattern MATCHES the URL path,
+    * the rule with the LONGEST PATTERN wins (RFC 9309 §2.2.2
+    * most-specific-match, measured in pattern octets); equal lengths
+    * prefer Allow; no match ⇒ allowed. Patterns carry the RFC's two
+    * metacharacters — `*` (any run) and trailing `$` (end anchor) —
+    * translated ONCE per rule into an anchored regex
+    * ([[robotsPatternRe]]) that is literal in the bounded rule
+    * relation, so both engines replay the identical RE2-portable
+    * pattern set (percent-encoding normalization is out of scope —
+    * t36 canonicalizes before this gate). The corpus has no
+    * robots.txt, so the [[RobotsRules]] group and a 9-way planted
+    * path per doc exercise every verdict class — prefix
+    * longest-match override, plain block, default-allow, leading-`*`
+    * block, `*…$` block, a LONGER allow wildcard overriding a
+    * disallow wildcard, `$`-anchored exact block, and the $-anchor
+    * NEGATIVE (/exact2 must pass). Plan: docs × the literal rule
+    * relation (broadcast — bounded by the ruleset, never
+    * corpus-scaling), regex filter, one per-doc window rank
+    * (partitioned by doc), left-join back for the default — at
+    * 100 TB this is a map-side broadcast join + one keyed window,
+    * the q15 grouped-top-1 shape. */
   def t39RobotsRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = when(pmod(col("doc_id"), lit(5)) === 0, "/private/x")
-      .when(pmod(col("doc_id"), lit(5)) === 1, "/private/ok/y")
-      .when(pmod(col("doc_id"), lit(5)) === 2, "/public/a")
-      .when(pmod(col("doc_id"), lit(5)) === 3, "/tmp/z")
-      .otherwise("/")
+    val path = when(pmod(col("doc_id"), lit(9)) === 0, "/private/x")
+      .when(pmod(col("doc_id"), lit(9)) === 1, "/private/ok/y")
+      .when(pmod(col("doc_id"), lit(9)) === 2, "/public/a")
+      .when(pmod(col("doc_id"), lit(9)) === 3, "/tmp/z")
+      .when(pmod(col("doc_id"), lit(9)) === 4, "/docs/report.pdf")
+      .when(pmod(col("doc_id"), lit(9)) === 5, "/public/spec.pdf")
+      .when(pmod(col("doc_id"), lit(9)) === 6, "/a/download/b")
+      .when(pmod(col("doc_id"), lit(9)) === 7, "/exact")
+      .otherwise("/exact2")
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), path.as("path"))
-    val rules = Seq(
-      ("disallow", "/private"), ("allow", "/private/ok"),
-      ("disallow", "/tmp"), ("disallow", "/search"))
-      .toDF("rtype", "pat")
+    val rules = RobotsRules
+      .map { case (t, pat) => (t, pat, robotsPatternRe(pat)) }
+      .toDF("rtype", "pat", "re")
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(length(col("pat")).desc, col("rtype"))
     val best = docs.crossJoin(broadcast(rules))
-      .filter(col("path").startsWith(col("pat")))
+      .filter(expr("regexp_like(path, re)"))
       .withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("rtype").as("matched_type"),
@@ -1836,27 +1875,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  lazy val t39Sql: String =
+  lazy val t39Sql: String = {
+    // the VALUES list derives from the SAME RobotsRules +
+    // robotsPatternRe the query uses, so query and oracle can never
+    // carry different pattern translations
+    val ruleValues = RobotsRules.map { case (t, pat) =>
+      s"('$t', '$pat', '${robotsPatternRe(pat)}')"
+    }.mkString(",\n    ")
     s"""WITH docs AS (
-       |  SELECT doc_id, CASE doc_id % 5
+       |  SELECT doc_id, CASE doc_id % 9
        |    WHEN 0 THEN '/private/x'
        |    WHEN 1 THEN '/private/ok/y'
        |    WHEN 2 THEN '/public/a'
        |    WHEN 3 THEN '/tmp/z'
-       |    ELSE '/' END AS path
+       |    WHEN 4 THEN '/docs/report.pdf'
+       |    WHEN 5 THEN '/public/spec.pdf'
+       |    WHEN 6 THEN '/a/download/b'
+       |    WHEN 7 THEN '/exact'
+       |    ELSE '/exact2' END AS path
        |  FROM documents),
        |rules AS (
        |  SELECT * FROM (VALUES
-       |    ('disallow', '/private'), ('allow', '/private/ok'),
-       |    ('disallow', '/tmp'), ('disallow', '/search'))
-       |    AS t(rtype, pat)),
+       |    $ruleValues)
+       |    AS t(rtype, pat, re)),
        |best AS (
        |  SELECT doc_id, rtype AS matched_type, pat AS matched_rule
        |  FROM (
        |    SELECT d.doc_id, r.rtype, r.pat, ROW_NUMBER() OVER (
        |      PARTITION BY d.doc_id
        |      ORDER BY length(r.pat) DESC, r.rtype) AS rn
-       |    FROM docs d JOIN rules r ON starts_with(d.path, r.pat))
+       |    FROM docs d JOIN rules r ON regexp_matches(d.path, r.re))
        |  WHERE rn = 1)
        |SELECT d.doc_id, d.path,
        |  COALESCE(b.matched_rule, '') AS matched_rule,
@@ -1865,6 +1913,7 @@ object TextAnalysis {
        |    <> 'disallow' THEN 1 ELSE 0 END AS BIGINT) AS allowed
        |FROM docs d LEFT JOIN best b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---- t38: per-domain corpus governance report ---------------------
 
