@@ -1530,18 +1530,31 @@ object TextAnalysis {
     * over the planted URLs — t36's core, reused by t38's per-domain
     * report. See [[t36UrlCanon]] for the rules. */
   private def canonUrls(spark: SparkSession, dir: String): DataFrame = {
+    // r15: the planted hosts now vary their TLD (com / co.uk /
+    // com.au by doc_id%3) and occasionally carry a subdomain label
+    // (m. on doc_id%7==0) so t38's public-suffix-aware registrable
+    // domain has multi-label cases to bucket — a .com-only plant
+    // never exercises it. t36/s24 semantics are unchanged in shape
+    // (their oracles share this CTE chain and moved in lockstep).
+    val tld = when(pmod(col("doc_id"), lit(3)) === 0, "com")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "co.uk")
+      .otherwise("com.au")
+    val hostLabel = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit("m."), col("source"))).otherwise(col("source"))
+    val hostLower = concat(hostLabel, lit("."), tld)
+    val hostUpper = upper(hostLower)
     val raw = concat(
       when(pmod(col("doc_id"), lit(4)) === 0,
-        concat(lit("HTTPS://WWW."), upper(col("source")),
-          lit(".COM:443//news//Item/?utm_source=rss&z=9&a=1#top")))
+        concat(lit("HTTPS://WWW."), hostUpper,
+          lit(":443//news//Item/?utm_source=rss&z=9&a=1#top")))
         .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(lit("http://"), col("source"),
-            lit(".com:80/news/item")))
+          concat(lit("http://"), hostLower,
+            lit(":80/news/item")))
         .when(pmod(col("doc_id"), lit(4)) === 2,
-          concat(lit("https://"), upper(col("source")),
-            lit(".COM/news//item//?b=2&a=1&utm_campaign=x")))
-        .otherwise(concat(lit("https://www."), col("source"),
-          lit(".com/news/item?a=1&b=2"))))
+          concat(lit("https://"), hostUpper,
+            lit("/news//item//?b=2&a=1&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), hostLower,
+          lit("/news/item?a=1&b=2"))))
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), raw.as("raw_url"))
       .withColumn("host", canonicalHost(col("raw_url")))
@@ -1598,16 +1611,23 @@ object TextAnalysis {
   /** Shared canonicalization CTE chain (raw → parts → comp → canon
     * with (doc_id, host, canon_url)) — t36/t38's common prefix. */
   private lazy val urlCanonCtes: String =
-    s"""raw AS (
-       |  SELECT doc_id, CASE doc_id % 4
-       |    WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
-       |      || '.COM:443//news//Item/?utm_source=rss&z=9&a=1#top'
-       |    WHEN 1 THEN 'http://' || source || '.com:80/news/item'
-       |    WHEN 2 THEN 'https://' || upper(source)
-       |      || '.COM/news//item//?b=2&a=1&utm_campaign=x'
-       |    ELSE 'https://www.' || source || '.com/news/item?a=1&b=2'
-       |    END AS raw_url
+    s"""hl AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 7 = 0 THEN 'm.' || source
+       |      ELSE source END) || '.' ||
+       |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |      ELSE 'com.au' END) AS hostl
        |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id, CASE doc_id % 4
+       |    WHEN 0 THEN 'HTTPS://WWW.' || upper(hostl)
+       |      || ':443//news//Item/?utm_source=rss&z=9&a=1#top'
+       |    WHEN 1 THEN 'http://' || hostl || ':80/news/item'
+       |    WHEN 2 THEN 'https://' || upper(hostl)
+       |      || '/news//item//?b=2&a=1&utm_campaign=x'
+       |    ELSE 'https://www.' || hostl || '/news/item?a=1&b=2'
+       |    END AS raw_url
+       |  FROM hl),
        |parts AS (
        |  SELECT doc_id,
        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1))
@@ -1917,22 +1937,50 @@ object TextAnalysis {
 
   // ---- t38: per-domain corpus governance report ---------------------
 
+  /** The pinned multi-label public-suffix subset t38 buckets by —
+    * a literal bounded relation (the PSL is a public Mozilla
+    * artifact; at production the full list rides the same shape:
+    * a broadcast lookup or, as here, a scalar longest-suffix test).
+    * Suffixes here never nest (no entry is a suffix of another), so
+    * at most one matches a host. */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "com.au", "co.jp", "co.in", "com.br", "co.nz")
+
+  /** The REGISTRABLE domain of a canonical host: one label before
+    * the matched public suffix (m.src1.co.uk → src1.co.uk), falling
+    * back to the last two labels when no multi-label suffix matches
+    * (m.src1.com → src1.com). r15: the r14 "last two labels"
+    * divergence note is retired — a *.co.uk site no longer buckets
+    * under "co.uk". */
+  def registrableDomain(host: Column): Column = {
+    val sufArr = array(PublicSuffixes.map(lit): _*)
+    // try_element_at: ANSI element_at throws on the empty no-match
+    // array; NULL routes to the last-two-labels fallback
+    val msfx = try_element_at(
+      filter(sufArr, x => host.endsWith(concat(lit("."), x))), lit(1))
+    val stem = host.substr(lit(1),
+      length(host) - length(msfx) - lit(1))
+    when(msfx.isNotNull,
+      concat(regexp_extract(stem, "([^.]+)$", 1), lit("."), msfx))
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+
   /** t38: per-DOMAIN corpus report — the governance table a crawl
     * corpus is administered by (crawl budgets, block decisions —
     * t29's blocklist input — and dedup audits are all per-domain,
     * not per-page): group t36's canonical relation by the
-    * REGISTRABLE domain (last two dot-labels of the canonical host —
-    * the no-lookup heuristic; a public-suffix list refines
-    * multi-label TLDs and is a documented divergence, not a
-    * different shape) and report docs, unique pages (distinct
+    * REGISTRABLE domain — one label before a matched entry of the
+    * pinned [[PublicSuffixes]] subset, else the last two dot-labels
+    * (r15: multi-label TLDs now bucket correctly; the r14 divergence
+    * note is retired) — and report docs, unique pages (distinct
     * canonical URLs), the duplicate-fetch rate in exact micro units,
     * and total corpus chars hosted there. One canonical-key-derived
     * aggregate — shuffles on domain exactly like any keyed report
-    * at 100 TB. */
+    * at 100 TB; the suffix test is a scalar over a bounded literal
+    * array, zero joins. */
   def t38DomainReport(spark: SparkSession, dir: String): DataFrame = {
     val canoned = canonUrls(spark, dir)
-      .withColumn("domain",
-        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("domain", registrableDomain(col("host")))
     val chars = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
     canoned.join(chars.hint("shuffle_hash"), Seq("doc_id"))
@@ -1948,19 +1996,30 @@ object TextAnalysis {
       .orderBy(col("domain"))
   }
 
-  lazy val t38Sql: String =
+  lazy val t38Sql: String = {
+    val sufList = PublicSuffixes.map(x => s"'$x'").mkString(", ")
     s"""WITH $urlCanonCtes,
+       |sx AS (
+       |  SELECT c.doc_id, c.host, c.canon_url, doc.n_chars,
+       |    list_filter([$sufList],
+       |      x -> ends_with(c.host, '.' || x))[1] AS msfx
+       |  FROM canon c JOIN documents doc USING (doc_id)),
        |d AS (
-       |  SELECT c.doc_id,
-       |    regexp_extract(c.host, '([^.]+\\.[^.]+)$$', 1) AS domain,
-       |    c.canon_url, doc.n_chars
-       |  FROM canon c JOIN documents doc USING (doc_id))
+       |  SELECT doc_id, canon_url, n_chars,
+       |    CASE WHEN msfx IS NOT NULL
+       |      THEN regexp_extract(substr(host, 1,
+       |        CAST(length(host) - length(msfx) - 1 AS INTEGER)),
+       |        '([^.]+)$$', 1) || '.' || msfx
+       |      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |      END AS domain
+       |  FROM sx)
        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_pages,
        |  CAST(FLOOR(1000000.0 * (COUNT(*) - COUNT(DISTINCT canon_url))
        |    / COUNT(*)) AS BIGINT) AS dup_rate_micro,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+  }
 
   // ---- t37: HTML entity decode (the step between t35 and t07) ------
 
