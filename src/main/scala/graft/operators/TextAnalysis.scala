@@ -2144,4 +2144,124 @@ object TextAnalysis {
        |  CAST(SUM(unknown) AS BIGINT) AS n_unknown
        |FROM dc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t42: charset discrimination at ingest -------------------------
+
+  /** t42: CHARSET discrimination at ingest — the gate BEFORE every
+    * text operator when pages arrive as raw bytes (r14 verdict gap
+    * 4: t27 flags mojibake after a bad decode; nothing decided the
+    * decode): a UTF-8 validity STATE MACHINE over the byte stream —
+    * the public algorithm every charset sniffer leads with, because
+    * valid multi-byte UTF-8 is statistically never produced by
+    * Latin-1/Windows-1252 text — classifying each payload as
+    * `ascii` (no high bytes), `utf-8` (high bytes, machine accepts),
+    * or `legacy` (high bytes, machine rejects → single-byte
+    * Latin-1-family, decode via 8859-1 and let t27 audit). The DFA
+    * folds integer byte tests through aggregate()/list_reduce —
+    * whole-stage-codegen arithmetic in Spark, the identical
+    * transition CASE in DuckDB (state: 0 = expect lead, 1-3 = that
+    * many continuation bytes pending, 4 = rejected; C0/C1 overlong
+    * leads and F5+ out-of-range leads reject at the lead state, a
+    * mid-sequence non-continuation or EOF-in-sequence rejects too).
+    *
+    * The corpus is ASCII, so each doc PLANTS its encoding class
+    * (doc_id%4): pure ASCII; UTF-8 with a real multi-byte prefix
+    * (café as C3 A9); the SAME text in Latin-1 (café as E9 —
+    * invalid UTF-8: E9 expects 2 continuations, gets "f "); and
+    * UTF-8 TRUNCATED mid-sequence (trailing C3 at EOF — the
+    * chunked-download reality). Bytes ride as an integer array
+    * (ascii() over a bounded 24-char prefix of the text), so every
+    * test is exact integer arithmetic and the classification
+    * hash-verifies cross-engine — no BLOB portability games. */
+  def t42CharsetDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+    // the variable payload: ascii codes of the first 24 chars
+    val prefix = col("txt").substr(lit(1), lit(24))
+    val asciiBytes = transform(
+      sequence(lit(1), least(lit(24), length(col("txt")))),
+      i => ascii(col("txt").substr(i, lit(1))).cast("int"))
+    // caf<e-acute> in UTF-8 (C3 A9) and Latin-1 (E9), then a space
+    val utf8Pre = array(Seq(0x63, 0x61, 0x66, 0xC3, 0xA9, 0x20)
+      .map(v => lit(v)): _*)
+    val latin1Pre = array(Seq(0x63, 0x61, 0x66, 0xE9, 0x20)
+      .map(v => lit(v)): _*)
+    val truncTail = array(lit(0xC3))
+    val bytes = when(pmod(col("doc_id"), lit(4)) === 0, asciiBytes)
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(utf8Pre, asciiBytes))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(latin1Pre, asciiBytes))
+      .otherwise(concat(asciiBytes, truncTail))
+    val withBytes = docs.withColumn("bytes", bytes)
+    // the UTF-8 DFA: fold the transition table through the bytes
+    val state = aggregate(col("bytes"), lit(0), (st, b) =>
+      when(st === 4, 4)
+        .when(st > 0,
+          when(b >= 128 && b < 192, st - 1).otherwise(4))
+        .when(b < 128, 0)
+        .when(b >= 194 && b < 224, 1)
+        .when(b >= 224 && b < 240, 2)
+        .when(b >= 240 && b < 245, 3)
+        .otherwise(4))
+    withBytes
+      .withColumn("n_bytes", size(col("bytes")).cast("long"))
+      .withColumn("n_high", aggregate(col("bytes"), lit(0L),
+        (acc, b) => acc + when(b >= 128, 1L).otherwise(0L)))
+      .withColumn("n_leads", aggregate(col("bytes"), lit(0L),
+        (acc, b) => acc + when(b >= 194 && b < 245, 1L)
+          .otherwise(0L)))
+      .withColumn("final_state", state.cast("long"))
+      .withColumn("charset_class",
+        when(col("n_high") === 0L, "ascii")
+          .when(col("final_state") === 0L, "utf-8")
+          .otherwise("legacy"))
+      .select(col("doc_id"), col("n_bytes"), col("n_high"),
+        col("n_leads"), col("final_state"), col("charset_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t42Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(text) AS txt FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |ab AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(1, least(24, length(txt))),
+       |    i -> CAST(ascii(substring(txt, CAST(i AS INTEGER), 1))
+       |      AS INTEGER)) AS a
+       |  FROM d),
+       |pb AS (
+       |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+       |    WHEN 0 THEN a
+       |    WHEN 1 THEN [99, 97, 102, 195, 169, 32] || a
+       |    WHEN 2 THEN [99, 97, 102, 233, 32] || a
+       |    ELSE a || [195] END AS bytes
+       |  FROM ab),
+       |st AS (
+       |  SELECT doc_id, bytes,
+       |    list_reduce(list_prepend(0, bytes), (st, b) -> CASE
+       |      WHEN st = 4 THEN 4
+       |      WHEN st > 0 THEN
+       |        (CASE WHEN b >= 128 AND b < 192 THEN st - 1
+       |          ELSE 4 END)
+       |      WHEN b < 128 THEN 0
+       |      WHEN b >= 194 AND b < 224 THEN 1
+       |      WHEN b >= 224 AND b < 240 THEN 2
+       |      WHEN b >= 240 AND b < 245 THEN 3
+       |      ELSE 4 END) AS fstate,
+       |    CAST(list_sum(list_transform(bytes,
+       |      b -> CASE WHEN b >= 128 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS n_high,
+       |    CAST(list_sum(list_transform(bytes,
+       |      b -> CASE WHEN b >= 194 AND b < 245 THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS n_leads
+       |  FROM pb)
+       |SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n_bytes, n_high,
+       |  n_leads, CAST(fstate AS BIGINT) AS final_state,
+       |  CASE WHEN n_high = 0 THEN 'ascii'
+       |    WHEN fstate = 0 THEN 'utf-8'
+       |    ELSE 'legacy' END AS charset_class
+       |FROM st ORDER BY doc_id""".stripMargin
 }
