@@ -2900,6 +2900,83 @@ object Similarity {
       .unionByName(redges)
   }
 
+  /** Durable home of the PROMOTED entry generation (d97). */
+  def navPromotePath(dir: String): String =
+    navIndexPath(dir) + "_promote"
+
+  /** The promotion ELECTION — the cell medoid re-elected over BOTH
+    * generations' postings: per cell, the base ∪ delta member
+    * nearest the trained centroid, ties to the smaller vec_id
+    * ([[navGraphParts]]' election rule, widened to two generations).
+    * Shared by the committed lifecycle and the spec's micro-case
+    * (which pins that a delta vector CAN win the election). */
+  def promotedEntries(basePost: DataFrame, dPosted: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val all = basePost.select(col("vec_id"), col("cell"), col("qv"))
+      .unionByName(
+        dPosted.select(col("vec_id"), col("cell"), col("qv")))
+    all.join(broadcast(cents.select(col("cent_id").as("cell"),
+        col("qc"))), Seq("cell"))
+      .withColumn("dist", qDist(col("qv"), col("qc")))
+      .groupBy(col("cell"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("best"))
+      .select(col("cell"), col("best.vec_id").as("entry_id"))
+  }
+
+  /** d97: ENTRY PROMOTION — d87's compaction analogue for the nav
+    * graph's entry layer, completing the lifecycle d94's trade note
+    * documented (r14 verdict gap 5: inserted vectors are reachable
+    * through edges but can never become entries until a full
+    * rebuild — the level-promotion trade real HNSW makes). A
+    * periodic O(postings) pass re-elects every cell's entry medoid
+    * over base ∪ delta postings — no retrain, no edge rebuild — and
+    * publishes the result as its OWN committed generation
+    * (`entries/`); the base tree is untouched throughout, and the
+    * atomic tmp→rename publish IS the swap serving cuts over on. */
+  def ensureNavPromote(spark: SparkSession, dir: String): String =
+    navPromotePath(dir).intern.synchronized {
+      val basePath = ensureNavBase(spark, dir)
+      val deltaPath = ensureNavDelta(spark, dir)
+      val path = navPromotePath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val cents = loadIndexPart(spark, basePath, "centroids")
+          val basePost = loadIndexPart(spark, basePath, "postings")
+          val dPosted = loadIndexPart(spark, deltaPath, "postings")
+          promotedEntries(basePost, dPosted, cents)
+            .coalesce(1).write.parquet(s"$tmp/entries")
+        })
+      path
+    }
+
+  /** d97: search the updated graph from the PROMOTED entries — the
+    * d94 merged-graph walk with the entry layer cut over to the
+    * promoted generation. The oracle replays the two-generation
+    * medoid election inside the d94 replay; the hash match proves
+    * the promotion pass elected exactly the medoids the batch
+    * definition gives, and the spec pins the lifecycle (base tree
+    * byte-identical, a delta vector electable). */
+  def d97EntryPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = ensureNavBase(spark, dir)
+    val deltaPath = ensureNavDelta(spark, dir)
+    val promPath = ensureNavPromote(spark, dir)
+    val cents = loadIndexPart(spark, basePath, "centroids")
+    val entries = loadIndexPart(spark, promPath, "entries")
+    val baseEdges = loadIndexPart(spark, basePath, "edges")
+    val dEdges = loadIndexPart(spark, deltaPath, "edges")
+    val redges = loadIndexPart(spark, deltaPath, "redges")
+    val merged = mergeNavEdges(baseEdges, dEdges, redges)
+    val qz = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val corpus = qz.filter(col("vec_id") >= NumQueries)
+    navBeamWalk(queries, corpus, cents, merged, entries,
+      NavBeam, NavHops, TopK)
+  }
+
   /** DELETE the base+delta nav generations (see [[resetIvfIndex]]). */
   def resetNavInsert(spark: SparkSession, dir: String): Unit =
     Seq(navBasePath(dir), navDeltaPath(dir)).foreach { root =>
@@ -2938,7 +3015,17 @@ object Similarity {
     * — base-trained router, base graph, delta routing + edge
     * election, the bidirectional shrink, and the walk over the
     * merged graph against the full corpus. */
-  lazy val d94Sql: String = {
+  lazy val d94Sql: String = navMergedWalkSql(promote = false)
+
+  /** DuckDB oracle for d97: the d94 replay with the entry election
+    * widened to BOTH generations (posted ∪ the delta's rn=1
+    * assignments) — exactly the promotion pass's election. */
+  lazy val d97Sql: String = navMergedWalkSql(promote = true)
+
+  /** The shared base+delta merged-graph walk replay; `promote`
+    * selects which entry election feeds b0 — base-only medoids
+    * (d94) or the two-generation promoted medoids (d97). */
+  private def navMergedWalkSql(promote: Boolean): String = {
     val hops = (1 to NavHops).map { h =>
       s"""u$h AS (
          |  SELECT q_id, vec_id FROM b${h - 1}
@@ -3052,6 +3139,14 @@ object Similarity {
        |  SELECT vec_id, nbr_id FROM redges),
        |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
        |       WHERE vec_id < $NumQueries),
+       |pmedoid AS (
+       |  SELECT cell, vec_id AS entry_id FROM (
+       |    SELECT cell, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cell ORDER BY dist, vec_id) AS rn
+       |    FROM (SELECT cell, vec_id, dist FROM posted
+       |          UNION ALL
+       |          SELECT cent_id AS cell, vec_id, dist FROM da
+       |          WHERE rn = 1)) WHERE rn = 1),
        |qe AS (
        |  SELECT q_id, cent_id AS cell FROM (
        |    SELECT qs.q_id, c.cent_id, ROW_NUMBER() OVER (
@@ -3059,7 +3154,8 @@ object Similarity {
        |      ORDER BY ${qDistSql("qs.qqv", "c.qc")}, c.cent_id) AS rn
        |    FROM qs CROSS JOIN c$KmIters c) WHERE rn <= $NavEntryCells),
        |b0 AS (SELECT qe.q_id, m.entry_id AS vec_id
-       |       FROM qe JOIN medoid m USING (cell)),
+       |       FROM qe JOIN ${if (promote) "pmedoid" else "medoid"}
+       |         m USING (cell)),
        |$hops
        |SELECT q_id, vec_id, dist, rn AS rank FROM s$NavHops
        |WHERE rn <= $TopK ORDER BY q_id, rank""".stripMargin

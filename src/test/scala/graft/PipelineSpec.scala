@@ -2372,6 +2372,78 @@ class PipelineSpec extends AnyFunSuite {
       "repeat search rebuilt a nav generation")
   }
 
+  test("d97 entry promotion: a delta vector can win the election, " +
+    "the base tree stays byte-identical, the promoted generation " +
+    "serves without rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val spark2 = spark; import spark2.implicits._
+    // MICRO-CASE — the pin d94's trade note promised: a delta vector
+    // closer to the trained centroid than every base member MUST win
+    // the two-generation election. One cell at the origin; base
+    // members at distance 3 and 5; the delta arrival at distance 1.
+    val cents = Seq((0L, Array(0L, 0L))).toDF("cent_id", "qc")
+    val basePost = Seq(
+      (100L, 0L, Array(3L, 0L)), (101L, 0L, Array(0L, 5L)))
+      .toDF("vec_id", "cell", "qv")
+    val dPosted = Seq((200L, 0L, Array(1L, 0L)))
+      .toDF("vec_id", "cell", "qv")
+    val elected = Similarity.promotedEntries(basePost, dPosted, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(elected == Map(0L -> 200L),
+      s"delta vector did not win the election: $elected")
+    // and with the delta arrival farther than the base medoid, the
+    // base entry holds — promotion is an election, not a takeover
+    val dFar = Seq((200L, 0L, Array(9L, 0L)))
+      .toDF("vec_id", "cell", "qv")
+    assert(Similarity.promotedEntries(basePost, dFar, cents)
+      .as[(Long, Long)].collect().toMap == Map(0L -> 100L))
+
+    // LIFECYCLE on the real corpus: the promotion pass reads both
+    // generations and writes ONLY its own tree — base and delta are
+    // byte-identical before and after (the atomic-swap contract)
+    val basePath = Similarity.ensureNavBase(spark, sf)
+    val deltaPath = Similarity.ensureNavDelta(spark, sf)
+    val f = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(root: String): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val before = (state(basePath), state(deltaPath))
+    val promPath = Similarity.ensureNavPromote(spark, sf)
+    assert((state(basePath), state(deltaPath)) == before,
+      "promotion touched a base/delta generation")
+    // the committed entries equal the election recomputed from the
+    // generations' postings (reload-not-rebuild, then content pin)
+    val committed = spark.read.parquet(s"$promPath/entries")
+      .as[(Long, Long)].collect().toMap
+    val recomputed = Similarity.promotedEntries(
+      spark.read.option("basePath", s"$basePath/postings")
+        .parquet(s"$basePath/postings"),
+      spark.read.option("basePath", s"$deltaPath/postings")
+        .parquet(s"$deltaPath/postings"),
+      spark.read.parquet(s"$basePath/centroids"))
+      .as[(Long, Long)].collect().toMap
+    assert(committed == recomputed)
+    // one entry per cell, full result sets from the promoted serve
+    val res = Similarity.d97EntryPromotion(spark, sf)
+    assert(res.groupBy("q_id").count().filter(
+      col("count") =!= Similarity.TopK).count() == 0)
+    // repeat serve never rebuilds any generation
+    val m0 = (state(basePath), state(deltaPath), state(promPath))
+    Similarity.d97EntryPromotion(spark, sf).collect()
+    assert((state(basePath), state(deltaPath), state(promPath)) == m0,
+      "repeat search rebuilt a generation")
+  }
+
   test("d92 DSIR scores rank the target domain above the rest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
