@@ -189,11 +189,169 @@ object Relational9 {
        |FROM m WHERE n_conversions + n_abandoned > 0
        |ORDER BY user_id""".stripMargin
 
+  /** q91: MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple
+    * over event journeys: every purchase's revenue is credited to
+    * the view/click touchpoints that preceded it under the three
+    * standard models (first-touch, last-touch, linear), reported per
+    * channel (the event type stands in for the campaign channel).
+    * A touch belongs to the NEXT purchase in its user's journey
+    * (strictly later in (ts, event_id) order — each journey segment
+    * attributes independently); purchases with no preceding touch
+    * since the prior purchase credit the `direct` channel in full
+    * under every model.
+    *
+    * EXACTNESS: revenue rides as integer cents
+    * (round(value·100) — the corpus plants 2-decimal values), the
+    * linear split is per-conversion integer floor division
+    * (cents·cnt_channel·10⁶ div n_touches, summed exactly — no
+    * float summation order to diverge on), and first/last elections
+    * tie-break on event_id. SCALE: the touch→conversion assignment
+    * is ONE per-user window (the q89/asofJoinForward descending
+    * running frame — O(rows), no self-join), then two keyed
+    * aggregations (per conversion, then per channel); parallelism
+    * grows with users and conversions, nothing corpus-broadcast. */
+  def q91Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val touches = ev
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("channel"), lit(0).as("side"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("string").as("channel"), lit(1).as("side"))
+      .withColumn("conv",
+        struct(col("ts").as("cts"), col("event_id").as("cid")))
+    val unioned = touches
+      .withColumn("conv", lit(null).cast(
+        "struct<cts:timestamp,cid:bigint>"))
+      .unionByName(convs)
+    // next purchase per row: descending running frame (the q89
+    // lesson — never [current, unboundedFollowing]); at equal ts the
+    // unique event_id breaks the tie, purchases sorting after a
+    // same-instant touch in ascending order = before it descending
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = unioned
+      .withColumn("nxt", last(col("conv"), ignoreNulls = true)
+        .over(wNext))
+      .filter(col("side") === 0 && col("nxt").isNotNull)
+      .select(col("user_id"), col("channel"), col("ts"),
+        col("event_id"), col("nxt.cid").as("conv_id"))
+    val cents = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    // per (conversion, channel): touch count + the conversion's
+    // first/last touch election (global across channels)
+    val perConv = assigned.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("ts"), col("event_id"), col("channel")))
+          .as("first_t"),
+        max(struct(col("ts"), col("event_id"), col("channel")))
+          .as("last_t"))
+    val perConvChan = assigned
+      .groupBy(col("conv_id"), col("channel"))
+      .agg(count(lit(1)).as("cnt"))
+    val attributed = perConvChan
+      .join(perConv.hint("shuffle_hash"), Seq("conv_id"))
+      .join(cents.hint("shuffle_hash"), Seq("conv_id"))
+      .withColumn("linear_part",
+        expr("(cents * cnt * 1000000) div n_touches"))
+      .withColumn("first_cents",
+        when(col("first_t.channel") === col("channel"), col("cents"))
+          .otherwise(lit(0L)))
+      .withColumn("last_cents",
+        when(col("last_t.channel") === col("channel"), col("cents"))
+          .otherwise(lit(0L)))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conv_touchpairs"),
+        sum(col("cnt")).cast("long").as("n_touches"),
+        sum(col("first_cents")).cast("long").as("first_touch_cents"),
+        sum(col("last_cents")).cast("long").as("last_touch_cents"),
+        sum(col("linear_part")).cast("long").as("linear_micro_cents"))
+    // purchases nobody touched: full credit to `direct` everywhere
+    val direct = cents
+      .join(perConv.select(col("conv_id")).hint("shuffle_hash"),
+        Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n_conv_touchpairs"),
+        count(lit(1)).as("n_touches"),
+        sum(col("cents")).cast("long").as("first_touch_cents"),
+        sum(col("cents")).cast("long").as("last_touch_cents"),
+        (sum(col("cents")) * 1000000L).cast("long")
+          .as("linear_micro_cents"))
+      .withColumn("channel", lit("direct"))
+      .select(col("channel"), col("n_conv_touchpairs"),
+        col("n_touches"), col("first_touch_cents"),
+        col("last_touch_cents"), col("linear_micro_cents"))
+    attributed.unionByName(direct).orderBy(col("channel"))
+  }
+
+  val q91Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, ts, event_id, channel, 0 AS side,
+      |    NULL AS cid, NULL AS cts FROM t
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, NULL, 1, event_id, ts FROM p),
+      |w AS (
+      |  SELECT user_id, ts, event_id, channel, side,
+      |    last_value(cid IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      |      ROWS UNBOUNDED PRECEDING) AS conv_id
+      |  FROM u),
+      |assigned AS (
+      |  SELECT user_id, channel, ts, event_id, conv_id
+      |  FROM w WHERE side = 0 AND conv_id IS NOT NULL),
+      |per_conv AS (
+      |  SELECT conv_id, COUNT(*) AS n_touches,
+      |    min(ROW(ts, event_id, channel)) AS first_t,
+      |    max(ROW(ts, event_id, channel)) AS last_t
+      |  FROM assigned GROUP BY conv_id),
+      |per_chan AS (
+      |  SELECT conv_id, channel, COUNT(*) AS cnt
+      |  FROM assigned GROUP BY conv_id, channel),
+      |att AS (
+      |  SELECT pc.channel, pc.cnt, v.n_touches, p.cents,
+      |    (p.cents * pc.cnt * 1000000) // v.n_touches AS linear_part,
+      |    CASE WHEN v.first_t[3] = pc.channel THEN p.cents
+      |      ELSE 0 END AS first_cents,
+      |    CASE WHEN v.last_t[3] = pc.channel THEN p.cents
+      |      ELSE 0 END AS last_cents
+      |  FROM per_chan pc
+      |  JOIN per_conv v USING (conv_id)
+      |  JOIN p ON p.event_id = pc.conv_id),
+      |chan AS (
+      |  SELECT channel,
+      |    CAST(COUNT(*) AS BIGINT) AS n_conv_touchpairs,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_touches,
+      |    CAST(SUM(first_cents) AS BIGINT) AS first_touch_cents,
+      |    CAST(SUM(last_cents) AS BIGINT) AS last_touch_cents,
+      |    CAST(SUM(linear_part) AS BIGINT) AS linear_micro_cents
+      |  FROM att GROUP BY channel),
+      |direct AS (
+      |  SELECT 'direct' AS channel,
+      |    CAST(COUNT(*) AS BIGINT) AS n_conv_touchpairs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |    CAST(SUM(cents) AS BIGINT) AS first_touch_cents,
+      |    CAST(SUM(cents) AS BIGINT) AS last_touch_cents,
+      |    CAST(SUM(cents) * 1000000 AS BIGINT) AS linear_micro_cents
+      |  FROM p WHERE event_id NOT IN (SELECT conv_id FROM per_conv))
+      |SELECT * FROM chan UNION ALL SELECT * FROM direct
+      |ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
-    "q90_seq_match" -> (q90SeqMatch _))
+    "q90_seq_match" -> (q90SeqMatch _),
+    "q91_attribution" -> (q91Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
-    "q90_seq_match" -> q90Sql)
+    "q90_seq_match" -> q90Sql,
+    "q91_attribution" -> q91Sql)
 }

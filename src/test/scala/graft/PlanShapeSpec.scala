@@ -282,6 +282,13 @@ class PlanShapeSpec extends AnyFunSuite {
           "d84 adjudication verbatim; the graph/posting relations " +
           "and the merged-edge union never broadcast (anti-join and " +
           "member joins are hinted shuffles)"),
+      "d97_entry_promotion" ->
+        ("d94's adjudication verbatim — the identical merged-graph " +
+          "walk (bounded queries x NavBeam frontier + hop-expansion " +
+          "broadcasts, local-checkpointed per hop) with only the " +
+          "entry relation cut over to the promoted generation " +
+          "(≤ cells rows, the d84 medoid-entries shape); the " +
+          "graph/posting relations never broadcast"),
       "d95_two_level_route" ->
         ("the two-level descent's bounded broadcasts: the 4-row L2 " +
           "group centroids and |cells|-row cell→group relation " +
