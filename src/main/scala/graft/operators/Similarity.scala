@@ -1836,6 +1836,143 @@ object Similarity {
     ivfProbeRank(queries, postings, cents, NProbe, TopK)
   }
 
+  /** The deterministic DELETE slice (vec_id ≡ [[TombRem]] mod
+    * [[TombMod]] over the indexed corpus) — the takedown/GDPR
+    * reality a production index must serve through. 7 is coprime to
+    * [[DeltaMod]] = 10, so deletes land in BOTH generations. */
+  val TombMod = 7L
+  val TombRem = 3L
+
+  /** Durable homes of the delete log and the purged generation. */
+  def annTombPath(dir: String): String = annBasePath(dir) + "_tomb"
+  def annPurgePath(dir: String): String = annBasePath(dir) + "_purged"
+
+  /** d98: the TOMBSTONE LOG — deletes as their own tiny committed
+    * generation (`ids/`), the delete-log pattern every LSM-shaped
+    * index uses: O(deletes) at delete time, NO posting rewrite, no
+    * retrain; the log is anti-joined at serve time and physically
+    * applied at the next compaction. */
+  def ensureTombstones(spark: SparkSession, dir: String): String =
+    annTombPath(dir).intern.synchronized {
+      val path = annTombPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") >= NumQueries &&
+              pmod(col("vec_id"), lit(TombMod)) === TombRem)
+            .select(col("vec_id"))
+            .write.parquet(s"$tmp/ids")
+        })
+      path
+    }
+
+  /** Serve THROUGH the delete log: d81's base ∪ delta probe-rank
+    * with tombstoned ids anti-joined out of the candidates BEFORE
+    * ranking (hinted shuffle anti-join — the log is corpus-scaling,
+    * never broadcast). This is what production serves between
+    * compactions. */
+  def tombstoneFilteredSearch(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val basePath = ensureBaseIvfIndex(spark, dir)
+    val deltaPath = ensureIvfDelta(spark, dir)
+    val tombPath = ensureTombstones(spark, dir)
+    val cents = loadIndexPart(spark, basePath, "centroids")
+    val tombs = spark.read.parquet(s"$tombPath/ids")
+    val postings = loadIndexPart(spark, basePath, "postings")
+      .unionByName(loadIndexPart(spark, deltaPath, "postings"))
+      .join(tombs.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    ivfProbeRank(queries, postings, cents, NProbe, TopK)
+  }
+
+  /** d98: compaction WITH PURGE — d87's merge minus the tombstoned
+    * ids, the physical delete: one committed tree whose postings
+    * provably contain no deleted vector (spec-pinned), after which
+    * the delete log can be truncated. Base/delta/log untouched until
+    * the atomic swap. */
+  def ensurePurgedIndex(spark: SparkSession, dir: String): String =
+    annPurgePath(dir).intern.synchronized {
+      val path = annPurgePath(dir)
+      val basePath = ensureBaseIvfIndex(spark, dir)
+      val deltaPath = ensureIvfDelta(spark, dir)
+      val tombPath = ensureTombstones(spark, dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          val tombs = spark.read.parquet(s"$tombPath/ids")
+          loadIndexPart(spark, basePath, "centroids")
+            .coalesce(1).write.parquet(s"$tmp/centroids")
+          loadIndexPart(spark, basePath, "postings")
+            .unionByName(loadIndexPart(spark, deltaPath, "postings"))
+            .join(tombs.hint("shuffle_hash"), Seq("vec_id"),
+              "left_anti")
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$tmp/postings")
+        })
+      path
+    }
+
+  /** d98: search the PURGED generation — results must be IDENTICAL
+    * to [[tombstoneFilteredSearch]] (the d87 contract: compaction
+    * changes layout, never results — spec-pinned both directions),
+    * and the oracle replays d81's chain with the delete slice
+    * excluded from candidates (training untouched: deletes never
+    * retrain). The registered key runs the full lifecycle — log →
+    * purge → serve — end to end. */
+  def d98TombstoneDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePurgedIndex(spark, dir)
+    val cents = loadIndexPart(spark, root, "centroids")
+    val postings = loadIndexPart(spark, root, "postings")
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("q_qv"))
+    ivfProbeRank(queries, postings, cents, NProbe, TopK)
+  }
+
+  /** DELETE the tombstone + purged generations (spec hygiene). */
+  def resetTombstones(spark: SparkSession, dir: String): Unit =
+    Seq(annTombPath(dir), annPurgePath(dir)).foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+
+  /** DuckDB oracle for d98: d81's replay with the tombstone slice
+    * excluded from the CANDIDATES only — centroids still train on
+    * the pre-delete base (deletes never retrain). */
+  val d98Sql: String =
+    s"""WITH ${kmeansCtes(
+        s"vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}",
+        s"vec_id >= ${NumQueries + IvfCells} AND vec_id % $DeltaMod <> 0")},
+       |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q
+       |       WHERE vec_id < $NumQueries),
+       |cand AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQueries
+       |         AND vec_id % $TombMod <> $TombRem),
+       |${assignCte("sa", "cand", s"c$KmIters")},
+       |asg AS (SELECT vec_id, qv, cent_id FROM sa WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, qqv, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cent_id) AS rn
+       |  FROM (SELECT qs.q_id, qs.qqv, c.cent_id,
+       |    ${qDistSql("qs.qqv", "c.qc")} AS dist
+       |  FROM qs CROSS JOIN c$KmIters c)),
+       |res AS (
+       |  SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM (SELECT pr.q_id, a.vec_id,
+       |    ${qDistSql("pr.qqv", "a.qv")} AS dist
+       |  FROM pr JOIN asg a ON a.cent_id = pr.cent_id
+       |  WHERE pr.rn <= $NProbe))
+       |SELECT q_id, vec_id, dist, rank FROM res WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---- s21: streaming NN enrichment against the persisted index ----
 
   /** A vector arriving on the ingest stream (s10's convention plus

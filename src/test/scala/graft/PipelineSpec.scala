@@ -2444,6 +2444,61 @@ class PipelineSpec extends AnyFunSuite {
       "repeat search rebuilt a generation")
   }
 
+  test("d98 tombstone delete: the purged tree holds no deleted id, " +
+    "purge changes layout never results, and deletes actually " +
+    "changed the serve") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    import org.apache.hadoop.fs.Path
+    val basePath = Similarity.ensureBaseIvfIndex(spark, sf)
+    val deltaPath = Similarity.ensureIvfDelta(spark, sf)
+    val f = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(root: String): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val before = (state(basePath), state(deltaPath))
+    // the delete log and the purge touch neither source generation
+    val tombPath = Similarity.ensureTombstones(spark, sf)
+    val purgePath = Similarity.ensurePurgedIndex(spark, sf)
+    assert((state(basePath), state(deltaPath)) == before,
+      "tombstone/purge touched a source generation")
+    // physical delete: the purged postings hold NO tombstoned id
+    val tombIds = spark.read.parquet(s"$tombPath/ids")
+      .as[Long].collect().toSet
+    assert(tombIds.nonEmpty)
+    assert(tombIds.forall(_ % Similarity.TombMod == Similarity.TombRem))
+    val leaked = spark.read
+      .option("basePath", s"$purgePath/postings")
+      .parquet(s"$purgePath/postings")
+      .filter(pmod(col("vec_id"), lit(Similarity.TombMod))
+        === Similarity.TombRem)
+      .count()
+    assert(leaked == 0, s"$leaked tombstoned ids survived the purge")
+    // the d87 contract: compaction-with-purge changes layout, never
+    // results — purged serve == tombstone-filtered serve
+    val filtered = Similarity.tombstoneFilteredSearch(spark, sf)
+    val purged = Similarity.d98TombstoneDelete(spark, sf)
+    assert(purged.exceptAll(filtered).count() == 0
+      && filtered.exceptAll(purged).count() == 0)
+    // and the deletes were LOAD-BEARING: the served top-k changed
+    // vs the undeleted d81 search, and no served id is deleted
+    val undeleted = Similarity.d81IncrementalIvf(spark, sf)
+    assert(purged.exceptAll(undeleted).count() > 0,
+      "deleting 1/7 of the corpus changed nothing — slice inert")
+    assert(purged.filter(pmod(col("vec_id"), lit(Similarity.TombMod))
+      === Similarity.TombRem).count() == 0,
+      "a deleted vector was served")
+  }
+
   test("d92 DSIR scores rank the target domain above the rest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
