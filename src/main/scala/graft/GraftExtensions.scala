@@ -107,8 +107,8 @@ object GraftExtensions {
     fn("graft_mp4_field",
       "graft_mp4_field(bin, idx) - ISO-BMFF moov/mvhd probe: idx 0 " +
         "= timescale, 1 = duration ticks, 2 = duration micros, 3 = " +
-        "track count, 4 = video tracks, 5 = audio tracks; -1 " +
-        "for non-MP4; no demux",
+        "track count, 4 = video tracks, 5 = audio tracks, 6 = video " +
+        "frame count (stts), 7 = fps milli; -1 for non-MP4; no demux",
       e => Mp4Field(e.head, intArg(e(1), "graft_mp4_field"))),
     fn("graft_mp3_field",
       "graft_mp3_field(bin, idx) - MP3 Layer III frame probe: idx 0" +

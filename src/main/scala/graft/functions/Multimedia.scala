@@ -206,7 +206,7 @@ case class Mp3Field(child: Expression, idx: Int)
   * no-decode contract as [[PngDims]]/[[WavField]], video arm. */
 case class Mp4Field(child: Expression, idx: Int)
     extends UnaryExpression {
-  require(idx >= 0 && idx <= 5, s"mp4_field idx must be 0..5, got $idx")
+  require(idx >= 0 && idx <= 7, s"mp4_field idx must be 0..7, got $idx")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -330,6 +330,10 @@ object Multimedia {
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 4))
   def mp4AudioTracks(payload: Column): Column =
     GraftShim.column(Mp4Field(GraftShim.expression(payload), 5))
+  def mp4Frames(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 6))
+  def mp4FpsMilli(payload: Column): Column =
+    GraftShim.column(Mp4Field(GraftShim.expression(payload), 7))
   def mp4Tracks(payload: Column): Column =
     GraftShim.column(Mp4Tracks(GraftShim.expression(payload)))
 

@@ -159,14 +159,87 @@ object VideoCodec {
     case Some(ts) => ts.map { case (h, c) => s"$h/$c" }.mkString(",")
   }
 
+  /** m18: the SAMPLE-TABLE stats of the FIRST video track —
+    * (total samples, total delta ticks, media timescale) from
+    * trak/mdia/{mdhd, minf/stbl/stts} (ISO 14496-12 §8.6.1.2: stts
+    * is (sample_count, sample_delta) run-length pairs; §8.4.2: mdhd
+    * carries the per-TRACK timescale those deltas tick in — the
+    * movie timescale is a different clock). Entry walk capped at
+    * 256 and every read bounds-checked, the family's hostile-header
+    * discipline. None for non-MP4 / no video track / truncated
+    * sub-boxes. */
+  def frameStats(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (p.length < 16 || !tag(p, 4, "ftyp")) return None
+    val trak = findBox(p, 0, p.length, "moov").toList.flatMap {
+      case (ms, me) => findBoxes(p, ms, me, "trak")
+    }.find { case (ts, te) =>
+      findBox(p, ts, te, "mdia").exists { case (ds, de) =>
+        findBox(p, ds, de, "hdlr") match {
+          case Some((hs, he)) if hs + 12 <= he =>
+            fourcc(p, hs + 8) == "vide"
+          case _ => false
+        }
+      }
+    }
+    for {
+      (ts, te) <- trak
+      (ds, de) <- findBox(p, ts, te, "mdia")
+      (ms, me) <- findBox(p, ds, de, "mdhd")
+      mediaTs <- {
+        if (ms + 4 > me) None
+        else (p(ms) & 0xff) match {
+          case 0 if ms + 16 <= me => Some(be32(p, ms + 12))
+          case 1 if ms + 24 <= me => Some(be32(p, ms + 20))
+          case _ => None
+        }
+      }
+      (ns, ne) <- findBox(p, ds, de, "minf")
+      (bs, be) <- findBox(p, ns, ne, "stbl")
+      (ss, se) <- findBox(p, bs, be, "stts")
+      out <- {
+        if (ss + 8 > se) None
+        else {
+          val n = be32(p, ss + 4)
+          if (n < 0 || n > 256 || ss + 8 + 8 * n > se) None
+          else {
+            var samples = 0L
+            var ticks = 0L
+            var i = 0
+            while (i < n) {
+              val c = be32(p, ss + 8 + 8 * i)
+              val d = be32(p, ss + 12 + 8 * i)
+              samples += c
+              ticks += c * d
+              i += 1
+            }
+            Some((samples, ticks, mediaTs))
+          }
+        }
+      }
+    } yield out
+  }
+
   /** Field probe for the Catalyst expression: 0 = movie timescale
     * (ticks/second), 1 = duration in timescale ticks, 2 = duration in
     * MICROSECONDS (ticks · 10⁶ / timescale, integer floor — exact and
     * engine-portable); m16 widens it with the track-walk counters:
     * 3 = track count, 4 = video (`vide`) tracks, 5 = audio (`soun`)
-    * tracks. -1 for non-MP4 / malformed payloads. */
+    * tracks; m18 with the first video track's sample table:
+    * 6 = frame count (Σ stts sample_count), 7 = frame rate in
+    * MILLI-fps (frames · media_timescale · 1000 div Σ count·delta —
+    * integer floor, engine-portable). -1 for non-MP4 / malformed
+    * payloads / no video track. */
   def mp4Field(p: Array[Byte], idx: Int): Long =
-    if (idx >= 3) trackEntries(p) match {
+    if (idx >= 6) frameStats(p) match {
+      case None => -1L
+      case Some((samples, ticks, mts)) => idx match {
+        case 6 => samples
+        case 7 => if (ticks <= 0) -1L
+          else samples * mts * 1000L / ticks
+        case _ => -1L
+      }
+    }
+    else if (idx >= 3) trackEntries(p) match {
       case None => -1L
       case Some(ts) => idx match {
         case 3 => ts.size.toLong
@@ -191,7 +264,9 @@ object VideoCodec {
     * muxer writes. */
   def mp4Bytes(timescale: Long, durationTicks: Long,
       version: Int = 0, leadingFree: Boolean = false,
-      tracks: Seq[(String, String)] = Nil): Array[Byte] = {
+      tracks: Seq[(String, String)] = Nil,
+      stts: Seq[(Long, Long)] = Nil,
+      mediaTimescale: Long = 0L): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -209,9 +284,13 @@ object VideoCodec {
     // m16 walk reads (ISO 14496-12 §8.3-8.5 layouts)
     val hdlrLen = 8 + 4 + 4 + 4 + 12
     val stsdLen = 8 + 4 + 4 + 16
-    val stblLen = 8 + stsdLen
+    // m18: when a sample table is requested, every trak also gets a
+    // v0 mdhd (24-byte payload) and an stts with the given runs
+    val mdhdLen = if (stts.isEmpty) 0 else 8 + 24
+    val sttsLen = if (stts.isEmpty) 0 else 8 + 8 + 8 * stts.size
+    val stblLen = 8 + stsdLen + sttsLen
     val minfLen = 8 + stblLen
-    val mdiaLen = 8 + hdlrLen + minfLen
+    val mdiaLen = 8 + mdhdLen + hdlrLen + minfLen
     val trakLen = 8 + mdiaLen
     w32(8L + mvhdLen + trakLen.toLong * tracks.size); tag("moov")
     w32(mvhdLen.toLong); tag("mvhd")
@@ -228,6 +307,14 @@ object VideoCodec {
     tracks.foreach { case (handler, codec) =>
       w32(trakLen.toLong); tag("trak")
       w32(mdiaLen.toLong); tag("mdia")
+      if (stts.nonEmpty) {
+        w32(mdhdLen.toLong); tag("mdhd")
+        w32(0) // version/flags (v0)
+        w32(0); w32(0) // ctime, mtime
+        w32(mediaTimescale)
+        w32(0) // duration
+        w32(0) // language + pre_defined
+      }
       w32(hdlrLen.toLong); tag("hdlr")
       w32(0); w32(0); tag(handler) // version/flags, pre_defined, 4cc
       (0 until 12).foreach(_ => out.write(0)) // reserved
@@ -237,6 +324,12 @@ object VideoCodec {
       w32(0); w32(1) // version/flags, entry_count
       w32(16); tag(codec) // sample entry: size + format 4cc
       (0 until 8).foreach(_ => out.write(0)) // entry reserved tail
+      if (stts.nonEmpty) {
+        w32(sttsLen.toLong); tag("stts")
+        w32(0) // version/flags
+        w32(stts.size.toLong)
+        stts.foreach { case (c, d) => w32(c); w32(d) }
+      }
     }
     out.toByteArray
   }

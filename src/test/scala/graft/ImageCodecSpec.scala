@@ -305,6 +305,59 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 6L, 2L -> 8L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("m18 mp4_field frame stats: stts walk — frame count + " +
+      "milli-fps from the first video track, hostile tables bounded") {
+    import graft.functions.VideoCodec
+    // 300 frames at delta 1001 in a 30000-tick media clock = the
+    // canonical 29.97 fps NTSC layout, split across two stts runs
+    val v = VideoCodec.mp4Bytes(1000L, 10010L,
+      tracks = Seq(("vide", "avc1"), ("soun", "mp4a")),
+      stts = Seq((100L, 1001L), (200L, 1001L)),
+      mediaTimescale = 30000L)
+    assert(VideoCodec.mp4Field(v, 6) == 300L)
+    // 300 * 30000 * 1000 / 300300 = 29970 milli-fps exactly
+    assert(VideoCodec.mp4Field(v, 7) == 29970L)
+    // constant-rate single run: 25 fps exactly
+    val cfr = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("vide", "avc1")),
+      stts = Seq((100L, 40L)), mediaTimescale = 1000L)
+    assert(VideoCodec.mp4Field(cfr, 6) == 100L)
+    assert(VideoCodec.mp4Field(cfr, 7) == 25000L)
+    // audio-only file: no video track -> -1 (not the soun table)
+    val aud = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("soun", "mp4a")),
+      stts = Seq((50L, 80L)), mediaTimescale = 1000L)
+    assert(VideoCodec.mp4Field(aud, 6) == -1L)
+    assert(VideoCodec.mp4Field(aud, 7) == -1L)
+    // a track table without a sample table (m13/m16 shapes) stays
+    // probe-able and m18 degrades to -1, not a throw
+    val nostts = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("vide", "avc1")))
+    assert(VideoCodec.mp4Field(nostts, 3) == 1L)
+    assert(VideoCodec.mp4Field(nostts, 6) == -1L)
+    // hostile: truncation at every prefix never throws or over-reads
+    (0 until v.length).foreach { n =>
+      VideoCodec.mp4Field(v.take(n), 6); VideoCodec.mp4Field(v.take(n), 7)
+    }
+    // hostile entry_count larger than the box bounds -> -1
+    val bad = v.clone()
+    val sttsOff = {
+      // find the stts 4cc and corrupt its entry_count
+      val idx = (0 until bad.length - 4).find(i =>
+        bad(i) == 's' && bad(i + 1) == 't' && bad(i + 2) == 't' &&
+          bad(i + 3) == 's').get
+      idx + 8
+    }
+    bad(sttsOff) = 0x7f
+    assert(VideoCodec.mp4Field(bad, 6) == -1L)
+    // zero total delta (division guard) -> -1 fps, count still served
+    val zero = VideoCodec.mp4Bytes(1000L, 0L,
+      tracks = Seq(("vide", "avc1")),
+      stts = Seq((10L, 0L)), mediaTimescale = 1000L)
+    assert(VideoCodec.mp4Field(zero, 6) == 10L)
+    assert(VideoCodec.mp4Field(zero, 7) == -1L)
+  }
+
   test("m13 mp4_field: header-only ISO-BMFF probe — timescale/" +
       "duration without demux, v0 and v1 mvhd, skipped boxes") {
     import spark.implicits._
