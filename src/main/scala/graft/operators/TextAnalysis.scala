@@ -2173,6 +2173,33 @@ object TextAnalysis {
     * (ascii() over a bounded 24-char prefix of the text), so every
     * test is exact integer arithmetic and the classification
     * hash-verifies cross-engine — no BLOB portability games. */
+  /** The UTF-8 validity DFA as a column fold over an int-array byte
+    * payload — shared by t42's batch report and s25's ingest gate
+    * (the stream runs the IDENTICAL codegen'd transition
+    * arithmetic). State 0 = expect lead, 1-3 = pending continuation
+    * bytes, 4 = rejected. */
+  def utf8FinalState(bytes: Column): Column =
+    aggregate(bytes, lit(0), (st, b) =>
+      when(st === 4, 4)
+        .when(st > 0,
+          when(b >= 128 && b < 192, st - 1).otherwise(4))
+        .when(b < 128, 0)
+        .when(b >= 194 && b < 224, 1)
+        .when(b >= 224 && b < 240, 2)
+        .when(b >= 240 && b < 245, 3)
+        .otherwise(4))
+
+  /** Count of high (≥0x80) bytes — the ascii/non-ascii split. */
+  def highByteCount(bytes: Column): Column =
+    aggregate(bytes, lit(0L),
+      (acc, b) => acc + when(b >= 128, 1L).otherwise(0L))
+
+  /** The classification verdict from the two DFA outputs. */
+  def charsetClass(nHigh: Column, finalState: Column): Column =
+    when(nHigh === 0L, "ascii")
+      .when(finalState === 0L, "utf-8")
+      .otherwise("legacy")
+
   def t42CharsetDetect(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
@@ -2195,28 +2222,16 @@ object TextAnalysis {
         concat(latin1Pre, asciiBytes))
       .otherwise(concat(asciiBytes, truncTail))
     val withBytes = docs.withColumn("bytes", bytes)
-    // the UTF-8 DFA: fold the transition table through the bytes
-    val state = aggregate(col("bytes"), lit(0), (st, b) =>
-      when(st === 4, 4)
-        .when(st > 0,
-          when(b >= 128 && b < 192, st - 1).otherwise(4))
-        .when(b < 128, 0)
-        .when(b >= 194 && b < 224, 1)
-        .when(b >= 224 && b < 240, 2)
-        .when(b >= 240 && b < 245, 3)
-        .otherwise(4))
     withBytes
       .withColumn("n_bytes", size(col("bytes")).cast("long"))
-      .withColumn("n_high", aggregate(col("bytes"), lit(0L),
-        (acc, b) => acc + when(b >= 128, 1L).otherwise(0L)))
+      .withColumn("n_high", highByteCount(col("bytes")))
       .withColumn("n_leads", aggregate(col("bytes"), lit(0L),
         (acc, b) => acc + when(b >= 194 && b < 245, 1L)
           .otherwise(0L)))
-      .withColumn("final_state", state.cast("long"))
+      .withColumn("final_state",
+        utf8FinalState(col("bytes")).cast("long"))
       .withColumn("charset_class",
-        when(col("n_high") === 0L, "ascii")
-          .when(col("final_state") === 0L, "utf-8")
-          .otherwise("legacy"))
+        charsetClass(col("n_high"), col("final_state")))
       .select(col("doc_id"), col("n_bytes"), col("n_high"),
         col("n_leads"), col("final_state"), col("charset_class"))
       .orderBy(col("doc_id"))
@@ -2264,4 +2279,49 @@ object TextAnalysis {
        |    WHEN fstate = 0 THEN 'utf-8'
        |    ELSE 'legacy' END AS charset_class
        |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---- s25: streaming charset admission ------------------------------
+
+  /** Arrival micro-batch width for s25's window view (the s24
+    * convention: doc_id ranges stand in for arrival time). */
+  val CharsetBatch = 128L
+
+  /** s25: CHARSET admission AT INGEST — t42's DFA on the arrival
+    * stream (what a crawl ingester actually runs: classify each
+    * fetched payload's encoding BEFORE any text op; utf-8/ascii pass
+    * through, legacy payloads route to the 8859-1 re-decode +
+    * t27-audit side). Registered as the window report (n_arrivals /
+    * n_utf8 / n_ascii / n_legacy per arrival window); the true
+    * streaming form ([[graft.streaming.EventStreams
+    * .charsetGateStream]]) classifies in-stream with the SAME
+    * [[utf8FinalState]]/[[charsetClass]] expressions — stateless map
+    * work until the watermark-bounded windowed count, spec-pinned
+    * stream == batch. */
+  def s25StreamCharset(spark: SparkSession, dir: String): DataFrame =
+    t42CharsetDetect(spark, dir)
+      .withColumn("wnd", expr(s"doc_id div $CharsetBatch"))
+      .groupBy(col("wnd"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when(col("charset_class") === "utf-8", 1L).otherwise(0L))
+          .cast("long").as("n_utf8"),
+        sum(when(col("charset_class") === "ascii", 1L).otherwise(0L))
+          .cast("long").as("n_ascii"),
+        sum(when(col("charset_class") === "legacy", 1L).otherwise(0L))
+          .cast("long").as("n_legacy"))
+      .orderBy(col("wnd"))
+
+  lazy val s25Sql: String = {
+    // the t42 chain re-grouped by arrival window
+    val inner = t42Sql.replace("ORDER BY doc_id", "")
+    s"""WITH t42 AS ($inner)
+       |SELECT CAST(doc_id // $CharsetBatch AS BIGINT) AS wnd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       |  CAST(SUM(CASE WHEN charset_class = 'utf-8' THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_utf8,
+       |  CAST(SUM(CASE WHEN charset_class = 'ascii' THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_ascii,
+       |  CAST(SUM(CASE WHEN charset_class = 'legacy' THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_legacy
+       |FROM t42 GROUP BY 1 ORDER BY wnd""".stripMargin
+  }
 }

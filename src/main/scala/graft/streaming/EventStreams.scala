@@ -851,6 +851,32 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(Seq("canon_url"))
       .select(col("doc_id"), col("canon_url"))
 
+  /** A raw fetched payload arriving at ingest — bytes as the int
+    * array t42's DFA folds (s25's streaming form). */
+  case class PayloadArrival(doc_id: Long, bytes: Seq[Int],
+      ts: Timestamp)
+
+  /** s25's ingest-time form: classify each arriving payload's
+    * encoding with the SAME codegen'd DFA expressions as the batch
+    * report ([[graft.operators.TextAnalysis.utf8FinalState]] /
+    * charsetClass) — stateless map work, zero joins — then the
+    * watermark-bounded windowed admission count. Emits (window,
+    * n_arrivals, n_utf8, n_ascii, n_legacy) plus the per-doc
+    * verdict feed a router consumes. */
+  def charsetGateStream(docs: Dataset[PayloadArrival]): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.toDF()
+      .withColumn("n_high", TextAnalysis.highByteCount(col("bytes")))
+      .withColumn("cls", TextAnalysis.charsetClass(col("n_high"),
+        TextAnalysis.utf8FinalState(col("bytes")).cast("long")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("cls"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .select(col("w.start").as("wstart"), col("cls"), col("n"),
+        col("doc_ids"))
+  }
+
   /** s11's ingest-time form: each arriving document checks its word
     * n-grams against the (bounded, task-local) eval-gram set in a
     * stateless typed map — NO state and NO shuffle until the

@@ -2372,6 +2372,63 @@ class PipelineSpec extends AnyFunSuite {
       "repeat search rebuilt a nav generation")
   }
 
+  test("s25 streaming charset gate: in-stream DFA classification " +
+    "equals the batch verdicts across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.PayloadArrival]
+    val q = EventStreams.charsetGateStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("charsets").start()
+    try {
+      def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+      val ascii = Seq(104, 105)                       // "hi"
+      val utf8 = Seq(99, 97, 102, 195, 169)           // café (C3 A9)
+      val latin1 = Seq(99, 97, 102, 233, 32)          // café (E9) + sp
+      val torn = Seq(104, 195)                        // EOF mid-seq
+      // two micro-batches, all four classes spread across them
+      input.addData(
+        EventStreams.PayloadArrival(1L, ascii, ts(0)),
+        EventStreams.PayloadArrival(2L, utf8, ts(1)))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.PayloadArrival(3L, latin1, ts(2)),
+        EventStreams.PayloadArrival(4L, torn, ts(3)),
+        // advance the watermark past the 1-minute window so the
+        // append-mode windowed aggregate finalizes
+        EventStreams.PayloadArrival(9L, ascii, ts(200)))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.PayloadArrival(10L, utf8, ts(400)))
+      q.processAllAvailable()
+      val got = spark.table("charsets")
+        .select(col("cls"), col("doc_ids"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+        .filter(_._2.exists(_ <= 4L)).toMap
+      assert(got("ascii") == Seq(1L))
+      assert(got("utf-8") == Seq(2L))
+      assert(got("legacy") == Seq(3L, 4L))
+      // and the stream's verdicts equal the batch DFA on the same
+      // payloads — one expression, two runtimes
+      val batch = Seq((1L, ascii), (2L, utf8), (3L, latin1),
+          (4L, torn)).toDF("doc_id", "bytes")
+        .withColumn("n_high", TextAnalysis.highByteCount(col("bytes")))
+        .withColumn("cls", TextAnalysis.charsetClass(col("n_high"),
+          TextAnalysis.utf8FinalState(col("bytes")).cast("long")))
+        .select(col("doc_id"), col("cls"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == Map(1L -> "ascii", 2L -> "utf-8",
+        3L -> "legacy", 4L -> "legacy"))
+    } finally {
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("d97 entry promotion: a delta vector can win the election, " +
     "the base tree stays byte-identical, the promoted generation " +
     "serves without rebuild") {
