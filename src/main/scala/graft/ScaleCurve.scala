@@ -170,16 +170,35 @@ object ScaleCurve {
           val hb = t(
             graft.operators.Similarity.resetHnswIndex(spark, d),
             graft.operators.Similarity.ensureHnswIndex(spark, d))
+          // r15: the lifecycle's new corners — d97's entry promotion
+          // (O(postings) election, no retrain, no edge rebuild) and
+          // d98's tombstone log + physical purge (O(deletes) log,
+          // one O(postings) anti-join merge) — their curves prove
+          // the maintenance ops stay FLAT relative to their base
+          // builds as the corpus scales
+          val pr = t(
+            { val p = new org.apache.hadoop.fs.Path(
+                graft.operators.Similarity.navPromotePath(d))
+              val fs = p.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(p)) fs.delete(p, true) },
+            graft.operators.Similarity.ensureNavPromote(spark, d))
+          val tp = t(
+            graft.operators.Similarity.resetTombstones(spark, d),
+            { graft.operators.Similarity.ensureTombstones(spark, d)
+              graft.operators.Similarity.ensurePurgedIndex(spark, d) })
           println(s"  artifact builds @ $tag: f11 layout ${fmt(fb)} s," +
             s" d79 ivf index ${fmt(ib)} s, d80 pq index ${fmt(pb)} s," +
             s" d81 base ${fmt(bb)} s, d81 delta ${fmt(db)} s," +
             s" d84 nav index ${fmt(nb)} s, d94 nav base ${fmt(nbb)} s," +
-            s" d94 nav insert ${fmt(nbi)} s, d86 hnsw ${fmt(hb)} s")
+            s" d94 nav insert ${fmt(nbi)} s, d86 hnsw ${fmt(hb)} s," +
+            s" d97 promote ${fmt(pr)} s, d98 tomb+purge ${fmt(tp)} s")
           tag -> Seq("f11_layout_build" -> fb, "d79_index_build" -> ib,
             "d80_index_build" -> pb, "d81_base_build" -> bb,
             "d81_delta_update" -> db, "d84_nav_build" -> nb,
             "d94_navbase_build" -> nbb, "d94_nav_insert" -> nbi,
-            "d86_hnsw_build" -> hb)
+            "d86_hnsw_build" -> hb, "d97_promote" -> pr,
+            "d98_tomb_purge" -> tp)
         }
 
     def time(key: String, dir: String): Double = {
