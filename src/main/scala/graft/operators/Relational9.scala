@@ -345,13 +345,134 @@ object Relational9 {
       |SELECT * FROM chan UNION ALL SELECT * FROM direct
       |ORDER BY channel""".stripMargin
 
+  /** q92: two-proportion A/B TEST report — the experimentation
+    * readout every product stack runs over event journeys: users
+    * split into variants (the deterministic user_id%2 assignment —
+    * exactly how deployed bucketing hashes users), EXPOSURE = the
+    * user viewed, CONVERSION = an exposed user whose purchases
+    * OUTNUMBER their errors (the synthetic feed gives every user
+    * both event types, so a bare did-purchase flag is degenerate —
+    * this derived engagement flag splits), and the readout is
+    * per-variant counts, exact micro-unit rates, the micro-unit
+    * lift, and the pooled two-proportion z statistic (zero pooled
+    * variance guarded to z=0 — the no-information verdict).
+    *
+    * EXACTNESS: counts are integer bools per user (one partial-
+    * aggregable groupBy(user) pass), rates/lift are integer floor
+    * arithmetic (FLOOR is toward -inf in both engines, so the
+    * possibly-negative lift replays), and z is the ONLY float — a
+    * single expression over six integers with identical operand
+    * ordering in both engines, then round(…,6)+0.0 (the q89
+    * discipline). SCALE: groupBy(user) shuffles once and combines
+    * map-side; the variant rollup is a 2-row aggregate folded to one
+    * row by conditional aggregation (the q09 pivot pattern) — no
+    * low-cardinality sort, nothing corpus-broadcast. */
+  def q92AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("exposed"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .withColumn("converted",
+        when(col("exposed") === 1L && col("n_purch") > col("n_err"),
+          1L).otherwise(0L))
+    val row = users.agg(
+      sum(when(col("variant") === 0, col("exposed")).otherwise(0L))
+        .cast("long").as("a_exposed"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .cast("long").as("a_converted"),
+      sum(when(col("variant") === 1, col("exposed")).otherwise(0L))
+        .cast("long").as("b_exposed"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .cast("long").as("b_converted"))
+    val p1 = col("a_converted").cast("double") /
+      col("a_exposed").cast("double")
+    val p2 = col("b_converted").cast("double") /
+      col("b_exposed").cast("double")
+    val pp = (col("a_converted") + col("b_converted")).cast("double") /
+      (col("a_exposed") + col("b_exposed")).cast("double")
+    row
+      .withColumn("a_rate_micro",
+        floor(lit(1000000L) * col("a_converted") / col("a_exposed"))
+          .cast("long"))
+      .withColumn("b_rate_micro",
+        floor(lit(1000000L) * col("b_converted") / col("b_exposed"))
+          .cast("long"))
+      .withColumn("lift_micro",
+        floor(lit(1000000d) * (p1 - p2)).cast("long"))
+      .withColumn("z_score",
+        when(col("a_converted") + col("b_converted") === 0L ||
+          col("a_converted") + col("b_converted") ===
+            col("a_exposed") + col("b_exposed"), lit(0.0))
+          .otherwise(round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("a_exposed").cast("double") +
+              lit(1.0) / col("b_exposed").cast("double"))), 6)
+            + lit(0.0)))
+  }
+
+  val q92Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS exposed,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_purch,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS n_err
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, exposed,
+      |    CASE WHEN exposed = 1 AND n_purch > n_err THEN 1 ELSE 0 END
+      |      AS converted
+      |  FROM u),
+      |r AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN exposed ELSE 0 END)
+      |      AS BIGINT) AS a_exposed,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+      |      AS BIGINT) AS a_converted,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN exposed ELSE 0 END)
+      |      AS BIGINT) AS b_exposed,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+      |      AS BIGINT) AS b_converted
+      |  FROM v)
+      |SELECT a_exposed, a_converted, b_exposed, b_converted,
+      |  CAST(FLOOR(1000000 * a_converted / a_exposed) AS BIGINT)
+      |    AS a_rate_micro,
+      |  CAST(FLOOR(1000000 * b_converted / b_exposed) AS BIGINT)
+      |    AS b_rate_micro,
+      |  CAST(FLOOR(1000000.0 * (CAST(a_converted AS DOUBLE)
+      |      / CAST(a_exposed AS DOUBLE)
+      |    - CAST(b_converted AS DOUBLE) / CAST(b_exposed AS DOUBLE)))
+      |    AS BIGINT) AS lift_micro,
+      |  CASE WHEN a_converted + b_converted = 0
+      |      OR a_converted + b_converted = a_exposed + b_exposed
+      |    THEN 0.0
+      |    ELSE ROUND((CAST(a_converted AS DOUBLE)
+      |        / CAST(a_exposed AS DOUBLE)
+      |      - CAST(b_converted AS DOUBLE) / CAST(b_exposed AS DOUBLE))
+      |      / SQRT((CAST(a_converted + b_converted AS DOUBLE)
+      |          / CAST(a_exposed + b_exposed AS DOUBLE))
+      |        * (1.0 - CAST(a_converted + b_converted AS DOUBLE)
+      |          / CAST(a_exposed + b_exposed AS DOUBLE))
+      |        * (1.0 / CAST(a_exposed AS DOUBLE)
+      |          + 1.0 / CAST(b_exposed AS DOUBLE))), 6) + 0.0 END
+      |    AS z_score
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
     "q90_seq_match" -> (q90SeqMatch _),
-    "q91_attribution" -> (q91Attribution _))
+    "q91_attribution" -> (q91Attribution _),
+    "q92_ab_test" -> (q92AbTest _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
     "q90_seq_match" -> q90Sql,
-    "q91_attribution" -> q91Sql)
+    "q91_attribution" -> q91Sql,
+    "q92_ab_test" -> q92Sql)
 }
