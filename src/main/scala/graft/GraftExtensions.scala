@@ -116,6 +116,12 @@ object GraftExtensions {
         " bytes; ID3v2 skipped, -1 for non-MP3; no decode",
       e => graft.functions.Mp3Field(e.head,
         intArg(e(1), "graft_mp3_field"))),
+    fn("graft_flac_field",
+      "graft_flac_field(bin, idx) - FLAC STREAMINFO probe: idx 0 =" +
+        " sample rate, 1 = channels, 2 = bits/sample, 3 = duration" +
+        " micros, 4 = total samples; -1 for non-FLAC; no decode",
+      e => graft.functions.FlacField(e.head,
+        intArg(e(1), "graft_flac_field"))),
     fn("graft_mp4_tracks",
       "graft_mp4_tracks(bin) - ISO-BMFF trak walk: handler/codec " +
         "4CC pairs comma-joined in file order (hdlr + stsd), '' for " +

@@ -255,6 +255,83 @@ object AudioCodec {
     }
   }
 
+  /** FLAC STREAMINFO probe (m19) — the LOSSLESS arm next to the WAV
+    * PCM container (m10) and the MP3 compressed stream (m17),
+    * completing the audio-format trio a media-corpus admission gate
+    * dispatches over. Public format (xiph.org / RFC 9639): "fLaC"
+    * magic, then metadata blocks each headed by 1 byte (bit 7 =
+    * last-block flag, bits 0-6 = type) + a 24-bit big-endian length;
+    * the FIRST block is REQUIRED to be STREAMINFO (type 0, length
+    * 34), whose bit-packed payload carries sample rate (20 bits),
+    * channels-1 (3), bits-per-sample-1 (5) and total samples (36).
+    * Returns Some((rate, channels, bits, totalSamples)) or None;
+    * hostile/truncated payloads fail the bounds checks, and a text
+    * payload cannot alias the gate (magic + mandatory first-block
+    * type/length + rate>0 must all hold). Header-only — never reads
+    * an audio frame. */
+  def parseFlac(p: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    // 4 magic + 4 block header + 34 STREAMINFO
+    if (p.length < 42) return None
+    if (!tag(p, 0, "fLaC")) return None
+    if ((p(4) & 0x7f) != 0) return None // first block MUST be type 0
+    val blockLen = ((p(5) & 0xff) << 16) | ((p(6) & 0xff) << 8) |
+      (p(7) & 0xff)
+    if (blockLen != 34) return None
+    val o = 8
+    // bytes 10-13 of STREAMINFO: rate(20) ch-1(3) bps-1(5) start
+    val rate = ((p(o + 10) & 0xffL) << 12) | ((p(o + 11) & 0xffL) << 4) |
+      ((p(o + 12) & 0xf0L) >> 4)
+    val ch = ((p(o + 12) >> 1) & 0x7) + 1
+    val bits = (((p(o + 12) & 0x1) << 4) | ((p(o + 13) & 0xf0) >> 4)) + 1
+    val samples = ((p(o + 13) & 0x0fL) << 32) |
+      ((p(o + 14) & 0xffL) << 24) | ((p(o + 15) & 0xffL) << 16) |
+      ((p(o + 16) & 0xffL) << 8) | (p(o + 17) & 0xffL)
+    if (rate <= 0) None // rate 0 is invalid for audio streams (spec)
+    else Some((rate, ch, bits, samples))
+  }
+
+  /** Field probe for the Catalyst expression: 0 = sample rate, 1 =
+    * channels, 2 = bits/sample, 3 = duration micros (-1 when total
+    * samples is 0 = unknown, the spec's sentinel), 4 = total
+    * samples; -1 for non-FLAC payloads. */
+  def flacField(p: Array[Byte], idx: Int): Long = parseFlac(p) match {
+    case None => -1L
+    case Some((rate, ch, bits, samples)) => idx match {
+      case 0 => rate
+      case 1 => ch.toLong
+      case 2 => bits.toLong
+      case 3 => if (samples == 0L) -1L else samples * 1000000L / rate
+      case 4 => samples
+      case _ => -1L
+    }
+  }
+
+  /** Spec helper: a minimal fLaC magic + STREAMINFO block with the
+    * given fields bit-packed exactly as an encoder writes them. */
+  def flacBytes(rate: Long, channels: Int, bits: Int,
+      samples: Long, blockType: Int = 0, blockLen: Int = 34)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(42)
+    "fLaC".foreach(c => out.write(c.toInt))
+    out.write(blockType & 0x7f)
+    out.write((blockLen >> 16) & 0xff); out.write((blockLen >> 8) & 0xff)
+    out.write(blockLen & 0xff)
+    // min/max block size (16+16), min/max frame size (24+24): zeros
+    (0 until 10).foreach(_ => out.write(0))
+    out.write(((rate >> 12) & 0xff).toInt)
+    out.write(((rate >> 4) & 0xff).toInt)
+    out.write((((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bits - 1) >> 4) & 0x1)).toInt)
+    out.write(((((bits - 1) & 0xf) << 4) | ((samples >> 32) & 0xf)).toInt)
+    out.write(((samples >> 24) & 0xff).toInt)
+    out.write(((samples >> 16) & 0xff).toInt)
+    out.write(((samples >> 8) & 0xff).toInt)
+    out.write((samples & 0xff).toInt)
+    // MD5 signature: 16 zero bytes
+    (0 until 16).foreach(_ => out.write(0))
+    out.toByteArray
+  }
+
   /** Spec helper: a minimal Layer III frame header (+ zero body) at
     * the given table indexes, optionally behind an ID3v2 tag — the
     * probes pin on the exact bit layout a real encoder writes. */

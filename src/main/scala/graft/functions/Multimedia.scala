@@ -199,6 +199,26 @@ case class Mp3Field(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `flac_field(payload, idx)` — header-only FLAC STREAMINFO probe
+  * (m19): idx 0 = sample rate, 1 = channels, 2 = bits/sample, 3 =
+  * duration micros (-1 when total samples is the spec's 0=unknown
+  * sentinel), 4 = total samples; -1 for non-FLAC. The LOSSLESS
+  * audio arm next to [[WavField]] (PCM) and [[Mp3Field]] (lossy). */
+case class FlacField(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 4, s"flac_field idx must be 0..4, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    AudioCodec.flacField(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AudioCodec.flacField($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `mp4_field(payload, idx)` — header-only MP4 metadata probe
   * (m13/m16): idx 0 = movie timescale, 1 = duration ticks, 2 =
   * duration in microseconds, 3 = track count, 4 = video (`vide`)
@@ -345,6 +365,17 @@ object Multimedia {
     GraftShim.column(Mp3Field(GraftShim.expression(payload), 2))
   def mp3FrameBytes(payload: Column): Column =
     GraftShim.column(Mp3Field(GraftShim.expression(payload), 3))
+
+  def flacSampleRate(payload: Column): Column =
+    GraftShim.column(FlacField(GraftShim.expression(payload), 0))
+  def flacChannels(payload: Column): Column =
+    GraftShim.column(FlacField(GraftShim.expression(payload), 1))
+  def flacBits(payload: Column): Column =
+    GraftShim.column(FlacField(GraftShim.expression(payload), 2))
+  def flacDurationMicros(payload: Column): Column =
+    GraftShim.column(FlacField(GraftShim.expression(payload), 3))
+  def flacTotalSamples(payload: Column): Column =
+    GraftShim.column(FlacField(GraftShim.expression(payload), 4))
 
   def wavSampleRate(payload: Column): Column =
     GraftShim.column(WavField(GraftShim.expression(payload), 0))

@@ -518,6 +518,66 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(sq.getLong(0) == -1L)
   }
 
+  test("m19 flac_field: STREAMINFO probe — bit-packed fields, " +
+    "mandatory first block, hostile shapes") {
+    import spark.implicits._
+    // CD audio: 44.1 kHz stereo 16-bit, 441000 samples = exactly 10 s
+    val cd = AudioCodec.flacBytes(44100L, 2, 16, 441000L)
+    assert(AudioCodec.flacField(cd, 0) == 44100L)
+    assert(AudioCodec.flacField(cd, 1) == 2L)
+    assert(AudioCodec.flacField(cd, 2) == 16L)
+    assert(AudioCodec.flacField(cd, 3) == 10000000L)
+    assert(AudioCodec.flacField(cd, 4) == 441000L)
+    // hi-res: 192 kHz (needs all 20 rate bits), 8ch (3-bit max),
+    // 24-bit (crosses the byte-split bps field), >2^32 samples
+    // (exercises the 36-bit split)
+    val hi = AudioCodec.flacBytes(192000L, 8, 24, (1L << 33) + 7L)
+    assert(AudioCodec.flacField(hi, 0) == 192000L)
+    assert(AudioCodec.flacField(hi, 1) == 8L)
+    assert(AudioCodec.flacField(hi, 2) == 24L)
+    assert(AudioCodec.flacField(hi, 4) == (1L << 33) + 7L)
+    // total samples 0 = unknown (the spec sentinel): duration -1,
+    // rate/channels still served
+    val unk = AudioCodec.flacBytes(48000L, 2, 16, 0L)
+    assert(AudioCodec.flacField(unk, 0) == 48000L)
+    assert(AudioCodec.flacField(unk, 3) == -1L)
+    assert(AudioCodec.flacField(unk, 4) == 0L)
+    // hostile shapes: text, truncation at every prefix, a first
+    // block that is not STREAMINFO, a wrong block length, rate 0
+    assert(AudioCodec.flacField("not audio".getBytes("UTF-8"), 0) == -1L)
+    (0 until 42).foreach { n =>
+      assert(AudioCodec.flacField(cd.take(n), 0) == -1L)
+    }
+    assert(AudioCodec.flacField(
+      AudioCodec.flacBytes(44100L, 2, 16, 1L, blockType = 4), 0) == -1L)
+    assert(AudioCodec.flacField(
+      AudioCodec.flacBytes(44100L, 2, 16, 1L, blockLen = 20), 0) == -1L)
+    assert(AudioCodec.flacField(
+      AudioCodec.flacBytes(0L, 2, 16, 1L), 0) == -1L)
+    // cross-format: WAV and MP3 payloads must not alias the gate
+    val wavx = AudioCodec.wavBytes(44100, 2, 10)((f, c) => f + c)
+    assert(AudioCodec.flacField(wavx, 0) == -1L)
+    assert(AudioCodec.flacField(
+      AudioCodec.mp3Bytes(3, 9, 0, mono = false), 0) == -1L)
+    // and FLAC must not alias the WAV/MP3 gates
+    assert(AudioCodec.wavField(cd, 0) == -1L)
+    assert(AudioCodec.mp3Field(cd, 0) == -1L)
+    // codegen'd expression + SQL surface
+    GraftExtensions.register(spark)
+    val got = Seq((1L, cd), (2L, "txt".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.Multimedia.flacSampleRate(col("payload")).as("r"),
+        graft.functions.Multimedia.flacDurationMicros(col("payload"))
+          .as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((44100L, 10000000L)) && got(2L) == ((-1L, -1L)))
+    val sq = spark.sql("SELECT graft_flac_field(X'00', 0) AS r")
+      .collect()(0)
+    assert(sq.getLong(0) == -1L)
+  }
+
   test("m10 wav_field: header-only WAV probe — rate/channels/bits/" +
       "duration without sample decode") {
     import spark.implicits._
