@@ -464,15 +464,90 @@ object Relational9 {
       |    AS z_score
       |FROM r""".stripMargin
 
+  /** q93: FILE-COMPACTION bin-packing plan — the lakehouse OPTIMIZE
+    * planner (Delta/Iceberg compaction, Spark's own coalesce-by-size
+    * file grouping): given a manifest of (file_id, bytes) in layout
+    * order, group consecutive files into rewrite bins of a target
+    * size — bin = exclusive-prefix-sum(bytes) div TARGET, the
+    * standard first-fit-in-order plan (a file straddling a boundary
+    * lands where its prefix STARTS, so a bin overflows by at most
+    * one file — the trade every size-tiered compactor makes to keep
+    * the plan one pass and order-preserving for data-skipping
+    * locality). The report is per-bin file count, payload bytes,
+    * file-id span, and exact ppm fill against the target — what an
+    * operator reviews before launching the rewrite jobs.
+    *
+    * The manifest derives from lineitem (file = l_orderkey div 32,
+    * bytes = a per-row integer size proxy summed), so it is O(files), not
+    * O(rows): the only corpus-scaling work is ONE map-side-combined
+    * aggregate. The prefix sum over the manifest runs as the
+    * d46/d58 two-level bin-parallel form — files route to 256 RANGE
+    * bins via a broadcast 1-row max (monotone in file_id, so
+    * bin-local cumsum + triangular offsets == the global cumsum the
+    * oracle replays), never a single-partition corpus window; the
+    * offsets join is O(256²) literal rows at any corpus size. */
+  def q93FileBinpack(spark: SparkSession, dir: String): DataFrame = {
+    val Target = 262144L // 256 KiB rewrite bins (literal)
+    val manifest = Tables.load(spark, dir, "lineitem")
+      .groupBy(expr("l_orderkey div 32").as("file_id"))
+      .agg(sum(pmod(col("l_partkey"), lit(512L)) + lit(64L))
+        .cast("long").as("bytes"))
+    val mx = manifest.agg(max(col("file_id")).as("mx"))
+    val routed = manifest.crossJoin(broadcast(mx))
+      .withColumn("bin", expr("(file_id * 256) div (mx + 1)"))
+    val binTotals = routed.groupBy(col("bin"))
+      .agg(sum(col("bytes")).as("bc"))
+    val offsets = binTotals.as("a")
+      .join(binTotals.as("b"), col("b.bin") < col("a.bin"), "left")
+      .select(col("a.bin").as("bin"), col("b.bc").as("prev_bc"))
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("prev_bc")), lit(0L)).as("offset"))
+    val wRow = Window.partitionBy(col("bin")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    routed.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum_excl",
+        col("offset") + sum(col("bytes")).over(wRow) - col("bytes"))
+      .withColumn("bin_id", expr(s"cum_excl div $Target"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("file_lo"),
+        max(col("file_id")).as("file_hi"))
+      .withColumn("fill_ppm",
+        expr(s"(bin_bytes * 1000000) div $Target"))
+      .orderBy(col("bin_id"))
+  }
+
+  val q93Sql: String =
+    """WITH manifest AS (
+      |  SELECT l_orderkey // 32 AS file_id,
+      |    CAST(SUM(l_partkey % 512 + 64) AS BIGINT) AS bytes
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT file_id, bytes,
+      |    CAST(COALESCE(SUM(bytes) OVER (ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM manifest)
+      |SELECT cum_excl // 262144 AS bin_id,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+      |  MIN(file_id) AS file_lo,
+      |  MAX(file_id) AS file_hi,
+      |  (CAST(SUM(bytes) AS BIGINT) * 1000000) // 262144 AS fill_ppm
+      |FROM cum GROUP BY 1 ORDER BY bin_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
     "q90_seq_match" -> (q90SeqMatch _),
     "q91_attribution" -> (q91Attribution _),
-    "q92_ab_test" -> (q92AbTest _))
+    "q92_ab_test" -> (q92AbTest _),
+    "q93_file_binpack" -> (q93FileBinpack _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
     "q90_seq_match" -> q90Sql,
     "q91_attribution" -> q91Sql,
-    "q92_ab_test" -> q92Sql)
+    "q92_ab_test" -> q92Sql,
+    "q93_file_binpack" -> q93Sql)
 }
