@@ -2324,4 +2324,125 @@ object TextAnalysis {
        |    END) AS BIGINT) AS n_legacy
        |FROM t42 GROUP BY 1 ORDER BY wnd""".stripMargin
   }
+
+  // ---- t43: sentence segmentation (abbreviation-aware) ---------------
+
+  /** The sentinel that protects abbreviation dots from the sentence
+    * splitter — replaces the '.' 1:1 so sentence char counts stay
+    * faithful to the abbreviation-included text. */
+  private val AbbrevSentinel = "\u0001"
+
+  /** t43: SENTENCE segmentation — the unit every C4/Gopher-class
+    * quality gate is phrased in (C4 keeps pages with >= 3 sentences;
+    * sentence-length floors/caps are Gopher repetition-family
+    * signals) but which t02/t24's word-level stats cannot see. The
+    * splitter is the production shape: PROTECT abbreviation dots
+    * first (capitalized single-dot forms — `\b(Dr|No|St)\.` — become
+    * a 1:1 sentinel so "Dr. smith" never splits), then split on
+    * terminator runs `[.!?]+ +` (the trailing terminator stripped
+    * first so no empty tail piece). Both regex passes are
+    * RE2-portable — NO lookbehind, the Java-regex crutch `(?<=[.!?])`
+    * that an oracle could never replay — so both engines run the
+    * byte-identical pipeline.
+    *
+    * The corpus is punctuation-free by construction, so sentence
+    * structure is PLANTED the t40 way (deterministic per-word
+    * transforms both engines compute from the shared word list):
+    * every 7th gap becomes a terminator cycling ./!/? by gap index,
+    * every 11th word gains a leading abbreviation cycling
+    * Dr./No./St. (capitalized forms cannot collide with the
+    * all-lowercase corpus words), one final '.'. That makes the
+    * expected sentence count STRUCTURAL — (n_words-1) div 7 + 1 —
+    * and `split_ok` pins the round trip on every row: planted
+    * terminators split, planted abbreviations don't.
+    *
+    * Report: per-doc sentence count, exact micro mean/max sentence
+    * chars, and the C4 >= 3-sentence admission flag. One pass of
+    * whole-stage-codegen'd map work (transform/filter/aggregate HOFs
+    * over the word and sentence lists — zero joins, zero extra
+    * shuffles beyond the presentation sort); parallelism is
+    * embarrassing at 100 TB. */
+  def t43SentenceSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .withColumn("ws", split(col("txt"), " "))
+    val abbrevs = array(lit("Dr. "), lit("No. "), lit("St. "))
+    val terms = array(lit(". "), lit("! "), lit("? "))
+    val pieces = transform(col("ws"), (w, i0) => {
+      val i = i0 + 1
+      // exact integer i div k for the cycle index (nonneg, < 2^31 —
+      // the double division is exact; cast truncates = floors)
+      def cyc(k: Int): Column =
+        pmod(((i - pmod(i, lit(k))) / lit(k)).cast("int"), lit(3)) + 1
+      val body = when(pmod(i, lit(11)) === 3,
+        concat(element_at(abbrevs, cyc(11)), w)).otherwise(w)
+      val sep = when(i < size(col("ws")),
+        when(pmod(i, lit(7)) === 0, element_at(terms, cyc(7)))
+          .otherwise(lit(" ")))
+        .otherwise(lit(""))
+      concat(body, sep)
+    })
+    docs
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("planted", concat(array_join(pieces, ""), lit(".")))
+      .withColumn("prot", regexp_replace(col("planted"),
+        "\\b(Dr|No|St)\\.", "$1" + AbbrevSentinel))
+      .withColumn("sents", filter(
+        split(regexp_replace(col("prot"), "[.!?]+$", ""), "[.!?]+ +"),
+        s => length(s) > 0))
+      .withColumn("n_sentences", size(col("sents")).cast("long"))
+      .withColumn("sum_chars", aggregate(col("sents"), lit(0L),
+        (acc, s) => acc + length(s).cast("long")))
+      .select(col("doc_id"), col("n_sentences"),
+        expr("(sum_chars * 1000000) div n_sentences")
+          .as("mean_chars_micro"),
+        array_max(transform(col("sents"), s => length(s).cast("long")))
+          .as("max_sent_chars"),
+        when(col("n_sentences") >= 3, 1L).otherwise(0L).as("keep_c4"),
+        when(col("n_sentences") ===
+          expr("(n_words - 1) div 7") + lit(1L), 1L).otherwise(0L)
+          .as("split_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t43Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(text) AS txt FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |w AS (
+       |  SELECT doc_id, string_split(txt, ' ') AS ws FROM d),
+       |p AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    array_to_string(list_transform(ws, (x, i) ->
+       |      (CASE WHEN i % 11 = 3
+       |        THEN ['Dr. ', 'No. ', 'St. '][((i // 11) % 3) + 1]
+       |        ELSE '' END)
+       |      || x
+       |      || (CASE WHEN i < len(ws)
+       |        THEN (CASE WHEN i % 7 = 0
+       |          THEN ['. ', '! ', '? '][((i // 7) % 3) + 1]
+       |          ELSE ' ' END)
+       |        ELSE '' END)), '') || '.' AS planted
+       |  FROM w),
+       |s AS (
+       |  SELECT doc_id, n_words,
+       |    list_filter(string_split_regex(
+       |      regexp_replace(
+       |        regexp_replace(planted, '\\b(Dr|No|St)\\.',
+       |          '\\1$AbbrevSentinel', 'g'),
+       |        '[.!?]+$$', ''),
+       |      '[.!?]+ +'), x -> length(x) > 0) AS sents
+       |  FROM p)
+       |SELECT doc_id,
+       |  CAST(len(sents) AS BIGINT) AS n_sentences,
+       |  (CAST(list_sum(list_transform(sents, x -> length(x)))
+       |    AS BIGINT) * 1000000) // len(sents) AS mean_chars_micro,
+       |  CAST(list_max(list_transform(sents, x -> length(x)))
+       |    AS BIGINT) AS max_sent_chars,
+       |  CAST(CASE WHEN len(sents) >= 3 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep_c4,
+       |  CAST(CASE WHEN len(sents) = (n_words - 1) // 7 + 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS split_ok
+       |FROM s ORDER BY doc_id""".stripMargin
 }
