@@ -2445,4 +2445,124 @@ object TextAnalysis {
        |  CAST(CASE WHEN len(sents) = (n_words - 1) // 7 + 1
        |    THEN 1 ELSE 0 END AS BIGINT) AS split_ok
        |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- t44: cross-document LINE dedup (boilerplate lines) ------------
+
+  /** A line is boilerplate when it appears in at least this many
+    * DISTINCT documents (RefinedWeb / CCNet's line-frequency rule —
+    * doc-frequency, not occurrence count, so a line repeated inside
+    * one page never trips it). */
+  val LineMinDocs = 10
+
+  /** t44: cross-document LINE dedup — the RefinedWeb/CCNet cleaning
+    * pass t11's n-gram strip does NOT express: t11 removes positions
+    * covered by corpus-common trigrams (sub-line granularity), while
+    * the line rule removes WHOLE repeated lines (nav menus, cookie
+    * banners, "all rights reserved" footers) and never tears a
+    * sentence — the two run back to back in production. A line dies
+    * when its DOC-frequency reaches [[LineMinDocs]]; survivors
+    * reassemble in original order.
+    *
+    * The corpus has no newlines, so line structure is PLANTED the
+    * t40 way, both engines building the identical page from the
+    * shared word list: body lines of 8 words, a header line cycling
+    * 5 per-source newsletter variants (each shared by ~N/5 docs —
+    * well past the threshold), a footer line shared by ALL docs.
+    * `body_exact` pins clean_text == the body lines alone — header
+    * and footer removed, nothing torn. It is 1 on every sf0.01 row;
+    * at sf0.1 the rule ADDITIONALLY fires on 626 naturally-recurring
+    * 8-word lines (the op working as designed on a larger corpus —
+    * hash-verified, the engines agree line-for-line). The op's real
+    * POSTCONDITION is exact at both scales: the cleaned corpus holds
+    * zero lines at doc-frequency >= the threshold.
+    *
+    * Plan: posexplode(lines) → ONE line-keyed exact-distinct
+    * doc-frequency aggregate → frequency re-attaches by a HINTED
+    * shuffle join (both sides corpus-scaling and aggregate-derived —
+    * the t11/d16 never-guess-broadcast rule) → per-doc reassembly
+    * from collect_list(struct(pos, line)) sorted IN the aggregation
+    * buffer (sort bounded by doc length, never corpus — the q62
+    * discipline). Two keyed shuffles + the presentation sort total;
+    * line keys shard evenly at 100 TB (the hot boilerplate keys are
+    * the SMALL side of the frequency relation, never a skewed join
+    * build). */
+  def t44LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .withColumn("ws", split(col("txt"), " "))
+    val header = concat(lit("subscribe to source "),
+      pmod(col("doc_id"), lit(5)).cast("string"), lit(" newsletter"))
+    val bodyLines = transform(
+      sequence(lit(1), expr("(size(ws) + 7) div 8")),
+      k => array_join(slice(col("ws"), (k - 1) * 8 + 1, lit(8)), " "))
+    val paged = docs
+      .withColumn("body_text", array_join(bodyLines, "\n"))
+      .withColumn("lines", concat(array(header), bodyLines,
+        array(lit("all rights reserved"))))
+    val ex = paged.select(col("doc_id"), col("body_text"),
+        posexplode(col("lines")).as(Seq("pos0", "line")))
+    val freq = ex.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = ex.join(freq.hint("shuffle_hash"), Seq("line"))
+      .filter(col("df") < LineMinDocs)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos0"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    paged.select(col("doc_id"), col("body_text"),
+        size(col("lines")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        when(coalesce(col("clean_text"), lit("")) === col("body_text"),
+          1L).otherwise(0L).as("body_exact"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t44Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(text) AS txt FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |w AS (
+       |  SELECT doc_id, string_split(txt, ' ') AS ws FROM d),
+       |pg AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      generate_series(1, (len(ws) + 7) // 8),
+       |      k -> array_to_string(list_slice(ws, (k-1)*8 + 1, k*8),
+       |        ' ')), chr(10)) AS body_text,
+       |    ['subscribe to source ' || CAST(doc_id % 5 AS VARCHAR)
+       |        || ' newsletter']
+       |      || list_transform(generate_series(1, (len(ws) + 7) // 8),
+       |        k -> array_to_string(list_slice(ws, (k-1)*8 + 1, k*8),
+       |          ' '))
+       |      || ['all rights reserved'] AS lines
+       |  FROM w),
+       |ex AS (
+       |  SELECT doc_id, body_text, unnest(lines) AS line,
+       |    unnest(generate_series(1, len(lines))) AS pos
+       |  FROM pg),
+       |freq AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+       |kept AS (
+       |  SELECT e.doc_id, e.pos, e.line FROM ex e
+       |  JOIN freq f ON e.line = f.line WHERE f.df < $LineMinDocs),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(p.lines) - COALESCE(r.n_kept, 0) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(CASE WHEN COALESCE(r.clean_text, '') = p.body_text
+       |    THEN 1 ELSE 0 END AS BIGINT) AS body_exact,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM pg p LEFT JOIN reb r ON p.doc_id = r.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 }
