@@ -116,6 +116,12 @@ object GraftExtensions {
         " bytes; ID3v2 skipped, -1 for non-MP3; no decode",
       e => graft.functions.Mp3Field(e.head,
         intArg(e(1), "graft_mp3_field"))),
+    fn("graft_gif_field",
+      "graft_gif_field(bin, idx) - GIF animation probe: idx 0 = " +
+        "frames, 1 = loop count (0=forever, -1=once), 2 = duration " +
+        "centiseconds, 3 = animated flag; -1 for non-GIF; no decode",
+      e => graft.functions.GifField(e.head,
+        intArg(e(1), "graft_gif_field"))),
     fn("graft_flac_field",
       "graft_flac_field(bin, idx) - FLAC STREAMINFO probe: idx 0 =" +
         " sample rate, 1 = channels, 2 = bits/sample, 3 = duration" +

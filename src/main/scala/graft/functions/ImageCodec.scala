@@ -391,6 +391,152 @@ object ImageCodec {
   def pngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
     imageBytes("png", w, h)(f)
 
+  /** m20: GIF ANIMATION probe — the static-vs-animated admission
+    * gate (and the frame/duration caps) a media corpus runs after
+    * m12's dimension pass: an image pipeline must not feed a
+    * 400-frame banner GIF to a single-frame feature kernel. Bounded
+    * walk of the public GIF89a block structure (§20-26 + the
+    * NETSCAPE2.0 application extension, public): header + logical
+    * screen descriptor (+ global color table when flagged), then
+    * blocks — 0x2C image descriptors COUNT frames (local color
+    * table + LZW sub-blocks skipped by their declared sizes), 0x21
+    * extensions dispatch by label (0xF9 graphic control carries the
+    * per-frame delay in centiseconds, summed; 0xFF application with
+    * the 11-byte "NETSCAPE2.0" id carries the loop count, 0 =
+    * forever), 0x3B trailer ends the walk. Returns (frames, loop,
+    * totalCs) with loop = -1 when no NETSCAPE block (the
+    * play-once default); None for non-GIF / truncated / hostile
+    * payloads (block walk capped at 4096 blocks, every sub-block
+    * length bounds-checked — a forged length can't over-read). */
+  def gifMeta(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (p.length < 14 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != '8' || (p(4) != '7' && p(4) != '9') || p(5) != 'a')
+      return None
+    var off = 13
+    // global color table: 3 * 2^(N+1) bytes when the flag is set
+    if ((p(10) & 0x80) != 0) off += 3 * (1 << ((p(10) & 0x7) + 1))
+    var frames = 0L
+    var loop = -1L
+    var totalCs = 0L
+    var blocks = 0
+    while (blocks < 4096) {
+      blocks += 1
+      if (off >= p.length) return None // ran off the end: truncated
+      val b = p(off) & 0xff
+      off += 1
+      if (b == 0x3b) { // trailer: a complete file
+        return Some((frames, loop, totalCs))
+      } else if (b == 0x2c) { // image descriptor
+        if (off + 9 > p.length) return None
+        frames += 1
+        val packed = p(off + 8) & 0xff
+        off += 9
+        if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x7) + 1))
+        off += 1 // LZW minimum code size
+        // data sub-blocks: (len, bytes)* until a zero terminator
+        var len = -1
+        while (len != 0) {
+          if (off >= p.length) return None
+          len = p(off) & 0xff
+          off += 1 + len
+        }
+      } else if (b == 0x21) { // extension: label + sub-blocks
+        if (off >= p.length) return None
+        val label = p(off) & 0xff
+        off += 1
+        var first = true
+        var len = -1
+        while (len != 0) {
+          if (off >= p.length) return None
+          len = p(off) & 0xff
+          if (len > 0 && off + 1 + len > p.length) return None
+          if (first && label == 0xf9 && len >= 3) {
+            // graphic control: packed, delay LE16 (centiseconds)
+            totalCs += (p(off + 2) & 0xffL) | ((p(off + 3) & 0xffL) << 8)
+          } else if (label == 0xff && len == 3 && (p(off + 1) & 0xff) == 1) {
+            // NETSCAPE looping sub-block: 01, count LE16
+            loop = (p(off + 2) & 0xffL) | ((p(off + 3) & 0xffL) << 8)
+          }
+          first = false
+          off += 1 + len
+        }
+      } else return None // unknown block type: not a GIF we trust
+    }
+    None // block cap hit: hostile
+  }
+
+  /** Field probe for the Catalyst expression: 0 = frame count, 1 =
+    * loop count (0 = forever, -1 = no NETSCAPE block: play once),
+    * 2 = total duration centiseconds, 3 = animated flag (>= 2
+    * frames); -1 for non-GIF / malformed payloads. */
+  def gifField(p: Array[Byte], idx: Int): Long = gifMeta(p) match {
+    case None => -1L
+    case Some((frames, loop, totalCs)) => idx match {
+      case 0 => frames
+      case 1 => loop
+      case 2 => totalCs
+      case 3 => if (frames >= 2) 1L else 0L
+      case _ => -1L
+    }
+  }
+
+  /** Spec helper: a REAL multi-frame GIF from the JDK's own GIF
+    * encoder (the m12 genuine-encoder-output convention): nFrames
+    * frames of varying pixels, a per-frame delay in centiseconds,
+    * and — when loop >= 0 — a NETSCAPE2.0 looping block. */
+  def animatedGifBytes(nFrames: Int, delayCs: Int,
+      loop: Int): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val proto = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val wp = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(proto), wp)
+    val fmtName = meta.getNativeMetadataFormatName
+    val root = meta.getAsTree(fmtName).asInstanceOf[IIOMetadataNode]
+    def node(parent: IIOMetadataNode, name: String): IIOMetadataNode = {
+      val kids = parent.getElementsByTagName(name)
+      if (kids.getLength > 0) kids.item(0).asInstanceOf[IIOMetadataNode]
+      else {
+        val n = new IIOMetadataNode(name); parent.appendChild(n); n
+      }
+    }
+    val gce = node(root, "GraphicControlExtension")
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", delayCs.toString)
+    gce.setAttribute("transparentColorIndex", "0")
+    if (loop >= 0) {
+      val apps = node(root, "ApplicationExtensions")
+      val app = node(apps, "ApplicationExtension")
+      app.setAttribute("applicationID", "NETSCAPE")
+      app.setAttribute("authenticationCode", "2.0")
+      app.setUserObject(Array[Byte](1, (loop & 0xff).toByte,
+        ((loop >> 8) & 0xff).toByte))
+    }
+    meta.setFromTree(fmtName, root)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { img.setRGB(x, y, (i * 40 + x * 8 + y) << 8); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+        wp)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
   /** Spec helper: REAL encoded bytes in any JDK-writable container
     * (`png`/`jpg`/`gif`) — the m12 probes are pinned on genuine
     * encoder output, not hand-forged headers. */

@@ -199,6 +199,26 @@ case class Mp3Field(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** `gif_field(payload, idx)` — GIF ANIMATION probe (m20): idx 0 =
+  * frame count, 1 = loop count (0 = forever, -1 = play once), 2 =
+  * total duration centiseconds, 3 = animated flag; -1 for non-GIF.
+  * The static-vs-animated admission gate after [[ImageDims]]'s size
+  * pass; bounded block walk, never decodes LZW pixel data. */
+case class GifField(child: Expression, idx: Int)
+    extends UnaryExpression {
+  require(idx >= 0 && idx <= 3, s"gif_field idx must be 0..3, got $idx")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ImageCodec.gifField(v.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageCodec.gifField($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `flac_field(payload, idx)` — header-only FLAC STREAMINFO probe
   * (m19): idx 0 = sample rate, 1 = channels, 2 = bits/sample, 3 =
   * duration micros (-1 when total samples is the spec's 0=unknown
@@ -365,6 +385,15 @@ object Multimedia {
     GraftShim.column(Mp3Field(GraftShim.expression(payload), 2))
   def mp3FrameBytes(payload: Column): Column =
     GraftShim.column(Mp3Field(GraftShim.expression(payload), 3))
+
+  def gifFrames(payload: Column): Column =
+    GraftShim.column(GifField(GraftShim.expression(payload), 0))
+  def gifLoopCount(payload: Column): Column =
+    GraftShim.column(GifField(GraftShim.expression(payload), 1))
+  def gifDurationCs(payload: Column): Column =
+    GraftShim.column(GifField(GraftShim.expression(payload), 2))
+  def gifAnimated(payload: Column): Column =
+    GraftShim.column(GifField(GraftShim.expression(payload), 3))
 
   def flacSampleRate(payload: Column): Column =
     GraftShim.column(FlacField(GraftShim.expression(payload), 0))

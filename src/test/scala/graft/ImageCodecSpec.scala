@@ -518,6 +518,58 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(sq.getLong(0) == -1L)
   }
 
+  test("m20 gif_field: animation probe — frames/loop/duration from " +
+    "real encoder output, hostile walk bounded") {
+    import spark.implicits._
+    // 4 frames, 12 cs each, NETSCAPE loop 3 — the JDK's own encoder
+    val anim = ImageCodec.animatedGifBytes(4, 12, 3)
+    assert(ImageCodec.gifField(anim, 0) == 4L)
+    assert(ImageCodec.gifField(anim, 1) == 3L)
+    assert(ImageCodec.gifField(anim, 2) == 48L)
+    assert(ImageCodec.gifField(anim, 3) == 1L)
+    // loop 0 = forever (the banner-GIF default)
+    assert(ImageCodec.gifField(
+      ImageCodec.animatedGifBytes(2, 5, 0), 1) == 0L)
+    // no NETSCAPE block: loop degrades to -1 = play once
+    val once = ImageCodec.animatedGifBytes(3, 7, -1)
+    assert(ImageCodec.gifField(once, 0) == 3L)
+    assert(ImageCodec.gifField(once, 1) == -1L)
+    // a static single-frame GIF is NOT animated; m12 dims agree
+    val still = ImageCodec.imageBytes("gif", 11, 7)((x, y) => x * y)
+    assert(ImageCodec.gifField(still, 0) == 1L)
+    assert(ImageCodec.gifField(still, 3) == 0L)
+    assert(ImageCodec.gifDims(still) == ((11L << 32) | 7L))
+    assert(ImageCodec.gifDims(anim) == ((8L << 32) | 8L))
+    // hostile: text, truncation at every prefix (never over-reads,
+    // never loops), a PNG payload must not alias the gate
+    assert(ImageCodec.gifField("not a gif".getBytes("UTF-8"), 0) == -1L)
+    (0 until anim.length).foreach { n =>
+      assert(ImageCodec.gifField(anim.take(n), 0) == -1L)
+    }
+    assert(ImageCodec.gifField(
+      ImageCodec.pngBytes(4, 4)((x, y) => x + y), 0) == -1L)
+    // forged sub-block length pointing past the payload is rejected
+    val forged = anim.clone()
+    // find the first image descriptor and corrupt a data sub-block
+    // length to 0xFF near the tail
+    forged(forged.length - 2) = 0xff.toByte
+    assert(ImageCodec.gifField(forged, 0) == -1L)
+    // codegen'd expression + SQL surface over mixed payloads
+    GraftExtensions.register(spark)
+    val got = Seq((1L, anim), (2L, still), (3L, "txt".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.Multimedia.gifFrames(col("payload")).as("f"),
+        graft.functions.Multimedia.gifAnimated(col("payload")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((4L, 1L)) && got(2L) == ((1L, 0L)) &&
+      got(3L) == ((-1L, -1L)))
+    val sq = spark.sql("SELECT graft_gif_field(X'00', 0) AS f")
+      .collect()(0)
+    assert(sq.getLong(0) == -1L)
+  }
+
   test("m19 flac_field: STREAMINFO probe — bit-packed fields, " +
     "mandatory first block, hostile shapes") {
     import spark.implicits._
