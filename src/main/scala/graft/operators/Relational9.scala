@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -537,17 +537,176 @@ object Relational9 {
       |  (CAST(SUM(bytes) AS BIGINT) * 1000000) // 262144 AS fill_ppm
       |FROM cum GROUP BY 1 ORDER BY bin_id""".stripMargin
 
+  /** One metric's quintile CUTS (c1..c4) as a 1-row relation, by the
+    * d58 histogram-cut rule: c_i = min value whose running count
+    * reaches (n·i) div 5. NTILE would be tie-UNREPLAYABLE (it splits
+    * tied values by arbitrary row order); the cut rule is a pure
+    * function of the value multiset, so both engines land identical
+    * scores however ties fall. Runs as the d46/d58 two-level
+    * bin-parallel prefix sum (256 range bins via a broadcast 1-row
+    * max — q93's router), so the running count never needs a
+    * single-partition corpus window: the histogram can be one row
+    * per CUSTOMER (spend is near-unique) and still shards. */
+  private def quintileCuts(vals: DataFrame, vcol: String,
+      pfx: String): DataFrame = {
+    val hist = vals.groupBy(col(vcol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val mx = hist.agg(max(col("v")).as("mx"))
+    val routed = hist.crossJoin(broadcast(mx))
+      .withColumn("bin", expr("(v * 256) div (mx + 1)"))
+    val binTotals = routed.groupBy(col("bin"))
+      .agg(sum(col("c")).as("bc"))
+    val offsets = binTotals.as("a")
+      .join(binTotals.as("b"), col("b.bin") < col("a.bin"), "left")
+      .select(col("a.bin").as("bin"), col("b.bc").as("prev_bc"))
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("prev_bc")), lit(0L)).as("offset"))
+    val tot = binTotals.agg(sum(col("bc")).as("n"))
+    val wRow = Window.partitionBy(col("bin")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = routed.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum", col("offset") + sum(col("c")).over(wRow))
+      .crossJoin(broadcast(tot))
+    val cutCols = (1 to 4).map(i => expr(
+      s"min(CASE WHEN cum >= (n * $i) div 5 THEN v END)")
+      .as(s"$pfx$i"))
+    cum.agg(cutCols.head, cutCols.tail: _*)
+  }
+
+  /** Score 1..5 from a value and its four cuts: 1 + how many cuts
+    * the value exceeds. */
+  private def q5(v: Column, pfx: String): Column =
+    (1 to 4).foldLeft(lit(1)) { (acc, i) =>
+      acc + (v > col(s"$pfx$i")).cast("int")
+    }
+
+  /** q94: RFM SEGMENTATION — the marketing-analytics staple over the
+    * orders history: each customer scores 1-5 on Recency (days since
+    * last order, inverted so recent = 5), Frequency (order count),
+    * and Monetary (lifetime spend in exact cents via the DECIMAL
+    * discipline), and the report is the (r,f,m) cell distribution
+    * with named headline segments — what a CRM actually actions.
+    *
+    * EXACTNESS: all three metrics are integers (datediff days /
+    * counts / decimal-summed cents), and quintiles come from the
+    * d58 histogram-CUT rule, not NTILE — NTILE splits ties by
+    * arbitrary row order, which no oracle could replay; the cut rule
+    * is a pure function of the value multiset. SCALE: one
+    * customer-keyed aggregate (map-side combined) builds the metric
+    * relation; each quintile is a bin-parallel prefix sum over a
+    * value histogram (two-level d46 form — correct even when the
+    * histogram is one row per customer); the three 1-row cut
+    * relations and the 1-row max-date broadcast; the final rollup
+    * groups ≤125 cells. No global sort, no single-partition window,
+    * nothing corpus-broadcast. */
+  def q94Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.load(spark, dir, "orders")
+    val maxD = orders.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+          .cast("long").as("spend"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("rec", datediff(col("dmax"), col("last_day"))
+        .cast("long"))
+    val scored = cust
+      .crossJoin(broadcast(quintileCuts(cust, "rec", "rc")))
+      .crossJoin(broadcast(quintileCuts(cust, "freq", "fc")))
+      .crossJoin(broadcast(quintileCuts(cust, "spend", "mc")))
+      .withColumn("r_score", (lit(6) - q5(col("rec"), "rc"))
+        .cast("long"))
+      .withColumn("f_score", q5(col("freq"), "fc").cast("long"))
+      .withColumn("m_score", q5(col("spend"), "mc").cast("long"))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("total_spend_cents"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champions")
+          .when(col("r_score") <= 2 && col("f_score") >= 4,
+            "at_risk_loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2,
+            "recent_low_freq")
+          .otherwise("core"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("segment"), col("n_customers"), col("total_spend_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private def cutsSql(src: String, vexpr: String, pfx: String): String =
+    s"""${pfx}hist AS (
+       |  SELECT $vexpr AS v, count(*) AS c FROM $src GROUP BY 1),
+       |${pfx}cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM ${pfx}hist),
+       |${pfx}cuts AS (
+       |  SELECT
+       |    MIN(CASE WHEN cum >= (n * 1) // 5 THEN v END) AS ${pfx}1,
+       |    MIN(CASE WHEN cum >= (n * 2) // 5 THEN v END) AS ${pfx}2,
+       |    MIN(CASE WHEN cum >= (n * 3) // 5 THEN v END) AS ${pfx}3,
+       |    MIN(CASE WHEN cum >= (n * 4) // 5 THEN v END) AS ${pfx}4
+       |  FROM ${pfx}cum)""".stripMargin
+
+  lazy val q94Sql: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+       |      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+       |      AS rec,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+       |      AS BIGINT) AS spend
+       |  FROM orders GROUP BY 1),
+       |${cutsSql("cust", "rec", "rc")},
+       |${cutsSql("cust", "freq", "fc")},
+       |${cutsSql("cust", "spend", "mc")},
+       |scored AS (
+       |  SELECT spend,
+       |    6 - (1 + CAST(rec > rc1 AS INT) + CAST(rec > rc2 AS INT)
+       |      + CAST(rec > rc3 AS INT) + CAST(rec > rc4 AS INT))
+       |      AS r_score,
+       |    1 + CAST(freq > fc1 AS INT) + CAST(freq > fc2 AS INT)
+       |      + CAST(freq > fc3 AS INT) + CAST(freq > fc4 AS INT)
+       |      AS f_score,
+       |    1 + CAST(spend > mc1 AS INT) + CAST(spend > mc2 AS INT)
+       |      + CAST(spend > mc3 AS INT) + CAST(spend > mc4 AS INT)
+       |      AS m_score
+       |  FROM cust, rccuts, fccuts, mccuts),
+       |cells AS (
+       |  SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       |    CAST(SUM(spend) AS BIGINT) AS total_spend_cents
+       |  FROM scored GROUP BY 1, 2, 3)
+       |SELECT CAST(r_score AS BIGINT) AS r_score,
+       |  CAST(f_score AS BIGINT) AS f_score,
+       |  CAST(m_score AS BIGINT) AS m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |      THEN 'champions'
+       |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+       |    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_low_freq'
+       |    ELSE 'core' END AS segment,
+       |  n_customers, total_spend_cents
+       |FROM cells
+       |ORDER BY r_score, f_score, m_score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
     "q90_seq_match" -> (q90SeqMatch _),
     "q91_attribution" -> (q91Attribution _),
     "q92_ab_test" -> (q92AbTest _),
-    "q93_file_binpack" -> (q93FileBinpack _))
+    "q93_file_binpack" -> (q93FileBinpack _),
+    "q94_rfm" -> (q94Rfm _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
     "q90_seq_match" -> q90Sql,
     "q91_attribution" -> q91Sql,
     "q92_ab_test" -> q92Sql,
-    "q93_file_binpack" -> q93Sql)
+    "q93_file_binpack" -> q93Sql,
+    "q94_rfm" -> q94Sql)
 }
