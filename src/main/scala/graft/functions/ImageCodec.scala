@@ -227,11 +227,64 @@ object ImageCodec {
     } else -1L
   }
 
-  /** m12: format-dispatching dimension probe — PNG, JPEG, GIF, or
-    * WebP (lossy/lossless/extended) by magic bytes, -1 for everything
-    * else. ONE gate expression for the size/aspect admission pass
-    * over a mixed-format media corpus, composing the four header
-    * walks; never decodes pixels. */
+  /** m12 (r15): TIFF dimension probe — the scanned-document arm (a
+    * digitized-archive corpus is TIFF-heavy): the public TIFF 6.0
+    * header (II/MM byte order, magic 42, IFD0 offset) and IFD0's
+    * 12-byte entries scanned for ImageWidth (256) / ImageLength
+    * (257), each SHORT or LONG with count 1 — the same walk
+    * [[exifOrientation]] runs inside the JPEG APP1 wrapper, here at
+    * file scope. Both byte orders; entry count capped at 256; every
+    * read bounds-checked; no sub-IFD recursion. Same packed-long /
+    * -1-sentinel contract as [[pngDims]]. */
+  def tiffDims(p: Array[Byte]): Long = {
+    if (p.length < 8) return -1L
+    def u8(o: Int): Int = p(o) & 0xff
+    val little =
+      if (p(0) == 'I' && p(1) == 'I') true
+      else if (p(0) == 'M' && p(1) == 'M') false
+      else return -1L
+    def tu16(o: Int): Int =
+      if (little) u8(o) | (u8(o + 1) << 8)
+      else (u8(o) << 8) | u8(o + 1)
+    def tu32(o: Int): Long =
+      if (little)
+        u8(o).toLong | (u8(o + 1).toLong << 8) |
+          (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+      else
+        (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+          (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+    if (tu16(2) != 42) return -1L
+    val ifdOff = tu32(4)
+    if (ifdOff < 8 || ifdOff + 2 > p.length) return -1L
+    val ifd = ifdOff.toInt
+    val n = math.min(tu16(ifd), 256)
+    var w = -1L
+    var h = -1L
+    var e = ifd + 2
+    var k = 0
+    while (k < n && e + 12 <= p.length && (w < 0 || h < 0)) {
+      val tag = tu16(e)
+      val typ = tu16(e + 2)
+      if ((tag == 256 || tag == 257) && tu32(e + 4) == 1L) {
+        // value is LEFT-justified in the 4-byte field: SHORT reads
+        // the first two bytes in file order, LONG all four
+        val v =
+          if (typ == 3) tu16(e + 8).toLong
+          else if (typ == 4) tu32(e + 8)
+          else -1L
+        if (tag == 256) w = v else h = v
+      }
+      e += 12
+      k += 1
+    }
+    if (w <= 0 || h <= 0) -1L else (w << 32) | h
+  }
+
+  /** m12: format-dispatching dimension probe — PNG, JPEG, GIF, WebP
+    * (lossy/lossless/extended), or TIFF (both byte orders) by magic
+    * bytes, -1 for everything else. ONE gate expression for the
+    * size/aspect admission pass over a mixed-format media corpus,
+    * composing the five header walks; never decodes pixels. */
   def imageDims(p: Array[Byte]): Long = {
     if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P') pngDims(p)
     else if (p.length >= 4 && p(0) == 0xFF.toByte &&
@@ -240,6 +293,9 @@ object ImageCodec {
     // RIFF is shared with WAV — webpDims' "WEBP" form-type check
     // sends non-image RIFF containers to the -1 arm
     else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I') webpDims(p)
+    // TIFF's own magic-42 check sends stray "II"/"MM" text to -1
+    else if (p.length >= 4 && ((p(0) == 'I' && p(1) == 'I') ||
+      (p(0) == 'M' && p(1) == 'M'))) tiffDims(p)
     else -1L
   }
 

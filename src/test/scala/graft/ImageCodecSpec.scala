@@ -518,6 +518,49 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(sq.getLong(0) == -1L)
   }
 
+  test("m21 tiff dims: IFD0 walk at file scope — both byte orders, " +
+    "magic-42 gate, hostile truncation") {
+    import spark.implicits._
+    // real JDK TIFF encoder output (little-endian "II")
+    val tif = ImageCodec.imageBytes("tiff", 33, 21)((x, y) => x ^ y)
+    assert(tif.nonEmpty, "JDK TIFF writer missing")
+    assert(ImageCodec.tiffDims(tif) == ((33L << 32) | 21L))
+    assert(ImageCodec.imageDims(tif) == ((33L << 32) | 21L))
+    // forged big-endian "MM" file: IFD0 at 8, SHORT width 42 (the
+    // LEFT-justified value field), LONG height 17
+    val mm = Array[Int](
+      'M', 'M', 0, 42, 0, 0, 0, 8, // header: BE, magic, IFD0 @ 8
+      0, 2, // two entries
+      1, 0, 0, 3, 0, 0, 0, 1, 0, 42, 0, 0, // 256 SHORT 1 val=42
+      1, 1, 0, 4, 0, 0, 0, 1, 0, 0, 0, 17, // 257 LONG  1 val=17
+      0, 0, 0, 0 // next-IFD: none
+    ).map(_.toByte)
+    assert(ImageCodec.tiffDims(mm) == ((42L << 32) | 17L))
+    assert(ImageCodec.imageDims(mm) == ((42L << 32) | 17L))
+    // hostile: text starting "II" fails the magic-42 gate; truncation
+    // at every prefix; zero dims rejected; non-TIFF payloads
+    assert(ImageCodec.tiffDims("IIx and more text".getBytes("UTF-8"))
+      == -1L)
+    // prefixes below 34 bytes cut into the second IFD entry and must
+    // fail; 34+ carry both entries complete (the unread next-IFD
+    // pointer is not required by a header probe)
+    (0 until 34).foreach { n =>
+      assert(ImageCodec.tiffDims(mm.take(n)) == -1L)
+    }
+    assert(ImageCodec.tiffDims(mm.take(34)) == ((42L << 32) | 17L))
+    val zeroW = mm.clone(); zeroW(18) = 0; zeroW(19) = 0
+    assert(ImageCodec.tiffDims(zeroW) == -1L)
+    assert(ImageCodec.tiffDims(
+      ImageCodec.pngBytes(4, 4)((x, y) => x + y)) == -1L)
+    // the m12 SQL dispatch serves TIFF like the other formats
+    GraftExtensions.register(spark)
+    val got = Seq((1L, tif), (2L, "txt".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .selectExpr("id", "graft_image_dims(payload) AS d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ((33L << 32) | 21L) && got(2L) == -1L)
+  }
+
   test("m20 gif_field: animation probe — frames/loop/duration from " +
     "real encoder output, hostile walk bounded") {
     import spark.implicits._
