@@ -694,13 +694,98 @@ object Relational9 {
        |FROM cells
        |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** Rules below this basket count are noise, not retail insight —
+    * the Apriori min-support knob. */
+  val RuleMinSup = 5L
+
+  /** q95: ASSOCIATION RULES (support / confidence / lift) — the
+    * directed Apriori 2-itemset report q69's symmetric Jaccard
+    * affinity is NOT: "customers who buy A also buy B" needs the
+    * DIRECTION (confidence n_ab/n_a differs both ways) and the
+    * baseline correction (lift = confidence / P(B) — a rule whose
+    * consequent is simply popular is no rule at all), plus the
+    * min-support floor that separates insight from noise.
+    *
+    * EXACTNESS: every measure is integer micro/ppm arithmetic —
+    * support_ppm = n_ab·10⁶ div N, confidence_ppm = n_ab·10⁶ div
+    * n_a, and lift_ppm in the overflow-safe FACTORED order
+    * (confidence_ppm · N) div n_b: the naive N·n_ab·10⁶ div
+    * (n_a·n_b) overflows int64 once basket counts pass ~10⁹ (n_a·n_b
+    * alone can reach 10²⁰ at 100 TB), while each factored step stays
+    * ≤ ~10¹⁶; both engines evaluate the SAME order, so floors land
+    * identically. SCALE: q69's basket shape — the per-order pair
+    * fanout is O(orders·k²) bounded by basket size, never
+    * corpus-quadratic, both self-join sides hinted shuffled
+    * (aggregate-derived, no stats); the basket total is a 1-row
+    * broadcast; per-brand totals re-attach on the |brands|²-bounded
+    * rule relation. */
+  def q95AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val pt = Tables.load(spark, dir, "part")
+    val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nBaskets = ob.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val cnt = ob.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = ob.as("a")
+      .join(ob.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") =!= col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("antecedent"),
+        col("b.p_brand").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= RuleMinSup)
+    pairs
+      .join(cnt.select(col("p_brand").as("antecedent"),
+        col("n_orders").as("n_a")), Seq("antecedent"))
+      .join(cnt.select(col("p_brand").as("consequent"),
+        col("n_orders").as("n_b")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("(n_ab * 1000000) div n_baskets").as("support_ppm"),
+        expr("(n_ab * 1000000) div n_a").as("confidence_ppm"),
+        expr("(((n_ab * 1000000) div n_a) * n_baskets) div n_b")
+          .as("lift_ppm"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  lazy val q95Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |nb AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ob),
+       |cnt AS (
+       |  SELECT p_brand, COUNT(*) AS n_orders FROM ob GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+       |    COUNT(*) AS n_ab
+       |  FROM ob a JOIN ob b
+       |    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $RuleMinSup)
+       |SELECT antecedent, consequent, n_ab,
+       |  ca.n_orders AS n_a, cb.n_orders AS n_b,
+       |  (n_ab * 1000000) // n_baskets AS support_ppm,
+       |  (n_ab * 1000000) // ca.n_orders AS confidence_ppm,
+       |  (((n_ab * 1000000) // ca.n_orders) * n_baskets)
+       |    // cb.n_orders AS lift_ppm
+       |FROM pairs
+       |JOIN cnt ca ON ca.p_brand = antecedent
+       |JOIN cnt cb ON cb.p_brand = consequent
+       |CROSS JOIN nb
+       |ORDER BY antecedent, consequent""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
     "q90_seq_match" -> (q90SeqMatch _),
     "q91_attribution" -> (q91Attribution _),
     "q92_ab_test" -> (q92AbTest _),
     "q93_file_binpack" -> (q93FileBinpack _),
-    "q94_rfm" -> (q94Rfm _))
+    "q94_rfm" -> (q94Rfm _),
+    "q95_assoc_rules" -> (q95AssocRules _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
@@ -708,5 +793,6 @@ object Relational9 {
     "q91_attribution" -> q91Sql,
     "q92_ab_test" -> q92Sql,
     "q93_file_binpack" -> q93Sql,
-    "q94_rfm" -> q94Sql)
+    "q94_rfm" -> q94Sql,
+    "q95_assoc_rules" -> q95Sql)
 }
