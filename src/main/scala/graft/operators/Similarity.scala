@@ -5357,4 +5357,164 @@ object Similarity {
        |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank
        |  FROM rr) f
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  // ---- d99: PCA first principal component (power iteration) --------
+
+  /** PCA quantization scale: |q| <= ~5.3e3 for unit-ish embeddings,
+    * so pair products fit 2^63 exactly up to ~1e10 rows. */
+  val PcaQ = 10000d
+
+  /** Fixed power-iteration depth — the DEFINITION of the result, not
+    * a convergence heuristic, so both engines replay it exactly. */
+  val PcaIters = 20
+
+  /** d99: PCA FIRST PRINCIPAL COMPONENT by power iteration — the
+    * linear-algebra leg the embedding family lacked (d44 projects
+    * onto RANDOM directions, d64 truncates a trained nesting; neither
+    * finds the corpus's own dominant direction): SemDeDup-class
+    * pipelines whiten/decorrelate embeddings before near-dup
+    * thresholds, and the first PC + its variance share is the
+    * whitening report's headline.
+    *
+    * SPLIT OF LABOR (the d22 contract): the CORPUS work — the exact
+    * covariance moments — is distributed (embeddings quantize to
+    * integer ten-thousandths, one posexplode + vec-keyed hinted
+    * self-join accumulates S_ij = Σ q_i·q_j and S_i = Σ q_i as exact
+    * longs, map-side combined; 64²·N rows is the one-pass price of
+    * exact covariance); the MODEL work — 20 power iterations on the
+    * 64×64 centered matrix N·S_ij − S_i·S_j — is a bounded driver
+    * computation (4096 longs collected, the d22 bounded-collect
+    * pattern). Every driver double op (matvec fold, norm, Rayleigh
+    * quotient, trace) runs in EXPLICIT index order, and the oracle
+    * unrolls the identical 20 iterations with DuckDB list folds in
+    * the same order — IEEE doubles agree bit-for-bit, so the PC is
+    * hash-verified, not asserted. The centered moments stay exact in
+    * both int64 and the double mantissa (≲7e14 here; the quantization
+    * scale is the documented rescale knob past ~1e6 rows).
+    *
+    * Output: one row per dimension — PC1 loading in micro units,
+    * plus the (repeated) floor eigenvalue and variance-explained ppm
+    * (Rayleigh quotient over the trace). Sign is pinned by the
+    * all-ones start vector and deterministic arithmetic. */
+  def d99PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qv = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * PcaQ).cast("long")).as("qv"))
+    val e = qv.select(col("vec_id"),
+      posexplode(col("qv")).as(Seq("i0", "qi")))
+    val moments = e.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i0").as("i"), col("b.i0").as("j"))
+      .agg(sum(col("a.qi") * col("b.qi")).as("sij"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    val si = e.groupBy(col("i0")).agg(sum(col("qi")).as("si"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = 64
+    val n = moments.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
+      .map(_.getLong(3)).getOrElse(0L)
+    val c = Array.ofDim[Double](dim * dim)
+    moments.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      c(i * dim + j) = (n * r.getLong(2) - si(i) * si(j)).toDouble
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 0 until PcaIters) {
+      val w = matvec(v)
+      var ns = 0.0
+      var i = 0
+      while (i < dim) { ns += w(i) * w(i); i += 1 }
+      val norm = math.sqrt(ns)
+      v = w.map(_ / norm)
+    }
+    val w = matvec(v)
+    var lam = 0.0
+    var tr = 0.0
+    var i = 0
+    while (i < dim) {
+      lam += v(i) * w(i)
+      tr += c(i * dim + i)
+      i += 1
+    }
+    val rows = (0 until dim).map { d =>
+      (d + 1L, math.floor(1e6 * v(d)).toLong, math.floor(lam).toLong,
+        math.floor(1e6 * lam / tr).toLong)
+    }
+    rows.toDF("dim", "loading_micro", "eigenvalue_floor",
+      "var_explained_ppm").orderBy(col("dim"))
+  }
+
+  /** The oracle unrolls the same 20 iterations as chained CTEs with
+    * ordered list folds; 0.0-init vs first-element-init folds agree
+    * exactly (x + 0.0 == x for every non-NaN double). */
+  lazy val d99Sql: String = {
+    val matvec = (vcol: String) =>
+      s"""list_transform(generate_series(1, 64), i ->
+         |      list_reduce(list_transform(generate_series(1, 64),
+         |        j -> cm[(i-1)*64 + j] * $vcol[j]),
+         |        (a, b) -> a + b))""".stripMargin
+    val normed = (wcol: String) =>
+      s"""list_transform($wcol, x -> x / sqrt(
+         |      list_reduce(list_transform($wcol, y -> y * y),
+         |        (a, b) -> a + b)))""".stripMargin
+    val iterCtes = (1 to PcaIters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""it$k AS (
+         |  SELECT ${normed(s"(${matvec("v")})")} AS v
+         |  FROM $prev, cmat)"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, i, qv[i] AS qi
+       |  FROM q, unnest(generate_series(1, 64)) AS t(i)),
+       |si AS (
+       |  SELECT i, CAST(SUM(qi) AS BIGINT) AS s FROM e GROUP BY 1),
+       |pij AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(a.qi * b.qi) AS BIGINT) AS sij
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT COUNT(*) AS n FROM q),
+       |cov AS (
+       |  SELECT p.i, p.j,
+       |    CAST(CAST(n * sij - sa.s * sb.s AS BIGINT) AS DOUBLE) AS c
+       |  FROM pij p
+       |  JOIN si sa ON sa.i = p.i
+       |  JOIN si sb ON sb.i = p.j
+       |  CROSS JOIN nn),
+       |cmat AS (SELECT list(c ORDER BY i, j) AS cm FROM cov),
+       |it0 AS (SELECT list_transform(generate_series(1, 64),
+       |    x -> 1.0) AS v),
+       |$iterCtes,
+       |fin AS (
+       |  SELECT v, ${matvec("v")} AS w
+       |  FROM it$PcaIters, cmat),
+       |scal AS (
+       |  SELECT v,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> v[i] * w[i]), (a, b) -> a + b) AS lam,
+       |    (SELECT list_reduce(list_transform(generate_series(1, 64),
+       |        i -> cm[(i-1)*64 + i]), (a, b) -> a + b)
+       |     FROM cmat) AS tr
+       |  FROM fin)
+       |SELECT CAST(d AS BIGINT) AS dim,
+       |  CAST(FLOOR(1000000 * v[d]) AS BIGINT) AS loading_micro,
+       |  CAST(FLOOR(lam) AS BIGINT) AS eigenvalue_floor,
+       |  CAST(FLOOR(1000000 * lam / tr) AS BIGINT) AS var_explained_ppm
+       |FROM scal, unnest(generate_series(1, 64)) AS t(d)
+       |ORDER BY dim""".stripMargin
+  }
 }
