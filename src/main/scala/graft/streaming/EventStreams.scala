@@ -43,6 +43,68 @@ object EventStreams {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** s26 core: the LIVE experiment monitor — q92's batch verdict is
+    * computed once per analysis; the dashboard feeding it watches
+    * per-variant counters tick per event-time window as the
+    * experiment runs (and catches an assignment bug — one variant's
+    * traffic flatlining — in minutes, not at readout). Per (window,
+    * variant): view / purchase / error counts. Deterministic variant
+    * = user_id mod 2, q92's bucketing; the aggregation is purely
+    * windowed (NO cross-window user state — per-user conversion is
+    * the batch readout's job), so streaming state is bounded by the
+    * watermark horizon at any feed rate. */
+  def abMonitorAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("variant"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("long").as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_errors"))
+
+  /** s26 batch form (the registered key): window start as an ISO
+    * string, plus the purchases-per-view rate in exact ppm (-1 for a
+    * viewless window — no information, the q92 guard convention). */
+  def s26StreamAb(spark: SparkSession, dir: String): DataFrame =
+    abMonitorAgg(Tables.load(spark, dir, "events"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("variant"), col("n_views"), col("n_purchases"),
+        col("n_errors"),
+        when(col("n_views") > 0,
+          expr("(n_purchases * 1000000) div n_views"))
+          .otherwise(lit(-1L)).as("p_per_v_ppm"))
+      .orderBy(col("w_start"), col("variant"))
+
+  /** The same monitor as a real streaming query over the file
+    * source; the spec pins stream == batch. */
+  def streamingAbMonitor(spark: SparkSession, dir: String): DataFrame =
+    abMonitorAgg(streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour"))
+      .select(col("w.start").cast("string").as("w_start"),
+        col("variant"), col("n_views"), col("n_purchases"),
+        col("n_errors"))
+
+  val s26Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR)
+      |      AS w_start,
+      |    user_id % 2 AS variant,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_views,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1, 2)
+      |SELECT w_start, CAST(variant AS BIGINT) AS variant, n_views,
+      |  n_purchases, n_errors,
+      |  CASE WHEN n_views > 0 THEN (n_purchases * 1000000) // n_views
+      |    ELSE -1 END AS p_per_v_ppm
+      |FROM c ORDER BY w_start, variant""".stripMargin
+
   /** File-source event stream with the same ts semantics as the
     * batch loader (nanos-as-long parquet read, micros conversion) —
     * the ONE place the stream-vs-batch ts handling lives, shared by

@@ -226,6 +226,30 @@ class Relational4Spec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, 0L)), "word-bounded: spammy is not spam")
   }
 
+  test("s26 STREAMED A/B monitor equals the batch window rollup") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.col
+    val batch = EventStreams.s26StreamAb(spark, sf)
+      .select(col("w_start"), col("variant"), col("n_views"),
+        col("n_purchases"), col("n_errors"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val q = EventStreams.streamingAbMonitor(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s26_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s26_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // both variants receive traffic (edge windows may be sparse at
+      // sf0.001, so the pin is corpus-wide, not per-window)
+      assert(streamed.map(_._2).toSet == Set(0L, 1L))
+    } finally q.stop()
+  }
+
   test("s14 deltas over the STREAMED s01 sink equal the batch query") {
     import graft.streaming.EventStreams
     val batch = EventStreams.s14WindowDelta(spark, sf).collect()
