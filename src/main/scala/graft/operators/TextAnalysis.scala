@@ -2513,7 +2513,11 @@ object TextAnalysis {
           x => x.getField("line")), "\n").as("clean_text"))
     paged.select(col("doc_id"), col("body_text"),
         size(col("lines")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      // rebuilt is aggregate-derived and CORPUS-scaling (one row per
+      // doc) — hint the shuffled build so Catalyst never
+      // guesses-small and broadcasts it (the t11/d16 bug class; the
+      // r15 plan gate caught the unhinted form)
+      .join(rebuilt.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L)))

@@ -308,7 +308,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "s22_stream_anomaly" ->
         ("per-event-type robust bounds: |event_type| rows, explicit " +
           "broadcast() — the q63 per-group precedent; the live feed " +
-          "side never broadcasts"))
+          "side never broadcasts"),
+      "q93_file_binpack" ->
+        ("the d46 two-level prefix-sum internals, all bounded and " +
+          "explicit broadcast(): the 1-row manifest max (the bin " +
+          "router) and the 256-row bin offsets/totals; the manifest " +
+          "itself joins offsets BY bin after the broadcast"),
+      "q94_rfm" ->
+        ("three quintile-cut chains, each the q93/d46 bounded set " +
+          "(1-row max + 256-row offsets/totals + 1-row cuts, " +
+          "explicit broadcast()) plus the 1-row max-date scalar; " +
+          "the customer relation never broadcasts"),
+      "q95_assoc_rules" ->
+        ("per-brand order counts: |brand| rows (q69's adjudication) " +
+          "plus the 1-row basket-total scalar, explicit broadcast()"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

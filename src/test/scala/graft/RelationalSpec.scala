@@ -253,6 +253,12 @@ class RelationalSpec extends AnyFunSuite {
       // adds d30's bounded shortlist re-rank (queries×R broadcast)
       "d79_persisted_ivf", "d81_incremental_ivf",
       "d82_persisted_prod",
+      // d98 is d81's probe leg with the tombstone anti-join spliced
+      // in front of ranking: the same bounded scan-fed centroid
+      // broadcast against the 8-row query set (d79/d81's
+      // adjudication); the log anti-join itself is a hinted shuffle
+      // equi-join and the postings joins are d25's equi-joins
+      "d98_tombstone_delete",
       // d86's registered plan (r14: loads the COMMITTED layer tree,
       // no in-plan graph build) cross-joins the 1-row global entry
       // by broadcast (the t12 scalar pattern); the walk joins are
@@ -282,7 +288,13 @@ class RelationalSpec extends AnyFunSuite {
       // frontier broadcasts — every data-scaling join (postings
       // members, edge re-attach, merged-graph expansion) is a capped
       // equi-join
-      "d94_nav_insert")
+      "d94_nav_insert",
+      // q93/q94 cross-join 1-row scalars by broadcast (the manifest
+      // max routing the d46 bins; q94 adds the max-date scalar and
+      // three 1-row quintile-cut relations) — the t12/d58 pattern,
+      // 1-row build sides, nothing quadratic. q95 cross-joins the
+      // 1-row basket-total scalar the same way.
+      "q93_file_binpack", "q94_rfm", "q95_assoc_rules")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
