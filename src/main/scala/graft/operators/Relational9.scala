@@ -598,7 +598,11 @@ object Relational9 {
     * histogram is one row per customer); the three 1-row cut
     * relations and the 1-row max-date broadcast; the final rollup
     * groups ≤125 cells. No global sort, no single-partition window,
-    * nothing corpus-broadcast. */
+    * nothing corpus-broadcast. The shared customer subtree is NOT
+    * persist()ed on purpose: within one plan tree Spark's exchange
+    * reuse already dedups it across the four consumers, and a cache
+    * only adds a materialization barrier — measured isolated 4.31 s
+    * plain vs 8.21 s persisted at sf0.1. */
   def q94Rfm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val orders = Tables.load(spark, dir, "orders")
