@@ -599,10 +599,12 @@ object Relational9 {
     * relations and the 1-row max-date broadcast; the final rollup
     * groups ≤125 cells. No global sort, no single-partition window,
     * nothing corpus-broadcast. The shared customer subtree is NOT
-    * persist()ed on purpose: within one plan tree Spark's exchange
-    * reuse already dedups it across the four consumers, and a cache
-    * only adds a materialization barrier — measured isolated 4.31 s
-    * plain vs 8.21 s persisted at sf0.1. */
+    * persist()ed on purpose: AQE's RUNTIME exchange reuse dedups it
+    * across the four consumers (the final adaptive plan carries 29
+    * ReusedExchange nodes — the shuffle map stage holding the orders
+    * scan + partial aggregate executes once and its output is
+    * reused), and a cache only adds a materialization barrier —
+    * measured isolated 4.31 s plain vs 8.21 s persisted at sf0.1. */
   def q94Rfm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val orders = Tables.load(spark, dir, "orders")
