@@ -5396,11 +5396,19 @@ object Similarity {
     * plus the (repeated) floor eigenvalue and variance-explained ppm
     * (Rayleigh quotient over the trace). Sign is pinned by the
     * all-ones start vector and deterministic arithmetic. */
-  def d99PcaPower(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val qv = Tables.load(spark, dir, "embeddings")
+  /** Quantized embedding relation shared by the PCA family. */
+  private def pcaQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * PcaQ).cast("long")).as("qv"))
+
+  /** The d99 driver core: distributed exact covariance moments →
+    * bounded collect → 20 explicit-order power iterations. Returns
+    * (PC1 vector, eigenvalue, trace). Shared by d99 and d100 so the
+    * two keys can never train different components. */
+  private def pc1(spark: SparkSession, dir: String)
+      : (Array[Double], Double, Double) = {
+    val qv = pcaQuantized(spark, dir)
     val e = qv.select(col("vec_id"),
       posexplode(col("qv")).as(Seq("i0", "qi")))
     val moments = e.as("a")
@@ -5445,7 +5453,13 @@ object Similarity {
       tr += c(i * dim + i)
       i += 1
     }
-    val rows = (0 until dim).map { d =>
+    (v, lam, tr)
+  }
+
+  def d99PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (v, lam, tr) = pc1(spark, dir)
+    val rows = (0 until 64).map { d =>
       (d + 1L, math.floor(1e6 * v(d)).toLong, math.floor(lam).toLong,
         math.floor(1e6 * lam / tr).toLong)
     }
@@ -5453,10 +5467,12 @@ object Similarity {
       "var_explained_ppm").orderBy(col("dim"))
   }
 
-  /** The oracle unrolls the same 20 iterations as chained CTEs with
-    * ordered list folds; 0.0-init vs first-element-init folds agree
-    * exactly (x + 0.0 == x for every non-NaN double). */
-  lazy val d99Sql: String = {
+  /** The shared oracle CTE chain: quantize -> exact covariance
+    * moments -> centered matrix -> 20 ordered-fold power iterations.
+    * Ends at `it{PcaIters}` (the converged v) with `q`/`cmat` in
+    * scope. d99 and d100 both splice it, so the oracles can never
+    * train different components. */
+  private lazy val pcaChainSql: String = {
     val matvec = (vcol: String) =>
       s"""list_transform(generate_series(1, 64), i ->
          |      list_reduce(list_transform(generate_series(1, 64),
@@ -5472,7 +5488,7 @@ object Similarity {
          |  SELECT ${normed(s"(${matvec("v")})")} AS v
          |  FROM $prev, cmat)"""
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
        |    AS qv
@@ -5498,9 +5514,23 @@ object Similarity {
        |cmat AS (SELECT list(c ORDER BY i, j) AS cm FROM cov),
        |it0 AS (SELECT list_transform(generate_series(1, 64),
        |    x -> 1.0) AS v),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  /** d99's matvec fragment for the final Rayleigh quotient. */
+  private def pcaMatvecSql(vcol: String): String =
+    s"""list_transform(generate_series(1, 64), i ->
+       |      list_reduce(list_transform(generate_series(1, 64),
+       |        j -> cm[(i-1)*64 + j] * $vcol[j]),
+       |        (a, b) -> a + b))""".stripMargin
+
+  /** The oracle unrolls the same 20 iterations as chained CTEs with
+    * ordered list folds; 0.0-init vs first-element-init folds agree
+    * exactly (x + 0.0 == x for every non-NaN double). */
+  lazy val d99Sql: String =
+    s"""WITH $pcaChainSql,
        |fin AS (
-       |  SELECT v, ${matvec("v")} AS w
+       |  SELECT v, ${pcaMatvecSql("v")} AS w
        |  FROM it$PcaIters, cmat),
        |scal AS (
        |  SELECT v,
@@ -5516,5 +5546,107 @@ object Similarity {
        |  CAST(FLOOR(1000000 * lam / tr) AS BIGINT) AS var_explained_ppm
        |FROM scal, unnest(generate_series(1, 64)) AS t(d)
        |ORDER BY dim""".stripMargin
+
+  /** d100: PC1 PROJECTION + decile spread report — the actionable
+    * half of d99's whitening analysis: once the dominant direction
+    * is known, the question a curation pipeline asks is "how is the
+    * corpus DISTRIBUTED along it" (a heavy-tailed projection means
+    * one latent factor — a language, a template family, a source —
+    * dominates the geometry, and the tails are where semdedup-class
+    * near-dup thresholds misbehave). Each vector's projection onto
+    * the PC is an ordered 64-term fold (quantized component × d99's
+    * loading, left-to-right — the same IEEE-order discipline, so the
+    * driver-computed loadings and the oracle's recomputed chain land
+    * bit-identical projections), floored to integer micro units;
+    * deciles come from the d58 histogram-CUT rule over the
+    * projection histogram — run as the q93/q94 bin-parallel two-level
+    * prefix sum with a broadcast min/max SHIFT router (projections
+    * are signed — the nonneg routers of q93/q94 would misroute
+    * negative bins). Report: per decile, the vector count and the
+    * projection span — the spread table an embedding-health
+    * dashboard plots. SCALE: one corpus map pass for the projection
+    * (the pc1 training cost is d99's, shared), one value-keyed
+    * histogram aggregate, bounded broadcasts only. */
+  def d100PcProjection(spark: SparkSession, dir: String): DataFrame = {
+    val (v, _, _) = pc1(spark, dir)
+    val vlit = array(v.map(x => lit(x)): _*)
+    val proj = pcaQuantized(spark, dir)
+      .withColumn("pmic", floor(aggregate(
+        sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("qv"), d).cast("double")
+          * element_at(vlit, d))).cast("long"))
+      .select(col("vec_id"), col("pmic"))
+    val hist = proj.groupBy(col("pmic").as("pv"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = hist.agg(min(col("pv")).as("mn"), max(col("pv")).as("mx"))
+    val routed = hist.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("((pv - mn) * 256) div (mx - mn + 1)"))
+    val binTotals = routed.groupBy(col("bin"))
+      .agg(sum(col("c")).as("bc"))
+    val offsets = binTotals.as("a")
+      .join(binTotals.as("b"), col("b.bin") < col("a.bin"), "left")
+      .select(col("a.bin").as("bin"), col("b.bc").as("prev_bc"))
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("prev_bc")), lit(0L)).as("offset"))
+    val tot = binTotals.agg(sum(col("bc")).as("n"))
+    val wRow = Window.partitionBy(col("bin")).orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = routed.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum", col("offset") + sum(col("c")).over(wRow))
+      .crossJoin(broadcast(tot))
+    val cutCols = (1 to 9).map(i => expr(
+      s"min(CASE WHEN cum >= (n * $i) div 10 THEN pv END)")
+      .as(s"pc$i"))
+    val cuts = cum.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + (col("pmic") > col(s"pc$i")).cast("int")
+    }
+    proj.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("pmic")).as("min_pmic"),
+        max(col("pmic")).as("max_pmic"))
+      .orderBy(col("decile"))
   }
+
+  lazy val d100Sql: String =
+    s"""WITH $pcaChainSql,
+       |proj AS (
+       |  SELECT q.vec_id,
+       |    CAST(FLOOR(list_reduce(list_transform(
+       |      generate_series(1, 64),
+       |      d -> CAST(qv[d] AS DOUBLE) * v[d]), (a, b) -> a + b))
+       |      AS BIGINT) AS pmic
+       |  FROM q, it$PcaIters),
+       |hist AS (SELECT pmic AS pv, COUNT(*) AS c FROM proj GROUP BY 1),
+       |cum AS (
+       |  SELECT pv, SUM(c) OVER (ORDER BY pv
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT
+       |    MIN(CASE WHEN cum >= (n * 1) // 10 THEN pv END) AS pc1,
+       |    MIN(CASE WHEN cum >= (n * 2) // 10 THEN pv END) AS pc2,
+       |    MIN(CASE WHEN cum >= (n * 3) // 10 THEN pv END) AS pc3,
+       |    MIN(CASE WHEN cum >= (n * 4) // 10 THEN pv END) AS pc4,
+       |    MIN(CASE WHEN cum >= (n * 5) // 10 THEN pv END) AS pc5,
+       |    MIN(CASE WHEN cum >= (n * 6) // 10 THEN pv END) AS pc6,
+       |    MIN(CASE WHEN cum >= (n * 7) // 10 THEN pv END) AS pc7,
+       |    MIN(CASE WHEN cum >= (n * 8) // 10 THEN pv END) AS pc8,
+       |    MIN(CASE WHEN cum >= (n * 9) // 10 THEN pv END) AS pc9
+       |  FROM cum),
+       |scored AS (
+       |  SELECT pmic,
+       |    1 + CAST(pmic > pc1 AS INT) + CAST(pmic > pc2 AS INT)
+       |      + CAST(pmic > pc3 AS INT) + CAST(pmic > pc4 AS INT)
+       |      + CAST(pmic > pc5 AS INT) + CAST(pmic > pc6 AS INT)
+       |      + CAST(pmic > pc7 AS INT) + CAST(pmic > pc8 AS INT)
+       |      + CAST(pmic > pc9 AS INT) AS dec
+       |  FROM proj, cuts)
+       |SELECT CAST(dec AS BIGINT) AS decile, COUNT(*) AS n_vecs,
+       |  CAST(MIN(pmic) AS BIGINT) AS min_pmic,
+       |  CAST(MAX(pmic) AS BIGINT) AS max_pmic
+       |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin
 }

@@ -321,7 +321,12 @@ class PlanShapeSpec extends AnyFunSuite {
           "the customer relation never broadcasts"),
       "q95_assoc_rules" ->
         ("per-brand order counts: |brand| rows (q69's adjudication) " +
-          "plus the 1-row basket-total scalar, explicit broadcast()"))
+          "plus the 1-row basket-total scalar, explicit broadcast()"),
+      "d100_pc_projection" ->
+        ("the q93/q94 bounded quintile/decile set with a signed " +
+          "SHIFT router: 1-row min/max bounds, 256-row bin " +
+          "offsets/totals, 1-row decile cuts — all explicit " +
+          "broadcast(); the projection relation never broadcasts"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -294,7 +294,11 @@ class RelationalSpec extends AnyFunSuite {
       // three 1-row quintile-cut relations) — the t12/d58 pattern,
       // 1-row build sides, nothing quadratic. q95 cross-joins the
       // 1-row basket-total scalar the same way.
-      "q93_file_binpack", "q94_rfm", "q95_assoc_rules")
+      "q93_file_binpack", "q94_rfm", "q95_assoc_rules",
+      // d100 cross-joins the 1-row min/max bounds, 1-row total, and
+      // 1-row decile-cut relations by broadcast (q93/q94's scalar
+      // pattern with a signed shift router) — nothing quadratic
+      "d100_pc_projection")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
