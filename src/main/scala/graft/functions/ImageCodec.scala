@@ -501,6 +501,12 @@ object ImageCodec {
         val label = p(off) & 0xff
         off += 1
         var first = true
+        // Loop-count admission: ONLY honored when the extension's
+        // 11-byte application identifier (its first sub-block) is
+        // NETSCAPE2.0 or ANIMEXTS1.0 — an XMP/other 0xFF payload
+        // whose data sub-block happens to start with 0x01 must NOT
+        // forge the loop count.
+        var loopingApp = false
         var len = -1
         while (len != 0) {
           if (off >= p.length) return None
@@ -509,8 +515,13 @@ object ImageCodec {
           if (first && label == 0xf9 && len >= 3) {
             // graphic control: packed, delay LE16 (centiseconds)
             totalCs += (p(off + 2) & 0xffL) | ((p(off + 3) & 0xffL) << 8)
-          } else if (label == 0xff && len == 3 && (p(off + 1) & 0xff) == 1) {
-            // NETSCAPE looping sub-block: 01, count LE16
+          } else if (first && label == 0xff && len == 11) {
+            val id = new String(p, off + 1, 11,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            loopingApp = id == "NETSCAPE2.0" || id == "ANIMEXTS1.0"
+          } else if (!first && loopingApp && label == 0xff &&
+              len == 3 && (p(off + 1) & 0xff) == 1) {
+            // NETSCAPE/ANIMEXTS looping sub-block: 01, count LE16
             loop = (p(off + 2) & 0xffL) | ((p(off + 3) & 0xffL) << 8)
           }
           first = false

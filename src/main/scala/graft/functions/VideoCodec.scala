@@ -201,19 +201,23 @@ object VideoCodec {
         else {
           val n = be32(p, ss + 4)
           if (n < 0 || n > 256 || ss + 8 + 8 * n > se) None
-          else {
+          else try {
+            // Overflow discipline: c and d are unsigned 32-bit (up to
+            // 2^32−1 each), so c·d can exceed int64 and 256 summed
+            // entries can exceed it further — a hostile header must
+            // yield the family's None/-1 sentinel, not garbage.
             var samples = 0L
             var ticks = 0L
             var i = 0
             while (i < n) {
               val c = be32(p, ss + 8 + 8 * i)
               val d = be32(p, ss + 12 + 8 * i)
-              samples += c
-              ticks += c * d
+              samples = Math.addExact(samples, c)
+              ticks = Math.addExact(ticks, Math.multiplyExact(c, d))
               i += 1
             }
             Some((samples, ticks, mediaTs))
-          }
+          } catch { case _: ArithmeticException => None }
         }
       }
     } yield out
@@ -235,7 +239,13 @@ object VideoCodec {
       case Some((samples, ticks, mts)) => idx match {
         case 6 => samples
         case 7 => if (ticks <= 0) -1L
-          else samples * mts * 1000L / ticks
+          else try {
+            // samples·mts·1000 can overflow int64 on hostile headers
+            // (samples up to 256·(2^32−1), mts up to 2^32−1) — the
+            // sentinel, never a wrapped garbage rate.
+            Math.multiplyExact(Math.multiplyExact(samples, mts),
+              1000L) / ticks
+          } catch { case _: ArithmeticException => -1L }
         case _ => -1L
       }
     }

@@ -395,19 +395,29 @@ object Relational9 {
       col("b_exposed").cast("double")
     val pp = (col("a_converted") + col("b_converted")).cast("double") /
       (col("a_exposed") + col("b_exposed")).cast("double")
+    // Degenerate-corpus sentinel: if either variant has ZERO exposed
+    // users, Spark's Divide yields NULL while DuckDB's float division
+    // yields inf/NaN — the engines would diverge. All four derived
+    // metrics take the -1 sentinel branch instead (mirrored in
+    // q92Sql), matching the existing zero/full-conversion z guard.
+    val degenerate = col("a_exposed") === 0L || col("b_exposed") === 0L
     row
       .withColumn("a_rate_micro",
-        floor(lit(1000000L) * col("a_converted") / col("a_exposed"))
-          .cast("long"))
+        when(degenerate, lit(-1L)).otherwise(
+          floor(lit(1000000L) * col("a_converted") / col("a_exposed"))
+            .cast("long")))
       .withColumn("b_rate_micro",
-        floor(lit(1000000L) * col("b_converted") / col("b_exposed"))
-          .cast("long"))
+        when(degenerate, lit(-1L)).otherwise(
+          floor(lit(1000000L) * col("b_converted") / col("b_exposed"))
+            .cast("long")))
       .withColumn("lift_micro",
-        floor(lit(1000000d) * (p1 - p2)).cast("long"))
+        when(degenerate, lit(-1L)).otherwise(
+          floor(lit(1000000d) * (p1 - p2)).cast("long")))
       .withColumn("z_score",
-        when(col("a_converted") + col("b_converted") === 0L ||
-          col("a_converted") + col("b_converted") ===
-            col("a_exposed") + col("b_exposed"), lit(0.0))
+        when(degenerate, lit(-1.0))
+          .when(col("a_converted") + col("b_converted") === 0L ||
+            col("a_converted") + col("b_converted") ===
+              col("a_exposed") + col("b_exposed"), lit(0.0))
           .otherwise(round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
             (lit(1.0) / col("a_exposed").cast("double") +
               lit(1.0) / col("b_exposed").cast("double"))), 6)
@@ -441,15 +451,19 @@ object Relational9 {
       |      AS BIGINT) AS b_converted
       |  FROM v)
       |SELECT a_exposed, a_converted, b_exposed, b_converted,
-      |  CAST(FLOOR(1000000 * a_converted / a_exposed) AS BIGINT)
-      |    AS a_rate_micro,
-      |  CAST(FLOOR(1000000 * b_converted / b_exposed) AS BIGINT)
-      |    AS b_rate_micro,
-      |  CAST(FLOOR(1000000.0 * (CAST(a_converted AS DOUBLE)
+      |  CASE WHEN a_exposed = 0 OR b_exposed = 0 THEN -1
+      |    ELSE CAST(FLOOR(1000000 * a_converted / a_exposed)
+      |      AS BIGINT) END AS a_rate_micro,
+      |  CASE WHEN a_exposed = 0 OR b_exposed = 0 THEN -1
+      |    ELSE CAST(FLOOR(1000000 * b_converted / b_exposed)
+      |      AS BIGINT) END AS b_rate_micro,
+      |  CASE WHEN a_exposed = 0 OR b_exposed = 0 THEN -1
+      |    ELSE CAST(FLOOR(1000000.0 * (CAST(a_converted AS DOUBLE)
       |      / CAST(a_exposed AS DOUBLE)
       |    - CAST(b_converted AS DOUBLE) / CAST(b_exposed AS DOUBLE)))
-      |    AS BIGINT) AS lift_micro,
-      |  CASE WHEN a_converted + b_converted = 0
+      |    AS BIGINT) END AS lift_micro,
+      |  CASE WHEN a_exposed = 0 OR b_exposed = 0 THEN -1.0
+      |    WHEN a_converted + b_converted = 0
       |      OR a_converted + b_converted = a_exposed + b_exposed
       |    THEN 0.0
       |    ELSE ROUND((CAST(a_converted AS DOUBLE)

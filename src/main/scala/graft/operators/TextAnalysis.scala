@@ -1879,7 +1879,7 @@ object TextAnalysis {
       .toDF("rtype", "pat", "re")
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
-      .orderBy(length(col("pat")).desc, col("rtype"))
+      .orderBy(length(col("pat")).desc, col("rtype"), col("pat"))
     val best = docs.crossJoin(broadcast(rules))
       .filter(expr("regexp_like(path, re)"))
       .withColumn("rn", row_number().over(wd))
@@ -1923,7 +1923,7 @@ object TextAnalysis {
        |  FROM (
        |    SELECT d.doc_id, r.rtype, r.pat, ROW_NUMBER() OVER (
        |      PARTITION BY d.doc_id
-       |      ORDER BY length(r.pat) DESC, r.rtype) AS rn
+       |      ORDER BY length(r.pat) DESC, r.rtype, r.pat) AS rn
        |    FROM docs d JOIN rules r ON regexp_matches(d.path, r.re))
        |  WHERE rn = 1)
        |SELECT d.doc_id, d.path,
@@ -2205,7 +2205,6 @@ object TextAnalysis {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), trim(col("text")).as("txt"))
     // the variable payload: ascii codes of the first 24 chars
-    val prefix = col("txt").substr(lit(1), lit(24))
     val asciiBytes = transform(
       sequence(lit(1), least(lit(24), length(col("txt")))),
       i => ascii(col("txt").substr(i, lit(1))).cast("int"))

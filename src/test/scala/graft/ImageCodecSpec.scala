@@ -613,6 +613,65 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(sq.getLong(0) == -1L)
   }
 
+  test("m20 gif loop-count admission: only NETSCAPE2.0/ANIMEXTS1.0 " +
+    "application IDs may set the loop; a forged XMP-shaped block " +
+    "must not") {
+    // hand-built GIF89a: 13-byte header (no global color table), one
+    // application extension, one bare image descriptor, trailer
+    def gifWith(appId: String, sub: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(Array[Byte](8, 0, 8, 0, 0, 0, 0)) // LSD, no GCT
+      out.write(0x21); out.write(0xff)             // application ext
+      out.write(appId.length)                      // 11-byte app id
+      out.write(appId.getBytes("US-ASCII"))
+      out.write(sub.length); out.write(sub)        // data sub-block
+      out.write(0)                                 // sub-block term
+      out.write(0x2c)                              // image descriptor
+      out.write(Array[Byte](0, 0, 0, 0, 8, 0, 8, 0, 0)) // no LCT
+      out.write(2)                                 // LZW min code
+      out.write(0)                                 // empty data
+      out.write(0x3b)                              // trailer
+      out.toByteArray
+    }
+    val loopSub = Array[Byte](1, 7, 0) // 01, count=7 LE16
+    // genuine NETSCAPE2.0 and the ANIMEXTS1.0 alias both honored
+    assert(ImageCodec.gifField(gifWith("NETSCAPE2.0", loopSub), 1) == 7L)
+    assert(ImageCodec.gifField(gifWith("ANIMEXTS1.0", loopSub), 1) == 7L)
+    // an XMP-shaped application block whose data sub-block happens to
+    // start with 0x01 must NOT forge the loop count (was the r15 bug)
+    assert(ImageCodec.gifField(gifWith("XMP DataXMP", loopSub), 1) == -1L)
+    assert(ImageCodec.gifField(gifWith("FORGEDAPPID", loopSub), 1) == -1L)
+    // frames still count regardless of the rejected extension
+    assert(ImageCodec.gifField(gifWith("XMP DataXMP", loopSub), 0) == 1L)
+  }
+
+  test("m18 mp4_field overflow discipline: hostile stts counts/deltas " +
+    "and a huge media timescale return the -1 sentinel, not wrapped " +
+    "garbage") {
+    import graft.functions.VideoCodec
+    val u32 = 0xffffffffL
+    // c·d = (2^32−1)² overflows int64 inside the stts walk → None
+    val cdOv = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("vide", "avc1")),
+      stts = Seq((u32, u32)), mediaTimescale = 1000L)
+    assert(VideoCodec.mp4Field(cdOv, 6) == -1L)
+    assert(VideoCodec.mp4Field(cdOv, 7) == -1L)
+    // 256 max-count entries overflow the samples accumulator's
+    // product path: samples·mts·1000 > 2^63 → fps sentinel (frame
+    // count itself stays exact and in-range)
+    val sumOv = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("vide", "avc1")),
+      stts = (1 to 256).map(_ => (u32, 1L)), mediaTimescale = u32)
+    assert(VideoCodec.mp4Field(sumOv, 6) == 256L * u32)
+    assert(VideoCodec.mp4Field(sumOv, 7) == -1L)
+    // a sane table still measures exactly
+    val ok = VideoCodec.mp4Bytes(1000L, 4000L,
+      tracks = Seq(("vide", "avc1")),
+      stts = Seq((100L, 40L)), mediaTimescale = 1000L)
+    assert(VideoCodec.mp4Field(ok, 7) == 25000L)
+  }
+
   test("m19 flac_field: STREAMINFO probe — bit-packed fields, " +
     "mandatory first block, hostile shapes") {
     import spark.implicits._
