@@ -5378,13 +5378,18 @@ object Similarity {
     *
     * SPLIT OF LABOR (the d22 contract): the CORPUS work — the exact
     * covariance moments — is distributed (embeddings quantize to
-    * integer ten-thousandths, one posexplode + vec-keyed hinted
-    * self-join accumulates S_ij = Σ q_i·q_j and S_i = Σ q_i as exact
-    * longs, map-side combined; 64²·N rows is the one-pass price of
-    * exact covariance); the MODEL work — 20 power iterations on the
-    * 64×64 centered matrix N·S_ij − S_i·S_j — is a bounded driver
-    * computation (4096 longs collected, the d22 bounded-collect
-    * pattern). Every driver double op (matvec fold, norm, Rayleigh
+    * integer ten-thousandths; each row expands to its own 64×64
+    * product grid WITHIN the row and the groupBy accumulates
+    * S_ij = Σ q_i·q_j and S_i = Σ q_i as exact longs, map-side
+    * combined — join-free, see [[pcaMoments]]; 64²·N generated rows
+    * is the one-pass price of exact covariance, but only ≤4096
+    * partial rows per partition ever reach the exchange); the MODEL
+    * work — 20 power iterations on the 64×64 centered matrix
+    * N·S_ij − S_i·S_j — is a bounded driver computation (4096 longs
+    * collected, the d22 bounded-collect pattern), served from the
+    * COMMITTED model artifact ([[ensurePcaArtifact]], the d79
+    * lifecycle) so repeat queries reload instead of retrain. Every
+    * driver double op (matvec fold, norm, Rayleigh
     * quotient, trace) runs in EXPLICIT index order, and the oracle
     * unrolls the identical 20 iterations with DuckDB list folds in
     * the same order — IEEE doubles agree bit-for-bit, so the PC is
@@ -5402,25 +5407,53 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * PcaQ).cast("long")).as("qv"))
 
-  /** The d99 driver core: distributed exact covariance moments →
-    * bounded collect → 20 explicit-order power iterations. Returns
-    * (PC1 vector, eigenvalue, trace). Shared by d99 and d100 so the
-    * two keys can never train different components. */
-  private def pc1(spark: SparkSession, dir: String)
-      : (Array[Double], Double, Double) = {
-    val qv = pcaQuantized(spark, dir)
-    val e = qv.select(col("vec_id"),
-      posexplode(col("qv")).as(Seq("i0", "qi")))
-    val moments = e.as("a")
-      .join(e.as("b").hint("shuffle_hash"),
-        col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i0").as("i"), col("b.i0").as("j"))
-      .agg(sum(col("a.qi") * col("b.qi")).as("sij"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    val si = e.groupBy(col("i0")).agg(sum(col("qi")).as("si"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  /** Number of principal components the committed PCA artifact
+    * trains and stores: d99/d100 read PC1, d101 reads all of them. */
+  val PcaTopK = 4
+
+  /** The JOIN-FREE covariance moment relation (r16: was a 64×-
+    * exploded vec_id self-join — 2·64N rows through a hash join
+    * before the aggregate): each vector expands to its own 64×64
+    * product grid WITHIN the row (one nested array expression, one
+    * generator — no join, no 64N-row exchange), and the groupBy
+    * partial-aggregates the ≤4096 (i, j) keys map-side, so the ONLY
+    * exchange in the plan carries ≤4096 rows per input partition
+    * regardless of corpus size (PlanShapeSpec pins zero joins / one
+    * exchange). `siq` rides the same pass: within group (i, j) every
+    * vector contributes q_i exactly once, so sum(qi) is S_i in every
+    * group — the former second corpus pass is free (read off the
+    * j = 0 rows). */
+  private[graft] def pcaMoments(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val idx = sequence(lit(0), lit(63))
+    val pairs = pcaQuantized(spark, dir)
+      .select(explode(flatten(transform(idx, i =>
+        transform(idx, j => struct(
+          i.as("i"), j.as("j"),
+          (element_at(col("qv"), i + 1) *
+            element_at(col("qv"), j + 1)).as("prod"),
+          element_at(col("qv"), i + 1).as("qi")))))).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.prod"), col("p.qi"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("prod")).as("sij"), count(lit(1)).as("cnt"),
+        sum(col("qi")).as("siq"))
+  }
+
+  /** The PCA TRAINING core: distributed exact covariance moments →
+    * bounded collect (4096 longs) → per component, 20 explicit-order
+    * power iterations, then driver-side DEFLATION (c' = c − λ·v·vᵀ,
+    * element-wise in explicit index order) to expose the next
+    * component — the bounded-model half of the d22 split (the 64×64
+    * matrix never leaves the driver). Every double op runs in
+    * explicit order so the oracle's unrolled replay lands
+    * bit-identical. Returns (top-K unit vectors, their Rayleigh
+    * eigenvalues, the trace of the ORIGINAL centered matrix). */
+  private def trainPcs(spark: SparkSession, dir: String)
+      : (IndexedSeq[Array[Double]], IndexedSeq[Double], Double) = {
+    val moments = pcaMoments(spark, dir).collect()
     val dim = 64
+    val si = moments.filter(_.getInt(1) == 0)
+      .map(r => r.getInt(0) -> r.getLong(4)).toMap
     val n = moments.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
       .map(_.getLong(3)).getOrElse(0L)
     val c = Array.ofDim[Double](dim * dim)
@@ -5428,32 +5461,127 @@ object Similarity {
       val i = r.getInt(0); val j = r.getInt(1)
       c(i * dim + j) = (n * r.getLong(2) - si(i) * si(j)).toDouble
     }
-    def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(dim) { i =>
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
-        acc
-      }
-    var v = Array.fill(dim)(1.0)
-    for (_ <- 0 until PcaIters) {
-      val w = matvec(v)
-      var ns = 0.0
-      var i = 0
-      while (i < dim) { ns += w(i) * w(i); i += 1 }
-      val norm = math.sqrt(ns)
-      v = w.map(_ / norm)
-    }
-    val w = matvec(v)
-    var lam = 0.0
     var tr = 0.0
-    var i = 0
-    while (i < dim) {
-      lam += v(i) * w(i)
-      tr += c(i * dim + i)
-      i += 1
+    var d0 = 0
+    while (d0 < dim) { tr += c(d0 * dim + d0); d0 += 1 }
+    var cm = c
+    val vs = IndexedSeq.newBuilder[Array[Double]]
+    val lams = IndexedSeq.newBuilder[Double]
+    for (_ <- 0 until PcaTopK) {
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += cm(i * dim + j) * v(j); j += 1 }
+          acc
+        }
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 0 until PcaIters) {
+        val w = matvec(v)
+        var ns = 0.0
+        var i = 0
+        while (i < dim) { ns += w(i) * w(i); i += 1 }
+        val norm = math.sqrt(ns)
+        v = w.map(_ / norm)
+      }
+      val w = matvec(v)
+      var lam = 0.0
+      var i = 0
+      while (i < dim) { lam += v(i) * w(i); i += 1 }
+      vs += v
+      lams += lam
+      // deflate: c' = c − λ·v·vᵀ, same left-assoc product order as
+      // the oracle's cm[k] - lam * v[i] * v[j]
+      val c2 = Array.ofDim[Double](dim * dim)
+      var ii = 0
+      while (ii < dim) {
+        var jj = 0
+        while (jj < dim) {
+          c2(ii * dim + jj) = cm(ii * dim + jj) - lam * v(ii) * v(jj)
+          jj += 1
+        }
+        ii += 1
+      }
+      cm = c2
     }
-    (v, lam, tr)
+    (vs.result(), lams.result(), tr)
+  }
+
+  /** Bump when the PCA artifact layout or training constants change. */
+  val PcaArtifactV = 1
+
+  /** Durable (pid-free) home of the committed PCA model for `dir`. */
+  def pcaArtifactPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_pca_v$PcaArtifactV" +
+      s"_q${PcaQ.toLong}i${PcaIters}k$PcaTopK" +
+      s"_${graft.sources.AtomicCommit.dirKey(dir)}"
+
+  /** Build-if-absent the committed PCA model — the d79 lifecycle
+    * applied to the trained projection (the r15 verdict's one weak
+    * item: d100 retrained PC1 per query; a production whitening
+    * model is a durable artifact the projection pass RELOADS).
+    * Layout, one committed tree (build-to-temp, source-fingerprint
+    * stamp, manifest, marker, atomic rename — the d56 contract):
+    *  - `loadings/` — (pc, dim, loading) full-precision doubles;
+    *  - `scal/`     — (pc, lam, tr) eigenvalues + original trace.
+    * Doubles round-trip parquet BIT-EXACTLY, and the d99/d100
+    * oracles replay the full training chain — so their unchanged
+    * hashes PROVE persisted == retrained. */
+  def ensurePcaArtifact(spark: SparkSession, dir: String): String =
+    pcaArtifactPath(dir).intern.synchronized {
+      val path = pcaArtifactPath(dir)
+      val fp = graft.sources.AtomicCommit
+        .tableFingerprint(spark, dir, "embeddings")
+      graft.sources.AtomicCommit.publishCommitted(spark, path, fp,
+        { tmp =>
+          import spark.implicits._
+          val (vs, lams, tr) = trainPcs(spark, dir)
+          (for { k <- vs.indices; d <- 0 until 64 }
+            yield (k + 1L, d + 1L, vs(k)(d)))
+            .toDF("pc", "dim", "loading").coalesce(1)
+            .write.parquet(s"$tmp/loadings")
+          lams.indices.map(k => (k + 1L, lams(k), tr))
+            .toDF("pc", "lam", "tr").coalesce(1)
+            .write.parquet(s"$tmp/scal")
+        })
+      path
+    }
+
+  /** DELETE the durable PCA model, forcing the next ensure to retrain
+    * (scale-curve build timing, spec lifecycle pins). */
+  def resetPcaArtifact(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pcaArtifactPath(dir))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** Load the committed PCA model (top-K loadings, eigenvalues,
+    * trace) — NO training jobs on this path. */
+  private[graft] def loadPcs(spark: SparkSession, dir: String)
+      : (IndexedSeq[Array[Double]], IndexedSeq[Double], Double) = {
+    val root = ensurePcaArtifact(spark, dir)
+    val files = graft.sources.AtomicCommit.committedFiles(spark, root)
+    val lrows = spark.read
+      .parquet(files.filter(_.contains("/loadings/")): _*).collect()
+    val srows = spark.read
+      .parquet(files.filter(_.contains("/scal/")): _*).collect()
+    val vs = (1 to PcaTopK).map { k =>
+      val a = Array.ofDim[Double](64)
+      lrows.filter(_.getLong(0) == k).foreach(r =>
+        a(r.getLong(1).toInt - 1) = r.getDouble(2))
+      a
+    }
+    val lams = (1 to PcaTopK).map(k =>
+      srows.find(_.getLong(0) == k).get.getDouble(1))
+    (vs, lams, srows.head.getDouble(2))
+  }
+
+  /** PC1 view of the committed model — shared by d99 and d100 so the
+    * two keys can never serve different components. */
+  private def pc1(spark: SparkSession, dir: String)
+      : (Array[Double], Double, Double) = {
+    val (vs, lams, tr) = loadPcs(spark, dir)
+    (vs(0), lams(0), tr)
   }
 
   def d99PcaPower(spark: SparkSession, dir: String): DataFrame = {
@@ -5472,7 +5600,10 @@ object Similarity {
     * Ends at `it{PcaIters}` (the converged v) with `q`/`cmat` in
     * scope. d99 and d100 both splice it, so the oracles can never
     * train different components. */
-  private lazy val pcaChainSql: String = {
+  /** The oracle's 20-iteration power chain for one component:
+    * `${prefix}0` (all-ones) must already be in scope; iterates
+    * matvec+normalize over the matrix CTE `cmCte` (column `cm`). */
+  private def pcaIterCtesSql(prefix: String, cmCte: String): String = {
     val matvec = (vcol: String) =>
       s"""list_transform(generate_series(1, 64), i ->
          |      list_reduce(list_transform(generate_series(1, 64),
@@ -5482,12 +5613,16 @@ object Similarity {
       s"""list_transform($wcol, x -> x / sqrt(
          |      list_reduce(list_transform($wcol, y -> y * y),
          |        (a, b) -> a + b)))""".stripMargin
-    val iterCtes = (1 to PcaIters).map { k =>
-      val prev = if (k == 1) "it0" else s"it${k - 1}"
-      s"""it$k AS (
+    (1 to PcaIters).map { k =>
+      val prev = if (k == 1) s"${prefix}0" else s"$prefix${k - 1}"
+      s"""$prefix$k AS (
          |  SELECT ${normed(s"(${matvec("v")})")} AS v
-         |  FROM $prev, cmat)"""
+         |  FROM $prev, $cmCte)"""
     }.mkString(",\n")
+  }
+
+  private lazy val pcaChainSql: String = {
+    val iterCtes = pcaIterCtesSql("it", "cmat")
     s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
@@ -5649,4 +5784,95 @@ object Similarity {
        |  CAST(MIN(pmic) AS BIGINT) AS min_pmic,
        |  CAST(MAX(pmic) AS BIGINT) AS max_pmic
        |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---- d101: top-k principal components by deflation ---------------
+
+  /** d101: TOP-K PRINCIPAL COMPONENTS by power iteration +
+    * DEFLATION — the full whitening report d99 motivates (one PC
+    * tells you the dominant direction; a whitening/decorrelation
+    * pass needs the top few and their cumulative variance share —
+    * SemDeDup-class pipelines whiten with exactly such a truncated
+    * eigenbasis). CORPUS work is d99's single join-free moment pass
+    * (shared through the committed model artifact — training runs
+    * at most once per corpus fingerprint); MODEL work deflates the
+    * bounded 64×64 matrix driver-side (c' = c − λ·v·vᵀ after each
+    * converged component, explicit element order) and re-runs the
+    * same 20 explicit-order iterations per component. The oracle
+    * unrolls the identical deflation chain — 4×20 ordered list
+    * folds — so all four components, eigenvalues, and the running
+    * variance share are hash-verified bit-for-bit.
+    *
+    * Output: one row per (pc, dim) — loading in micro units, the
+    * component's floor eigenvalue, and the CUMULATIVE
+    * variance-explained ppm (left-assoc eigenvalue sum over the
+    * original trace, the scree-plot column). */
+  def d101PcaTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (vs, lams, tr) = loadPcs(spark, dir)
+    val rows = for { k <- 0 until PcaTopK; d <- 0 until 64 } yield {
+      var cum = 0.0
+      var t = 0
+      while (t <= k) { cum += lams(t); t += 1 }
+      (k + 1L, d + 1L, math.floor(1e6 * vs(k)(d)).toLong,
+        math.floor(lams(k)).toLong,
+        math.floor(1e6 * cum / tr).toLong)
+    }
+    rows.toDF("pc", "dim", "loading_micro", "eigenvalue_floor",
+      "cum_var_ppm").orderBy(col("pc"), col("dim"))
+  }
+
+  /** Rayleigh-quotient CTE body for one converged component. */
+  private def pcaRayleighSql(itCte: String, cmCte: String): String =
+    s"""SELECT v,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> v[i] * w[i]), (a, b) -> a + b) AS lam
+       |  FROM (SELECT v, ${pcaMatvecSql("v")} AS w
+       |    FROM $itCte, $cmCte)""".stripMargin
+
+  /** The oracle replays the same training: base chain (comp 1), then
+    * per component a deflated-matrix CTE (cm[k] − λ·v_i·v_j, the
+    * driver's left-assoc product order) and a fresh 20-iteration
+    * chain; cumulative sums are written as explicit left-assoc
+    * expressions so they match the driver's running accumulation. */
+  lazy val d101Sql: String = {
+    val comps = (2 to PcaTopK).map { c =>
+      val prevIt = if (c == 2) s"it$PcaIters" else s"c${c - 1}it$PcaIters"
+      val prevCm = if (c == 2) "cmat" else s"cmat${c - 1}"
+      s"""ray${c - 1} AS (
+         |  ${pcaRayleighSql(prevIt, prevCm)}),
+         |cmat$c AS (
+         |  SELECT list_transform(generate_series(1, 4096),
+         |    k -> cm[k] - lam * v[((k-1)//64)+1] * v[((k-1)%64)+1])
+         |    AS cm
+         |  FROM $prevCm, ray${c - 1}),
+         |c${c}it0 AS (SELECT list_transform(generate_series(1, 64),
+         |    x -> 1.0) AS v),
+         |${pcaIterCtesSql(s"c${c}it", s"cmat$c")}""".stripMargin
+    }.mkString(",\n")
+    val lastRay =
+      s"""ray$PcaTopK AS (
+         |  ${pcaRayleighSql(s"c${PcaTopK}it$PcaIters", s"cmat$PcaTopK")})"""
+        .stripMargin
+    val pcsArms = (1 to PcaTopK).map { k =>
+      val froms = (1 to k).map(i => s"ray$i r$i").mkString(", ")
+      val cum = (1 to k).map(i => s"r$i.lam").mkString(" + ")
+      s"""  SELECT $k AS pc, r$k.v AS v, r$k.lam AS lam, $cum AS cum
+         |  FROM $froms""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $pcaChainSql,
+       |$comps,
+       |$lastRay,
+       |trc AS (
+       |  SELECT list_reduce(list_transform(generate_series(1, 64),
+       |      i -> cm[(i-1)*64 + i]), (a, b) -> a + b) AS tr
+       |  FROM cmat),
+       |pcs AS (
+       |$pcsArms)
+       |SELECT CAST(pc AS BIGINT) AS pc, CAST(d AS BIGINT) AS dim,
+       |  CAST(FLOOR(1000000 * v[d]) AS BIGINT) AS loading_micro,
+       |  CAST(FLOOR(lam) AS BIGINT) AS eigenvalue_floor,
+       |  CAST(FLOOR(1000000 * cum / tr) AS BIGINT) AS cum_var_ppm
+       |FROM pcs, unnest(generate_series(1, 64)) AS t(d), trc
+       |ORDER BY pc, dim""".stripMargin
+  }
 }

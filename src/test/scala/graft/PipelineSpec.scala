@@ -2572,7 +2572,118 @@ class PipelineSpec extends AnyFunSuite {
       sum(col("selected")), count(lit(1))).as[(Long, Long)].head
     assert(sel._1 > 0 && sel._1 < sel._2)
   }
+
+  test("d99-d101 committed PCA model: reload never retrains, " +
+    "torn/stale artifacts rebuild, served == retrained") {
+    import org.apache.hadoop.fs.Path
+    val root = Similarity.ensurePcaArtifact(spark, sf)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(): Seq[(String, Long, Long)] = {
+      val it = f.listFiles(new Path(root), true)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.toUri.getPath, s.getLen,
+            s.getModificationTime))
+      }
+      out.result().sortBy(_._1)
+    }
+    val d99 = Similarity.d99PcaPower(spark, sf).collect().toSeq
+    assert(d99.size == 64)
+    // repeat queries across all three consumers RELOAD, never rebuild
+    val s0 = state()
+    Similarity.d99PcaPower(spark, sf).collect()
+    Similarity.d100PcProjection(spark, sf).collect()
+    Similarity.d101PcaTopk(spark, sf).collect()
+    assert(state() == s0, "a repeat query rebuilt the PCA model")
+    // a torn artifact (marker gone) is refused by the committed
+    // reader and rebuilt whole by the next ensure
+    val marker = new Path(root, graft.sources.AtomicCommit.MarkerName)
+    f.delete(marker, false)
+    intercept[IllegalArgumentException] {
+      graft.sources.AtomicCommit.committedFiles(spark, root)
+    }
+    assert(Similarity.d99PcaPower(spark, sf).collect().toSeq == d99)
+    assert(f.exists(marker), "ensure did not re-publish a torn model")
+    // a stale fingerprint (source changed) also rebuilds
+    val fpFile = new Path(root, graft.sources.AtomicCommit.SrcFpName)
+    val out = f.create(fpFile, true)
+    try out.write("stale".getBytes("UTF-8")) finally out.close()
+    assert(Similarity.d99PcaPower(spark, sf).collect().toSeq == d99)
+    assert(!graft.sources.AtomicCommit.readSrcFp(spark, root)
+      .contains("stale"), "stale model was served, not rebuilt")
+  }
+
+  test("d101 deflation spectrum: PC1 row-slice equals d99, " +
+    "eigenvalues nonincreasing, cumulative share nondecreasing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d99 = Similarity.d99PcaPower(spark, sf)
+      .select(col("dim"), col("loading_micro"), col("eigenvalue_floor"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val top = Similarity.d101PcaTopk(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the pc=1 slice IS d99's component (same model, same floors)
+    assert(top.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)) == d99)
+    // spectrum shape: λ1 ≥ λ2 ≥ λ3 ≥ λ4 (deflation removes the
+    // dominant direction each round), cumulative share grows
+    val byPc = top.groupBy(_._1).view
+      .mapValues(rs => (rs.head._4, rs.head._5)).toMap
+    val lams = (1 to 4).map(k => byPc(k.toLong)._1)
+    val cums = (1 to 4).map(k => byPc(k.toLong)._2)
+    assert(lams == lams.sorted.reverse, s"eigenvalues not sorted: $lams")
+    assert(cums == cums.sorted, s"cum share not monotone: $cums")
+    assert(cums.last <= 1000000L && cums.last > cums.head)
+    // each component is unit-norm in micro floors (Σ loading² ≈ 1e12)
+    (1 to 4).foreach { k =>
+      val ss = top.filter(_._1 == k.toLong)
+        .map(r => r._3.toDouble * r._3.toDouble).sum
+      assert(math.abs(ss - 1e12) < 1e10, s"pc$k not unit: $ss")
+    }
+  }
+
+  test("d99/d100 planted micro-corpus: all-ones start pins the PC " +
+    "sign, the signed decile router handles an all-negative range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20 vectors spread along a strictly NEGATIVE multiple of an
+    // all-positive direction u: the dominant eigenvector is ±u, the
+    // all-ones start (positive overlap with u) must converge to +u,
+    // and every projection is negative — the d100 shift router has
+    // to bin a [min<0, max<0] range without misrouting (the nonneg
+    // routers of q93/q94 would).
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    val u = (0 until 64).map(d => (0.6 + 0.4 * math.sin(d * 0.9)) / 8.0)
+    val rows = (0 until 20).map { i =>
+      val c = -(i + 1).toDouble / 4.0
+      (i.toLong, u.map(x => (c * x).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val pcs = Similarity.d99PcaPower(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sign pin: +u has all-positive entries, so every micro loading
+    // is >= 0 (floor of a positive double)
+    assert(pcs.size == 64 && pcs.forall(_._2 >= 0L),
+      s"sign not pinned: ${pcs.filter(_._2 < 0L)}")
+    // a rank-1 plant explains ~all variance
+    assert(pcs.head._4 > 990000L, s"var share: ${pcs.head._4}")
+    val dec = Similarity.d100PcProjection(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // all 20 vectors binned, every projection negative, deciles
+    // ordered with nonoverlapping spans
+    assert(dec.map(_._2).sum == 20L)
+    assert(dec.forall(r => r._4 < 0L), s"nonnegative projection: $dec")
+    assert(dec.map(_._1) == dec.map(_._1).sorted)
+    dec.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3, s"span overlap: $a $b")
+      case _ =>
+    }
+  }
 }
+
 
 /** Counting KeyedStore for the checkpoint-restart spec: reuses
   * InMemoryKeyedStore's registry-backed data map and adds an applied

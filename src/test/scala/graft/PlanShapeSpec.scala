@@ -498,4 +498,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"),
       s"t11 broadcasts an aggregate-derived relation:\n$p")
   }
+
+  test("d99/d101 covariance moments are JOIN-FREE: within-row pair " +
+    "expansion partial-aggregates before the single tiny exchange") {
+    // r16: was a 64×-exploded vec_id self-join (2·64N rows through a
+    // hash join). The moment aggregate must now sit directly over the
+    // generator — zero joins, zero exchanges below it, one exchange
+    // total (≤4096 partial rows per partition).
+    val p = graft.operators.Similarity.pcaMoments(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pcaMoments re-grew a join:\n$p")
+    assert(count(p, "Exchange") == 1, s"pcaMoments exchanges:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(count(p, "Scan parquet|FileScan") == 1, p)
+  }
+
+  test("q94 final adaptive plan REUSES the shared cust exchange " +
+    "(AQE dedupes the four RFM-quartile scans)") {
+    // adjudicated r15: plain AQE beats persist() here BECAUSE the
+    // shared `cust` subtree comes back as ReusedExchange nodes — a
+    // Spark upgrade that regresses this to four independent subtrees
+    // should fail loudly, not silently 4× the corpus work
+    val df = SparkEntry.queries("q94_rfm")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"q94 lost AQE exchange reuse:\n$p")
+  }
 }
