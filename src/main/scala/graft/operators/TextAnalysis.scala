@@ -2329,7 +2329,7 @@ object TextAnalysis {
   /** The sentinel that protects abbreviation dots from the sentence
     * splitter — replaces the '.' 1:1 so sentence char counts stay
     * faithful to the abbreviation-included text. */
-  private val AbbrevSentinel = "\u0001"
+  private[operators] val AbbrevSentinel = "\u0001"
 
   /** t43: SENTENCE segmentation — the unit every C4/Gopher-class
     * quality gate is phrased in (C4 keeps pages with >= 3 sentences;
