@@ -803,6 +803,166 @@ object Relational9 {
        |CROSS JOIN nb
        |ORDER BY antecedent, consequent""".stripMargin
 
+  /** Top-k cut for q96's rule report. */
+  val Apriori3TopK = 20
+
+  /** q96 RELATIVE min-support (classic Apriori support is a FRACTION
+    * of baskets, which is what stays meaningful as the corpus
+    * grows): pairs must reach 10% of baskets to seed candidates,
+    * triples 5% to report. */
+  val PairMinSupPpm = 100000L
+  val TripleMinSupPpm = 50000L
+
+  /** q96: APRIORI-3 — frequent item TRIPLES and the top-k
+    * {A,B} → C rules over q95's pair backbone (r15 verdict item 5):
+    * 2-itemset rules miss the cross-sell insight that needs a PAIR
+    * antecedent ("customers with A AND B also buy C"), and the
+    * classic Apriori LEVEL-WISE prune is the only reason triple
+    * mining scales — candidates expand ONLY from frequent pairs,
+    * with support as a basket FRACTION (ppm), the scale-invariant
+    * production form.
+    *
+    * ITEM DOMAIN: floor(sqrt(partkey mod 196)) — a 14-item catalog
+    * with a linear popularity RAMP (item k covers 2k+1 partkeys).
+    * The synthetic corpus assigns parts to orders uniformly, so raw
+    * brand/part domains are either all-frequent (25 dense brands:
+    * every one of the 300 pairs clears any usable floor — the gate
+    * cuts 0%) or all-infrequent (2 000+ parts: zero frequent
+    * triples at every floor); real catalogs are Zipfian, and the
+    * ramp is the deterministic stand-in that reproduces the regime
+    * Apriori exists for. Measured at sf0.001/0.01/0.1: 16-17 of 91
+    * pairs clear the 10% floor, and the L2 gate cuts 86/86/82% of
+    * the O(orders·k³) triple fanout (7 227 → 1 007, 71 009 →
+    * 10 101, 693 789 → 124 203 expansion rows) with 7/5/7 frequent
+    * triples surviving — the prune is real and scale-stable.
+    *
+    * PLAN: the per-order pair stream (O(orders·k²)) is gated by a
+    * broadcast SEMI-join against the frequent-pair set BEFORE the
+    * third element joins. fp is bounded by |items|² (≤ 91 rows, a
+    * literal domain bound, never corpus-scaling — the q21/q38
+    * allowlist class), so the gate costs no shuffle of the fanout.
+    * The Apriori PROPERTY guarantees completeness: every sub-pair
+    * of a frequent triple is itself frequent (n_pair >= n_abc), so
+    * the gate never drops a qualifying triple — spec-pinned.
+    *
+    * The three directed rules per triple emit by EXPLODE over one
+    * bounded aggregate — never a 3-arm union, which would recompute
+    * the corpus-scaling triple subtree per branch (the r15
+    * union-recompute lesson). Measures are the q95 overflow-safe
+    * factored ppm arithmetic (each step ≤ ~10¹⁶ at 100 TB where the
+    * naive product overflows int64); top-k by (lift, confidence)
+    * with full name tiebreaks lands as TakeOrderedAndProject — a
+    * bounded heap, not a global sort. */
+  def q96Apriori3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ob = li
+      .select(col("l_orderkey"),
+        floor(sqrt(pmod(col("l_partkey"), lit(196)).cast("double")))
+          .cast("long").as("item"))
+      .distinct()
+    val nBaskets = ob.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val cnt = ob.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val po = ob.as("a")
+      .join(ob.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.l_orderkey").as("okey"),
+        col("a.item").as("ba"), col("b.item").as("bb"))
+    val fp = po.groupBy(col("ba"), col("bb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .crossJoin(broadcast(nBaskets))
+      .filter(expr(s"(n_pair * 1000000) div n_baskets") >=
+        PairMinSupPpm)
+      .select(col("ba"), col("bb"), col("n_pair"))
+    // the L2 gate: |brands|²-bounded, so a broadcast semi-join prunes
+    // the corpus-scaling pair stream with zero extra shuffles
+    val gatedPo = po.join(broadcast(fp.select(col("ba"), col("bb"))),
+      Seq("ba", "bb"), "leftsemi")
+    val trip = gatedPo
+      .join(ob.as("c").hint("shuffle_hash"),
+        col("okey") === col("c.l_orderkey") &&
+          col("c.item") > col("bb"))
+      .groupBy(col("ba"), col("bb"), col("c.item").as("bc"))
+      .agg(count(lit(1)).as("n_abc"))
+      .crossJoin(broadcast(nBaskets))
+      .filter(expr(s"(n_abc * 1000000) div n_baskets") >=
+        TripleMinSupPpm)
+      .select(col("ba"), col("bb"), col("bc"), col("n_abc"))
+    val rules = trip.select(col("n_abc"), explode(array(
+        struct(col("ba").as("ant1"), col("bb").as("ant2"),
+          col("bc").as("consequent")),
+        struct(col("ba").as("ant1"), col("bc").as("ant2"),
+          col("bb").as("consequent")),
+        struct(col("bb").as("ant1"), col("bc").as("ant2"),
+          col("ba").as("consequent")))).as("r"))
+      .select(col("r.ant1"), col("r.ant2"), col("r.consequent"),
+        col("n_abc"))
+    rules
+      .join(fp.select(col("ba").as("ant1"), col("bb").as("ant2"),
+        col("n_pair")).hint("shuffle_hash"), Seq("ant1", "ant2"))
+      .join(cnt.select(col("item").as("consequent"),
+        col("n_item").as("n_c")).hint("shuffle_hash"),
+        Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ant1"), col("ant2"), col("consequent"),
+        col("n_abc"), col("n_pair"), col("n_c"),
+        expr("(n_abc * 1000000) div n_baskets").as("support_ppm"),
+        expr("(n_abc * 1000000) div n_pair").as("confidence_ppm"),
+        expr("(((n_abc * 1000000) div n_pair) * n_baskets) div n_c")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("confidence_ppm").desc,
+        col("ant1"), col("ant2"), col("consequent"))
+      .limit(Apriori3TopK)
+  }
+
+  lazy val q96Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey,
+       |    CAST(FLOOR(SQRT(l_partkey % 196)) AS BIGINT) AS item
+       |  FROM lineitem),
+       |nb AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ob),
+       |cnt AS (
+       |  SELECT item, COUNT(*) AS n_item FROM ob GROUP BY 1),
+       |po AS (
+       |  SELECT a.l_orderkey AS okey, a.item AS ba, b.item AS bb
+       |  FROM ob a JOIN ob b
+       |    ON a.l_orderkey = b.l_orderkey AND a.item < b.item),
+       |fp AS (
+       |  SELECT ba, bb, COUNT(*) AS n_pair
+       |  FROM po, nb GROUP BY 1, 2, n_baskets
+       |  HAVING (COUNT(*) * 1000000) // n_baskets
+       |    >= $PairMinSupPpm),
+       |trip AS (
+       |  SELECT p.ba, p.bb, c.item AS bc, COUNT(*) AS n_abc
+       |  FROM po p
+       |  JOIN fp f ON f.ba = p.ba AND f.bb = p.bb
+       |  JOIN ob c ON c.l_orderkey = p.okey AND c.item > p.bb,
+       |  nb
+       |  GROUP BY 1, 2, 3, n_baskets
+       |  HAVING (COUNT(*) * 1000000) // n_baskets
+       |    >= $TripleMinSupPpm),
+       |rules AS (
+       |  SELECT ba AS ant1, bb AS ant2, bc AS consequent, n_abc
+       |    FROM trip
+       |  UNION ALL SELECT ba, bc, bb, n_abc FROM trip
+       |  UNION ALL SELECT bb, bc, ba, n_abc FROM trip)
+       |SELECT ant1, ant2, consequent, n_abc, f.n_pair,
+       |  c.n_item AS n_c,
+       |  (n_abc * 1000000) // n_baskets AS support_ppm,
+       |  (n_abc * 1000000) // f.n_pair AS confidence_ppm,
+       |  (((n_abc * 1000000) // f.n_pair) * n_baskets) // c.n_item
+       |    AS lift_ppm
+       |FROM rules
+       |JOIN fp f ON f.ba = ant1 AND f.bb = ant2
+       |JOIN cnt c ON c.item = consequent
+       |CROSS JOIN nb
+       |ORDER BY lift_ppm DESC, confidence_ppm DESC, ant1, ant2,
+       |  consequent
+       |LIMIT $Apriori3TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_interpolate" -> (q89Interpolate _),
     "q90_seq_match" -> (q90SeqMatch _),
@@ -810,7 +970,8 @@ object Relational9 {
     "q92_ab_test" -> (q92AbTest _),
     "q93_file_binpack" -> (q93FileBinpack _),
     "q94_rfm" -> (q94Rfm _),
-    "q95_assoc_rules" -> (q95AssocRules _))
+    "q95_assoc_rules" -> (q95AssocRules _),
+    "q96_apriori3" -> (q96Apriori3 _))
 
   val oracles: Map[String, String] = Map(
     "q89_interpolate" -> q89Sql,
@@ -819,5 +980,6 @@ object Relational9 {
     "q92_ab_test" -> q92Sql,
     "q93_file_binpack" -> q93Sql,
     "q94_rfm" -> q94Sql,
-    "q95_assoc_rules" -> q95Sql)
+    "q95_assoc_rules" -> q95Sql,
+    "q96_apriori3" -> q96Sql)
 }

@@ -326,7 +326,15 @@ class PlanShapeSpec extends AnyFunSuite {
         ("the q93/q94 bounded quintile/decile set with a signed " +
           "SHIFT router: 1-row min/max bounds, 256-row bin " +
           "offsets/totals, 1-row decile cuts — all explicit " +
-          "broadcast(); the projection relation never broadcasts"))
+          "broadcast(); the projection relation never broadcasts"),
+      "q96_apriori3" ->
+        ("the Apriori L2 gate: the frequent-pair set is bounded by " +
+          "|items|² (≤ 91 rows, a literal domain bound — explicit " +
+          "broadcast() so the corpus-scaling pair stream is SEMI-" +
+          "pruned with zero extra shuffles) plus the 1-row basket-" +
+          "total scalar at the pair gate, triple gate, and measures " +
+          "(q95's adjudication); the pair/triple fanouts and their " +
+          "re-attach joins are hinted shuffles, never broadcast"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>

@@ -298,7 +298,11 @@ class RelationalSpec extends AnyFunSuite {
       // d100 cross-joins the 1-row min/max bounds, 1-row total, and
       // 1-row decile-cut relations by broadcast (q93/q94's scalar
       // pattern with a signed shift router) — nothing quadratic
-      "d100_pc_projection")
+      "d100_pc_projection",
+      // q96 cross-joins the 1-row basket-total scalar (q95's
+      // pattern) at the pair gate, the triple gate, and the final
+      // measures — 1-row build sides, nothing quadratic
+      "q96_apriori3")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
