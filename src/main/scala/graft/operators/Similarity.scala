@@ -2161,16 +2161,33 @@ object Similarity {
     * posted (vec_id, cell, qv) — the primary-cell assignment, which
     * d94's base build persists as `postings/` so a later INSERT can
     * read just its probed cells' members). */
-  def navGraphParts(corpus: DataFrame, cents: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val ranked = corpus.join(broadcast(cents))
+  /** The per-vector cell assignment the graph builds rank against:
+    * (vec_id, cell, dist, rn, qv) rows for the [[CellProbes]]
+    * nearest cells of each vector, rn = 1 the argmin. Assignment is
+    * INDEPENDENT of which member subset a graph is built over (the
+    * centroids fix it), which is what lets d86's layered build
+    * compute this once and filter per layer. */
+  private[graft] def navRanked(corpus: DataFrame, cents: DataFrame)
+      : DataFrame =
+    corpus.join(broadcast(cents))
       .withColumn("dist", qDist(col("qv"), col("qc")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("cent_id"))))
-    val posted = ranked.filter(col("rn") === 1)
+      .filter(col("rn") <= CellProbes)
       .select(col("vec_id"), col("cent_id").as("cell"), col("dist"),
-        col("qv"))
+        col("rn"), col("qv"))
+
+  /** Graph construction from a pre-ranked assignment relation —
+    * bit-identical to ranking inline (same tie-breaks, same joins),
+    * shared so the d86 layered build can reuse ONE assignment pass
+    * across its layers (r16: the build recomputed the corpus ×
+    * centroids rank per layer — 5 corpus passes for 4 layers +
+    * layer 0). */
+  private[graft] def navGraphFromRanked(ranked: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val posted = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("dist"), col("qv"))
     val entries = posted.groupBy(col("cell"))
       .agg(min(struct(col("dist"), col("vec_id"))).as("best"))
       .select(col("cell"), col("best.vec_id").as("entry_id"))
@@ -2182,8 +2199,7 @@ object Similarity {
     // forced shuffles throughout, the d12 lesson (see cellKnnEdges)
     val postedC = posted.select(col("vec_id"), col("cell"))
       .join(capped.hint("shuffle_hash"), Seq("cell"))
-    val probes = ranked.filter(col("rn") <= CellProbes)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = ranked.select(col("vec_id"), col("cell"))
     val cand = probes.as("a")
       .join(postedC.as("b").hint("merge"),
         col("a.cell") === col("b.cell") &&
@@ -2193,13 +2209,15 @@ object Similarity {
       .distinct()
     // re-attach vectors BY ID to the narrow candidate relation, exact
     // quantized L2, bounded per-vector top-NavK cut (the
-    // rankKnnCandidates shape on the integer grid)
+    // rankKnnCandidates shape on the integer grid); every member has
+    // exactly one rn = 1 row, so posted doubles as the (vec_id, qv)
+    // side relation
     val we = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("nbr_id"))
     val edges = cand.hint("merge")
-      .join(corpus.select(col("vec_id"), col("qv").as("qa")),
+      .join(posted.select(col("vec_id"), col("qv").as("qa")),
         Seq("vec_id"))
-      .join(corpus.select(col("vec_id").as("nbr_id"),
+      .join(posted.select(col("vec_id").as("nbr_id"),
         col("qv").as("qb")), Seq("nbr_id"))
       .withColumn("dist", qDist(col("qa"), col("qb")))
       .select(col("vec_id"), col("nbr_id"), col("dist"))
@@ -2209,6 +2227,10 @@ object Similarity {
     (edges, entries, posted.select(col("vec_id"), col("cell"),
       col("qv")))
   }
+
+  def navGraphParts(corpus: DataFrame, cents: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) =
+    navGraphFromRanked(navRanked(corpus, cents))
 
   /** Build-if-absent the persisted NAVIGABLE-GRAPH index — the
     * serving structure HNSW-class systems walk (r12 verdict item 3:
@@ -3432,14 +3454,34 @@ object Similarity {
               col("vec_id").as("vid"))).as("b"))
             .select(col("b.vid").as("vec_id"))
             .coalesce(1).write.parquet(s"$tmp/entry")
+          // ONE corpus × centroids assignment pass, spilled once:
+          // the per-vector cell rank is independent of the member
+          // subset, so every layer's graph derives from a filter of
+          // this relation (r16 — the build previously re-ranked the
+          // corpus per layer: 5 corpus passes, the 2-3× gap to
+          // d84's single-graph build in the r15 artifact sweep; the
+          // edges are bit-identical, so the committed hash and the
+          // search oracle are unchanged)
+          val rankedAll = navRanked(leveled
+            .select(col("vec_id"), col("qv"), col("lvl")), cents)
+          rankedAll.withColumn("lvl",
+            hnswLevel(Dedup.md5Long(col("vec_id").cast("string"))))
+            .write.parquet(s"$tmp/assigned")
+          val assigned = spark.read.parquet(s"$tmp/assigned")
           for (l <- HnswMaxLvl to 1 by -1) {
-            val members = leveled.filter(col("lvl") >= l)
-              .select(col("vec_id"), col("qv"))
-            val (edgesL, _, _) = navGraphParts(members, cents)
+            val (edgesL, _, _) = navGraphFromRanked(
+              assigned.filter(col("lvl") >= l).drop("lvl"))
             edgesL.write.parquet(s"$tmp/edges_l$l")
           }
-          val (edges0, _, _) = navGraphParts(corpus, cents)
+          val (edges0, _, _) =
+            navGraphFromRanked(assigned.drop("lvl"))
           edges0.write.parquet(s"$tmp/edges_l0")
+          // the assignment spill is build scaffolding, not part of
+          // the served artifact — drop it before the commit marker
+          val f = new org.apache.hadoop.fs.Path(s"$tmp/assigned")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          f.delete(new org.apache.hadoop.fs.Path(s"$tmp/assigned"),
+            true)
         })
       path
     }
@@ -5402,7 +5444,7 @@ object Similarity {
     * (Rayleigh quotient over the trace). Sign is pinned by the
     * all-ones start vector and deterministic arithmetic. */
   /** Quantized embedding relation shared by the PCA family. */
-  private def pcaQuantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pcaQuantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * PcaQ).cast("long")).as("qv"))
@@ -5834,8 +5876,13 @@ object Similarity {
     * driver's left-assoc product order) and a fresh 20-iteration
     * chain; cumulative sums are written as explicit left-assoc
     * expressions so they match the driver's running accumulation. */
-  lazy val d101Sql: String = {
-    val comps = (2 to PcaTopK).map { c =>
+  /** The deflation-chain CTEs shared by d101 (reports the spectrum)
+    * and d102 (projects onto it): defines ray1..ray{K-1}, the
+    * deflated matrices cmat2..cmatK, and the c{k}it iteration
+    * chains — after splicing, `it$PcaIters` and `c{k}it$PcaIters`
+    * hold each component's converged vector. */
+  private lazy val pcaDeflateCompsSql: String =
+    (2 to PcaTopK).map { c =>
       val prevIt = if (c == 2) s"it$PcaIters" else s"c${c - 1}it$PcaIters"
       val prevCm = if (c == 2) "cmat" else s"cmat${c - 1}"
       s"""ray${c - 1} AS (
@@ -5849,6 +5896,9 @@ object Similarity {
          |    x -> 1.0) AS v),
          |${pcaIterCtesSql(s"c${c}it", s"cmat$c")}""".stripMargin
     }.mkString(",\n")
+
+  lazy val d101Sql: String = {
+    val comps = pcaDeflateCompsSql
     val lastRay =
       s"""ray$PcaTopK AS (
          |  ${pcaRayleighSql(s"c${PcaTopK}it$PcaIters", s"cmat$PcaTopK")})"""
@@ -5874,5 +5924,177 @@ object Similarity {
        |  CAST(FLOOR(1000000 * cum / tr) AS BIGINT) AS cum_var_ppm
        |FROM pcs, unnest(generate_series(1, 64)) AS t(d), trc
        |ORDER BY pc, dim""".stripMargin
+  }
+
+  // ---- d102: PCA-prefiltered ANN (reduce-then-rerank) --------------
+
+  /** Coarse shortlist width for the PC-space prefilter. Sized to the
+    * SKETCH QUALITY the corpus geometry supports: recall scales with
+    * the variance share the top-[[PcaTopK]] basis carries, and the
+    * synthetic embeddings are near-ISOTROPIC (top-4 eigenvalues hold
+    * ~11% of trace vs the 6.25% isotropic floor — measured via d101's
+    * own spectrum), so the shortlist must be wide to recover the
+    * exact set (measured at sf0.001: R=64 → 0.43 recall, R=256 →
+    * 0.90). On a real embedding corpus with spectral decay the same
+    * R yields far higher recall; R is the serving knob either way
+    * and the re-rank cost stays queries × R regardless of corpus
+    * size. */
+  val PcaPrefilterR = 256
+
+  /** d102: PCA-PREFILTERED nearest neighbors — the dimensionality-
+    * REDUCTION serving path the ANN family lacked (d05 brute-forces
+    * all 64 dims, d25/d84 partition/route the full-dim space; the
+    * classic third option — OPQ/PCA-reduced scan + exact re-rank —
+    * scores a 4-dim sketch first): every vector projects onto the
+    * committed top-[[PcaTopK]] eigenbasis (the d99-d101 artifact —
+    * training amortized across the family), coarse L2 in PC space
+    * shortlists [[PcaPrefilterR]] candidates per query, and exact
+    * 64-dim quantized L2 re-ranks the shortlist to [[TopK]].
+    *
+    * SCALE: the corpus projection is ONE map pass (4 ordered
+    * 64-term folds — integer micro floors, the d100 discipline);
+    * the coarse scan scores 4 dims instead of 64 (a 16× per-row cut
+    * exactly where 100 TB spends its time) against the
+    * [[NumQueries]]-row broadcast query relation; the exact re-rank
+    * touches only queries × R rows. Shortlist recall is MEASURED in
+    * PipelineSpec against d05-style exact top-k rather than
+    * asserted — see [[PcaPrefilterR]] for the isotropy-bounded
+    * sizing. The oracle replays the
+    * full deflation chain, both projections, both rank stages with
+    * identical tie-breaks — hash-verified end to end. */
+  def d102PcaPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val (vs, _, _) = loadPcs(spark, dir)
+    val projCols = (0 until PcaTopK).map { k =>
+      val vlit = array(vs(k).map(x => lit(x)): _*)
+      floor(aggregate(sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("qv"), d).cast("double") *
+          element_at(vlit, d))).cast("long").as(s"p${k + 1}")
+    }
+    val proj = pcaQuantized(spark, dir)
+      .select(col("vec_id") +: projCols :+ col("qv"): _*)
+    val queries = proj.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id") +:
+        (1 to PcaTopK).map(k => col(s"p$k").as(s"qp$k")) :+
+        col("qv").as("q_qv"): _*)
+    val corpus = proj.filter(col("vec_id") >= NumQueries)
+    val coarseDist = (1 to PcaTopK).map(k =>
+      (col(s"p$k") - col(s"qp$k")) * (col(s"p$k") - col(s"qp$k")))
+      .reduce(_ + _)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd"), col("vec_id"))
+    val short = corpus.crossJoin(broadcast(queries))
+      .withColumn("cd", coarseDist)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= PcaPrefilterR)
+    val we = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    short
+      .withColumn("dist", qDist(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Arrival micro-batch width for s27's window view (the s25
+    * convention: vec_id ranges stand in for arrival time). */
+  val DriftBatch = 128L
+
+  /** s27: EMBEDDING-DRIFT monitor at ingest — d100's whitening
+    * question asked of the ARRIVAL STREAM: project each arriving
+    * embedding onto the committed PC1 (the d99-d101 artifact — the
+    * model is loaded once, the stream never trains) and report
+    * per-window projection stats (count, min, max, floor mean). A
+    * shifting window mean along the corpus's own dominant direction
+    * is the cheapest useful embedding-drift alarm a pipeline can
+    * run: one fused map + one windowed aggregate, no joins, no
+    * state beyond the window. Registered as the window report; the
+    * true streaming form ([[graft.streaming.EventStreams
+    * .driftMonitorStream]]) runs the IDENTICAL left-to-right fold
+    * in a stateless typed map — spec-pinned stream == batch. The
+    * mean floors through DOUBLE division (sum and n are exact in
+    * the mantissa) — never integral `div`, whose truncation-toward-
+    * zero diverges from DuckDB's floor `//` on negative sums. */
+  def s27StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (v, _, _) = pc1(spark, dir)
+    val vlit = array(v.map(x => lit(x)): _*)
+    pcaQuantized(spark, dir)
+      .withColumn("pmic", floor(aggregate(
+        sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("qv"), d).cast("double")
+          * element_at(vlit, d))).cast("long"))
+      .withColumn("wnd", expr(s"vec_id div $DriftBatch"))
+      .groupBy(col("wnd"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("pmic")).as("min_pmic"),
+        max(col("pmic")).as("max_pmic"),
+        floor(sum(col("pmic")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_pmic"))
+      .orderBy(col("wnd"))
+  }
+
+  lazy val s27Sql: String =
+    s"""WITH $pcaChainSql,
+       |proj AS (
+       |  SELECT q.vec_id,
+       |    CAST(FLOOR(list_reduce(list_transform(
+       |      generate_series(1, 64),
+       |      d -> CAST(qv[d] AS DOUBLE) * v[d]), (a, b) -> a + b))
+       |      AS BIGINT) AS pmic
+       |  FROM q, it$PcaIters)
+       |SELECT CAST(vec_id // $DriftBatch AS BIGINT) AS wnd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(MIN(pmic) AS BIGINT) AS min_pmic,
+       |  CAST(MAX(pmic) AS BIGINT) AS max_pmic,
+       |  CAST(FLOOR(CAST(SUM(pmic) AS DOUBLE) / COUNT(*))
+       |    AS BIGINT) AS mean_pmic
+       |FROM proj GROUP BY 1 ORDER BY wnd""".stripMargin
+
+  lazy val d102Sql: String = {
+    val tAlias = (1 to PcaTopK).map {
+      case 1 => s"it$PcaIters t1"
+      case k => s"c${k}it$PcaIters t$k"
+    }.mkString(", ")
+    val projExprs = (1 to PcaTopK).map { k =>
+      s"""    CAST(FLOOR(list_reduce(list_transform(
+         |      generate_series(1, 64),
+         |      d -> CAST(qv[d] AS DOUBLE) * t$k.v[d]),
+         |      (a, b) -> a + b)) AS BIGINT) AS p$k""".stripMargin
+    }.mkString(",\n")
+    val cdExpr = (1 to PcaTopK).map(k =>
+      s"(c.p$k - s.qp$k) * (c.p$k - s.qp$k)").mkString("\n    + ")
+    s"""WITH $pcaChainSql,
+       |$pcaDeflateCompsSql,
+       |proj AS (
+       |  SELECT q.vec_id, q.qv,
+       |$projExprs
+       |  FROM q, $tAlias),
+       |qs AS (
+       |  SELECT vec_id AS q_id,
+       |    ${(1 to PcaTopK).map(k => s"p$k AS qp$k").mkString(", ")},
+       |    qv AS q_qv
+       |  FROM proj WHERE vec_id < $NumQueries),
+       |cs AS (SELECT * FROM proj WHERE vec_id >= $NumQueries),
+       |coarse AS (
+       |  SELECT s.q_id, c.vec_id, c.qv, s.q_qv,
+       |    $cdExpr AS cd
+       |  FROM cs c, qs s),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cd, vec_id) AS rn
+       |    FROM coarse)
+       |  WHERE rn <= $PcaPrefilterR),
+       |ex AS (
+       |  SELECT q_id, vec_id,
+       |    ${qDistSql("q_qv", "qv", 64)} AS dist
+       |  FROM short)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+       |  FROM ex)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
   }
 }

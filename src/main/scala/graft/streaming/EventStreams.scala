@@ -811,6 +811,35 @@ object EventStreams {
 
   case class VecArrival(vec_id: Long, qv: Array[Long], ts: Timestamp)
 
+  /** s27's ingest-time form: project each arriving (already-
+    * quantized) embedding onto the committed PC1 loading — a
+    * stateless typed map running the IDENTICAL left-to-right fold
+    * as the batch column expression (0.0 init, acc + qv[d]·v[d] in
+    * index order, floor to micro units) — then the watermark-bounded
+    * windowed drift stats (count / min / max / floor mean through
+    * double division, the batch discipline). The loading rides as a
+    * task-local constant (64 doubles): at 100 TB/day of arriving
+    * vectors the monitor scales with input cores alone. */
+  def driftMonitorStream(vecs: Dataset[VecArrival],
+      loading: Array[Double]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.map { a =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += a.qv(i).toDouble * loading(i); i += 1 }
+      (a.vec_id, math.floor(acc).toLong, a.ts)
+    }.toDF("vec_id", "pmic", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("pmic")).as("min_pmic"),
+        max(col("pmic")).as("max_pmic"),
+        floor(sum(col("pmic")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_pmic"))
+      .select(col("w.start").as("wstart"), col("n_vecs"),
+        col("min_pmic"), col("max_pmic"), col("mean_pmic"))
+  }
+
   /** s10's ingest-time form: each arriving vector computes its argmin
     * cell against the trained centroid array in a typed map —
     * O(k·dim) integer work per row, NO state and NO shuffle until the

@@ -302,7 +302,11 @@ class RelationalSpec extends AnyFunSuite {
       // q96 cross-joins the 1-row basket-total scalar (q95's
       // pattern) at the pair gate, the triple gate, and the final
       // measures — 1-row build sides, nothing quadratic
-      "q96_apriori3")
+      "q96_apriori3",
+      // d102 cross-joins the NumQueries-row projected-query relation
+      // by broadcast (d05's brute-force shape on the 4-dim sketch) —
+      // bounded by the serving knob, nothing quadratic
+      "d102_pca_prefilter")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
