@@ -328,10 +328,19 @@ object LinkGraph {
     * node/edge/wedge/triangle counts and the global clustering
     * coefficient 3T / Σ deg(deg−1)/2. */
   def d74Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.cellKnnEdges(spark, dir)
+    // edges is consumed THREE ways (degrees, orientation, edge total)
+    // and oriented three more (both wedge sides + the semi-join
+    // close): without truncation each reference re-plans — and
+    // re-executes — the whole d66 chain (k-means assignment window +
+    // probe join + exact rank) under it, a 548-Exchange/180-scan
+    // plan at r16 measurement. One eager checkpoint of the O(N·k)
+    // edge list caps the plan at graph size (optimization guide §3.3:
+    // materialise a multiply-referenced intermediate to truncate the
+    // plan); rows are identical, so the oracle hash is untouched.
+    val edges = checkpointRound(Similarity.cellKnnEdges(spark, dir)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
-      .distinct()
+      .distinct())
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -342,10 +351,10 @@ object LinkGraph {
         .select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
+    val oriented = checkpointRound(withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2").hint("shuffle_hash"),
         col("e1.src") === col("e2.src") &&

@@ -2309,16 +2309,28 @@ object Similarity {
   def navBeamWalk(queries: DataFrame, corpus: DataFrame,
       cents: DataFrame, edges: DataFrame, entries: DataFrame,
       beamW: Int, hops: Int, k: Int): DataFrame = {
+    // Every hop of the walk re-reads corpus (the scoring join),
+    // queries (the q_qv re-attach) and edges (the expansion join) —
+    // at NavHops = 8 that was 9 full parquet scans + quantize passes
+    // of the embedding table PER WALK for relations that never change
+    // between hops (r16 plan audit: 12 scans / 18 exchanges in d84's
+    // initial plan). Checkpoint each ONCE up front (guide §3.3 /
+    // §2.4): the hops then join against materialized narrow
+    // (vec_id, qv) blocks. Same rows, same hashes; blocks are freed
+    // by releaseSimCache between bench reps.
+    val qs = pinCheckpoint(queries)
+    val corp = pinCheckpoint(corpus)
+    val eg = pinCheckpoint(edges)
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("dist"), col("cent_id"))
-    val entry = queries.join(broadcast(cents))
+    val entry = qs.join(broadcast(cents))
       .withColumn("dist", qDist(col("q_qv"), col("qc")))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= NavEntryCells)
       .select(col("q_id"), col("cent_id").as("cell"))
       .join(broadcast(entries), Seq("cell"))
       .select(col("q_id"), col("entry_id").as("vec_id"))
-    beamWalkFrom(queries, corpus, edges, entry, beamW, hops, k)
+    beamWalkFrom(qs, corp, eg, entry, beamW, hops, k)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -3393,9 +3405,14 @@ object Similarity {
     val root = ensureHnswIndex(spark, dir)
     val qz = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantizeVec(col("embedding")).as("qv"))
-    val queries = qz.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
-    val corpus = qz.filter(col("vec_id") >= NumQueries)
+    // one quantize pass each for queries and corpus, shared by ALL
+    // four walks (3 descent layers + layer 0) — previously every hop
+    // of every walk re-scanned and re-quantized the embedding table
+    // (~18 scans per d86 call in the r16 plan audit); see
+    // navBeamWalk's checkpoint note (guide §3.3)
+    val queries = pinCheckpoint(qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv")))
+    val corpus = pinCheckpoint(qz.filter(col("vec_id") >= NumQueries))
     val top = loadIndexPart(spark, root, "entry")
     var seed = queries.select(col("q_id")).crossJoin(broadcast(top))
     for (l <- HnswMaxLvl to 1 by -1) {
@@ -3404,7 +3421,7 @@ object Similarity {
         HnswDescentBeam, HnswDescentHops, 1)
         .select(col("q_id"), col("vec_id"))
     }
-    val edges0 = loadIndexPart(spark, root, "edges_l0")
+    val edges0 = pinCheckpoint(loadIndexPart(spark, root, "edges_l0"))
     beamWalkFrom(queries, corpus, edges0, seed, NavBeam, NavHops, TopK)
       .orderBy(col("q_id"), col("rank"))
   }
