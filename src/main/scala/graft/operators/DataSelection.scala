@@ -59,10 +59,19 @@ object DataSelection {
     * rational) so the per-doc aggregation is an exact long sum —
     * no float-order dependence anywhere. */
   def d92Dsir(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        explode(TextFunctions.words(col("text"))).as("w"))
-      .withColumn("b", wordBucket(col("w")))
+    // the tokenized + hash-bucketed word relation feeds the raw
+    // histogram, the target histogram, and the per-doc scoring join —
+    // without truncation each consumer re-executes the explode +
+    // per-word md5 bucket (r16 plan audit: 20 scans / 50 exchanges in
+    // the initial plan). One eager checkpoint of the narrow
+    // (doc_id, lang, b) relation caps tokenization at one pass
+    // (guide §3.3); rows identical, oracle unchanged.
+    val docs = Similarity.pinCheckpoint(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.words(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"),
+          wordBucket(col("w")).as("b")))
     val raw = docs.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = docs.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -78,7 +87,11 @@ object DataSelection {
             / ((col("cr") + 1) * (col("tt") + DsirBuckets))
               .cast("double")))
           .cast("long").as("lr_micro"))
-    val scored = docs.join(broadcast(lr), Seq("b"))
+    // scored feeds both the percentile threshold and the final
+    // report — pin the doc-count-sized relation so the scoring join
+    // runs once (same guide §3.3 rationale as docs above)
+    val scored = Similarity.pinCheckpoint(docs
+      .join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("lr_micro")).cast("long").as("score_micro"))
@@ -86,7 +99,7 @@ object DataSelection {
       // the raw sum is length-biased, the selection key must not be
       .withColumn("spw",
         floor(col("score_micro").cast("double") / col("n_words"))
-          .cast("long"))
+          .cast("long")))
     // E_raw[ln(pt/pr)] = -KL(raw‖target) ≤ 0, so a ">0" cut selects
     // ~nothing; DSIR keeps the top of the importance ranking — here
     // the top quintile via an exact DISCRETE percentile (an actual
@@ -197,6 +210,15 @@ object DataSelection {
       .withColumn("np",
         (length(col("t")) - GramK + 1).cast("long"))
       .filter(col("np") >= 1)
+    // NOTE (r16): an in-row array rewrite of this stage (per-doc
+    // transform + sliding slice/array_min instead of explode +
+    // window) was tried and REVERTED — higher-order functions run
+    // interpreted, outside whole-stage codegen, and measured 10-14 s
+    // against this form's 7 s at sf0.1 (and a collapsed-projection
+    // variant re-evaluated the md5 array per window position: 372 s
+    // at sf0.01). The exploded gram relation keeps md5/conv inside a
+    // codegen'd projection; the per-doc window is the one exchange
+    // the selection fundamentally needs.
     val grams = base
       .select(col("doc_id"), col("np"),
         explode(sequence(lit(1L), col("np"))).as("p"),
@@ -210,12 +232,20 @@ object DataSelection {
       .drop("t")
     val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(0, WinW - 1)
-    val fp = grams
+    // fp feeds per-doc stats, the hash side (twice, via the pair
+    // self-join) and the final report join — six consumers, each of
+    // which would otherwise re-execute the expensive explode +
+    // per-gram md5 + window subtree above (the r16 plan audit read
+    // 52 scans / 26 windows in the initial plan). One eager
+    // checkpoint of the small (doc_id, np, fph) relation caps the
+    // md5 work at one pass (guide §3.3); rows identical, oracle
+    // hash unchanged.
+    val fp = Similarity.pinCheckpoint(grams
       .withColumn("sel", min(col("combined")).over(winFrame))
       .filter(col("p") <= greatest(col("np") - WinW + 1, lit(1L)))
       .select(col("doc_id"), col("np"),
         (col("sel").cast("long") / PosSpace).cast("long").as("fph"))
-      .distinct()
+      .distinct())
     val perDoc = fp.groupBy(col("doc_id"))
       .agg(max(col("np")).as("n_grams"), count(lit(1)).as("n_fp"))
     val hashes = fp.select(col("doc_id"), col("fph")).distinct()

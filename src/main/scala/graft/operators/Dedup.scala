@@ -1061,14 +1061,21 @@ object Dedup {
       .filter(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
       .withColumn("t", trim(col("text")))
       .withColumn("w", split(col("t"), " "))
-    val sh = base.select(col("doc_id"),
+    // sh feeds the bin pass, the shingle counts, and both sides of
+    // the exact-intersection join; binned feeds the grid, the
+    // densified election, and both aligned-estimate sides — without
+    // truncation each consumer re-executes the shingle explode + md5
+    // chain (r16 plan audit: 40 scans / 38 exchanges in the initial
+    // plan). Checkpoint each once (guide §3.3); oracle unchanged.
+    val sh = Similarity.pinCheckpoint(base.select(col("doc_id"),
       explode(array_distinct(
-        shingleStrings(col("t"), col("w"), 3))).as("s"))
-    val binned = sh.select(col("doc_id"), md5Long(col("s")).as("hv"))
-      .withColumn("bin",
-        col("hv").bitwiseAND(lit((OphBins - 1).toLong)))
-      .groupBy(col("doc_id"), col("bin"))
-      .agg(min(col("hv")).as("mh"))
+        shingleStrings(col("t"), col("w"), 3))).as("s")))
+    val binned = Similarity.pinCheckpoint(
+      sh.select(col("doc_id"), md5Long(col("s")).as("hv"))
+        .withColumn("bin",
+          col("hv").bitwiseAND(lit((OphBins - 1).toLong)))
+        .groupBy(col("doc_id"), col("bin"))
+        .agg(min(col("hv")).as("mh")))
     // fixed-width densified signature: every bin filled; empty bins
     // borrow from the nearest non-empty bin clockwise, value XORed
     // with t·C (t = circular borrow distance, 0 for own bins)

@@ -290,8 +290,14 @@ object Relational6 {
             + expr(s"min(CASE WHEN cum >= (n + 2) div 2 THEN $valueCol END)"))
             .as("sum2"))
     }
-    val med = medianRanks(li, "pc")
-      .select(col("l_returnflag"), col("n"), col("sum2").as("med2"))
+    // med (|l_returnflag| rows) feeds BOTH the deviation pass and the
+    // final report join — without truncation each consumer re-executes
+    // the full value-histogram + two-window median chain over lineitem
+    // (r16 plan audit: 6 scans / 12 windows in the initial plan).
+    // One eager checkpoint of the 3-row relation halves the lineitem
+    // passes (guide §3.3); same rows, oracle unchanged.
+    val med = Similarity.pinCheckpoint(medianRanks(li, "pc")
+      .select(col("l_returnflag"), col("n"), col("sum2").as("med2")))
     val dev = li.join(broadcast(med), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         abs(lit(2L) * col("pc") - col("med2")).as("dev2"))

@@ -659,21 +659,28 @@ object Retrieval {
     * each, round 6. Runs over the planted-duplicate corpus (the
     * d02/d24/m05 convention). */
   def d63SparseCosine(spark: SparkSession, dir: String): DataFrame = {
-    val post = Dedup.corpusWithPlants(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), " +
-          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val rare = post.join(
+    // post feeds both the df filter and the posting side, and rare
+    // feeds the norms plus BOTH sides of the dot-product self-join —
+    // without truncation each consumer re-executes the shingle
+    // explode + tf aggregate (r16 plan audit: 32 scans / 44
+    // exchanges in the initial plan). Checkpoint each once (guide
+    // §3.3); rows identical, oracle unchanged.
+    val post = Similarity.pinCheckpoint(
+      Dedup.corpusWithPlants(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), " +
+            "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")))
+    val rare = Similarity.pinCheckpoint(post.join(
       post.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= SparseDfCap)
         .select(col("term"))
         .hint("shuffle_hash"),
-      Seq("term"))
+      Seq("term")))
     val norms = rare.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = rare.select(col("term"), col("doc_id").as("a_id"),

@@ -889,6 +889,12 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("qv").as("qc"))
     val cents = kmeansQuantized(qz.filter(col("vec_id") >= IvfCells),
       init, KmIters)
+    // NOTE (r16): checkpointing the (vec_id, cell, rn) assignment to
+    // share it between the posting and probe consumers was tried and
+    // MEASURED SLOWER (d66 isolated 7.4→9.5 s vs this form; d74
+    // regressed ~1.7 s) — AQE's runtime exchange reuse already dedups
+    // the assignment-window subtree here, and the eager checkpoint
+    // only added a materialization barrier (the q94 persist lesson).
     val ranked = qz.join(broadcast(cents))
       .withColumn("dist", qDist(col("qv"), col("qc")))
       .withColumn("rn", row_number().over(
