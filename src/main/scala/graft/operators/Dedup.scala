@@ -644,10 +644,16 @@ object Dedup {
     * candidate generator, and at larger N the block width widens
     * (16 → 20+ bits over more tables) per the paper's table. */
   def d72SimhashBlocks(spark: SparkSession, dir: String): DataFrame = {
-    val sig = corpusWithPlants(spark, dir)
+    // the signature relation feeds the block posting, the bucket cap,
+    // and BOTH sides of the candidate self-join — without truncation
+    // each consumer re-executes the per-word simhash fold (r16 plan
+    // audit: 16 scans in the initial plan). One eager checkpoint of
+    // the tiny (doc_id, sig) relation caps it at one pass (guide
+    // §3.3); rows identical, oracle unchanged.
+    val sig = Similarity.pinCheckpoint(corpusWithPlants(spark, dir)
       .withColumn("t", trim(col("text")))
       .withColumn("w", split(col("t"), " "))
-      .select(col("doc_id"), simhashCol(col("t"), col("w")).as("sig"))
+      .select(col("doc_id"), simhashCol(col("t"), col("w")).as("sig")))
     val posted = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until SimBlocks).map(b =>
           struct(lit(b).as("blk"),

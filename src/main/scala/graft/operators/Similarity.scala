@@ -5770,12 +5770,17 @@ object Similarity {
   def d100PcProjection(spark: SparkSession, dir: String): DataFrame = {
     val (v, _, _) = pc1(spark, dir)
     val vlit = array(v.map(x => lit(x)): _*)
-    val proj = pcaQuantized(spark, dir)
+    // proj feeds the value histogram AND the final decile labeling —
+    // without truncation both consumers re-run the interpreted
+    // 64-dim projection fold over the corpus. One eager checkpoint
+    // of the narrow (vec_id, pmic) relation halves that (guide
+    // §3.3); rows identical, oracle unchanged.
+    val proj = pinCheckpoint(pcaQuantized(spark, dir)
       .withColumn("pmic", floor(aggregate(
         sequence(lit(1), lit(64)), lit(0.0),
         (acc, d) => acc + element_at(col("qv"), d).cast("double")
           * element_at(vlit, d))).cast("long"))
-      .select(col("vec_id"), col("pmic"))
+      .select(col("vec_id"), col("pmic")))
     val hist = proj.groupBy(col("pmic").as("pv"))
       .agg(count(lit(1)).as("c"))
     val bounds = hist.agg(min(col("pv")).as("mn"), max(col("pv")).as("mx"))
