@@ -4145,7 +4145,14 @@ object Similarity {
   def residualPqSearch(queries: DataFrame, cands: DataFrame,
       cents: DataFrame, nprobe: Int, k: Int,
       initBelow: Long): DataFrame = {
-    val resid = cellResiduals(cands, cents)
+    // the residual relation feeds the book training (whose grouped
+    // k-means re-executes its input once per collected round) and
+    // both legs of the coded scan — without truncation the
+    // cellResiduals chain (corpus × centroid argmin + centroid
+    // subtraction) re-runs ~5× per d29/d47 call (r16 plan audit:
+    // 34 exchanges / 18 windows in d47's initial plan). One eager
+    // checkpoint caps it at one pass (guide §3.3); oracle unchanged.
+    val resid = pinCheckpoint(cellResiduals(cands, cents))
     val book = trainResidualBook(resid, initBelow)
     residualAdcScan(queries, resid, cents, book, nprobe, k)
   }
