@@ -275,6 +275,14 @@ object Relational6 {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+    // NOTE (r16): a d46/d100-style bin-parallel two-level rewrite of
+    // this running count (256 range bins + offset join, windows over
+    // (flag, bin)) was tried and REVERTED — bit-identical cum values
+    // but 2× slower at bench scale on a same-host A/B (7.9-8.0 s vs
+    // 3.8-4.5 s at sf0.1): the extra hist passes and offset joins
+    // cost more than the 3-partition window saves locally. At true
+    // 100 TB per-group row counts the two-level form is the right
+    // shape — q74/d100 carry it where the histogram is corpus-wide.
     def medianRanks(values: DataFrame, valueCol: String): DataFrame = {
       val wCum = Window.partitionBy(col("l_returnflag"))
         .orderBy(col(valueCol))
