@@ -48,10 +48,16 @@ object PipelineE2e {
       .join(meta, Seq("base_id"))
     // language + length gate, one WordStats kernel pass reused by the
     // final token accounting
-    val gated = attributed
+    // gated feeds BOTH the contamination probe and the clean-side
+    // anti-join — without truncation each consumer re-executes the
+    // survivor join + WordStats kernel pass (r16 plan audit: 16
+    // scans / 24 exchanges in the initial plan). One eager
+    // checkpoint caps that at one pass (guide §3.3); oracle
+    // unchanged.
+    val gated = Similarity.pinCheckpoint(attributed
       .withColumn("st", TextFunctions.wordStats(col("text")))
       .filter(col("lang") === "en"
-        && col("st.n_words") >= MinWords)
+        && col("st.n_words") >= MinWords))
     // decontamination: d13's contract — any shared ContamN-gram with
     // the (bounded, broadcastable) eval set; eval docs themselves and
     // their planted mutations leave the train side

@@ -4152,7 +4152,15 @@ object Similarity {
     // subtraction) re-runs ~5× per d29/d47 call (r16 plan audit:
     // 34 exchanges / 18 windows in d47's initial plan). One eager
     // checkpoint caps it at one pass (guide §3.3); oracle unchanged.
-    val resid = pinCheckpoint(cellResiduals(cands, cents))
+    // The explicit vec_id repartition matters: AQE coalesces the
+    // small aggregate output to ONE partition at test scale, and a
+    // single-partition checkpoint satisfies every downstream
+    // clustering requirement trivially — the rank windows would then
+    // run unpartitioned end to end (the PlanShapeSpec gate catches
+    // exactly that shape). Hash-partitioned, the checkpoint keeps
+    // scan parallelism and the q_id exchanges stay in the plan.
+    val resid = pinCheckpoint(
+      cellResiduals(cands, cents).repartition(col("vec_id")))
     val book = trainResidualBook(resid, initBelow)
     residualAdcScan(queries, resid, cents, book, nprobe, k)
   }

@@ -414,7 +414,23 @@ class PlanShapeSpec extends AnyFunSuite {
           "|bins| rows — d23/m07's allowlisted bounded-prefix-offset " +
           "pattern; the corpus-scaling window inside each bin is " +
           "partitioned by bin, only the |bins|-row offset relation " +
-          "is global"))
+          "is global"),
+      // r16: a HEURISTIC false positive, not a global window — every
+      // d47 rank window is q_id-partitioned (plans/r16/
+      // d47_residual_rerank_after.txt). The exact-rerank window's
+      // input (corpus scan ⋈ two bounded broadcasts) is ONE file
+      // split at spec scale, and a single-partition child satisfies
+      // ClusteredDistribution trivially, so no exchange sits between
+      // the window and the first Exchange in PRINT order — which is
+      // a bounded 1-row-scalar branch's SinglePartition deep inside
+      // the broadcast shortlist subplan. At production split counts
+      // the q_id exchange materializes. Surfaced by the r16 residual
+      // checkpoint, which truncated the hashpartitioning exchanges
+      // that used to print first.
+      "d47_residual_rerank" ->
+        ("q_id-partitioned rank windows over broadcast-bounded " +
+          "inputs; flagged line is a bounded scalar branch, see " +
+          "comment"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
