@@ -64,39 +64,53 @@ object CrawlE2e {
 
   // ---- per-piece entity decode helpers (t37's contract as column
   // functions usable inside array lambdas) -------------------------
-  private def namedOf(p: Column): Column =
-    regexp_extract(p, "^&([a-zA-Z]+);", 1)
-  private def decCodeOf(p: Column): Column = {
-    val d = regexp_extract(p, "^&#([0-9]{1,7});", 1)
-    when(d =!= "", d.cast("long"))
-  }
-  private def hexCodeOf(p: Column): Column = {
-    val h = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
-    when(h =!= "", conv(lower(h), 16, 10).cast("long"))
-  }
+  //
+  // r17 shape: each piece's three prefix regexes run ONCE, into a
+  // (p, nm, dv, dlen, hv, hlen) struct; the decode and both counters
+  // read the precomputed fields. The r16 form re-ran regexp_extract
+  // inside every `when` branch and again per counter (~9 regex
+  // executions per piece per consumer — HOF lambdas get no
+  // common-subexpression elimination), and stripped the matched
+  // prefix with regexp_replace where substr(len) is equivalent: the
+  // branch guard proves the prefix matched, so its length is
+  // 2 + dlen + 1 (dec), 3 + hlen + 1 (hex), 1 + len(nm) + 1 (named).
+  // Same decoded strings, same counts — CrawlE2eSpec pins the round
+  // trip and the oracle replays the original regex formulation.
   private val NamedSet = Seq("amp", "lt", "gt", "quot", "apos", "nbsp")
   private def namedChar(n: Column): Column =
     when(n === "amp", "&").when(n === "lt", "<").when(n === "gt", ">")
       .when(n === "quot", "\"").when(n === "apos", "'")
       .otherwise(" ") // nbsp (guarded by the IN-set check at use site)
-  // null-safe: decCodeOf/hexCodeOf are NULL for non-numeric pieces,
-  // and false||NULL is NULL in SQL — an unknown entity would vanish
-  // from the n_unknown counter without the coalesce
-  private def isHit(p: Column): Column =
-    namedOf(p).isin(NamedSet: _*) ||
-      coalesce(decCodeOf(p).between(32L, 126L), lit(false)) ||
-      coalesce(hexCodeOf(p).between(32L, 126L), lit(false))
-  private def decodePiece(p: Column): Column =
-    when(namedOf(p).isin(NamedSet: _*),
-      concat(namedChar(namedOf(p)),
-        regexp_replace(p, "^&[a-zA-Z]+;", "")))
-      .when(decCodeOf(p).between(32L, 126L),
-        concat(call_function("char", decCodeOf(p)),
-          regexp_replace(p, "^&#[0-9]{1,7};", "")))
-      .when(hexCodeOf(p).between(32L, 126L),
-        concat(call_function("char", hexCodeOf(p)),
-          regexp_replace(p, "^&#[xX][0-9a-fA-F]{1,6};", "")))
+  private def pieceInfo(p: Column): Column = {
+    val dc = regexp_extract(p, "^&#([0-9]{1,7});", 1)
+    val hx = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+    struct(p.as("p"),
+      regexp_extract(p, "^&([a-zA-Z]+);", 1).as("nm"),
+      when(dc =!= "", dc.cast("long")).as("dv"),
+      length(dc).as("dlen"),
+      when(hx =!= "", conv(lower(hx), 16, 10).cast("long")).as("hv"),
+      length(hx).as("hlen"))
+  }
+  // null-safe: dv/hv are NULL for non-numeric pieces, and false||NULL
+  // is NULL in SQL — an unknown entity would vanish from the
+  // n_unknown counter without the coalesce
+  private def infoHit(s: Column): Column =
+    s.getField("nm").isin(NamedSet: _*) ||
+      coalesce(s.getField("dv").between(32L, 126L), lit(false)) ||
+      coalesce(s.getField("hv").between(32L, 126L), lit(false))
+  private def infoDecode(s: Column): Column = {
+    val p = s.getField("p")
+    when(s.getField("nm").isin(NamedSet: _*),
+      concat(namedChar(s.getField("nm")),
+        p.substr(length(s.getField("nm")) + lit(3), length(p))))
+      .when(s.getField("dv").between(32L, 126L),
+        concat(call_function("char", s.getField("dv")),
+          p.substr(s.getField("dlen") + lit(4), length(p))))
+      .when(s.getField("hv").between(32L, 126L),
+        concat(call_function("char", s.getField("hv")),
+          p.substr(s.getField("hlen") + lit(5), length(p))))
       .otherwise(p)
+  }
 
   def t41CrawlE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
@@ -151,20 +165,13 @@ object CrawlE2e {
               length(p) === col("dlen")), 1)))
 
     // the planted page: t35 chrome around (t37 escaped prefix +
-    // t40 wrapped text)
-    val ws = split(col("txt"), " ")
-    val wrapped = array_join(transform(ws, (w, i0) => {
-      val i = i0 + 1
-      val body = when(pmod(i, lit(5)) === 2 && length(w) >= 4 &&
-        w.substr(lit(2), lit(2)).rlike("^[a-z]{2}$"),
-        concat(w.substr(lit(1), lit(2)), lit("-\n"),
-          w.substr(lit(3), length(w))))
-        .otherwise(w)
-      val sep = when(i < size(ws),
-        when(pmod(i, lit(6)) === 0, lit("\n")).otherwise(lit(" ")))
-        .otherwise(lit(""))
-      concat(body, sep)
-    }), "")
+    // t40 wrapped text). r17: the wrap runs as ONE codegen'd kernel
+    // pass per doc (CrawlPlantKernel mode 0) — the interpreted
+    // per-word transform was t41's single largest profiled stage
+    // (1.6 s of 2.8 s at sf0.1); bytes identical, oracle untouched
+    // (CrawlPlantKernelSpec pins the equality).
+    val wrapped = graft.functions.CrawlPlantKernel.wrapCol(
+      col("txt"), graft.functions.CrawlPlantKernel.T41Wrap)
     val page = concat(
       lit("<html><head><title>d</title><style>.m{color:red}</style>" +
         "<script>var s=\"<div>decoy</div>\";</script></head><body>" +
@@ -183,10 +190,14 @@ object CrawlE2e {
     // survive extraction for t40's repair to see them (the per-key
     // t35 collapses \s+ because its per-block report has no
     // downstream repair).
-    val cleaned = regexp_replace(regexp_replace(regexp_replace(page,
-      "(?is)<script[^>]*>.*?</script>", " "),
-      "(?is)<style[^>]*>.*?</style>", " "),
-      "(?is)<head[^>]*>.*?</head>", " ")
+    // r17: the three strip passes fuse into ONE alternation — each
+    // replaced region is replaced by the same " " whichever branch
+    // matches first, and the plant's script/style nest inside <head>
+    // so the leftmost match subsumes them identically (hash-verified
+    // against the oracle, which keeps the three-pass formulation).
+    val cleaned = regexp_replace(page,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" +
+        "|<head[^>]*>.*?</head>", " ")
     val bs = split(cleaned, "(?i)</?(?:nav|div|p|body|html)[^>]*>")
     val blockStructs = filter(transform(bs, b => struct(
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
@@ -207,18 +218,21 @@ object CrawlE2e {
         s => s.getField("btxt")), " "))
 
     // t37 entity decode as array ops over the sentinel-split pieces
+    // (r17: literal sentinel insertion via replace() — "&" is not a
+    // regex; piece regexes run once each into pinfo, see pieceInfo)
     val decodedDf = extractedDf
-      .withColumn("pieces", split(regexp_replace(col("extracted"),
-        "&", "&"), ""))
+      .withColumn("pinfo", transform(split(replace(col("extracted"),
+        lit("&"), lit("&")), ""), p => pieceInfo(p)))
       .withColumn("decoded",
-        array_join(transform(col("pieces"), p => decodePiece(p)), ""))
-      .withColumn("n_entities", aggregate(col("pieces"), lit(0L),
-        (acc, p) => acc + when(isHit(p), 1L).otherwise(0L)))
-      .withColumn("n_unknown", aggregate(col("pieces"), lit(0L),
-        (acc, p) => acc + when(p.startsWith("&") && !isHit(p), 1L)
-          .otherwise(0L)))
+        array_join(transform(col("pinfo"), s => infoDecode(s)), ""))
+      .withColumn("n_entities", aggregate(col("pinfo"), lit(0L),
+        (acc, s) => acc + when(infoHit(s), 1L).otherwise(0L)))
+      .withColumn("n_unknown", aggregate(col("pinfo"), lit(0L),
+        (acc, s) => acc + when(s.getField("p").startsWith("&")
+          && !infoHit(s), 1L).otherwise(0L)))
 
-    // t40 repair + the structural round-trip pin
+    // t40 repair + the structural round-trip pin (r17: "\n" → " " is
+    // a literal substitution — replace(), not a regex pass)
     val expected = concat(lit("Tom & Jerry <tag> \""), col("source"),
       lit("\" 'ok' ABC ! &bogus; "), col("txt"), lit(" "),
       col("source"))
@@ -226,12 +240,12 @@ object CrawlE2e {
       .withColumn("dehyph", regexp_replace(col("decoded"),
         "([a-z])-\\n([a-z])", "$1$2"))
       .withColumn("repaired",
-        regexp_replace(col("dehyph"), "\\n", " "))
+        replace(col("dehyph"), lit("\n"), lit(" ")))
       .withColumn("n_hyphen_joins",
         ((length(col("decoded")) - length(col("dehyph"))) / 2)
           .cast("long"))
       .withColumn("n_wraps", (length(col("dehyph")) -
-        length(regexp_replace(col("dehyph"), "\\n", "")))
+        length(replace(col("dehyph"), lit("\n"), lit(""))))
         .cast("long"))
       .withColumn("restored",
         when(col("repaired") === expected, 1L).otherwise(0L))
@@ -369,28 +383,13 @@ object CrawlE2e {
         (col("charset_class") =!= "legacy").cast("long"))
 
     // the planted page: t44 header/footer lines around (t37 escaped
-    // prefix + t40 wrap + t43 terminators/abbreviations)
-    val ws = split(col("txt"), " ")
-    val terms = array(lit(". "), lit("! "), lit("? "))
-    val abbrevs = array(lit("Dr. "), lit("No. "), lit("St. "))
-    def cyc(i: Column, k: Int): Column =
-      pmod(((i - pmod(i, lit(k))) / lit(k)).cast("int"), lit(3)) + 1
-    val wrapped = array_join(transform(ws, (w, i0) => {
-      val i = i0 + 1
-      val hyph = when(pmod(i, lit(5)) === 2 && length(w) >= 4 &&
-        w.substr(lit(2), lit(2)).rlike("^[a-z]{2}$"),
-        concat(w.substr(lit(1), lit(2)), lit("-\n"),
-          w.substr(lit(3), length(w))))
-        .otherwise(w)
-      val body = when(pmod(i, lit(11)) === 3,
-        concat(element_at(abbrevs, cyc(i, 11)), hyph)).otherwise(hyph)
-      val sep = when(i < size(ws),
-        when(pmod(i, lit(7)) === 0, element_at(terms, cyc(i, 7)))
-          .when(pmod(i, lit(6)) === 0, lit("\n"))
-          .otherwise(lit(" ")))
-        .otherwise(lit(""))
-      concat(body, sep)
-    }), "")
+    // prefix + t40 wrap + t43 terminators/abbreviations). r17: the
+    // wrap AND the expected round-trip text below each run as ONE
+    // codegen'd kernel pass per doc (CrawlPlantKernel modes 1/2) —
+    // t45 paid the interpreted per-word transform twice; bytes
+    // identical, oracle untouched (CrawlPlantKernelSpec).
+    val wrapped = graft.functions.CrawlPlantKernel.wrapCol(
+      col("txt"), graft.functions.CrawlPlantKernel.T45Wrap)
     val header = concat(lit("subscribe to source "),
       pmod(col("doc_id"), lit(5)).cast("string"), lit(" newsletter"))
     val page = concat(
@@ -405,11 +404,11 @@ object CrawlE2e {
         "<div><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a>" +
         "</div></body></html>"))
 
-    // t35 extraction (same array-op shape as t41)
-    val cleaned = regexp_replace(regexp_replace(regexp_replace(page,
-      "(?is)<script[^>]*>.*?</script>", " "),
-      "(?is)<style[^>]*>.*?</style>", " "),
-      "(?is)<head[^>]*>.*?</head>", " ")
+    // t35 extraction (same array-op shape as t41, same r17 fused
+    // strip alternation)
+    val cleaned = regexp_replace(page,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" +
+        "|<head[^>]*>.*?</head>", " ")
     val bs = split(cleaned, "(?i)</?(?:nav|div|p|body|html)[^>]*>")
     val blockStructs = filter(transform(bs, b => struct(
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
@@ -429,17 +428,17 @@ object CrawlE2e {
       .withColumn("extracted", array_join(transform(col("keptb"),
         s => s.getField("btxt")), " "))
 
-    // t37 entity decode (same as t41)
+    // t37 entity decode (same r17 pinfo shape as t41)
     val decodedDf = extractedDf
-      .withColumn("pieces", split(regexp_replace(col("extracted"),
-        "&", "&"), ""))
+      .withColumn("pinfo", transform(split(replace(col("extracted"),
+        lit("&"), lit("&")), ""), p => pieceInfo(p)))
       .withColumn("decoded",
-        array_join(transform(col("pieces"), p => decodePiece(p)), ""))
-      .withColumn("n_entities", aggregate(col("pieces"), lit(0L),
-        (acc, p) => acc + when(isHit(p), 1L).otherwise(0L)))
-      .withColumn("n_unknown", aggregate(col("pieces"), lit(0L),
-        (acc, p) => acc + when(p.startsWith("&") && !isHit(p), 1L)
-          .otherwise(0L)))
+        array_join(transform(col("pinfo"), s => infoDecode(s)), ""))
+      .withColumn("n_entities", aggregate(col("pinfo"), lit(0L),
+        (acc, s) => acc + when(infoHit(s), 1L).otherwise(0L)))
+      .withColumn("n_unknown", aggregate(col("pinfo"), lit(0L),
+        (acc, s) => acc + when(s.getField("p").startsWith("&")
+          && !infoHit(s), 1L).otherwise(0L)))
       .withColumn("n_lines",
         size(split(col("decoded"), "\n")).cast("long"))
 
@@ -449,7 +448,24 @@ object CrawlE2e {
     // rule: wrap/hyphen breaks make tiny mid-word fragments ("an",
     // "ing") that collide corpus-wide by chance; removing those
     // would tear words, and no real boilerplate line is that short.
-    val ex = decodedDf.select(col("doc_id"),
+    // r17: decodedDf feeds BOTH the line explode and the re-attach
+    // join below — without truncation the whole page-build + extract
+    // + entity-decode map pipeline executes once per consumer (the
+    // line-keyed exchange is AQE-reused between freq and kept, but
+    // the re-attach side re-runs the full upstream). One eager
+    // checkpoint of the narrow per-doc projection caps the decode at
+    // ONE pass (guide §3.3); rows identical, oracle unchanged. The
+    // projection drops the block/piece arrays and the page string so
+    // the pinned relation is one row of counters + text per doc, and
+    // it is scan-partitioned (not aggregate-coalesced), so the
+    // single-partition checkpoint trap doesn't apply.
+    val doc = (decodedDf.select(
+      col("doc_id"), col("source"), col("txt"), col("canon_url"),
+      col("matched_rule"), col("allowed"), col("charset_class"),
+      col("charset_ok"), col("n_blocks"), col("n_kept"),
+      col("n_entities"), col("n_unknown"), col("n_lines"),
+      col("decoded")))
+    val ex = doc.select(col("doc_id"),
       posexplode(split(col("decoded"), "\n")).as(Seq("pos0", "line")))
     val freq = ex.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -461,7 +477,7 @@ object CrawlE2e {
         array_join(transform(
           array_sort(collect_list(struct(col("pos0"), col("line")))),
           x => x.getField("line")), "\n").as("dedup_text"))
-    val withLines = decodedDf
+    val withLines = doc
       // rebuilt is aggregate-derived and corpus-scaling — hinted
       // shuffled build (the t11/d16 never-guess-broadcast rule)
       .join(rebuilt.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -470,28 +486,20 @@ object CrawlE2e {
         col("n_lines") - coalesce(col("n_kept_lines"), lit(0L)))
 
     // t40 repair + the widened structural round-trip pin
-    val expectedTxt = array_join(transform(ws, (w, i0) => {
-      val i = i0 + 1
-      val body = when(pmod(i, lit(11)) === 3,
-        concat(element_at(abbrevs, cyc(i, 11)), w)).otherwise(w)
-      val sep = when(i < size(ws),
-        when(pmod(i, lit(7)) === 0, element_at(terms, cyc(i, 7)))
-          .otherwise(lit(" ")))
-        .otherwise(lit(""))
-      concat(body, sep)
-    }), "")
+    val expectedTxt = graft.functions.CrawlPlantKernel.wrapCol(
+      col("txt"), graft.functions.CrawlPlantKernel.T45Expected)
     val expected = concat(lit("Tom & Jerry <tag> \""), col("source"),
       lit("\" 'ok' ABC ! &bogus; "), expectedTxt)
     val repairedDf = withLines
       .withColumn("dehyph", regexp_replace(col("dedup_text"),
         "([a-z])-\\n([a-z])", "$1$2"))
       .withColumn("repaired",
-        regexp_replace(col("dehyph"), "\\n", " "))
+        replace(col("dehyph"), lit("\n"), lit(" ")))
       .withColumn("n_hyphen_joins",
         ((length(col("dedup_text")) - length(col("dehyph"))) / 2)
           .cast("long"))
       .withColumn("n_wraps", (length(col("dehyph")) -
-        length(regexp_replace(col("dehyph"), "\\n", "")))
+        length(replace(col("dehyph"), lit("\n"), lit(""))))
         .cast("long"))
       .withColumn("restored",
         when(col("repaired") === expected, 1L).otherwise(0L))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -210,42 +209,34 @@ object DataSelection {
       .withColumn("np",
         (length(col("t")) - GramK + 1).cast("long"))
       .filter(col("np") >= 1)
-    // NOTE (r16): an in-row array rewrite of this stage (per-doc
+    // NOTE (r16): an in-row ARRAY rewrite of this stage (per-doc
     // transform + sliding slice/array_min instead of explode +
     // window) was tried and REVERTED — higher-order functions run
     // interpreted, outside whole-stage codegen, and measured 10-14 s
-    // against this form's 7 s at sf0.1 (and a collapsed-projection
-    // variant re-evaluated the md5 array per window position: 372 s
-    // at sf0.01). The exploded gram relation keeps md5/conv inside a
-    // codegen'd projection; the per-doc window is the one exchange
-    // the selection fundamentally needs.
-    val grams = base
-      .select(col("doc_id"), col("np"),
-        explode(sequence(lit(1L), col("np"))).as("p"),
-        col("t"))
-      .withColumn("h",
-        pmod(conv(substring(md5(col("t").substr(col("p"), lit(GramK))
-          .cast("binary")), 1, 8), 16, 10).cast("long"),
-          lit(HashSpace)))
-      .withColumn("combined",
-        col("h") * PosSpace + (lit(PosSpace) - col("p")))
-      .drop("t")
-    val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, WinW - 1)
+    // against the exploded form's 7 s at sf0.1 (and a collapsed-
+    // projection variant re-evaluated the md5 array per window
+    // position: 372 s at sf0.01). r17 replaces BOTH forms with one
+    // codegen'd KERNEL call per doc (guide §1.2 step 2 — per-task
+    // work — after r16 fixed the job shape): WinnowKernel feeds each
+    // gram's UTF-8 byte range straight into a thread-local
+    // MessageDigest and reads conv(md5-hex-prefix) as the first 4
+    // digest bytes, so the np explode rows, the per-gram hex/conv
+    // strings and the per-doc window exchange+sort all disappear
+    // while every fingerprint value stays BIT-IDENTICAL to the
+    // expression chain (WinnowKernelSpec pins the equivalence on the
+    // real corpus; the DuckDB oracle is untouched).
+    //
     // fp feeds per-doc stats, the hash side (twice, via the pair
     // self-join) and the final report join — six consumers, each of
-    // which would otherwise re-execute the expensive explode +
-    // per-gram md5 + window subtree above (the r16 plan audit read
-    // 52 scans / 26 windows in the initial plan). One eager
-    // checkpoint of the small (doc_id, np, fph) relation caps the
-    // md5 work at one pass (guide §3.3); rows identical, oracle
-    // hash unchanged.
-    val fp = Similarity.pinCheckpoint(grams
-      .withColumn("sel", min(col("combined")).over(winFrame))
-      .filter(col("p") <= greatest(col("np") - WinW + 1, lit(1L)))
+    // which would otherwise re-execute the per-gram md5 subtree
+    // above (the r16 plan audit read 52 scans / 26 windows in the
+    // initial plan). One eager checkpoint of the small
+    // (doc_id, np, fph) relation caps the md5 work at one pass
+    // (guide §3.3); rows identical, oracle hash unchanged.
+    val fp = Similarity.pinCheckpoint(base
       .select(col("doc_id"), col("np"),
-        (col("sel").cast("long") / PosSpace).cast("long").as("fph"))
-      .distinct())
+        explode(graft.functions.WinnowKernel.fingerprintsCol(
+          col("t"), GramK, WinW, HashSpace, PosSpace)).as("fph")))
     val perDoc = fp.groupBy(col("doc_id"))
       .agg(max(col("np")).as("n_grams"), count(lit(1)).as("n_fp"))
     val hashes = fp.select(col("doc_id"), col("fph")).distinct()

@@ -155,6 +155,11 @@ object LinkGraph {
       und.join(deg.hint("shuffle_hash"), Seq("src"))
         .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOTE (r17, measured and kept as-is): initializing r₀ from deg
+    // (the oracle's shape — same rows) re-derives the degree
+    // aggregate from the pair pin because deg's subtree isn't cached,
+    // while this distinct reads the already-persisted withDeg —
+    // same-window A/B read 5.2 s vs 3.6 s in favor of THIS form.
     var ranks = checkpointRound(
       withDeg.select(col("src").as("node")).distinct()
         .select(col("node"), lit(RankScale).as("r")))

@@ -237,13 +237,15 @@ object MapBench {
     try {
       FdoSink.map2db(spark, path, out)
       import spark.implicits._
-      Seq("points", "lines", "areas")
-        .map { t =>
+      // r17 (guide §2.6): the three read-back counts are independent
+      // bounded jobs — overlap them like the sink's writes
+      graft.Threads.inParallel(Seq("points", "lines", "areas").map(t =>
+        () => {
           // a table with no rows writes only _SUCCESS (no schema to read)
           val n = try spark.read.parquet(s"$out/$t").count()
           catch { case _: org.apache.spark.sql.AnalysisException => 0L }
           t -> n
-        }
+        }))
         .toDF("table_name", "n_rows")
         .orderBy("table_name")
       // counts above are EAGER, so the sink dir is consumed by the

@@ -271,7 +271,10 @@ object MapPipeline {
 
     val tables = Seq(numbered(rawPoints, "m2db_pnum"),
       numbered(rawLines, "m2db_lnum"), numbered(rawAreas, "m2db_anum"))
-    val Seq((p, pk), (l, lk), (a, ak)) = tables.map(explodeVtags)
+    // r17 (guide §2.6): overlap the three independent key collects —
+    // see build() below; the decode cache still fills exactly once.
+    val Seq((p, pk), (l, lk), (a, ak)) =
+      graft.Threads.inParallel(tables.map(t => () => explodeVtags(t)))
     MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted,
       release = () => { tables.foreach(_.unpersist()); scanned.release() },
       decodedTiles = () => scanned.tilesDecoded.value)
@@ -309,9 +312,16 @@ object MapPipeline {
       .withColumnRenamed("fid", "m2db_lnum").persist()
     val areas = mergeFeatures(areaFeatures(cachedWays))
       .withColumnRenamed("fid", "m2db_anum").persist()
-    val (p, pk) = explodeVtags(points)
-    val (l, lk) = explodeVtags(lines)
-    val (a, ak) = explodeVtags(areas)
+    // r17 (guide §2.6): the three per-table key collects are
+    // independent actions — run them from a pool so their merge
+    // stages overlap instead of paying three sequential job floors;
+    // the shared decode cache computes once under the block
+    // manager's per-partition locks whichever thread gets there
+    // first.
+    val Seq((p, pk), (l, lk), (a, ak)) = graft.Threads.inParallel(Seq(
+      () => explodeVtags(points),
+      () => explodeVtags(lines),
+      () => explodeVtags(areas)))
     MapTables(p, l, a, (pk ++ lk ++ ak).distinct.sorted,
       release = () => {
         Seq(points, lines, areas).foreach(_.unpersist())

@@ -383,6 +383,38 @@ class PlanShapeSpec extends AnyFunSuite {
         |                        +- HashAggregate(keys=[], functions=[partial_count(1)])
         |                           +- FileScan parquet []""".stripMargin
     assert(AuditBroadcast.singlePartitionWindows(scalarBranch) == 0)
+    // r17: a global window with NO exchange below was satisfied
+    // TRIVIALLY by a one-partition child (e.g. an AQE-coalesced
+    // checkpointed LogicalRDD) — the d47-class trap the old
+    // first-Exchange rule could not see; it must flag
+    val trivial =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number() windowspecdefinition(id#0L ASC)], [id#0L ASC]
+        |   +- Sort [id#0L ASC NULLS FIRST], false, 0
+        |      +- Scan ExistingRDD[id#0L]""".stripMargin
+    assert(AuditBroadcast.singlePartitionWindows(trivial) == 1)
+    // r17: a PARTITIONED window never flags, whatever Exchange prints
+    // first in its subtree (the r16 d47 false positive: the bounded
+    // scalar branch's SinglePartition was first in print order when a
+    // checkpoint truncated the hashpartitioning exchanges above it)
+    val partScalarFirst =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [rank() windowspecdefinition(q#2L, d#3 ASC)], [q#2L], [d#3 ASC]
+        |   +- Sort [q#2L ASC, d#3 ASC], false, 0
+        |      +- Project [q#2L, d#3]
+        |         +- BroadcastNestedLoopJoin BuildRight, Cross
+        |            :- Scan ExistingRDD[q#2L,d#3]
+        |            +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+        |               +- HashAggregate(keys=[], functions=[count(1)])
+        |                  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=10]
+        |                     +- HashAggregate(keys=[], functions=[partial_count(1)])
+        |                        +- FileScan parquet []""".stripMargin
+    assert(AuditBroadcast.singlePartitionWindows(partScalarFirst) == 0)
+    // unordered global spec (frame only) is still global
+    assert(AuditBroadcast.windowLineIsPartitioned(
+      "Window [sum(x#1L) windowspecdefinition(specifiedwindowframe(" +
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) " +
+        "AS s#9L]") == false)
   }
 
   test("NO registered query runs a single-partition window outside " +
@@ -409,28 +441,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // over the qmic histogram was retired with the d23 two-level
       // prefix sum (per-bin offsets via a triangular |bins|-row
       // self-join, within-bin windows partitioned by bin)
+      // r17: the r16 d47 entry (q_id-partitioned windows flagged via
+      // a scalar branch's SinglePartition printing first) is GONE —
+      // windowLineIsPartitioned now reads the partition keys off the
+      // node line itself, so partitioned windows never flag (ADVICE
+      // r16) and the heuristic catches the exchange-free trivially-
+      // satisfied global window the old first-Exchange rule missed.
       "d78_sequence_pack" ->
         ("prefix-offset window over the per-bin sequence counts: " +
           "|bins| rows — d23/m07's allowlisted bounded-prefix-offset " +
           "pattern; the corpus-scaling window inside each bin is " +
           "partitioned by bin, only the |bins|-row offset relation " +
-          "is global"),
-      // r16: a HEURISTIC false positive, not a global window — every
-      // d47 rank window is q_id-partitioned (plans/r16/
-      // d47_residual_rerank_after.txt). The exact-rerank window's
-      // input (corpus scan ⋈ two bounded broadcasts) is ONE file
-      // split at spec scale, and a single-partition child satisfies
-      // ClusteredDistribution trivially, so no exchange sits between
-      // the window and the first Exchange in PRINT order — which is
-      // a bounded 1-row-scalar branch's SinglePartition deep inside
-      // the broadcast shortlist subplan. At production split counts
-      // the q_id exchange materializes. Surfaced by the r16 residual
-      // checkpoint, which truncated the hashpartitioning exchanges
-      // that used to print first.
-      "d47_residual_rerank" ->
-        ("q_id-partitioned rank windows over broadcast-bounded " +
-          "inputs; flagged line is a bounded scalar branch, see " +
-          "comment"))
+          "is global"))
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow.contains)
       .flatMap { q =>
