@@ -159,10 +159,18 @@ object Bench {
       "/root/repo/localdata/sf10")
     // kept to the queries whose scale behavior is informative
     // (LSH pipelines, the fixed t11, the near-linear g11, one agg
-    // + one stream baseline)
+    // + one stream baseline). r17 (VERDICT r16 item 3) ADDS the
+    // exact-percentile family: the buffered `percentile` forms
+    // (q16/q63/q88) against the value-histogram forms (q71/q74) —
+    // sf0.1 sits at the scheduling floor where the two shapes tie,
+    // so the drill carries the scale signal that decides which form
+    // the 100 TB path keeps (guide §5: per-group value buffering is
+    // the spill risk the histogram form removes).
     val sf1 = drill(sf1Dir, 10, Seq("q01_pricing_summary",
       "d02_minhash_lsh", "t11_boiler_strip", "d21_pipeline_e2e",
-      "g13_map_pipeline", "g11_polyline_length", "d23_token_shards"))
+      "g13_map_pipeline", "g11_polyline_length", "d23_token_shards",
+      "q16_percentiles", "q63_robust_stats", "q71_median_histogram",
+      "q74_percentiles_scale", "q88_winsorize"))
     // g11 (23 s at sf10, near-linear window sort — measured once,
     // recorded in SURVEY §4) stays out so the whole bench keeps
     // fitting the driver's per-round budget

@@ -268,7 +268,36 @@ object Relational3 {
       Int.MaxValue.toLong)
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
-    scoped.sql(q58Body(s"parquet.`$dir/orders.parquet`"))
+    // r17 (guide §3.3 + §2.4): UnionLoop re-evaluates the recursive
+    // term's whole subtree EVERY iteration, so the r16 form paid the
+    // successor window over orders once for the anchor and once per
+    // step — ChainCap window passes total (the before-plan shows the
+    // LogicalRelation + Window pair inside the loop). The edges and
+    // firsts CTEs share one window spec, so ONE pass computes both
+    // (lead + row_number over the same (custkey; date, key) window),
+    // and the eager pin hands the loop a materialized LogicalRDD:
+    // the recursion now joins the frontier against pinned node-scale
+    // rows — zero orders re-scans, zero re-windows. Same rows and
+    // values; the oracle keeps the two-CTE recursive text verbatim
+    // (q58Sql), and Relational3Spec pins this form against it.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val base = Similarity.pinCheckpoint(
+      scoped.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("nxt"),
+          row_number().over(w).as("rn")))
+    base.createOrReplaceTempView("q58_base")
+    scoped.sql(
+      s"""WITH RECURSIVE chain(o_custkey, o_orderkey, step) AS (
+         |  SELECT o_custkey, o_orderkey, 1 FROM q58_base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.o_custkey, e.nxt, c.step + 1
+         |  FROM chain c JOIN q58_base e ON e.o_orderkey = c.o_orderkey
+         |  WHERE e.nxt IS NOT NULL AND c.step < $ChainCap)
+         |SELECT o_custkey, step, o_orderkey
+         |FROM chain ORDER BY o_custkey, step""".stripMargin)
   }
 
   val q58Sql: String = q58Body("orders")

@@ -1019,23 +1019,26 @@ object TextAnalysis {
     * discipline: ln evaluates once per DISTINCT (doc, bigram) pair
     * and quantizes to the 10⁶ grid immediately, so the per-doc sum
     * Σ nᵢ·lnq(n/nᵢ) is exact integer arithmetic; the normalized
-    * entropy is one BIGINT÷BIGINT IEEE division. One explode + two
-    * doc-keyed aggregates — nothing corpus-global at all. */
+    * entropy is one BIGINT÷BIGINT IEEE division.
+    *
+    * r17 (guide §4 per-task work): the r16 form exploded every bigram
+    * through an INTERPRETED `transform` lambda and paid two shuffled
+    * aggregates just to count within-doc runs — per-doc state that
+    * never needed to leave its row. [[graft.functions.EntropyKernel]]
+    * now computes each doc's (n, n_distinct, neg_ln_ni_sum) triple in
+    * one codegen'd pass (bit-identical by construction AND by
+    * EntropyKernelSpec's corpus pin), so the plan is scan → project →
+    * sort: zero aggregate exchanges, no row blowup. Same rows, same
+    * values — the DuckDB oracle is untouched. */
   def t26CharEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), trim(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 1), " +
-          "i -> substring(t, i, 2))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("ni"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("ni")).as("n"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("ni") *
-          round(log(col("ni").cast("double")) * lit(-1e6), 0)
-            .cast("long")).as("neg_ln_ni_sum"))
+      .select(col("doc_id"),
+        graft.functions.EntropyKernel.bigramStatsCol(col("t")).as("k"))
+      .select(col("doc_id"), col("k").getItem(0).as("n"),
+        col("k").getItem(1).as("n_distinct"),
+        col("k").getItem(2).as("neg_ln_ni_sum"))
       .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
         col("n_distinct").cast("long").as("n_distinct"),
         // Σ nᵢ·(lnq n − lnq nᵢ) regrouped so BOTH ln args are plain
